@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{AsOfJoin, CdcDedup, MergeEngine}
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: named batch queries over the testdata tables, each
+  * paired (where ANSI-SQL-expressible) with a DuckDB oracle in
+  * [[SparkEntry.oracleSql]]. Every operator family from SURVEY.md §2 and
+  * the training-data extension operators appear here.
+  *
+  * Conventions for oracle parity:
+  *   - identical column aliases on both sides (driver sorts columns by
+  *     name before hashing);
+  *   - doubles rounded at the output boundary (parallel summation differs
+  *     from DuckDB's at the ulp level);
+  *   - counts / integer sums cast to BIGINT on both sides (DuckDB widens
+  *     integer sums to HUGEINT);
+  *   - deterministic ORDER BY with a unique tie-break on both sides;
+  *   - raw event timestamps are never returned (testdata carries
+  *     nanosecond precision; Spark truncates to microseconds).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Relational core (reference parity, SURVEY.md §2)
+  // =====================================================================
+
+  /** TPC-H Q1-style pricing summary: filter + groupBy agg (sum/avg/count). */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + predicate pushdown (equality + LIKE) on orders. */
+  private def filterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority").like("1%"))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). */
+  private def segmentTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast-join star schema: revenue per nation. Dims are broadcast
+    * (no shuffle of the fact table for the join).
+    */
+  private def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** W1: latest-change-per-key dedup (the reference's core operator,
+    * stream.py:91-96) on the events table.
+    */
+  private def windowDedup(s: SparkSession, dir: String): DataFrame =
+    CdcDedup
+      .latestPerKey(
+        Tables(s, dir, "events"),
+        Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+
+  /** distinct + sort (A1-A3). */
+  private def distinctEventTypes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(col("event_type")).distinct().orderBy(col("event_type"))
+
+  /** Full CDC merge semantics as a batch query: W1 dedup + J1 upsert with
+    * strict version guard + J2 pk-only unguarded delete, on a synthetic
+    * changelog derived from events (error events = tombstones).
+    */
+  private def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val target = CdcDedup.latestPerKey(ev.filter(col("event_id") % 2 === 0), Seq("user_id"), "event_id")
+    val batch = CdcDedup.latestPerKey(
+      ev.filter(col("event_id") % 2 === 1).unionAll(ev.filter(col("event_id") % 7 === 0)),
+      Seq("user_id"),
+      "event_id")
+    val upserts = batch.filter(col("event_type") =!= "error")
+    val deletes = batch.filter(col("event_type") === "error")
+    val merged = MergeEngine.resolveUpsert(target, upserts, Seq("user_id"), "event_id")
+    MergeEngine
+      .resolveDelete(merged, deletes, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("event_id").as("version"),
+        col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Derived partition columns (P4/X2: YEAR/MONTH additional cols). */
+  private def yearMonthPartitions(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("o_month", month(col("o_orderdate")).cast("long"))
+      .groupBy(col("o_year"), col("o_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** P6/X1 analog: ISO string -> timestamp cast (ZonedTimestamp path). */
+  private def zonedTimestampCast(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso"))
+      .withColumn("epoch_s", unix_timestamp(col("iso").cast("timestamp")).cast("long"))
+      .orderBy(col("event_id"))
+
+  /** Global sort + limit with deterministic tie-break. */
+  private def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** groupBy + HAVING. */
+  private def groupbyHaving(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** Distinct aggregates. */
+  private def countDistinct_(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  /** Conditional aggregation (CASE WHEN pivot). */
+  private def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).cast("long").as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("errors"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2)
+          .as("purchase_value"))
+      .orderBy(col("bucket"))
+
+  /** INTERSECT set op. */
+  private def intersectIds(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("user_id").as("id"))
+      .intersect(Tables(s, dir, "customer").select(col("c_custkey").as("id")))
+      .orderBy(col("id"))
+
+  /** EXCEPT set op: customers that never appear as event users. */
+  private def exceptIds(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"))
+      .except(Tables(s, dir, "events").select(col("user_id").as("id")))
+      .orderBy(col("id"))
+
+  /** Left-semi join (EXISTS). */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no finished order. */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Aggregate-subquery join: parts priced >1.2x their type average.
+    * Spark plan: partial agg + broadcast join (no window needed).
+    */
+  private def aboveAvgParts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val avgByType = p.groupBy(col("p_type")).agg(avg(col("p_retailprice")).as("avg_price"))
+    p.join(broadcast(avgByType), "p_type")
+      .filter(col("p_retailprice") > col("avg_price") * 1.05)
+      .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ranking window: top-3 customers per nation by balance. */
+  private def rankPerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(s, dir, "customer")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"), col("rk"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** ROLLUP grouping sets. */
+  private def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).cast("long").as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** UNION ALL + agg. */
+  private def unionCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(lit("order").as("kind"), col("o_orderkey").as("k"))
+      .unionAll(Tables(s, dir, "lineitem").select(lit("line").as("kind"), col("l_orderkey").as("k")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"))
+      .orderBy(col("kind"))
+
+  /** As-of join: each purchase event picks up the user's most recent
+    * click at or before it ([[AsOfJoin]] union-merge plan — one shuffle).
+    */
+  private def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    AsOfJoin
+      .asOf(purchases, clicks, on = "user_id", leftTs = "ts", rightTs = "ts", payloadPrefix = "")
+      .select(col("event_id"), col("click_event").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // =====================================================================
+  // Training-data pipeline extensions (dedup / text / similarity)
+  // =====================================================================
+
+  /** Exact deduplication by content hash (hash-groupBy). */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+
+  /** Token statistics per language. */
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).cast("long").as("total_tokens"),
+        round(avg(TF.tokenCount(col("text")).cast("double")), 3).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** Quality-signal aggregates per source. */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(avg(TF.punctRatio(col("text"))), 4).as("punct_ratio"),
+        round(avg(TF.stopwordRatio(col("text"))), 4).as("stop_ratio"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** Canonical-form fingerprint per document. */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine similarity of every vector against a query
+    * vector (vec_id=0) — the exact baseline for ANN.
+    */
+  private def simsearchCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VF.cosine(col("embedding"), col("qv")), 3).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  // =====================================================================
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_filter_pushdown" -> (filterPushdown _),
+    "q03_segment_top_orders" -> (segmentTopOrders _),
+    "q04_nation_revenue" -> (nationRevenue _),
+    "q05_window_dedup" -> (windowDedup _),
+    "q06_distinct_event_types" -> (distinctEventTypes _),
+    "q07_cdc_merge" -> (cdcMerge _),
+    "q08_year_month_partitions" -> (yearMonthPartitions _),
+    "q09_zoned_timestamp_cast" -> (zonedTimestampCast _),
+    "q10_topk_orders" -> (topkOrders _),
+    "q11_groupby_having" -> (groupbyHaving _),
+    "q12_count_distinct" -> (countDistinct_ _),
+    "q13_conditional_agg" -> (conditionalAgg _),
+    "q14_intersect" -> (intersectIds _),
+    "q15_except" -> (exceptIds _),
+    "q16_semi_join" -> (semiJoin _),
+    "q17_anti_join" -> (antiJoin _),
+    "q18_above_avg_parts" -> (aboveAvgParts _),
+    "q19_rank_per_nation" -> (rankPerNation _),
+    "q20_rollup" -> (rollupOrders _),
+    "q21_union_counts" -> (unionCounts _),
+    "q22_asof_join" -> (asofClickPurchase _),
+    "dedup_exact" -> (dedupExact _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "simsearch_cosine" -> (simsearchCosine _))
+
+  /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
+    * same ordering). See class doc for the parity conventions.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03_segment_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_nation_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q05_window_dedup" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q06_distinct_event_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q07_cdc_merge" ->
+      """WITH target AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        |batch AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM (SELECT * FROM events WHERE event_id % 2 = 1
+        |          UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)) WHERE rn = 1),
+        |upserts AS (SELECT * FROM batch WHERE event_type <> 'error'),
+        |deletes AS (SELECT user_id FROM batch WHERE event_type = 'error'),
+        |merged AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC, is_src ASC) AS rn2
+        |    FROM (SELECT user_id, event_id, event_type, value, 0 AS is_src FROM target
+        |          UNION ALL
+        |          SELECT user_id, event_id, event_type, value, 1 AS is_src FROM upserts))
+        |  WHERE rn2 = 1)
+        |SELECT user_id, event_id AS version, event_type, round(value, 2) AS value
+        |FROM merged
+        |WHERE user_id NOT IN (SELECT user_id FROM deletes)
+        |ORDER BY user_id""".stripMargin,
+    "q08_year_month_partitions" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
+    "q09_zoned_timestamp_cast" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+        | CAST(epoch(CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)) AS BIGINT) AS epoch_s
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q11_groupby_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q12_count_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_conditional_agg" ->
+      """SELECT user_id % 10 AS bucket,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+    "q14_intersect" ->
+      """SELECT user_id AS id FROM events
+        |INTERSECT
+        |SELECT c_custkey AS id FROM customer
+        |ORDER BY id""".stripMargin,
+    "q15_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT
+        |SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+    "q16_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q17_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q18_above_avg_parts" ->
+      """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        |FROM (SELECT *, avg(p_retailprice) OVER (PARTITION BY p_type) AS avg_price FROM part)
+        |WHERE p_retailprice > avg_price * 1.05
+        |ORDER BY p_partkey""".stripMargin,
+    "q19_rank_per_nation" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal, rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |      FROM customer)
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin,
+    "q20_rollup" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(1, 2)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q21_union_counts" ->
+      """SELECT kind, count(*) AS n, CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM (SELECT 'order' AS kind, o_orderkey AS k FROM orders
+        |      UNION ALL SELECT 'line' AS kind, l_orderkey AS k FROM lineitem)
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
+    "q22_asof_join" ->
+      """SELECT p.event_id AS event_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY h""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        | round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 3) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """SELECT source,
+        | round(avg((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) * 1.0) / length(text)), 4) AS punct_ratio,
+        | round(avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t))) * 1.0
+        |   / len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4) AS stop_ratio,
+        | round(avg(n_chars), 2) AS avg_chars,
+        | count(*) AS n_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "simsearch_cosine" ->
+      """SELECT e.vec_id AS vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS cos
+        |FROM embeddings e,
+        |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY e.vec_id""".stripMargin)
 }

@@ -1,0 +1,26 @@
+package graft.config
+
+/** Target-table configuration for CDC replication.
+  *
+  * Mirrors the capability of the reference's `DeltaTableConfig`
+  * (reference: src/kafka2delta/config/config.py:4-29): a catalog
+  * schema/table, a storage path, optional derived columns appended to the
+  * decoded schema (SQL expression strings such as
+  * `"YEAR(created_at) AS year"`), and optional partition columns (which
+  * must be produced by `additionalCols` or exist in the decoded schema).
+  *
+  * `partitionCols` participate in the upsert merge keys so the merge can
+  * prune target partitions (reference: stream.py:116-117).
+  */
+final case class TableConfig(
+    schema: String,
+    tableName: String,
+    path: String,
+    additionalCols: Seq[String] = Seq.empty,
+    partitionCols: Seq[String] = Seq.empty) {
+  require(schema.nonEmpty, "schema must be non-empty")
+  require(tableName.nonEmpty, "tableName must be non-empty")
+
+  /** `schema.tableName` (reference: config.py:24-29). */
+  def qualifiedName: String = s"$schema.$tableName"
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns,
+  * composed from codegen'd built-ins (`zip_with` + `aggregate`) — no
+  * UDFs, so vector scans stay inside whole-stage codegen at scale.
+  */
+object VectorFunctions {
+
+  /** Elementwise dot product, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Random-hyperplane (SimHash) signature for cosine LSH: `bits`
+    * pseudo-random hyperplanes derived deterministically from `seed`;
+    * bit i is the sign of the projection onto hyperplane i. Vectors with
+    * high cosine similarity agree on most bits. Returns a long bitmask
+    * (bits <= 63).
+    *
+    * The hyperplane components are derived from `xxhash64(i, j, seed)`
+    * mapped to [-1, 1) — deterministic across the cluster with no
+    * broadcast state needed.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column = {
+    require(bits > 0 && bits < 64, "bits must be in [1, 63]")
+    val dims = size(vec)
+    val bitCols = (0 until bits).map { i =>
+      // projection_i = sum_j vec[j] * h(i, j)
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), dims - 1),
+          (x, j) => x.cast("double") * hashToUnit(lit(i), j, lit(seed))),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic pseudo-random double in [-1, 1) from hash inputs. */
+  private def hashToUnit(i: Column, j: Column, seed: Column): Column =
+    (pmod(xxhash64(i, j, seed), lit(1000003L)).cast("double") / lit(500001.5)) - lit(1.0)
+
+  /** Hamming distance between two long bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-change-per-key deduplication — the semantic heart of the CDC
+  * engine (reference: src/kafka2delta/stream/stream.py:91-96).
+  *
+  * A micro-batch can carry many changes for the same key; only the newest
+  * (highest log-sequence-number) may reach the merge. `dropDuplicates` is
+  * NOT equivalent — the ordering by version is load-bearing.
+  *
+  * Scale notes: one shuffle on the key columns; `row_number` needs no
+  * buffering beyond the sort run, and Catalyst pushes the `rn = 1`
+  * predicate into a rank-limit (top-1 per key) physical window, so this
+  * holds at arbitrary batch sizes.
+  */
+object CdcDedup {
+
+  private val RnCol = "__graft_rn"
+
+  /** Keep, per key, the single row that sorts first by `orderBy`
+    * (typically `desc(versionCol)`).
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1)
+      .drop(RnCol)
+  }
+
+  /** Reference form: newest version per key by a single monotone version
+    * column (stream.py:92 `ORDER BY lsn DESC`).
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
+    latestPerKey(df, keyCols, Seq(col(versionCol).desc))
+}
