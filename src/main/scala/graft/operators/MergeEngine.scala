@@ -121,6 +121,7 @@ object MergeEngine {
       source: DataFrame,
       pkCols: Seq[String],
       versionCol: String): Unit = {
+    if (source.isEmpty) return
     val keys = (pkCols ++ cfg.partitionCols).distinct
     readTable(spark, cfg.path) match {
       case None =>
@@ -148,9 +149,12 @@ object MergeEngine {
       cfg: TableConfig,
       deletes: DataFrame,
       pkCols: Seq[String]): Unit = {
+    if (deletes.isEmpty) return
     readTable(spark, cfg.path).foreach { target =>
       if (cfg.partitionCols.isEmpty) {
-        writeStaged(spark, cfg, resolveDelete(target, deletes, pkCols), overwriteAll = true)
+        val survivors = resolveDelete(target, deletes, pkCols)
+        if (survivors.isEmpty) truncate(spark, cfg) // delete-all: no rows to stage
+        else writeStaged(spark, cfg, survivors, overwriteAll = true)
       } else {
         val keys = deletes.select(pkCols.map(col): _*).distinct()
         val affected = target
@@ -161,7 +165,9 @@ object MergeEngine {
         if (affected.isEmpty) return
         val slice = target.filter(partitionPredicate(cfg.partitionCols, affected))
         val survivors = resolveDelete(slice, deletes, pkCols)
-        val kept = writeStaged(spark, cfg, survivors, overwriteAll = false)
+        val kept =
+          if (survivors.isEmpty) Array.empty[Row]
+          else writeStaged(spark, cfg, survivors, overwriteAll = false)
         // Dynamic overwrite only replaces partitions that received rows;
         // affected partitions with zero survivors must be removed.
         val keptSet = kept.map(_.toSeq).toSet
@@ -169,6 +175,16 @@ object MergeEngine {
         if (emptied.nonEmpty) dropPartitionDirs(spark, cfg, emptied)
       }
     }
+  }
+
+  /** Remove all data for a table (used when a delete empties an
+    * unpartitioned table).
+    */
+  private def truncate(spark: SparkSession, cfg: TableConfig): Unit = {
+    val root = new Path(cfg.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    ()
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,109 @@
+package graft
+
+import graft.config.TableConfig
+import graft.operators.{CdcDedup, MergeEngine}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MergeEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changelog(rows: (Int, String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "name", "__deleted", "__log_sequence_number")
+
+  test("resolveUpsert: insert + newer-version update + stale replay ignored") {
+    val target = changelog((1, "a", "false", 10L), (2, "b", "false", 20L))
+    val source = changelog(
+      (2, "b2", "false", 25L), // newer -> wins
+      (1, "a0", "false", 5L), // stale replay -> ignored
+      (3, "c", "false", 30L)) // new key -> insert
+    val out = MergeEngine
+      .resolveUpsert(target, source, Seq("id"), "__log_sequence_number")
+      .select("id", "name").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+  }
+
+  test("resolveUpsert: version tie keeps the target row (strict < guard)") {
+    val target = changelog((1, "target", "false", 10L))
+    val source = changelog((1, "source", "false", 10L))
+    val out = MergeEngine
+      .resolveUpsert(target, source, Seq("id"), "__log_sequence_number")
+      .select("name").as[String].collect()
+    assert(out.toSeq == Seq("target"))
+  }
+
+  test("resolveDelete: pk-only, no version guard") {
+    val target = changelog((1, "a", "false", 100L), (2, "b", "false", 20L))
+    // delete arrives with an OLDER lsn — still deletes (J2 semantics)
+    val deletes = changelog((1, null, "true", 1L))
+    val out = MergeEngine.resolveDelete(target, deletes, Seq("id"))
+      .select("id").as[Int].collect()
+    assert(out.toSeq == Seq(2))
+  }
+
+  test("schema evolution: source adds a column; dropped column persists as null") {
+    val target = Seq((1, "a", 10L)).toDF("id", "name", "lsn")
+    val source = Seq((2, "b@x", 20L)).toDF("id", "email", "lsn") // name gone, email new
+    val out = MergeEngine.resolveUpsert(target, source, Seq("id"), "lsn")
+      .orderBy("id").collect()
+    val schema = MergeEngine.resolveUpsert(target, source, Seq("id"), "lsn").schema
+    assert(schema.fieldNames.toSet == Set("id", "name", "lsn", "email"))
+    val row1 = out(0) // id=1: has name, null email
+    val row2 = out(1) // id=2: null name, has email
+    assert(row1.getAs[String]("name") == "a" && row1.getAs[String]("email") == null)
+    assert(row2.getAs[String]("name") == null && row2.getAs[String]("email") == "b@x")
+  }
+
+  test("table-backed upsert/delete on a partitioned table, incl. partition cleanup") {
+    val path = tmpDir("merge-part")
+    val cfg = TableConfig("graft_test", "part_tbl", s"$path/t", partitionCols = Seq("year"))
+
+    val b1 = Seq(
+      (1, "a", 2023, 10L), (2, "b", 2023, 11L), (3, "c", 2024, 12L))
+      .toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+    assert(MergeEngine.readTable(spark, cfg.path).get.count() == 3)
+
+    // second batch touches ONLY 2024; 2023 partition files must be untouched
+    val files2023 = listFiles(s"$path/t/year=2023")
+    val b2 = Seq((3, "c2", 2024, 20L), (4, "d", 2024, 21L)).toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn")
+    val t2 = MergeEngine.readTable(spark, cfg.path).get
+    assert(t2.count() == 4)
+    assert(t2.filter(col("id") === 3).select("name").as[String].collect().head == "c2")
+    assert(listFiles(s"$path/t/year=2023") == files2023, "untouched partition was rewritten")
+
+    // delete the only 2023 rows -> partition dir removed
+    val dels = Seq((1, 0L), (2, 0L)).toDF("id", "lsn")
+    MergeEngine.delete(spark, cfg, dels, Seq("id"))
+    val t3 = MergeEngine.readTable(spark, cfg.path).get
+    assert(t3.select("id").as[Int].collect().sorted.toSeq == Seq(3, 4))
+    assert(!new java.io.File(s"$path/t/year=2023").exists(), "emptied partition not cleaned up")
+  }
+
+  test("upsert is idempotent under batch replay (same batch twice)") {
+    val path = tmpDir("merge-replay")
+    val cfg = TableConfig("graft_test", "replay_tbl", s"$path/t")
+    val b = Seq((1, "a", 10L), (2, "b", 11L)).toDF("id", "name", "lsn")
+    MergeEngine.upsert(spark, cfg, b, Seq("id"), "lsn")
+    MergeEngine.upsert(spark, cfg, b, Seq("id"), "lsn") // replay
+    val t = MergeEngine.readTable(spark, cfg.path).get
+    assert(t.count() == 2)
+  }
+
+  test("W1 dedup collapses in-batch churn before merge") {
+    val batch = changelog(
+      (1, "v1", "false", 1L), (1, "v2", "false", 2L), (1, "v3", "false", 3L),
+      (2, "x1", "false", 1L))
+    val deduped = CdcDedup.latestPerKey(batch, Seq("id"), "__log_sequence_number")
+    assert(deduped.count() == 2)
+    assert(deduped.filter(col("id") === 1).select("name").as[String].collect().head == "v3")
+  }
+
+  private def listFiles(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName + ":" + f.length()).toSet
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.AsOfJoin
+
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right row at or before left ts, per key") {
+    val left = Seq( // (key, ts, id)
+      (1, 100L, "L1"), (1, 200L, "L2"), (2, 50L, "L3"))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1, 90L, "R1"), (1, 150L, "R2"), (1, 201L, "R3"), (3, 10L, "R4"))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts")
+      .select("lid", "right_rid").as[(String, Option[String])].collect().toMap
+    assert(out("L1").contains("R1")) // 90 <= 100 < 150
+    assert(out("L2").contains("R2")) // 150 <= 200 < 201
+    assert(out("L3").isEmpty) // no right rows for key 2
+  }
+
+  test("asOf: right row at exactly left ts matches (<= semantics)") {
+    val left = Seq((1, 100L, "L")).toDF("k", "ts", "lid")
+    val right = Seq((1, 100L, "R")).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts")
+      .select("right_rid").as[Option[String]].collect().head
+    assert(out.contains("R"))
+  }
+
+  test("asOf: multi-column payload comes from the SAME right row") {
+    val left = Seq((1, 100L, "L")).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1, 50L, Option("x"), Option.empty[String]), // older: a=x, b=null
+      (1, 90L, Option.empty[String], Option("y"))) // newest: a=null, b=y
+      .toDF("k", "ts", "a", "b")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts")
+      .select("right_a", "right_b").as[(Option[String], Option[String])].collect().head
+    // both columns must reflect the ts=90 row, not a null-skipping mix
+    assert(out == ((None, Some("y"))))
+  }
+
+  test("text: token count, fingerprint, quality are deterministic and sane") {
+    val df = Seq(
+      (1, "The quick brown fox."),
+      (2, "the   QUICK  brown fox."),
+      (3, "wordswithoutstops !!!!?!")).toDF("id", "text")
+    val got = df.select(
+      col("id"),
+      TF.tokenCount(col("text")).as("n"),
+      TF.fingerprint(col("text")).as("fp"),
+      TF.qualityScore(col("text")).as("q")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L, 2L))
+    // fingerprint is whitespace/case-insensitive: rows 1 and 2 collide
+    assert(got(0).getString(2) == got(1).getString(2))
+    assert(got(0).getString(2) != got(2).getString(2))
+    val q = got.map(_.getDouble(3))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(2), "prose must outscore punctuation soup")
+  }
+
+  test("text: langId picks the dominant stopword profile") {
+    val df = Seq(
+      (1, "the cat sat on the mat and it is happy"),
+      (2, "der hund ist nicht auf der couch und das ist gut"),
+      (3, "xyzzy qwerty plugh")).toDF("id", "text")
+    val got = df.select(col("id"), TF.langId(col("text")).as("lang"))
+      .as[(Int, String)].collect().toMap
+    assert(got(1) == "en")
+    assert(got(2) == "de")
+    assert(got(3) == "und")
+  }
+
+  test("vector: dot/cosine/l2 against hand-computed values") {
+    val df = Seq(
+      (1, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (2, Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f)),
+      (3, Seq(3.0f, 4.0f, 0.0f), Seq(6.0f, 8.0f, 0.0f)))
+      .toDF("id", "a", "b")
+    val got = df.select(
+      col("id"),
+      VF.dot(col("a"), col("b")).as("dot"),
+      VF.cosine(col("a"), col("b")).as("cos"),
+      VF.l2Norm(col("a")).as("norm")).collect()
+    assert(got(0).getDouble(1) == 0.0 && math.abs(got(0).getDouble(2)) < 1e-12)
+    assert(got(1).getDouble(1) == 9.0 && math.abs(got(1).getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(got(2).getDouble(2) - 1.0) < 1e-12 && got(2).getDouble(3) == 5.0)
+  }
+
+  test("vector: hyperplane signatures agree for near-identical vectors") {
+    val base = (0 until 16).map(i => math.sin(i * 1.7).toFloat)
+    val near = base.updated(3, base(3) + 0.001f)
+    val far = (0 until 16).map(i => math.cos(i * 3.1).toFloat)
+    val df = Seq((1, base, near), (2, base, far)).toDF("id", "a", "b")
+    val got = df.select(
+      col("id"),
+      VF.hammingDistance(
+        VF.hyperplaneSignature(col("a"), 32, seed = 7),
+        VF.hyperplaneSignature(col("b"), 32, seed = 7)).as("ham")).collect()
+    val nearHam = got(0).getInt(1)
+    val farHam = got(1).getInt(1)
+    assert(nearHam <= 2, s"near-duplicate hamming $nearHam too high")
+    assert(farHam > nearHam, "unrelated vector not separated")
+  }
+}
