@@ -1,0 +1,56 @@
+package graft
+
+import graft.avro.AvroDecode
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-surface registration (reference U3 parity: the reference
+  * registers its UDFs for SQL callers, stream_test.py:128-131). Unlike
+  * the reference's Python UDFs these resolve to native, codegen'd
+  * Catalyst expressions — zero serialization overhead for SQL users.
+  *
+  * After `GraftFunctions.registerAll(spark)`:
+  * {{{
+  *   SELECT get_schema_id(value),
+  *          avro_decode(get_confluent_avro_value(value), '<schema json>').*
+  *   FROM kafka_batch
+  * }}}
+  */
+object GraftFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("get_schema_id", exprs => schemaIdExpr(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "get_confluent_avro_value", exprs => payloadExpr(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "avro_decode",
+      exprs => AvroDecode(exprs.head, constantString(exprs(1), "avro_decode(_, schemaJson)"), failFast = true),
+      "scala_udf")
+    ()
+  }
+
+  /** Confluent schema id: bytes [1,5) big-endian -> int (same tree as
+    * [[graft.functions.ConfluentWire.schemaId]], in raw expression form
+    * for the registry).
+    */
+  private def schemaIdExpr(e: Expression): Expression =
+    Cast(
+      Cast(Conv(Hex(Substring(e, Literal(2), Literal(4))), Literal(16), Literal(10)), LongType),
+      IntegerType)
+
+  /** Avro payload: bytes [5,..), null -> empty bytes. */
+  private def payloadExpr(e: Expression): Expression =
+    Coalesce(Seq(
+      Substring(e, Literal(6), Greatest(Seq(Subtract(Length(e), Literal(5)), Literal(0)))),
+      Literal(Array.empty[Byte])))
+
+  private def constantString(e: Expression, ctx: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other if other.foldable => String.valueOf(other.eval(null))
+    case _ => throw new IllegalArgumentException(s"$ctx requires a constant string schema argument")
+  }
+}

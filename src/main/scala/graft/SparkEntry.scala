@@ -1,7 +1,9 @@
 package graft
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsOfJoin, CdcDedup, MergeEngine}
+import graft.avro.{AvroBinary, AvroDecode}
+import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, CdcDedup, MergeEngine, SimilaritySearch, TextDedup}
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -316,6 +318,145 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Documents plus deterministic near-duplicate mutations (every 50th
+    * doc gets a copy with an appended tail) — gives the near-dup
+    * operators guaranteed work at any scale factor.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    val mutated = d
+      .filter(col("doc_id") % 50 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    d.unionByName(mutated)
+  }
+
+  /** MinHash+LSH candidate duplicate pairs (rows-only: LSH banding is
+    * not ANSI-SQL-expressible).
+    */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3).as("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact n-gram Jaccard verification of the LSH candidates. */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+    val cands = TextDedup.minhashCandidatePairs(docs, "doc_id", "text", threshold = 0.5)
+    val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    cands
+      .join(ta, "id_a")
+      .join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextDedup.ngramJaccard(col("text_a"), col("text_b")), 3).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-duplicate pairs (rows-only). */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Language-id heuristic vs the labeled lang column (rows-only). */
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** LSH-pruned ANN top-20 around vec_id=0 (rows-only). */
+  private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    SimilaritySearch
+      .lshTopK(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, bits = 32, maxHamming = 12)
+      .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs over planted perturbed copies
+    * (rows-only).
+    */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val perturbed = emb
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"),
+        col("label"))
+    SimilaritySearch
+      .embeddingNearDupPairs(emb.unionByName(perturbed), "vec_id", "embedding",
+        bits = 16, minCosine = 0.98)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Multimodal plumbing: synthetic media table -> mapPartitions stub
+    * feature extraction -> per-type stats (rows-only).
+    */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaFromDocs(s, Tables(s, dir, "documents"))
+    Multimodal
+      .extractFeatures(media, dim = 16)
+      .toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("frames_sampled")).cast("long").as("total_frames"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Full wire->decode batch path as a query (rows-only): events rows
+    * are Avro-encoded + Confluent-framed on executors, then go through
+    * envelope extraction, FAILFAST decode, and W1 dedup — the batch
+    * form of the streaming pipeline.
+    */
+  private val eventsCdcSchema: String =
+    """{"type":"record","name":"events_cdc","fields":[
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":["null","string"],"default":null},
+      |{"name":"value","type":"double"},
+      |{"name":"__deleted","type":["null","string"],"default":null},
+      |{"name":"__log_sequence_number","type":"long"}
+      |]}""".stripMargin
+
+  private def cdcWireDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = new AvroBinary.RecordEncoder(eventsCdcSchema)
+    val framed = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .mapPartitions { it =>
+        it.map { case (u, e, t, v) =>
+          enc.confluentMessage(7, Map(
+            "user_id" -> u, "event_id" -> e, "event_type" -> t, "value" -> v,
+            "__deleted" -> (if (t == "error") "true" else "false"),
+            "__log_sequence_number" -> e))
+        }
+      }
+      .toDF("value")
+    val decoded = framed
+      .select(
+        ConfluentWire.schemaId(col("value")).as("schema_id"),
+        AvroDecode.fromAvro(ConfluentWire.avroPayload(col("value")), eventsCdcSchema).as("v"))
+      .select(col("schema_id"), col("v.*"))
+    CdcDedup
+      .latestPerKey(decoded, Seq("user_id"), "__log_sequence_number")
+      .filter(col("__deleted") =!= "true")
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -343,10 +484,18 @@ object SparkEntry {
     "q21_union_counts" -> (unionCounts _),
     "q22_asof_join" -> (asofClickPurchase _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
-    "simsearch_cosine" -> (simsearchCosine _))
+    "text_langid" -> (textLangid _),
+    "simsearch_cosine" -> (simsearchCosine _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "multimodal_features" -> (multimodalFeatures _),
+    "cdc_wire_decode" -> (cdcWireDecode _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.

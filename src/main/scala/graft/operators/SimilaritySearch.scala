@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * - [[bruteForceTopK]]: the exact baseline — broadcast the query
+  *   vector, one codegen'd scan computing cosine, `ORDER BY ... LIMIT k`
+  *   (Spark's TakeOrderedAndProject: no global sort, per-partition
+  *   top-k + driver merge).
+  * - [[lshTopK]]: the scale path — random-hyperplane signatures prune
+  *   the scan to vectors within `maxHamming` bits of the query's
+  *   signature before exact cosine. Signatures are per-row arithmetic;
+  *   at 100 TB the win comes from skipping the dot product (64 mults)
+  *   for the ~(1 - recall-band) of rows that fail the cheap popcount
+  *   test, and from persisting signatures as a table column so repeated
+  *   queries never rescan raw vectors.
+  * - [[embeddingNearDupPairs]]: near-duplicate detection — bucket by
+  *   full signature, verify candidates with exact cosine.
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k of `embeddings` vs the single row in `query`
+    * (both with `idCol` + `vecCol`). Returns (id, cos) descending.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = query.select(col(vecCol).as("__qv"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-pruned cosine top-k: only vectors whose hyperplane signature is
+    * within `maxHamming` bits of the query's signature get an exact
+    * cosine. Recall < 1 by construction; raise `maxHamming` or `bits`
+    * to trade cost for recall.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 32,
+      maxHamming: Int = 8,
+      seed: Int = 41): DataFrame = {
+    val q = query.select(
+      col(vecCol).as("__qv"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("__qsig"))
+    embeddings
+      .withColumn("__sig", VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed))
+      .crossJoin(broadcast(q))
+      .filter(VectorFunctions.hammingDistance(col("__sig"), col("__qsig")) <= maxHamming)
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: vectors sharing the full `bits`-bit
+    * hyperplane signature are candidates; exact cosine must clear
+    * `minCosine`. Returns (id_a, id_b, cos), id_a < id_b.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int = 16,
+      minCosine: Double = 0.95,
+      seed: Int = 41): DataFrame = {
+    val sigs = embeddings.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("sig"))
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

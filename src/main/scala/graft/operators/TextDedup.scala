@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators.
+  *
+  * All signature computation is per-row over array columns (no shuffle
+  * until the candidate-pair join), which is the property that matters at
+  * 100 TB: the only shuffles are (1) the explode+groupBy on LSH band
+  * hashes — whose cardinality is #docs x #bands, not #shingles — and
+  * (2) the bucket-local self-join, which never materializes cross-bucket
+  * pairs.
+  */
+object TextDedup {
+
+  /** Exact duplicate clusters by canonical-form fingerprint: one row per
+    * duplicated fingerprint with the surviving (minimum) id and the ids
+    * to drop.
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_copies") > 1)
+
+  /** MinHash signature column: `numHashes` minimums over seeded
+    * xxhash64 of the document's character shingles. Entirely per-row —
+    * `transform` + `array_min`, no explode, no shuffle.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column = {
+    val shingles = array_distinct(TextFunctions.charShingles(text, shingleSize))
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+  }
+
+  /** Estimated Jaccard similarity from two MinHash signatures: the
+    * fraction of agreeing components.
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / size(sigA)
+
+  /** MinHash + LSH candidate duplicate pairs.
+    *
+    * Pipeline: per-row signatures -> band hashes (`bands` bands of
+    * `numHashes / bands` rows, hashed together) -> explode bands ->
+    * bucket-join on (band index, band hash) -> estimate Jaccard from
+    * the full signatures -> keep pairs above `threshold`.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    * across bands.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = sigs.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns (the
+    * verification stage after LSH candidate generation).
+    */
+  def ngramJaccard(textA: Column, textB: Column, shingleSize: Int = 5): Column = {
+    val sa = array_distinct(TextFunctions.charShingles(textA, shingleSize))
+    val sb = array_distinct(TextFunctions.charShingles(textB, shingleSize))
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i is set when at least
+    * half the token hashes have bit i set. Per-row (array ops only, no
+    * shuffle); near-duplicate texts land within a small Hamming
+    * distance.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64)
+      .map { i =>
+        val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(1) === 1))
+        when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-duplicate pairs: bucket by `maxHamming + 1` bit-bands
+    * of the signature (pigeonhole: a pair within Hamming distance
+    * `maxHamming` of 64 bits must agree on at least one band), then
+    * verify the exact Hamming distance within buckets.
+    */
+  def simhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
+    val nBands = maxHamming + 1
+    val starts = (0 to nBands).map(i => i * 64 / nBands)
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until nBands).map { q =>
+        val len = starts(q + 1) - starts(q)
+        val mask = if (len >= 64) -1L else (1L << len) - 1L
+        shiftright(col("sig"), starts(q)).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+}

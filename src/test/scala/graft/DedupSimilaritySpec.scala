@@ -1,0 +1,117 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{SimilaritySearch, TextDedup}
+
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today!"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated string talking about parquet row groups and page indexes"))
+    .toDF("doc_id", "text")
+
+  test("exactClusters finds exact duplicate groups only") {
+    val clusters = TextDedup.exactClusters(corpus, "doc_id", "text").collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getAs[Long]("keep_id") == 1L)
+    assert(clusters.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 4L))
+  }
+
+  test("minhash LSH surfaces near-duplicates, not unrelated docs") {
+    val pairs = TextDedup
+      .minhashCandidatePairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 4L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
+  }
+
+  test("ngramJaccard: exact verification separates near-dup from unrelated") {
+    val j = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(2, 3))
+      .select(col("b.doc_id"),
+        TextDedup.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(j(2L) > 0.9)
+    assert(j(3L) < 0.2)
+  }
+
+  test("simhash pairs: near-dups within small hamming distance") {
+    // exact duplicate at hamming 0 with the tight default
+    val strict = TextDedup
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict.contains((1L, 4L)))
+    // one-token edit flips a handful of bits; widen the radius
+    val relaxed = TextDedup
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(relaxed.contains((1L, 2L)) && relaxed.contains((1L, 4L)))
+    assert(!relaxed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private lazy val vectors = {
+    val base = (0 until 32).map(i => math.sin(i * 0.7).toFloat)
+    val near = base.map(_ + 0.001f)
+    val opposite = base.map(-_)
+    val unrelated = (0 until 32).map(i => math.cos(i * 2.3 + 1).toFloat)
+    Seq((0L, base), (1L, near), (2L, opposite), (3L, unrelated)).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks the near vector first after self") {
+    val top = SimilaritySearch
+      .bruteForceTopK(vectors, vectors.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.take(2) == Seq(0L, 1L))
+    assert(!top.contains(2L), "opposite vector ranked in top-3")
+  }
+
+  test("lshTopK finds the same head as brute force") {
+    val top = SimilaritySearch
+      .lshTopK(vectors, vectors.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 2, bits = 32, maxHamming = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("embeddingNearDupPairs: only the planted near-pair survives") {
+    val pairs = SimilaritySearch
+      .embeddingNearDupPairs(vectors, "vec_id", "embedding", bits = 16, minCosine = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("multimodal: stub feature extraction is deterministic with real schema") {
+    val docs = Seq((1L, "some media payload bytes", "en", "src1", 24L),
+      (2L, "other media payload", "en", "src1", 19L),
+      (3L, "third content blob for video", "en", "src2", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticMediaFromDocs(spark, docs)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.features.forall(v => v >= -1f && v <= 1f)))
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(feats.zip(again).forall { case (x, y) => x.features.sameElements(y.features) })
+    // video rows sample >1 frame when content is long enough
+    assert(feats.forall(f => f.frames_sampled >= 1))
+  }
+
+  test("SQL registration: get_schema_id / get_confluent_avro_value / avro_decode") {
+    GraftFunctions.registerAll(spark)
+    val msg = AvroTestData.message(33, AvroTestData.usersKeySchema, Map("id" -> 9))
+    Seq(Tuple1(msg)).toDF("value").createOrReplaceTempView("kafka_batch")
+    val row = spark.sql(
+      s"""SELECT get_schema_id(value) AS sid,
+         |  avro_decode(get_confluent_avro_value(value), '${AvroTestData.usersKeySchema}').id AS id
+         |FROM kafka_batch""".stripMargin).collect().head
+    assert(row.getInt(0) == 33 && row.getInt(1) == 9)
+  }
+}
