@@ -435,6 +435,7 @@ object SparkEntry {
     val enc = new AvroBinary.RecordEncoder(eventsCdcSchema)
     val framed = Tables(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .repartition(s.sparkContext.defaultParallelism) // single-file input
       .as[(Long, Long, String, Double)]
       .mapPartitions { it =>
         it.map { case (u, e, t, v) =>

@@ -59,6 +59,7 @@ object SimilaritySearch {
       col(vecCol).as("__qv"),
       VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("__qsig"))
     embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__sig", VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed))
       .crossJoin(broadcast(q))
       .filter(VectorFunctions.hammingDistance(col("__sig"), col("__qsig")) <= maxHamming)
@@ -78,10 +79,14 @@ object SimilaritySearch {
       bits: Int = 16,
       minCosine: Double = 0.95,
       seed: Int = 41): DataFrame = {
-    val sigs = embeddings.select(
+    // persist: signatures would otherwise be recomputed on both join sides
+    val sigs = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("sig"))
+      .persist()
     val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("sig"))

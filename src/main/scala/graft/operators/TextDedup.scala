@@ -65,7 +65,23 @@ object TextDedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // Stage the pipeline through persist boundaries. Without them,
+    // CollapseProject inlines the shingle computation into each of the
+    // `numHashes` min-hash transforms (a ~32x O(len^2) regex recompute)
+    // and the signature into every band hash and both join sides.
+    // Repartition first so the per-row compute uses every core even when
+    // the input is one unsplittable file/row-group.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val shingled = spread.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.charShingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
+    val sigs = shingled.select(
+      col("id"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+      }: _*).as("sig"))
+      .persist()
     val banded = sigs.select(
       col("id"),
       col("sig"),
@@ -120,7 +136,23 @@ object TextDedup {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
     val nBands = maxHamming + 1
     val starts = (0 to nBands).map(i => i * 64 / nBands)
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // Stage token hashes and signatures through persist boundaries (same
+    // CollapseProject recompute hazard as the MinHash path: simhash()
+    // would re-tokenize per bit, and the banding would re-run it per
+    // band and per join side).
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val hashed = spread.select(
+      col(idCol).as("id"),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .persist()
+    val n = size(col("th"))
+    val sigExpr = (0 until 64)
+      .map { i =>
+        val ones = size(filter(col("th"), h => shiftright(h, i).bitwiseAND(1) === 1))
+        when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_.bitwiseOR(_))
+    val sigs = hashed.select(col("id"), sigExpr.as("sig")).persist()
     val banded = sigs.select(
       col("id"),
       col("sig"),
