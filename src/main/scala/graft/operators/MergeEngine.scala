@@ -137,7 +137,17 @@ object MergeEngine {
         val resolved = resolveUpsert(slice, source, keys, versionCol)
         writeStaged(spark, cfg, resolved, overwriteAll = cfg.partitionCols.isEmpty)
     }
+    syncCatalog(spark, cfg)
   }
+
+  /** Keep a registered catalog table consistent with the path: discover
+    * partitions added by direct path writes (MSCK-equivalent).
+    */
+  private def syncCatalog(spark: SparkSession, cfg: TableConfig): Unit =
+    if (cfg.partitionCols.nonEmpty && spark.catalog.tableExists(cfg.qualifiedName)) {
+      try spark.catalog.recoverPartitions(cfg.qualifiedName)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // not a partitioned catalog table
+    }
 
   /** MERGE-delete: remove rows matching `deletes` pks. Scans the full
     * table to find affected partitions (pk-only match — J2 semantics
