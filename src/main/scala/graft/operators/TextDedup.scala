@@ -82,20 +82,26 @@ object TextDedup {
         array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
       }: _*).as("sig"))
       .persist()
+    // Bucket-join on ids only: carrying the 32-long signatures through
+    // the band shuffle would multiply shuffle volume ~8x (once per
+    // shared band); instead dedupe candidate id-pairs first, then join
+    // the (persisted) signatures back exactly once per pair.
     val banded = sigs.select(
       col("id"),
-      col("sig"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (the
