@@ -1,6 +1,6 @@
 package graft
 
-import graft.avro.AvroDecode
+import graft.avro.{AvroDecode, AvroEncode}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -29,6 +29,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "avro_decode",
       exprs => AvroDecode(exprs.head, constantString(exprs(1), "avro_decode(_, schemaJson)"), failFast = true),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "avro_encode",
+      exprs => AvroEncode(exprs.head, constantString(exprs(1), "avro_encode(_, schemaJson)")),
       "scala_udf")
     ()
   }

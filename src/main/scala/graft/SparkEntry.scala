@@ -1,6 +1,6 @@
 package graft
 
-import graft.avro.{AvroBinary, AvroDecode}
+import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, CdcDedup, MergeEngine, SimilaritySearch, TextDedup}
@@ -431,21 +431,24 @@ object SparkEntry {
       |]}""".stripMargin
 
   private def cdcWireDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val enc = new AvroBinary.RecordEncoder(eventsCdcSchema)
+    // Encode in-plan with the native AvroEncode expression (struct field
+    // order matches the Avro schema), then frame and decode back — the
+    // whole round trip stays inside one distributed plan.
     val framed = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .repartition(s.sparkContext.defaultParallelism) // single-file input
-      .as[(Long, Long, String, Double)]
-      .mapPartitions { it =>
-        it.map { case (u, e, t, v) =>
-          enc.confluentMessage(7, Map(
-            "user_id" -> u, "event_id" -> e, "event_type" -> t, "value" -> v,
-            "__deleted" -> (if (t == "error") "true" else "false"),
-            "__log_sequence_number" -> e))
-        }
-      }
-      .toDF("value")
+      .select(
+        ConfluentWire.frame(
+          7,
+          AvroEncode.toAvroColumn(
+            struct(
+              col("user_id"),
+              col("event_id"),
+              col("event_type"),
+              col("value"),
+              when(col("event_type") === "error", lit("true")).otherwise(lit("false"))
+                .as("__deleted"),
+              col("event_id").as("__log_sequence_number")),
+            eventsCdcSchema)).as("value"))
     val decoded = framed
       .select(
         ConfluentWire.schemaId(col("value")).as("schema_id"),
