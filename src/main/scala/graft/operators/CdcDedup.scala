@@ -35,4 +35,26 @@ object CdcDedup {
     */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
     latestPerKey(df, keyCols, Seq(col(versionCol).desc))
+
+  /** Aggregation form of latest-per-key: `max_by(struct(*), orderBy)`.
+    *
+    * Semantically equal to the window form when `orderBy` is unique per
+    * key (CDC LSNs are; equal-version rows are replay duplicates with
+    * identical payloads, where any pick is correct). Physically much
+    * stronger at scale: a hash aggregate with PARTIAL/FINAL phases, so
+    * the shuffle carries at most one row per key per map partition
+    * (map-side combine) and a hot key degrades gracefully instead of
+    * sorting its entire change history in one task, which is what the
+    * window form does.
+    */
+  def latestPerKeyAgg(df: DataFrame, keyCols: Seq[String], orderBy: Column): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, orderBy).as("__graft_row"))
+      .select(col("__graft_row.*"))
+  }
+
+  /** [[latestPerKeyAgg]] ordered by a single version column. */
+  def latestPerKeyAgg(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
+    latestPerKeyAgg(df, keyCols, col(versionCol))
 }

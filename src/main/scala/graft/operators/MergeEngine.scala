@@ -67,14 +67,15 @@ object MergeEngine {
     val s = source.withColumn(TagCol, lit(1))
     val unioned = t.unionByName(s, allowMissingColumns = true)
     // Highest version wins; on a version tie the target row (tag 0) wins,
-    // which is exactly the strict `target.lsn < source.lsn` guard.
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col(TagCol).asc)
-    unioned
-      .withColumn(RnCol, row_number().over(w))
-      .filter(col(RnCol) === 1)
-      .drop(RnCol, TagCol)
+    // which is exactly the strict `target.lsn < source.lsn` guard (the
+    // ordering key is (version, -tag), so equal versions prefer tag 0).
+    // Aggregation form (max_by) rather than a row_number window: the
+    // hash aggregate gets a PARTIAL phase (map-side combine), so the
+    // merge's single shuffle carries at most one row per key per map
+    // partition and hot keys never sort their whole history in one task.
+    CdcDedup
+      .latestPerKeyAgg(unioned, keyCols, struct(col(versionCol), -col(TagCol)))
+      .drop(TagCol)
   }
 
   /** Remove from `target` every row whose primary key appears in

@@ -61,7 +61,7 @@ object MicroBatchMerger {
                 .select(col("value.*"))
                 .select(DebeziumCast.castColumns(valueJson): _*)
 
-              val deduped = CdcDedup.latestPerKey(decoded, pkCols, versionCol)
+              val deduped = CdcDedup.latestPerKeyAgg(decoded, pkCols, versionCol)
               val withAdditional =
                 if (cfg.additionalCols.isEmpty) deduped
                 else deduped.select(deduped.columns.map(col).toSeq ++ cfg.additionalCols.map(expr): _*)
