@@ -76,15 +76,23 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram array (n >= 1) over whitespace tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      g => g.isNotNull)
-  }
+  /** Word n-gram array (n >= 1) over whitespace tokens.
+    *
+    * NOTE: when this appears inside another per-element expression
+    * (e.g. a MinHash transform), stage `tokens(text)` as its own
+    * projection first and use [[ngramsFromTokens]] — interpreted
+    * higher-order functions re-evaluate inlined subtrees per element.
+    */
+  def wordNgrams(text: Column, n: Int): Column = ngramsFromTokens(tokens(text), n)
+
+  /** Word n-grams from an already-computed token array column. Short
+    * inputs (< n tokens) yield the whole text as one shingle.
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
 
   /** Character n-gram (shingle) array over the canonical form. */
   def charShingles(text: Column, n: Int): Column = {

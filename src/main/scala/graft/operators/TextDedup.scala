@@ -61,20 +61,34 @@ object TextDedup {
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // Word 3-gram shingles by default: ~#tokens elements per doc instead
+    // of ~#chars for character shingles — higher-order functions are
+    // interpreted (not codegen'd), so the per-element count is the cost
+    // driver. The shingler receives (tokenArray, rawText); pass
+    // `(_, text) => TextFunctions.charShingles(text, 5)` for
+    // short/no-whitespace corpora.
     // Stage the pipeline through persist boundaries. Without them,
     // CollapseProject inlines the shingle computation into each of the
-    // `numHashes` min-hash transforms (a ~32x O(len^2) regex recompute)
-    // and the signature into every band hash and both join sides.
+    // `numHashes` min-hash transforms (a ~32x recompute) and the
+    // signature into every band hash and both join sides.
     // Repartition first so the per-row compute uses every core even when
     // the input is one unsplittable file/row-group.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val shingled = spread.select(
+    // Tokenize in its own persisted projection: the default shingler
+    // derives n-grams from the bound token attribute, so the O(len)
+    // split never re-runs per shingle element.
+    val tokenized = spread.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.charShingles(col(textCol), shingleSize)).as("sh"))
+      TextFunctions.tokens(col(textCol)).as("toks"),
+      col(textCol).as("__text"))
+      .persist()
+    val shingled = tokenized.select(
+      col("id"),
+      array_distinct(shingler(col("toks"), col("__text"))).as("sh"))
       .persist()
     val sigs = shingled.select(
       col("id"),
