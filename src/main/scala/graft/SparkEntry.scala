@@ -268,6 +268,84 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Aggregate-over-window: running revenue per customer in order-key
+    * order (rowsBetween frame).
+    */
+  private def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Analytic lag(): per-user delta between consecutive event values. */
+  private def lagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables(s, dir, "events")
+      .filter(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** CUBE grouping sets over two dimensions. */
+  private def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** FULL OUTER join: per-key event/order counts including keys present
+    * on only one side.
+    */
+  private def fullOuterActivity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"))
+    val ord = Tables(s, dir, "orders").filter(col("o_custkey") <= 300)
+      .groupBy(col("o_custkey").as("id")).agg(count(lit(1)).as("n_orders"))
+    ev.join(ord, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("id"))
+  }
+
+  /** IN-subquery (translates to left-semi): orders of customers in a
+    * segment, monthly counts.
+    */
+  private def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val machinery = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    o.join(machinery, o("o_custkey") === machinery("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Exact percentiles per group (median + p90). */
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** String functions: upper/substring/concat/length over part names. */
+  private def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("prefix"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
   // =====================================================================
   // Training-data pipeline extensions (dedup / text / similarity)
   // =====================================================================
@@ -487,6 +565,13 @@ object SparkEntry {
     "q20_rollup" -> (rollupOrders _),
     "q21_union_counts" -> (unionCounts _),
     "q22_asof_join" -> (asofClickPurchase _),
+    "q23_running_sum" -> (runningRevenue _),
+    "q24_lag_delta" -> (lagDelta _),
+    "q25_cube" -> (cubeOrders _),
+    "q26_full_outer" -> (fullOuterActivity _),
+    "q27_in_subquery" -> (inSubquery _),
+    "q28_percentiles" -> (percentiles _),
+    "q29_string_funcs" -> (stringFuncs _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -663,6 +748,56 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q23_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q24_lag_delta" ->
+      """SELECT user_id, event_id,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+        |FROM events
+        |WHERE user_id <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q25_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q26_full_outer" ->
+      """SELECT COALESCE(e.id, o.id) AS id,
+        | COALESCE(n_events, 0) AS n_events, COALESCE(n_orders, 0) AS n_orders
+        |FROM (SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1) e
+        |FULL OUTER JOIN (SELECT o_custkey AS id, count(*) AS n_orders FROM orders
+        |                 WHERE o_custkey <= 300 GROUP BY 1) o
+        |  ON e.id = o.id
+        |ORDER BY id""".stripMargin,
+    "q27_in_subquery" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q29_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 8)) AS prefix,
+        | p_brand || '#' || p_type AS brand_type,
+        | CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
