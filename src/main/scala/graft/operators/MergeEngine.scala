@@ -4,7 +4,6 @@ import graft.config.TableConfig
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -34,8 +33,8 @@ import java.util.UUID
   *
   * Physical design, chosen for the 100 TB case:
   *   - The upsert is ONE shuffle: union target-slice + source, then a
-  *     top-1-per-key window (rank-limit pushed down by Catalyst). No
-  *     full-outer join, no second shuffle for the resolution.
+  *     max_by hash aggregate with a PARTIAL phase (map-side combine,
+  *     skew-robust). No full-outer join, no sort, no second shuffle.
   *   - Writes use staged-then-swap: resolved rows land in a staging dir,
   *     then dynamic partition overwrite replaces only the touched
   *     partitions of the target. Untouched partitions are never read or
@@ -46,7 +45,6 @@ import java.util.UUID
 object MergeEngine {
 
   private val TagCol = "__graft_src"
-  private val RnCol = "__graft_rn"
 
   // ---------------------------------------------------------------------
   // Pure plan forms (no I/O) — usable as batch operators in their own right
