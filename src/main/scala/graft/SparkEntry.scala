@@ -335,6 +335,15 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Skew-salted two-phase aggregation — must equal the plain GROUP BY
+    * (the oracle is the unsalted SQL).
+    */
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting
+      .saltedSum(Tables(s, dir, "lineitem"), Seq("l_returnflag"), col("l_quantity"), saltFactor = 16)
+      .select(col("l_returnflag"), round(col("total"), 2).as("total"))
+      .orderBy(col("l_returnflag"))
+
   /** String functions: upper/substring/concat/length over part names. */
   private def stringFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
@@ -572,6 +581,7 @@ object SparkEntry {
     "q27_in_subquery" -> (inSubquery _),
     "q28_percentiles" -> (percentiles _),
     "q29_string_funcs" -> (stringFuncs _),
+    "q30_salted_agg" -> (saltedAgg _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -798,6 +808,11 @@ object SparkEntry {
         |FROM part
         |WHERE p_partkey <= 500
         |ORDER BY p_partkey""".stripMargin,
+    "q30_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS total
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
