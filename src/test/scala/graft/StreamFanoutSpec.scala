@@ -120,6 +120,37 @@ class StreamFanoutSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint recovery: restart from the same checkpoint, no duplicates") {
+    val base = tmpDir("recovery")
+    val feedDir = s"$base/feed"
+    new java.io.File(feedDir).mkdirs()
+    val cfg = TableConfig("graft_test", s"users_rec${System.nanoTime()}", s"$base/users")
+
+    // session 1: process batch 1, then stop
+    val q1 = StreamPipeline.streamToTable(
+      spark, s"rec1-${System.nanoTime()}", FileCdcSource(feedDir),
+      Map(UsersTopic -> cfg), s"$base/ckpt", provider)
+    Seq(userRec(1, "ada", 1), userRec(2, "grace", 2)).toDS()
+      .write.mode("append").parquet(feedDir)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(MergeEngine.readTable(spark, cfg.path).get.count() == 2)
+
+    // session 2: same checkpoint; old files must NOT reprocess (offsets)
+    // and even if they did, the merge is idempotent. New file applies.
+    Seq(userRec(2, "grace-II", 10), userRec(3, "edsger", 11)).toDS()
+      .write.mode("append").parquet(feedDir)
+    val q2 = StreamPipeline.streamToTable(
+      spark, s"rec2-${System.nanoTime()}", FileCdcSource(feedDir),
+      Map(UsersTopic -> cfg), s"$base/ckpt", provider)
+    try {
+      q2.processAllAvailable()
+      val t = MergeEngine.readTable(spark, cfg.path).get
+      assert(t.count() == 3)
+      assert(t.filter(col("id") === 2).select("name").as[String].collect().head == "grace-II")
+    } finally q2.stop()
+  }
+
   test("HttpSchemaRegistry fetches and caches schemas") {
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     @volatile var hits = 0
