@@ -40,12 +40,17 @@ object CdcDedup {
     *
     * Semantically equal to the window form when `orderBy` is unique per
     * key (CDC LSNs are; equal-version rows are replay duplicates with
-    * identical payloads, where any pick is correct). Physically much
-    * stronger at scale: a hash aggregate with PARTIAL/FINAL phases, so
-    * the shuffle carries at most one row per key per map partition
-    * (map-side combine) and a hot key degrades gracefully instead of
-    * sorting its entire change history in one task, which is what the
-    * window form does.
+    * identical payloads, where any pick is correct).
+    *
+    * Physical form (verified with `Plans`): partial/final SortAggregate
+    * (the struct-typed buffer precludes hash aggregation), so the
+    * shuffle still carries at most one row per key per map partition.
+    * Spark 4's rank-limit pushdown (`WindowGroupLimit`) gives the
+    * window form a pre-shuffle partial top-1 as well — both forms are
+    * skew-bounded. The aggregation form's edge: as an Aggregate it can
+    * reuse an existing hash-partitioning on the keys (observed in the
+    * merge path: dedup + merge share ONE exchange), while a window
+    * always needs its own sort.
     */
   def latestPerKeyAgg(df: DataFrame, keyCols: Seq[String], orderBy: Column): DataFrame = {
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)

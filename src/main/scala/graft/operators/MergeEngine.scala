@@ -32,9 +32,11 @@ import java.util.UUID
   *     rewrite partitions that actually contained a matched key.
   *
   * Physical design, chosen for the 100 TB case:
-  *   - The upsert is ONE shuffle: union target-slice + source, then a
-  *     max_by hash aggregate with a PARTIAL phase (map-side combine,
-  *     skew-robust). No full-outer join, no sort, no second shuffle.
+  *   - The upsert is ONE shuffle at most: union target-slice + source,
+  *     then a max_by aggregate with partial/final phases (map-side
+  *     combine, skew-bounded) — and when the inputs are already
+  *     partitioned on the keys (e.g. right after the batch dedup) the
+  *     planner inserts NO further exchange at all. No full-outer join.
   *   - Writes use staged-then-swap: resolved rows land in a staging dir,
   *     then dynamic partition overwrite replaces only the touched
   *     partitions of the target. Untouched partitions are never read or
@@ -67,10 +69,10 @@ object MergeEngine {
     // Highest version wins; on a version tie the target row (tag 0) wins,
     // which is exactly the strict `target.lsn < source.lsn` guard (the
     // ordering key is (version, -tag), so equal versions prefer tag 0).
-    // Aggregation form (max_by) rather than a row_number window: the
-    // hash aggregate gets a PARTIAL phase (map-side combine), so the
-    // merge's single shuffle carries at most one row per key per map
-    // partition and hot keys never sort their whole history in one task.
+    // Aggregation form (max_by) rather than a row_number window: partial
+    // aggregation bounds the shuffle to one row per key per map
+    // partition, and as an Aggregate it reuses an upstream partitioning
+    // on the keys (dedup + merge share one exchange — see CdcDedup doc).
     CdcDedup
       .latestPerKeyAgg(unioned, keyCols, struct(col(versionCol), -col(TagCol)))
       .drop(TagCol)
