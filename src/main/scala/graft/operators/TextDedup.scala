@@ -62,6 +62,7 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
+      maxBucketSize: Int = 2000,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
@@ -105,8 +106,17 @@ object TextDedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    // Mega-bucket guard: a band value shared by a near-identical cluster
+    // of m docs yields m^2/2 candidate pairs. Buckets over maxBucketSize
+    // are dropped — such clusters are duplicate *groups*, found far
+    // cheaper by exactClusters/fingerprint grouping than pairwise LSH.
+    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val bounded = banded.join(bucketSizes, Seq("band", "band_hash"))
+    val a = bounded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = bounded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

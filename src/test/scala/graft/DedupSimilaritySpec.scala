@@ -32,6 +32,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
   }
 
+  test("minhash LSH mega-bucket cap drops oversized buckets") {
+    // cap 1 -> every bucket with >=2 members (i.e. every candidate
+    // bucket) is dropped -> no pairs at all
+    val capped = TextDedup
+      .minhashCandidatePairs(corpus, "doc_id", "text", threshold = 0.5, maxBucketSize = 1)
+      .count()
+    assert(capped == 0)
+  }
+
   test("ngramJaccard: exact verification separates near-dup from unrelated") {
     val j = corpus.as("a").crossJoin(corpus.as("b"))
       .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(2, 3))
