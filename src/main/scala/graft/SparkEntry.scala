@@ -102,6 +102,23 @@ object SparkEntry {
         round(col("value"), 2).as("last_value"))
       .orderBy(col("user_id"))
 
+  /** W1 in aggregation form ([[CdcDedup.latestPerKeyAgg]], the
+    * skew-bounded max_by variant used by the merge path) — must agree
+    * with the window form's oracle.
+    */
+  private def windowDedupAgg(s: SparkSession, dir: String): DataFrame =
+    CdcDedup
+      .latestPerKeyAgg(
+        Tables(s, dir, "events"),
+        Seq("user_id"),
+        struct(col("ts"), col("event_id")))
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+
   /** distinct + sort (A1-A3). */
   private def distinctEventTypes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events").select(col("event_type")).distinct().orderBy(col("event_type"))
@@ -582,6 +599,7 @@ object SparkEntry {
     "q28_percentiles" -> (percentiles _),
     "q29_string_funcs" -> (stringFuncs _),
     "q30_salted_agg" -> (saltedAgg _),
+    "q31_window_dedup_agg" -> (windowDedupAgg _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -813,6 +831,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q31_window_dedup_agg" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        | round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
