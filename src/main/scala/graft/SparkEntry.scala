@@ -361,6 +361,40 @@ object SparkEntry {
       .select(col("l_returnflag"), round(col("total"), 2).as("total"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic stratified sample: 3 docs per source by md5 hash
+    * order (hash chosen for oracle parity; the operator defaults to
+    * xxhash64).
+    */
+  private def samplePerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .samplePerGroup(
+        Tables(s, dir, "documents"),
+        Seq("source"), Seq("doc_id"), k = 3,
+        hash = Some(md5(col("doc_id").cast("string"))))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Deterministic hash-rate sample (~1/8 of events via md5 prefix),
+    * then aggregate — repeatable sampling with an exact oracle.
+    */
+  private def hashRateSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(md5(col("event_id").cast("string")) < "2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+
+  /** Approximate + exact distinct side by side (HLL sketch; rows-only —
+    * estimator values are engine-specific).
+    */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** String functions: upper/substring/concat/length over part names. */
   private def stringFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
@@ -600,6 +634,9 @@ object SparkEntry {
     "q29_string_funcs" -> (stringFuncs _),
     "q30_salted_agg" -> (saltedAgg _),
     "q31_window_dedup_agg" -> (windowDedupAgg _),
+    "q32_sample_per_group" -> (samplePerGroup _),
+    "q33_hash_rate_sample" -> (hashRateSample _),
+    "q34_approx_distinct" -> (approxDistinct _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -838,6 +875,20 @@ object SparkEntry {
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "q32_sample_per_group" ->
+      """SELECT source, doc_id
+        |FROM (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin,
+    "q33_hash_rate_sample" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE md5(CAST(event_id AS VARCHAR)) < '2'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
