@@ -599,6 +599,32 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** The operators composed as a real training-data pipeline (rows-only):
+    * quality gate -> language gate -> exact dedup -> deterministic
+    * per-source sampling -> corpus stats. One declarative plan.
+    */
+  private def pipelineTrainingData(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val gated = docs
+      .withColumn("q", TF.qualityScore(col("text")))
+      .withColumn("n_tokens", TF.tokenCount(col("text")))
+      .filter(col("q") >= 0.3 && col("n_tokens") >= 10)
+      .withColumn("pred_lang", TF.langId(col("text")))
+      .filter(col("pred_lang") === "en")
+    val deduped = CdcDedup.latestPerKey(
+      gated.withColumn("fp", TF.fingerprint(col("text"))),
+      Seq("fp"), Seq(col("doc_id").asc))
+    val sampled = graft.operators.Sampling
+      .samplePerGroup(deduped, Seq("source"), Seq("doc_id"), k = 10)
+    sampled
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("q")), 4).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -649,7 +675,8 @@ object SparkEntry {
     "simsearch_cosine" -> (simsearchCosine _),
     "ann_lsh_topk" -> (annLshTopk _),
     "multimodal_features" -> (multimodalFeatures _),
-    "cdc_wire_decode" -> (cdcWireDecode _))
+    "cdc_wire_decode" -> (cdcWireDecode _),
+    "pipeline_training_data" -> (pipelineTrainingData _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
