@@ -599,6 +599,20 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** JSON extraction from a string column (get_json_object / from_json
+    * path) + aggregation.
+    */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 3).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** The operators composed as a real training-data pipeline (rows-only):
     * quality gate -> language gate -> exact dedup -> deterministic
     * per-source sampling -> corpus stats. One declarative plan.
@@ -663,6 +677,7 @@ object SparkEntry {
     "q32_sample_per_group" -> (samplePerGroup _),
     "q33_hash_rate_sample" -> (hashRateSample _),
     "q34_approx_distinct" -> (approxDistinct _),
+    "q35_json_extract" -> (jsonExtract _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -914,6 +929,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events
         |WHERE md5(CAST(event_id AS VARCHAR)) < '2'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS avg_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "dedup_exact" ->
