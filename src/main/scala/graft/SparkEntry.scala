@@ -599,6 +599,21 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Generator/explode: top-5 tokens per language (explode -> agg ->
+    * ranked window).
+    */
+  private def explodeTopWords(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "documents")
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** JSON extraction from a string column (get_json_object / from_json
     * path) + aggregation.
     */
@@ -678,6 +693,7 @@ object SparkEntry {
     "q33_hash_rate_sample" -> (hashRateSample _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q35_json_extract" -> (jsonExtract _),
+    "q36_explode_top_words" -> (explodeTopWords _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -938,6 +954,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q36_explode_top_words" ->
+      """SELECT lang, tok, n, rk
+        |FROM (SELECT lang, tok, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        |      FROM (SELECT lang, tok, count(*) AS n
+        |            FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |                  FROM documents)
+        |            GROUP BY 1, 2))
+        |WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
