@@ -63,18 +63,21 @@ object MicroBatchMerger {
 
               val deduped = CdcDedup.latestPerKeyAgg(decoded, pkCols, versionCol)
               val withAdditional =
-                if (cfg.additionalCols.isEmpty) deduped
-                else deduped.select(deduped.columns.map(col).toSeq ++ cfg.additionalCols.map(expr): _*)
+                (if (cfg.additionalCols.isEmpty) deduped
+                 else deduped.select(deduped.columns.map(col).toSeq ++ cfg.additionalCols.map(expr): _*))
+                  .cache() // consumed up to 4x: two emptiness probes + two merges
 
-              val targetSchema =
-                StructType(withAdditional.schema.filterNot(_.name == deletedCol))
-              MergeEngine.createTableIfNotExists(spark, targetSchema, cfg)
+              try {
+                val targetSchema =
+                  StructType(withAdditional.schema.filterNot(_.name == deletedCol))
+                MergeEngine.createTableIfNotExists(spark, targetSchema, cfg)
 
-              val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
-              MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol)
+                val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
+                MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol)
 
-              val deletes = withAdditional.filter(col(deletedCol) === "true")
-              MergeEngine.delete(spark, cfg, deletes, pkCols)
+                val deletes = withAdditional.filter(col(deletedCol) === "true")
+                MergeEngine.delete(spark, cfg, deletes, pkCols)
+              } finally { withAdditional.unpersist(); () }
             }
           } finally { current.unpersist(); () }
         }
