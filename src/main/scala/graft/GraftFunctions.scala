@@ -1,6 +1,7 @@
 package graft
 
 import graft.avro.{AvroDecode, AvroEncode}
+import graft.functions.DeterministicSample
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -34,6 +35,10 @@ object GraftFunctions {
       "avro_encode",
       exprs => AvroEncode(exprs.head, constantString(exprs(1), "avro_encode(_, schemaJson)")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "deterministic_sample",
+      exprs => DeterministicSample(exprs.head, constantInt(exprs(1), "deterministic_sample(_, k)")),
+      "scala_udf")
     ()
   }
 
@@ -51,6 +56,11 @@ object GraftFunctions {
     Coalesce(Seq(
       Substring(e, Literal(6), Greatest(Seq(Subtract(Length(e), Literal(5)), Literal(0)))),
       Literal(Array.empty[Byte])))
+
+  private def constantInt(e: Expression, ctx: String): Int = e match {
+    case other if other.foldable => other.eval(null).asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$ctx requires a constant integer argument")
+  }
 
   private def constantString(e: Expression, ctx: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString

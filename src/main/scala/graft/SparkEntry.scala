@@ -628,6 +628,18 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Custom TypedImperativeAggregate: deterministic bottom-k-by-hash
+    * sample per language (rows-only: xxhash64 is Spark-specific; the
+    * aggregate's equivalence to the oracle-gated window sampler is
+    * asserted in DeterministicSampleSpec).
+    */
+  private def sampleSketch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(graft.functions.DeterministicSample(col("doc_id"), 5).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** The operators composed as a real training-data pipeline (rows-only):
     * quality gate -> language gate -> exact dedup -> deterministic
     * per-source sampling -> corpus stats. One declarative plan.
@@ -707,6 +719,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (annLshTopk _),
     "multimodal_features" -> (multimodalFeatures _),
     "cdc_wire_decode" -> (cdcWireDecode _),
+    "sample_sketch" -> (sampleSketch _),
     "pipeline_training_data" -> (pipelineTrainingData _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
