@@ -198,6 +198,60 @@ object MergeEngine {
     ()
   }
 
+  /** Compact a merge table's small files (micro-batch CDC writes leave
+    * one file set per touched partition per batch; at 100 TB the read
+    * amplification from thousands of tiny files dominates scan cost).
+    *
+    * Rewrites each partition whose file count exceeds
+    * `maxFilesPerPartition` into `ceil(bytes / targetFileBytes)` files
+    * via the same staged dynamic-overwrite path the merge uses.
+    * Untouched partitions keep their files. Returns the number of
+    * partitions compacted.
+    */
+  def compact(
+      spark: SparkSession,
+      cfg: TableConfig,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFilesPerPartition: Int = 4): Int = {
+    val root = new Path(cfg.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+    if (cfg.partitionCols.isEmpty) {
+      val files = dataFiles(root)
+      if (files.size <= maxFilesPerPartition) 0
+      else {
+        val target = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        readTable(spark, cfg.path).foreach(t => writeStaged(spark, cfg, t.repartition(target), overwriteAll = true))
+        1
+      }
+    } else {
+      // partition dirs: depth = partitionCols.size below the root
+      def partitionDirs(dir: Path, depth: Int): Seq[Path] =
+        if (depth == 0) Seq(dir)
+        else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap(d => partitionDirs(d.getPath, depth - 1))
+      val oversized = partitionDirs(root, cfg.partitionCols.size)
+        .map(d => d -> dataFiles(d))
+        .filter(_._2.size > maxFilesPerPartition)
+      val qualifiedRoot = fs.makeQualified(root).toString
+      oversized.foreach { case (dir, files) =>
+        val rel = fs.makeQualified(dir).toString.stripPrefix(qualifiedRoot).stripPrefix("/")
+        val pred = rel.split("/").map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull else col(k) === lit(v)
+        }.reduce(_ && _)
+        val target = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        readTable(spark, cfg.path).foreach { t =>
+          writeStaged(spark, cfg, t.filter(pred).repartition(target), overwriteAll = false)
+        }
+      }
+      oversized.size
+    }
+  }
+
   // ---------------------------------------------------------------------
 
   private def partitionPredicate(partCols: Seq[String], values: Array[Row]) =

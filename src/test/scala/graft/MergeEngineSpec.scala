@@ -101,6 +101,32 @@ class MergeEngineSpec extends SparkSpec {
     assert(deduped.filter(col("id") === 1).select("name").as[String].collect().head == "v3")
   }
 
+  test("compact: oversized partitions rewritten to few files, data unchanged") {
+    val path = tmpDir("merge-compact")
+    val cfg = TableConfig("graft_test", "compact_tbl", s"$path/t", partitionCols = Seq("year"))
+    // simulate accumulated small files (raw appends into the layout;
+    // the merge itself is copy-on-write per partition, so it doesn't
+    // accumulate files — appenders and high shuffle-partition writes do)
+    (1 to 6).foreach { b =>
+      (1 to 50).map(i => (b * 1000 + i, s"n$b-$i", 2024, (b * 1000 + i).toLong))
+        .toDF("id", "name", "year", "lsn")
+        .coalesce(1)
+        .write.mode("append").partitionBy("year").parquet(cfg.path)
+    }
+    val before = MergeEngine.readTable(spark, cfg.path).get.orderBy("id").collect()
+    val filesBefore = new java.io.File(s"$path/t/year=2024").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 4, s"expected many small files, got $filesBefore")
+
+    val compacted = MergeEngine.compact(spark, cfg, targetFileBytes = 1L << 30, maxFilesPerPartition = 4)
+    assert(compacted == 1)
+    val filesAfter = new java.io.File(s"$path/t/year=2024").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter <= 2, s"still $filesAfter files after compaction")
+    val after = MergeEngine.readTable(spark, cfg.path).get.orderBy("id").collect()
+    assert(after.toSeq == before.toSeq, "compaction changed the data")
+  }
+
   private def listFiles(dir: String): Set[String] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Set.empty
