@@ -599,6 +599,41 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Calendar densification (gap-fill): every month in the data range
+    * joined against per-month order counts — months with no orders
+    * appear with zeros. sequence+explode on the probe side.
+    */
+  private def gapFillMonths(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_custkey") <= 5) // sparse slice so gaps exist
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+    val bounds = Tables(s, dir, "orders")
+      .agg(
+        date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val months = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
+    months
+      .join(o, Seq("month"), "left_outer")
+      .select(
+        date_format(col("month"), "yyyy-MM").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("month"))
+  }
+
+  /** Date arithmetic: day diffs, month adds, truncation. */
+  private def dateArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"))
+      .orderBy(col("o_orderkey"))
+
   /** Generator/explode: top-5 tokens per language (explode -> agg ->
     * ranked window).
     */
@@ -706,6 +741,8 @@ object SparkEntry {
     "q34_approx_distinct" -> (approxDistinct _),
     "q35_json_extract" -> (jsonExtract _),
     "q36_explode_top_words" -> (explodeTopWords _),
+    "q37_gap_fill_months" -> (gapFillMonths _),
+    "q38_date_arithmetic" -> (dateArithmetic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -977,6 +1014,32 @@ object SparkEntry {
         |            GROUP BY 1, 2))
         |WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+    "q37_gap_fill_months" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |months AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds),
+        |agg AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |  FROM orders
+        |  WHERE o_custkey <= 5
+        |  GROUP BY 1)
+        |SELECT strftime(m.month, '%Y-%m') AS month,
+        |       COALESCE(a.n_orders, 0) AS n_orders,
+        |       COALESCE(a.total, 0.0) AS total
+        |FROM months m LEFT JOIN agg a ON m.month = a.month
+        |ORDER BY month""".stripMargin,
+    "q38_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
