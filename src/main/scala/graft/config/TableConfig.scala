@@ -12,12 +12,18 @@ package graft.config
   * `partitionCols` participate in the upsert merge keys so the merge can
   * prune target partitions (reference: stream.py:116-117).
   */
+/** @param sortCols optional within-partition sort applied on every
+  *                  write: clusters rows so parquet row-group min/max
+  *                  statistics prune point/range scans on those columns
+  *                  (poor man's clustering/Z-order for one dimension).
+  */
 final case class TableConfig(
     schema: String,
     tableName: String,
     path: String,
     additionalCols: Seq[String] = Seq.empty,
-    partitionCols: Seq[String] = Seq.empty) {
+    partitionCols: Seq[String] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty) {
   require(schema.nonEmpty, "schema must be non-empty")
   require(tableName.nonEmpty, "tableName must be non-empty")
 

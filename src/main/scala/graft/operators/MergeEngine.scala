@@ -268,7 +268,12 @@ object MergeEngine {
       cfg: TableConfig,
       df: DataFrame,
       overwriteAll: Boolean): Unit = {
-    val writer = df.write
+    // within-partition sort -> parquet row-group min/max stats cluster
+    // on sortCols, so later point/range scans skip row groups
+    val clustered =
+      if (cfg.sortCols.isEmpty) df
+      else df.sortWithinPartitions(cfg.sortCols.map(col): _*)
+    val writer = clustered.write
       .mode("overwrite")
       .option("partitionOverwriteMode", if (overwriteAll) "static" else "dynamic")
     (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)

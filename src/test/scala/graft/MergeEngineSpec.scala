@@ -127,6 +127,23 @@ class MergeEngineSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction changed the data")
   }
 
+  test("sortCols: writes are clustered within files for row-group skipping") {
+    val path = tmpDir("merge-sort")
+    val cfg = TableConfig("graft_test", "sorted_tbl", s"$path/t", sortCols = Seq("id"))
+    val df = new scala.util.Random(7).shuffle((1 to 2000).toList)
+      .map(i => (i, s"n$i", i.toLong)).toDF("id", "name", "lsn")
+    MergeEngine.upsert(spark, cfg, df, Seq("id"), "lsn")
+    // per physical file, ids must be non-decreasing
+    val perFile = MergeEngine.readTable(spark, cfg.path).get
+      .select(input_file_name().as("f"), col("id"))
+      .as[(String, Int)].collect().groupBy(_._1).values
+    assert(perFile.nonEmpty)
+    perFile.foreach { rows =>
+      val ids = rows.map(_._2).toSeq
+      assert(ids == ids.sorted, "file not clustered by sort column")
+    }
+  }
+
   private def listFiles(dir: String): Set[String] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Set.empty
