@@ -80,6 +80,25 @@ class AvroDebeziumSpec extends SparkSpec {
     assert(permissive.collect().head.isNullAt(0))
   }
 
+  test("decimal logical type decodes to DecimalType (Debezium precise mode)") {
+    val schema =
+      """{"type":"record","name":"pay","fields":[
+        |{"name":"id","type":"int"},
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}}
+        |]}""".stripMargin
+    // encode 12345.67 as unscaled big-endian bytes (1234567)
+    val unscaled = java.math.BigInteger.valueOf(1234567L).toByteArray
+    val payload = AvroTestData.encode(schema, Map(
+      "id" -> 1, "amount" -> java.nio.ByteBuffer.wrap(unscaled)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(payload))),
+      StructType(Seq(StructField("p", BinaryType))))
+    val out = df.select(AvroDecode.fromAvro(col("p"), schema).as("v")).select(col("v.*"))
+    assert(out.schema("amount").dataType == DecimalType(10, 2))
+    val r = out.collect().head
+    assert(r.getDecimal(1).toString == "12345.67")
+  }
+
   test("InMemorySchemaProvider lookups") {
     val p = new InMemorySchemaProvider(Map(1 -> AvroTestData.usersKeySchema))
     assert(AvroSchemas.fieldNames(p.schemaJson(1)) == Seq("id"))

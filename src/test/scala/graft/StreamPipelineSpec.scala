@@ -137,6 +137,31 @@ class StreamPipelineSpec extends SparkSpec {
     }
   }
 
+  test("one batch carrying BOTH schema versions: pairs apply in ascending registry order") {
+    val base = tmpDir("stream-mixed")
+    val cfg = TableConfig("graft_test", s"users_mixed${System.nanoTime()}", s"$base/users")
+    val source = new MemoryCdcSource(spark)
+    val query = StreamPipeline.streamToTable(
+      spark, s"mixed-${System.nanoTime()}", source, Map(Topic -> cfg), s"$base/ckpt", provider)
+    try {
+      // v1 and v2 records of the SAME key in the SAME micro-batch; the
+      // v2 change (higher lsn, adds phone) must win, and v1-only keys
+      // must land with a null phone
+      source.addRecords(Seq(
+        record(1, "v1-name", lsn = 10L), // v1
+        record(1, "v2-name", lsn = 20L, valueSchemaId = ValueIdV2,
+          valueSchemaJson = AvroTestData.usersValueSchemaV2, phone = Some("555")),
+        record(2, "only-v1", lsn = 11L)))
+      query.processAllAvailable()
+      val t = MergeEngine.readTable(spark, cfg.path).get
+      assert(t.count() == 2)
+      val rows = t.select("id", "name", "phone_number")
+        .as[(Int, String, Option[String])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(1) == (("v2-name", Some("555"))))
+      assert(rows(2) == (("only-v1", None)))
+    } finally query.stop()
+  }
+
   test("streaming query management: active list + stop") {
     val base = tmpDir("stream-mgmt")
     val cfg = TableConfig("graft_test", "users_mgmt", s"$base/users")
