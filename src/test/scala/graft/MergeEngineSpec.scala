@@ -127,6 +127,29 @@ class MergeEngineSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq, "compaction changed the data")
   }
 
+  test("null partition values: merge, update, delete and dir cleanup") {
+    val path = tmpDir("merge-nullpart")
+    val cfg = TableConfig("graft_test", "nullpart_tbl", s"$path/t", partitionCols = Seq("year"))
+    val b1 = Seq(
+      (1, "a", Some(2024), 10L), (2, "b", None, 11L), (3, "c", None, 12L))
+      .toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+    assert(MergeEngine.readTable(spark, cfg.path).get.count() == 3)
+
+    // update a row in the null partition
+    val b2 = Seq((2, "b2", Option.empty[Int], 20L)).toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn")
+    val t2 = MergeEngine.readTable(spark, cfg.path).get
+    assert(t2.filter(col("id") === 2).select("name").as[String].collect().head == "b2")
+    assert(t2.count() == 3)
+
+    // delete both null-partition rows -> default partition dir removed
+    MergeEngine.delete(spark, cfg, Seq((2, 0L), (3, 0L)).toDF("id", "lsn"), Seq("id"))
+    val t3 = MergeEngine.readTable(spark, cfg.path).get
+    assert(t3.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(!new java.io.File(s"$path/t/year=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
   test("sortCols: writes are clustered within files for row-group skipping") {
     val path = tmpDir("merge-sort")
     val cfg = TableConfig("graft_test", "sorted_tbl", s"$path/t", sortCols = Seq("id"))

@@ -162,6 +162,33 @@ class StreamPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("FAILFAST: corrupt payload fails the query and the listener captures it") {
+    val base = tmpDir("stream-corrupt")
+    val cfg = TableConfig("graft_test", s"users_corrupt${System.nanoTime()}", s"$base/users")
+    val listener = new GraftStreamingListener
+    spark.streams.addListener(listener)
+    val source = new MemoryCdcSource(spark)
+    val query = StreamPipeline.streamToTable(
+      spark, s"corrupt-${System.nanoTime()}", source, Map(Topic -> cfg), s"$base/ckpt", provider)
+    try {
+      val corrupt = record(1, "x", lsn = 1L)
+        .copy(value = AvroTestData.frame(ValueIdV1, Array[Byte](0x7f, 0x01)))
+      source.addRecords(Seq(corrupt))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      // allow the termination event to propagate
+      val deadline = System.currentTimeMillis() + 10000
+      while (!listener.isTerminated && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.isTerminated)
+      assert(listener.error.exists(_.contains("FAILFAST")),
+        s"listener error was: ${listener.error}")
+    } finally {
+      if (query.isActive) query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming query management: active list + stop") {
     val base = tmpDir("stream-mgmt")
     val cfg = TableConfig("graft_test", "users_mgmt", s"$base/users")
