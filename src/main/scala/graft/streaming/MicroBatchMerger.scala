@@ -26,12 +26,18 @@ object MicroBatchMerger {
   val DefaultDeletedCol = "__deleted"
   val DefaultVersionCol = "__log_sequence_number"
 
+  /** @param failFast true (reference parity): a malformed Avro payload
+    *                  fails the batch (and so the query). false:
+    *                  PERMISSIVE — malformed payloads decode to null
+    *                  and are dropped, the stream keeps running.
+    */
   def process(
       batch: DataFrame,
       configs: Map[String, TableConfig],
       provider: SchemaProvider,
       deletedCol: String = DefaultDeletedCol,
-      versionCol: String = DefaultVersionCol): Unit = {
+      versionCol: String = DefaultVersionCol,
+      failFast: Boolean = true): Unit = {
     val spark = batch.sparkSession
     batch.cache()
     try {
@@ -54,10 +60,11 @@ object MicroBatchMerger {
               val slice = current
                 .filter(col("key_schema_id") === keyId)
                 .filter(col("value_schema_id") === valueId)
-              val decoded = slice
+              val raw = slice
                 .select(
-                  AvroDecode.fromAvro(col("value_avro"), valueJson, failFast = true)
+                  AvroDecode.fromAvro(col("value_avro"), valueJson, failFast = failFast)
                     .as("value"))
+              val decoded = (if (failFast) raw else raw.filter(col("value").isNotNull))
                 .select(col("value.*"))
                 .select(DebeziumCast.castColumns(valueJson): _*)
 

@@ -45,7 +45,8 @@ object StreamPipeline {
       provider: SchemaProvider,
       trigger: Trigger = Trigger.ProcessingTime(0),
       deletedCol: String = MicroBatchMerger.DefaultDeletedCol,
-      versionCol: String = MicroBatchMerger.DefaultVersionCol): StreamingQuery = {
+      versionCol: String = MicroBatchMerger.DefaultVersionCol,
+      failFast: Boolean = true): StreamingQuery = {
     val projected = projectEnvelope(source.load(spark))
     val query = projected.writeStream
       .queryName(queryName)
@@ -53,7 +54,7 @@ object StreamPipeline {
       .outputMode("update")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MicroBatchMerger.process(batch, configs, provider, deletedCol, versionCol)
+        MicroBatchMerger.process(batch, configs, provider, deletedCol, versionCol, failFast)
       }
       .start()
     if (!query.isActive)

@@ -189,6 +189,24 @@ class StreamPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PERMISSIVE: corrupt payload dropped, valid records land, stream stays alive") {
+    val base = tmpDir("stream-permissive")
+    val cfg = TableConfig("graft_test", s"users_perm${System.nanoTime()}", s"$base/users")
+    val source = new MemoryCdcSource(spark)
+    val query = StreamPipeline.streamToTable(
+      spark, s"perm-${System.nanoTime()}", source, Map(Topic -> cfg), s"$base/ckpt",
+      provider, failFast = false)
+    try {
+      val corrupt = record(1, "x", lsn = 1L)
+        .copy(value = AvroTestData.frame(ValueIdV1, Array[Byte](0x7f, 0x01)))
+      source.addRecords(Seq(corrupt, record(2, "ok", lsn = 2L)))
+      query.processAllAvailable()
+      assert(query.isActive)
+      val t = MergeEngine.readTable(spark, cfg.path).get
+      assert(t.select("id").as[Int].collect().toSeq == Seq(2))
+    } finally query.stop()
+  }
+
   test("streaming query management: active list + stop") {
     val base = tmpDir("stream-mgmt")
     val cfg = TableConfig("graft_test", "users_mgmt", s"$base/users")
