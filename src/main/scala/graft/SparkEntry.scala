@@ -599,6 +599,20 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Batch sessionization with a 30-minute inactivity gap: lag flags
+    * session starts, running sum numbers them, then per-session stats.
+    */
+  private def sessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionization
+      .sessionStats(
+        Tables(s, dir, "events").filter(col("user_id") <= 30),
+        Seq("user_id"),
+        unix_timestamp(col("ts")).cast("long"),
+        gapSeconds = 1800L)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("duration_s"), col("start_s"))
+      .orderBy(col("user_id"), col("session_id"))
+
   /** Calendar densification (gap-fill): every month in the data range
     * joined against per-month order counts — months with no orders
     * appear with zeros. sequence+explode on the probe side.
@@ -742,6 +756,7 @@ object SparkEntry {
     "q35_json_extract" -> (jsonExtract _),
     "q36_explode_top_words" -> (explodeTopWords _),
     "q37_gap_fill_months" -> (gapFillMonths _),
+    "q39_sessionize_batch" -> (sessionizeBatch _),
     "q38_date_arithmetic" -> (dateArithmetic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1032,6 +1047,24 @@ object SparkEntry {
         |       COALESCE(a.total, 0.0) AS total
         |FROM months m LEFT JOIN agg a ON m.month = a.month
         |ORDER BY month""".stripMargin,
+    "q39_sessionize_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |              - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id <= 30),
+        |numbered AS (
+        |  SELECT user_id, ts_s,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s,
+        |  CAST(min(ts_s) AS BIGINT) AS start_s
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q38_date_arithmetic" ->
       """SELECT o_orderkey,
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
