@@ -599,6 +599,17 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Statistical aggregates: sample stddev/variance + correlation. */
+  private def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Batch sessionization with a 30-minute inactivity gap: lag flags
     * session starts, running sum numbers them, then per-session stats.
     */
@@ -757,6 +768,7 @@ object SparkEntry {
     "q36_explode_top_words" -> (explodeTopWords _),
     "q37_gap_fill_months" -> (gapFillMonths _),
     "q39_sessionize_batch" -> (sessionizeBatch _),
+    "q40_stats_agg" -> (statsAgg _),
     "q38_date_arithmetic" -> (dateArithmetic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1073,6 +1085,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
+    "q40_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
