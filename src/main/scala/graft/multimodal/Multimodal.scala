@@ -82,6 +82,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: recomputes the metadata exactly as a real resize
+    * would and re-derives (fake) content deterministically — the
+    * Dataset-level shape (typed map, metadata contract, content
+    * replaced) is what a production implementation drops into.
+    */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // STUB: real codec decodes + rescales pixels; the fake keeps the
+        // bytes deterministic per (content, target size)
+        val fake = StubCodec.features(m.content, dim = 8).flatMap { f =>
+          java.nio.ByteBuffer.allocate(4).putFloat(f).array()
+        }
+        m.copy(width = width, height = height, content = fake)
+      }
+    }
+  }
+
   /** Synthesize a media table from the documents testdata (bytes from
     * text) so the plumbing is exercisable without real codecs. Media
     * type/format derive deterministically from the id.

@@ -38,6 +38,9 @@ object AsOfJoin {
     * @param leftTs     event-time column on `left`
     * @param rightTs    event-time column on `right`
     * @param payloadPrefix prefix for the attached right payload columns
+    * @param forward    false (default): newest right row with
+    *                   `rightTs <= leftTs`; true: earliest right row
+    *                   with `rightTs >= leftTs` (look-ahead as-of)
     */
   def asOf(
       left: DataFrame,
@@ -45,7 +48,8 @@ object AsOfJoin {
       on: String,
       leftTs: String,
       rightTs: String,
-      payloadPrefix: String = "right_"): DataFrame = {
+      payloadPrefix: String = "right_",
+      forward: Boolean = false): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == on || c == rightTs).toSeq
     require(payloadCols.nonEmpty, "right side must carry at least one payload column")
 
@@ -59,9 +63,12 @@ object AsOfJoin {
       struct(payloadCols.map(col): _*).as(PayloadCol))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // backward: time ascending, right rows first at equal ts (<= match);
+    // forward: time descending, right rows first at equal ts (>= match) —
+    // the running `last` then sees the nearest *later* right row.
     val w = Window
       .partitionBy(col(on))
-      .orderBy(col(TsCol).asc, col(TagCol).asc)
+      .orderBy(if (forward) col(TsCol).desc else col(TsCol).asc, col(TagCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = unioned.withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))

@@ -111,6 +111,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(feats.zip(again).forall { case (x, y) => x.features.sameElements(y.features) })
     // video rows sample >1 frame when content is long enough
     assert(feats.forall(f => f.frames_sampled >= 1))
+    // resize: metadata updated, content re-derived deterministically
+    val resized = Multimodal.resize(media, 128, 96).collect().sortBy(_.media_id)
+    assert(resized.forall(m => m.width == 128 && m.height == 96))
+    val resized2 = Multimodal.resize(media, 128, 96).collect().sortBy(_.media_id)
+    assert(resized.zip(resized2).forall { case (a, b) => a.content.sameElements(b.content) })
   }
 
   test("SQL registration: get_schema_id / get_confluent_avro_value / avro_decode") {

@@ -30,6 +30,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out.contains("R"))
   }
 
+  test("asOf forward: earliest right row at or after left ts") {
+    val left = Seq((1, 100L, "L1"), (1, 200L, "L2")).toDF("k", "ts", "lid")
+    val right = Seq((1, 100L, "R1"), (1, 150L, "R2"), (1, 250L, "R3")).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts", forward = true)
+      .select("lid", "right_rid").as[(String, Option[String])].collect().toMap
+    assert(out("L1").contains("R1")) // equal ts matches (>= semantics)
+    assert(out("L2").contains("R3")) // 250 is the nearest at-or-after 200
+  }
+
   test("asOf: multi-column payload comes from the SAME right row") {
     val left = Seq((1, 100L, "L")).toDF("k", "ts", "lid")
     val right = Seq(
