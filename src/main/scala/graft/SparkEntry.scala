@@ -599,6 +599,54 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** TPC-H Q5 shape: 5-way join through the region hierarchy, revenue
+    * per nation for one region-year.
+    */
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share per month. */
+  private def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("promo_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicates. */
+  private def disjunctivePredicates(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity") < 10) ||
+        (col("p_type") === "ECONOMY" && col("l_discount") > 0.07))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** Statistical aggregates: sample stddev/variance + correlation. */
   private def statsAgg(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -769,6 +817,9 @@ object SparkEntry {
     "q37_gap_fill_months" -> (gapFillMonths _),
     "q39_sessionize_batch" -> (sessionizeBatch _),
     "q40_stats_agg" -> (statsAgg _),
+    "q41_region_revenue" -> (regionRevenue _),
+    "q42_promo_share" -> (promoShare _),
+    "q43_disjunctive" -> (disjunctivePredicates _),
     "q38_date_arithmetic" -> (dateArithmetic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1094,6 +1145,34 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q41_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND EXTRACT(year FROM o_orderdate) = 1996
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q42_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        | round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |   * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 3) AS promo_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "q43_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 10)
+        |   OR (p_type = 'ECONOMY' AND l_discount > 0.07)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
