@@ -647,6 +647,16 @@ object SparkEntry {
         count(lit(1)).as("n"))
   }
 
+  /** ntile bucketing: totalprice quartile within each order status. */
+  private def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Statistical aggregates: sample stddev/variance + correlation. */
   private def statsAgg(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -820,6 +830,7 @@ object SparkEntry {
     "q41_region_revenue" -> (regionRevenue _),
     "q42_promo_share" -> (promoShare _),
     "q43_disjunctive" -> (disjunctivePredicates _),
+    "q44_ntile" -> (ntileQuartiles _),
     "q38_date_arithmetic" -> (dateArithmetic _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1173,6 +1184,13 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 10)
         |   OR (p_type = 'ECONOMY' AND l_discount > 0.07)""".stripMargin,
+    "q44_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
