@@ -70,6 +70,21 @@ class OperatorsSpec extends SparkSpec {
     assert(q(0) > q(2), "prose must outscore punctuation soup")
   }
 
+  test("text: subword tokens, 64-bit fingerprint, char shingles") {
+    val df = Seq((1, "parseJson fast2x now!")).toDF("id", "text")
+    val r = df.select(
+      TF.subwordTokenCount(col("text")).as("sub"),
+      TF.tokenCount(col("text")).as("words"),
+      TF.fingerprint64(col("text")).as("fp64"),
+      size(TF.charShingles(col("text"), 5)).as("nsh")).collect().head
+    assert(r.getLong(0) > r.getLong(1), "subword count must exceed word count")
+    // fingerprint64 collides for case/whitespace variants
+    val fp2 = Seq((1, "PARSEJSON  fast2x   now!")).toDF("id", "text")
+      .select(TF.fingerprint64(col("text"))).collect().head.getLong(0)
+    assert(r.getLong(2) == fp2)
+    assert(r.getInt(3) == "parsejson fast2x now!".length - 4)
+  }
+
   test("text: langId picks the dominant stopword profile") {
     val df = Seq(
       (1, "the cat sat on the mat and it is happy"),
