@@ -65,4 +65,26 @@ object VectorFunctions {
 
   /** Hamming distance between two long bit signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** L2-normalize to a unit vector (null-safe on the zero vector:
+    * returns the zero vector unchanged). Normalizing once at write time
+    * turns every later cosine into a plain dot product — at 100 TB that
+    * halves the arithmetic of each ANN scan.
+    */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Elementwise mean of an array-of-vectors column (mean pooling, e.g.
+    * token embeddings -> document embedding). Empty input -> null.
+    */
+  def meanPool(vectors: Column): Column = {
+    val summed = aggregate(
+      vectors,
+      transform(element_at(vectors, 1), x => x.cast("double") * 0.0),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
+    when(size(vectors) > 0, transform(summed, x => x / size(vectors)))
+  }
 }

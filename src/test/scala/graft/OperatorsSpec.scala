@@ -113,6 +113,22 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got(2).getDouble(2) - 1.0) < 1e-12 && got(2).getDouble(3) == 5.0)
   }
 
+  test("vector: normalize + meanPool") {
+    val df = Seq(
+      (1, Seq(3.0f, 4.0f), Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))),
+      (2, Seq(0.0f, 0.0f), Seq.empty[Seq[Float]]))
+      .toDF("id", "v", "vs")
+    val got = df.select(
+      col("id"),
+      VF.normalize(col("v")).as("unit"),
+      VF.meanPool(col("vs")).as("pooled")).orderBy("id").collect()
+    val unit = got(0).getSeq[Double](1)
+    assert(math.abs(unit(0) - 0.6) < 1e-12 && math.abs(unit(1) - 0.8) < 1e-12)
+    assert(got(0).getSeq[Double](2) == Seq(2.0, 3.0))
+    assert(got(1).getSeq[Double](1) == Seq(0.0, 0.0)) // zero vector unchanged
+    assert(got(1).isNullAt(2)) // empty pool -> null
+  }
+
   test("vector: hyperplane signatures agree for near-identical vectors") {
     val base = (0 until 16).map(i => math.sin(i * 1.7).toFloat)
     val near = base.updated(3, base(3) + 0.001f)
