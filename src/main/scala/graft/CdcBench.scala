@@ -40,6 +40,7 @@ object CdcBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(4)
+    val multiplier = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +58,15 @@ object CdcBench {
     val provider = new InMemorySchemaProvider(Map(1 -> KeySchema, 10 -> ValueSchema))
 
     // Pre-materialize framed batches (encode excluded from timing).
-    val ev = graft.sources.Tables(spark, sfDir, "events")
+    // multiplier replicates the events table with disjoint key/version
+    // ranges to measure throughput at bigger batch sizes.
+    val ev0 = graft.sources.Tables(spark, sfDir, "events")
+    val ev =
+      if (multiplier == 1) ev0
+      else ev0.crossJoin(spark.range(multiplier).select(col("id").as("rep")))
+        .withColumn("event_id", col("event_id") * multiplier + col("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * 1000L)
+        .drop("rep")
     val framedBatches = (0 until batches).map { b =>
       val slice = ev.filter(col("event_id") % batches === b)
       val keyStruct = struct(col("user_id"))
