@@ -616,7 +616,12 @@ object SparkEntry {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(year(col("o_orderdate")) === 1996)
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      // per-row product cast to decimal BEFORE summing: decimal sums are
+      // exact and order-independent, so the rounded result can never
+      // straddle a half-up boundary differently than the oracle's
+      .agg(round(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double"), 2).as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -1158,7 +1163,7 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
     "q41_region_revenue" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
