@@ -452,7 +452,9 @@ object SparkEntry {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(VF.cosine(col("embedding"), col("qv")), 3).as("cos"))
+      // decimal-accumulated cosine: the rounded value is identical to the
+      // oracle's explicit decimal-summed formulation (see VF.cosineDecimal)
+      .select(col("vec_id"), round(VF.cosineDecimal(col("embedding"), col("qv")), 3).as("cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -471,19 +473,32 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
+  /** The LSH candidate stage is the expensive common prefix of
+    * `dedup_minhash_lsh` and `dedup_ngram_jaccard` — compute it once per
+    * (session, dir) and share the (operator-persisted, materialized)
+    * result. Without this the verify stage silently re-runs the entire
+    * signature+banding pipeline it just executed.
+    */
+  private val lshCandidateCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    lshCandidateCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir",
+      TextDedup.minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5))
+
   /** MinHash+LSH candidate duplicate pairs (rows-only: LSH banding is
     * not ANSI-SQL-expressible).
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    TextDedup
-      .minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5)
+    minhashCandidates(s, dir)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3).as("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact n-gram Jaccard verification of the LSH candidates. */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(s, dir)
-    val cands = TextDedup.minhashCandidatePairs(docs, "doc_id", "text", threshold = 0.5)
+    val cands = minhashCandidates(s, dir)
     val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
     cands
@@ -1224,9 +1239,19 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "simsearch_cosine" ->
-      """SELECT e.vec_id AS vec_id,
-        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 3) AS cos
-        |FROM embeddings e,
-        |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY e.vec_id""".stripMargin)
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |exploded AS (
+        |  SELECT e.vec_id,
+        |         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(q.qv AS DOUBLE[])) AS y
+        |  FROM embeddings e, q),
+        |sums AS (
+        |  SELECT vec_id,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY vec_id)
+        |SELECT vec_id,
+        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+        |FROM sums ORDER BY vec_id""".stripMargin)
 }

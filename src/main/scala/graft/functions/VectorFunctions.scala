@@ -22,6 +22,35 @@ object VectorFunctions {
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Dot product with each elementwise product cast to
+    * `decimal(28,14)` before summing. Decimal sums are exact and
+    * order-independent, so the result is identical regardless of
+    * partitioning/accumulation order — and identical across engines
+    * (no double can land exactly half-way at a decimal scale >= 1, so
+    * the per-element cast rounds the same everywhere). Use for results
+    * that must hash-match an external oracle; [[dot]] is cheaper for
+    * perf paths.
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,14)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(30,14)"),
+      // decimal addition widens precision by 1 (30,14)+(20,14)->(31,14);
+      // cast back keeps scale 14, so it never rounds — it can only
+      // overflow, and 16 integral digits is far beyond any realistic
+      // embedding-dot magnitude
+      (acc, x) => (acc + x).cast("decimal(30,14)"))
+
+  /** Cosine similarity with decimal-accumulated dot/norms (see
+    * [[dotDecimal]]): the final double is a pure function of the
+    * element values, independent of summation order, so a rounded
+    * output can never straddle a rounding boundary differently than an
+    * oracle computing the same formulation.
+    */
+  def cosineDecimal(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
+
   /** Squared L2 distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(

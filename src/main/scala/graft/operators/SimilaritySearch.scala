@@ -71,6 +71,18 @@ object SimilaritySearch {
   /** Embedding near-duplicate pairs: vectors sharing the full `bits`-bit
     * hyperplane signature are candidates; exact cosine must clear
     * `minCosine`. Returns (id_a, id_b, cos), id_a < id_b.
+    *
+    * Scale guards (same pattern as [[graft.operators.TextDedup
+    * .minhashCandidatePairs]]): signature buckets larger than
+    * `maxBucketSize` are dropped — a popular signature (a near-dup
+    * cluster, zero vectors, low-entropy embeddings) is m^2/2 pairs and
+    * is a duplicate *group*, not a pair problem — and the bucket
+    * self-join carries ids only; the full vectors join back exactly
+    * once per surviving distinct pair instead of riding both sides of
+    * the bucket shuffle.
+    *
+    * Eagerly materialized; the returned DataFrame is persisted and the
+    * intermediate cache released.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
@@ -78,21 +90,34 @@ object SimilaritySearch {
       vecCol: String,
       bits: Int = 16,
       minCosine: Double = 0.95,
-      seed: Int = 41): DataFrame = {
+      seed: Int = 41,
+      maxBucketSize: Int = 2000): DataFrame = {
     // persist: signatures would otherwise be recomputed on both join sides
     val sigs = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("sig"))
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("sig"))
       .persist()
-    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("sig"))
+    val idsig = sigs.select(col("sig"), col("id"))
+    val bucketSizes = idsig.groupBy(col("sig"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val bounded = idsig.join(bucketSizes, Seq("sig"))
+    val a = bounded.select(col("sig"), col("id").as("id_a"))
+    val b = bounded.select(col("sig"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val result = candidates
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= minCosine)
+    TextDedup.materialized(result, Seq(sigs))
   }
 }

@@ -28,16 +28,31 @@ object TextDedup {
         sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_copies") > 1)
 
+  /** MinHash signature from an already-staged shingle array: ONE
+    * `aggregate` pass over the shingles maintaining `numHashes` running
+    * minimums (per shingle: hash `numHashes` ways, zip into the
+    * accumulator with `least`). The obvious alternative — `numHashes`
+    * separate `array_min(transform(...))` columns — re-traverses the
+    * shingle array once per hash and allocates a shingle-sized
+    * intermediate each time; interpreted higher-order functions make
+    * that O(numHashes x shingles) array overhead the dominant cost at
+    * corpus scale (measured ~20 s of a 112 s sf0.1 bench round 1).
+    */
+  def minhashSignatureFromShingles(shingles: Column, numHashes: Int): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) =>
+        zip_with(acc, array((0 until numHashes).map(i => xxhash64(lit(i), s)): _*),
+          (a, h) => least(a, h)))
+
   /** MinHash signature column: `numHashes` minimums over seeded
     * xxhash64 of the document's character shingles. Entirely per-row —
-    * `transform` + `array_min`, no explode, no shuffle.
+    * one `aggregate` pass, no explode, no shuffle.
     */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column = {
-    val shingles = array_distinct(TextFunctions.charShingles(text, shingleSize))
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
-  }
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column =
+    minhashSignatureFromShingles(
+      array_distinct(TextFunctions.charShingles(text, shingleSize)), numHashes)
 
   /** Estimated Jaccard similarity from two MinHash signatures: the
     * fraction of agreeing components.
@@ -54,6 +69,9 @@ object TextDedup {
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     * across bands.
+    *
+    * Eagerly materialized; the returned DataFrame is persisted and the
+    * intermediate caches released (see [[materialized]]).
     */
   def minhashCandidatePairs(
       df: DataFrame,
@@ -93,9 +111,7 @@ object TextDedup {
       .persist()
     val sigs = shingled.select(
       col("id"),
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
-      }: _*).as("sig"))
+      minhashSignatureFromShingles(col("sh"), numHashes).as("sig"))
       .persist()
     // Bucket-join on ids only: carrying the 32-long signatures through
     // the band shuffle would multiply shuffle volume ~8x (once per
@@ -121,11 +137,26 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    candidates
+    val result = candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    materialized(result, Seq(tokenized, shingled, sigs))
+  }
+
+  /** Persist + materialize `result`, then release the intermediate
+    * cached stages — long-lived sessions calling the pair operators
+    * repeatedly would otherwise accumulate cached blocks until storage
+    * eviction pressure builds. The returned DataFrame is persisted
+    * (candidate-pair sets are small relative to the corpus); callers
+    * owning the last reference may `.unpersist()` it.
+    */
+  private[operators] def materialized(result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist()
+    out.count() // force evaluation while the intermediate caches are alive
+    intermediates.foreach(_.unpersist())
+    out
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (the
@@ -137,6 +168,32 @@ object TextDedup {
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
   }
 
+  /** Per-bit one-counts over a token-hash array: ONE `aggregate` pass
+    * maintaining a 64-counter accumulator (per hash: extract the 64
+    * bits with a `transform` over bit indices, add into the
+    * accumulator). Same O(bits)-pass hazard — and fix — as
+    * [[minhashSignatureFromShingles]].
+    */
+  private def bitCounts(tokenHashes: Column): Column =
+    aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)), i => call_function("shiftright", h, i).bitwiseAND(1)),
+          (a, b) => a + b))
+
+  /** Fold per-bit one-counts + total count into the 64-bit signature:
+    * bit i is set when at least half the token hashes have bit i set.
+    */
+  private def sigFromCounts(counts: Column, n: Column): Column =
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c * 2 >= n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+
   /** 64-bit SimHash over whitespace tokens: bit i is set when at least
     * half the token hashes have bit i set. Per-row (array ops only, no
     * shuffle); near-duplicate texts land within a small Hamming
@@ -144,61 +201,67 @@ object TextDedup {
     */
   def simhash(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val n = size(hashes)
-    (0 until 64)
-      .map { i =>
-        val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(1) === 1))
-        when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_.bitwiseOR(_))
+    sigFromCounts(bitCounts(hashes), size(hashes))
   }
 
   /** SimHash near-duplicate pairs: bucket by `maxHamming + 1` bit-bands
     * of the signature (pigeonhole: a pair within Hamming distance
     * `maxHamming` of 64 bits must agree on at least one band), then
     * verify the exact Hamming distance within buckets.
+    *
+    * Buckets larger than `maxBucketSize` are dropped (same mega-bucket
+    * guard as the MinHash path: a low-entropy band value shared by m
+    * short/similar docs is m^2/2 pairs — a duplicate *group*, found far
+    * cheaper by [[exactClusters]]), and the bucket self-join carries ids
+    * only; signatures join back once per surviving distinct pair.
+    *
+    * Eagerly materialized; the returned DataFrame is persisted and the
+    * intermediate caches released (see [[materialized]]).
     */
   def simhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
     val nBands = maxHamming + 1
     val starts = (0 to nBands).map(i => i * 64 / nBands)
     // Stage token hashes and signatures through persist boundaries (same
     // CollapseProject recompute hazard as the MinHash path: simhash()
-    // would re-tokenize per bit, and the banding would re-run it per
-    // band and per join side).
+    // would re-tokenize per band and per join side).
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val hashed = spread.select(
       col(idCol).as("id"),
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
       .persist()
-    val n = size(col("th"))
-    val sigExpr = (0 until 64)
-      .map { i =>
-        val ones = size(filter(col("th"), h => shiftright(h, i).bitwiseAND(1) === 1))
-        when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_.bitwiseOR(_))
-    val sigs = hashed.select(col("id"), sigExpr.as("sig")).persist()
+    val sigs = hashed
+      .select(col("id"), sigFromCounts(bitCounts(col("th")), size(col("th"))).as("sig"))
+      .persist()
     val banded = sigs.select(
       col("id"),
-      col("sig"),
       posexplode(array((0 until nBands).map { q =>
         val len = starts(q + 1) - starts(q)
         val mask = if (len >= 64) -1L else (1L << len) - 1L
         shiftright(col("sig"), starts(q)).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bval")))
-    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bval"))
+    val bucketSizes = banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val bounded = banded.join(bucketSizes, Seq("band", "bval"))
+    val a = bounded.select(col("band"), col("bval"), col("id").as("id_a"))
+    val b = bounded.select(col("band"), col("bval"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val result = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
+    materialized(result, Seq(hashed, sigs))
   }
 }

@@ -41,6 +41,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped == 0)
   }
 
+  test("planted identical mega-cluster is guard-dropped; other pairs unaffected") {
+    // A 3000-doc identical cluster would be ~4.5M candidate pairs without
+    // the bucket cap — the guard must drop it while leaving the real
+    // near-dup pairs intact (it is a duplicate *group*: exactClusters work).
+    val cluster = (0 until 3000)
+      .map(i => (10000L + i, "identical boilerplate text repeated across the whole cluster forever"))
+      .toDF("doc_id", "text")
+    val df = corpus.unionByName(cluster)
+    val mh = TextDedup
+      .minhashCandidatePairs(df, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)) && mh.contains((1L, 4L)), "real near-dup pairs lost")
+    assert(!mh.exists(p => p._1 >= 10000L || p._2 >= 10000L), "mega-cluster leaked pairs")
+    val sh = TextDedup
+      .simhashCandidatePairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 4L)), "real exact-dup pair lost")
+    assert(!sh.exists(p => p._1 >= 10000L || p._2 >= 10000L), "mega-cluster leaked pairs")
+    // exactClusters is the right tool for the cluster — one row, not m^2/2
+    val clusters = TextDedup.exactClusters(df, "doc_id", "text")
+      .filter(col("keep_id") === 10000L).collect()
+    assert(clusters.length == 1 && clusters.head.getAs[Long]("n_copies") == 3000L)
+  }
+
+  test("simhash mega-bucket cap drops oversized buckets") {
+    val capped = TextDedup
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 16, maxBucketSize = 1)
+      .count()
+    assert(capped == 0)
+  }
+
   test("ngramJaccard: exact verification separates near-dup from unrelated") {
     val j = corpus.as("a").crossJoin(corpus.as("b"))
       .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(2, 3))
@@ -94,6 +125,14 @@ class DedupSimilaritySpec extends SparkSpec {
       .embeddingNearDupPairs(vectors, "vec_id", "embedding", bits = 16, minCosine = 0.98)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingNearDupPairs mega-bucket cap drops oversized buckets") {
+    val capped = SimilaritySearch
+      .embeddingNearDupPairs(vectors, "vec_id", "embedding", bits = 16, minCosine = 0.98,
+        maxBucketSize = 1)
+      .count()
+    assert(capped == 0)
   }
 
   test("multimodal: stub feature extraction is deterministic with real schema") {
