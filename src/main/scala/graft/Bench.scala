@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3); the JSON
+  * reports the per-query MEDIAN (noise-resistant — a single-shot bench
+  * on a shared machine produced a phantom 5x regression in round 2),
+  * plus the cold (first-run) time per query for cache-sensitive ops.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,16 +30,24 @@ object Bench {
     warm.groupBy("l_returnflag").count().count()
     warm.filter("l_quantity > 0").select("l_orderkey").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val median = times.sorted.apply(times.size / 2)
+      System.err.println(
+        f"[bench] $name%-28s median $median%8.2f s  (cold ${times.head}%.2f, min ${times.min}%.2f)")
+      (name, median, times.head, times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def js(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = js(results.map(r => (r._1, r._2)))
+    val cold = js(results.map(r => (r._1, r._3)))
+    val mins = js(results.map(r => (r._1, r._4)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -453,8 +453,10 @@ object SparkEntry {
     emb
       .crossJoin(broadcast(q))
       // decimal-accumulated cosine: the rounded value is identical to the
-      // oracle's explicit decimal-summed formulation (see VF.cosineDecimal)
-      .select(col("vec_id"), round(VF.cosineDecimal(col("embedding"), col("qv")), 3).as("cos"))
+      // oracle's explicit decimal-summed formulation (see VF.cosineDecimal).
+      // `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 = +0.0) so a tiny
+      // negative cosine that rounds to zero hashes identically cross-engine.
+      .select(col("vec_id"), (round(VF.cosineDecimal(col("embedding"), col("qv")), 3) + lit(0.0)).as("cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -516,7 +518,10 @@ object SparkEntry {
       .simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Language-id heuristic vs the labeled lang column (rows-only). */
+  /** Language-id heuristic vs the labeled lang column (oracle-gated:
+    * greatest-of-struct argmax is expressible as a reverse-alphabetical
+    * CASE over the per-profile scores).
+    */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("lang"), TF.langId(col("text")).as("predicted"))
@@ -568,10 +573,12 @@ object SparkEntry {
       .orderBy(col("media_type"))
   }
 
-  /** Full wire->decode batch path as a query (rows-only): events rows
-    * are Avro-encoded + Confluent-framed on executors, then go through
+  /** Full wire->decode batch path as a query: events rows are
+    * Avro-encoded + Confluent-framed on executors, then go through
     * envelope extraction, FAILFAST decode, and W1 dedup — the batch
-    * form of the streaming pipeline.
+    * form of the streaming pipeline. Oracle-gated: the Avro round trip
+    * is identity on values, so the oracle is plain latest-per-key over
+    * events with the `__deleted` (event_type='error') filter.
     */
   private val eventsCdcSchema: String =
     """{"type":"record","name":"events_cdc","fields":[
@@ -778,9 +785,10 @@ object SparkEntry {
       .select(col("lang"), explode(col("sample")).as("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
 
-  /** The operators composed as a real training-data pipeline (rows-only):
+  /** The operators composed as a real training-data pipeline:
     * quality gate -> language gate -> exact dedup -> deterministic
-    * per-source sampling -> corpus stats. One declarative plan.
+    * per-source sampling -> corpus stats. One declarative plan,
+    * oracle-gated end-to-end (md5 sampling hash, q32 pattern).
     */
   private def pipelineTrainingData(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
@@ -794,7 +802,8 @@ object SparkEntry {
       gated.withColumn("fp", TF.fingerprint(col("text"))),
       Seq("fp"), Seq(col("doc_id").asc))
     val sampled = graft.operators.Sampling
-      .samplePerGroup(deduped, Seq("source"), Seq("doc_id"), k = 10)
+      .samplePerGroup(deduped, Seq("source"), Seq("doc_id"), k = 10,
+        hash = Some(md5(col("doc_id").cast("string"))))
     sampled
       .groupBy(col("source"))
       .agg(
@@ -1238,6 +1247,82 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf','zu','den'], t))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','for','on','with','that','it'], t))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['el','la','los','las','y','es','un','una','para','en','que','de'], t))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['le','la','les','et','est','un','une','pour','dans','que','des','du'], t))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['il','la','gli','e','è','un','una','per','che','di','non','con'], t))) AS s_it
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) <= 0 THEN 'und'
+        |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |         ELSE 'de' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred
+        |GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin,
+    "cdc_wire_decode" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
+        |ORDER BY user_id""".stripMargin,
+    "pipeline_training_data" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    round((
+        |      least(length(text) / 500.0, 1.0)
+        |      + (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        |          / length(text)) * 10.0, 1.0))
+        |      + least((len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t))) * 1.0
+        |          / len(regexp_split_to_array(lower(trim(text)), '\s+'))) * 5.0, 1.0)
+        |    ) / 3.0, 4) AS q,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf','zu','den'], t))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','for','on','with','that','it'], t))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['el','la','los','las','y','es','un','una','para','en','que','de'], t))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['le','la','les','et','est','un','une','pour','dans','que','des','du'], t))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['il','la','gli','e','è','un','una','per','che','di','non','con'], t))) AS s_it
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source, n_tokens, q,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM scored
+        |  WHERE q >= 0.3 AND n_tokens >= 10
+        |    AND s_en > 0 AND s_en >= s_de AND s_en > s_es AND s_en > s_fr AND s_en > s_it),
+        |deduped AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |                 FROM gated)
+        |  WHERE rn = 1),
+        |sampled AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |                 FROM deduped)
+        |  WHERE rk <= 10)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(q), 4) AS avg_quality
+        |FROM sampled
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (
@@ -1252,6 +1337,6 @@ object SparkEntry {
         |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
         |  FROM exploded GROUP BY vec_id)
         |SELECT vec_id,
-        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
         |FROM sums ORDER BY vec_id""".stripMargin)
 }

@@ -37,12 +37,20 @@ import java.util.UUID
   *     combine, skew-bounded) — and when the inputs are already
   *     partitioned on the keys (e.g. right after the batch dedup) the
   *     planner inserts NO further exchange at all. No full-outer join.
-  *   - Writes use staged-then-swap: resolved rows land in a staging dir,
-  *     then dynamic partition overwrite replaces only the touched
-  *     partitions of the target. Untouched partitions are never read or
-  *     written. (Delta gets atomicity from its log; we get
-  *     per-partition atomicity from dynamic overwrite and document the
-  *     staging window — see `docs` note in README.)
+  *   - Writes use staged-then-swap with a commit manifest: resolved rows
+  *     land in a staging dir laid out exactly like the target, a
+  *     manifest records the transaction (touched partitions, staging and
+  *     backup locations), old partition dirs are renamed into a backup
+  *     dir and staged dirs renamed into place, and deleting the manifest
+  *     is the commit point. Untouched partitions are never read or
+  *     written. A crash at ANY point before the commit point is rolled
+  *     back by [[recoverTable]] (invoked automatically from
+  *     [[readTable]]): the table is restored bit-for-bit to its
+  *     pre-merge version and the replayed micro-batch re-applies
+  *     idempotently (checkpoint + monotone-version guard). Delta gets
+  *     the same property from its log; here the manifest + rename swap
+  *     provides it without a log format. Single-writer, like the
+  *     reference's one streaming query per table.
   */
 object MergeEngine {
 

@@ -35,8 +35,9 @@ object TextDedup {
     * separate `array_min(transform(...))` columns — re-traverses the
     * shingle array once per hash and allocates a shingle-sized
     * intermediate each time; interpreted higher-order functions make
-    * that O(numHashes x shingles) array overhead the dominant cost at
-    * corpus scale (measured ~20 s of a 112 s sf0.1 bench round 1).
+    * that O(numHashes x shingles) array overhead a real constant-factor
+    * cost at corpus scale (both forms are sub-second at sf0.1, so prefer
+    * the single-pass form on allocation grounds, not a measured win).
     */
   def minhashSignatureFromShingles(shingles: Column, numHashes: Int): Column =
     aggregate(
