@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.config.TableConfig
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -37,24 +38,36 @@ import java.util.UUID
   *     combine, skew-bounded) — and when the inputs are already
   *     partitioned on the keys (e.g. right after the batch dedup) the
   *     planner inserts NO further exchange at all. No full-outer join.
-  *   - Writes use staged-then-swap with a commit manifest: resolved rows
-  *     land in a staging dir laid out exactly like the target, a
-  *     manifest records the transaction (touched partitions, staging and
-  *     backup locations), old partition dirs are renamed into a backup
-  *     dir and staged dirs renamed into place, and deleting the manifest
-  *     is the commit point. Untouched partitions are never read or
-  *     written. A crash at ANY point before the commit point is rolled
-  *     back by [[recoverTable]] (invoked automatically from
-  *     [[readTable]]): the table is restored bit-for-bit to its
-  *     pre-merge version and the replayed micro-batch re-applies
-  *     idempotently (checkpoint + monotone-version guard). Delta gets
-  *     the same property from its log; here the manifest + rename swap
-  *     provides it without a log format. Single-writer, like the
-  *     reference's one streaming query per table.
+  *   - Writes are crash-atomic via a commit manifest + rename swap
+  *     ([[writeStaged]]): resolved rows land in a staging dir laid out
+  *     exactly like the target, a manifest (`_graft_txn.json` inside the
+  *     table root, invisible to parquet scans) records the transaction
+  *     (touched/removed partitions, staging and backup locations), old
+  *     partition dirs are renamed into a backup dir and staged dirs
+  *     renamed into place, and deleting the manifest is the commit
+  *     point. Untouched partitions are never read or written. A crash at
+  *     ANY point before the commit point is rolled back by
+  *     [[recoverTable]] (invoked automatically from [[readTable]]): the
+  *     table is restored bit-for-bit to its pre-merge version and the
+  *     replayed micro-batch re-applies idempotently (checkpoint +
+  *     monotone-version guard). Delta gets the same property from its
+  *     log; here the manifest + rename swap provides it without a log
+  *     format. Single-writer, like the reference's one streaming query
+  *     per table.
   */
 object MergeEngine {
 
   private val TagCol = "__graft_src"
+  private val ManifestName = "_graft_txn.json"
+
+  /** Test-only crash injection: [[writeStaged]] invokes this hook at the
+    * named protocol points ("staged", "manifest", "backed-up",
+    * "mid-swap", "pre-commit"); a hook that throws simulates a crash at
+    * that point. No-op in production.
+    */
+  private[graft] object Failpoints {
+    @volatile var hook: String => Unit = _ => ()
+  }
 
   // ---------------------------------------------------------------------
   // Pure plan forms (no I/O) — usable as batch operators in their own right
@@ -97,13 +110,71 @@ object MergeEngine {
   // Table-backed operations
   // ---------------------------------------------------------------------
 
-  /** Read a MergeEngine-managed table. `mergeSchema` handles files written
-    * before a schema evolution (untouched partitions keep old schema).
-    * Returns None when the table has no data yet.
+  /** Read a MergeEngine-managed table. Rolls back any in-flight
+    * transaction first ([[recoverTable]]), so a reader never observes a
+    * torn write. `mergeSchema` handles files written before a schema
+    * evolution (untouched partitions keep old schema). Returns None when
+    * the table has no data yet.
     */
-  def readTable(spark: SparkSession, path: String): Option[DataFrame] =
+  def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    recoverTable(spark, path)
     try Some(spark.read.option("mergeSchema", "true").parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Roll back an uncommitted merge transaction, if one is present.
+    *
+    * A manifest at `<path>/_graft_txn.json` means a [[writeStaged]] swap
+    * was interrupted before its commit point. Every unit (partition dir
+    * or root data file) is restored: units already renamed into the
+    * backup dir are moved back (after discarding whatever the swap put
+    * in their place); units the swap never reached are still original
+    * and untouched; brand-new units the swap renamed in are deleted.
+    * Finally the staging dir, backup dir, and manifest are removed —
+    * after which the table is bit-for-bit its pre-merge version.
+    *
+    * Returns true when a rollback was performed. Idempotent; crashing
+    * mid-rollback and re-running is safe (each step re-checks existence).
+    */
+  def recoverTable(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash during manifest creation leaves only the tmp file: nothing
+    // was swapped yet, so discarding it (and any staged bytes) suffices
+    val tmp = new Path(root, ManifestName + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val manifestPath = new Path(root, ManifestName)
+    if (!fs.exists(manifestPath)) return false
+    val m = Manifest.read(fs, manifestPath)
+    val backup = new Path(m.backup)
+    if (m.partitioned) {
+      (m.touched ++ m.removed).distinct.foreach { rel =>
+        val live = new Path(root, rel)
+        val saved = new Path(backup, rel)
+        if (fs.exists(saved)) {
+          if (fs.exists(live)) fs.delete(live, true)
+          fs.mkdirs(live.getParent)
+          fs.rename(saved, live)
+        } else if (!m.existing.contains(rel)) {
+          // new partition: nothing to restore, remove if swapped in
+          if (fs.exists(live)) fs.delete(live, true)
+        } // else: original still in place — the swap never reached it
+      }
+    } else {
+      m.stagedFiles.foreach { f =>
+        val live = new Path(root, f)
+        if (fs.exists(live)) fs.delete(live, false)
+      }
+      m.originalFiles.foreach { f =>
+        val saved = new Path(backup, f)
+        if (fs.exists(saved)) fs.rename(saved, new Path(root, f))
+      }
+    }
+    fs.delete(new Path(m.staging), true)
+    fs.delete(backup, true)
+    fs.delete(manifestPath, false)
+    true
+  }
 
   /** Create an empty, optionally partitioned, catalog-registered table if
     * absent (reference: utils.py:37-58).
@@ -134,7 +205,7 @@ object MergeEngine {
     val keys = (pkCols ++ cfg.partitionCols).distinct
     readTable(spark, cfg.path) match {
       case None =>
-        write(spark, cfg, source, overwriteAll = true)
+        writeStaged(spark, cfg, source)
       case Some(target) =>
         val slice =
           if (cfg.partitionCols.isEmpty) target
@@ -144,7 +215,7 @@ object MergeEngine {
             target.filter(partitionPredicate(cfg.partitionCols, touched))
           }
         val resolved = resolveUpsert(slice, source, keys, versionCol)
-        writeStaged(spark, cfg, resolved, overwriteAll = cfg.partitionCols.isEmpty)
+        writeStaged(spark, cfg, resolved)
     }
     syncCatalog(spark, cfg)
   }
@@ -158,10 +229,33 @@ object MergeEngine {
       catch { case _: org.apache.spark.sql.AnalysisException => () } // not a partitioned catalog table
     }
 
-  /** MERGE-delete: remove rows matching `deletes` pks. Scans the full
-    * table to find affected partitions (pk-only match — J2 semantics
-    * can't prune by partition), but rewrites only partitions that
-    * contained a matched key; partitions left empty are dropped.
+  /** When the table clusters files on a single-column pk
+    * (`sortCols` head == the pk), the probe for affected partitions can
+    * push `pk BETWEEN min(deletes) AND max(deletes)` into the scan:
+    * parquet row-group min/max stats then skip every file/row-group
+    * whose pk range cannot contain a deleted key — at 100 TB this turns
+    * the J2 full-table probe into a read of only the candidate row
+    * groups. Pruning is applied ONLY to the probe; the rewrite still
+    * reads complete affected partitions (survivors must keep every
+    * non-matched row).
+    */
+  private[graft] def pkRangeFilter(
+      deletes: DataFrame,
+      pkCols: Seq[String],
+      sortCols: Seq[String]): Option[org.apache.spark.sql.Column] =
+    if (pkCols.size == 1 && sortCols.headOption.contains(pkCols.head)) {
+      val pk = pkCols.head
+      val bounds = deletes.agg(min(col(pk)).as("lo"), max(col(pk)).as("hi")).head()
+      if (bounds.isNullAt(0)) None
+      else Some(col(pk) >= lit(bounds.get(0)) && col(pk) <= lit(bounds.get(1)))
+    } else None
+
+  /** MERGE-delete: remove rows matching `deletes` pks. Probes the table
+    * to find affected partitions (pk-only match — J2 semantics can't
+    * prune by partition value, but [[pkRangeFilter]] prunes the probe by
+    * row-group stats when files are pk-clustered), then rewrites only
+    * partitions that contained a matched key; partitions left empty are
+    * removed in the same atomic swap.
     */
   def delete(
       spark: SparkSession,
@@ -173,10 +267,13 @@ object MergeEngine {
       if (cfg.partitionCols.isEmpty) {
         val survivors = resolveDelete(target, deletes, pkCols)
         if (survivors.isEmpty) truncate(spark, cfg) // delete-all: no rows to stage
-        else writeStaged(spark, cfg, survivors, overwriteAll = true)
+        else writeStaged(spark, cfg, survivors)
       } else {
         val keys = deletes.select(pkCols.map(col): _*).distinct()
-        val affected = target
+        val probe = pkRangeFilter(deletes, pkCols, cfg.sortCols)
+          .map(target.filter)
+          .getOrElse(target)
+        val affected = probe
           .join(keys, pkCols, "left_semi")
           .select(cfg.partitionCols.map(col): _*)
           .distinct()
@@ -184,14 +281,9 @@ object MergeEngine {
         if (affected.isEmpty) return
         val slice = target.filter(partitionPredicate(cfg.partitionCols, affected))
         val survivors = resolveDelete(slice, deletes, pkCols)
-        val kept =
-          if (survivors.isEmpty) Array.empty[Row]
-          else writeStaged(spark, cfg, survivors, overwriteAll = false)
-        // Dynamic overwrite only replaces partitions that received rows;
-        // affected partitions with zero survivors must be removed.
-        val keptSet = kept.map(_.toSeq).toSet
-        val emptied = affected.filterNot(r => keptSet.contains(r.toSeq))
-        if (emptied.nonEmpty) dropPartitionDirs(spark, cfg, emptied)
+        // affected partitions the survivors no longer populate are
+        // removed inside the same manifest-guarded swap
+        writeStaged(spark, cfg, survivors, removeCandidates = affected)
       }
     }
   }
@@ -212,9 +304,9 @@ object MergeEngine {
     *
     * Rewrites each partition whose file count exceeds
     * `maxFilesPerPartition` into `ceil(bytes / targetFileBytes)` files
-    * via the same staged dynamic-overwrite path the merge uses.
-    * Untouched partitions keep their files. Returns the number of
-    * partitions compacted.
+    * via the same staged atomic-swap path the merge uses. Untouched
+    * partitions keep their files. Returns the number of partitions
+    * compacted.
     */
   def compact(
       spark: SparkSession,
@@ -225,35 +317,29 @@ object MergeEngine {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
 
-    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(dir).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-
     if (cfg.partitionCols.isEmpty) {
-      val files = dataFiles(root)
+      val files = dataFiles(fs, root)
       if (files.size <= maxFilesPerPartition) 0
       else {
         val target = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        readTable(spark, cfg.path).foreach(t => writeStaged(spark, cfg, t.repartition(target), overwriteAll = true))
+        readTable(spark, cfg.path).foreach(t => writeStaged(spark, cfg, t.repartition(target)))
         1
       }
     } else {
-      // partition dirs: depth = partitionCols.size below the root
-      def partitionDirs(dir: Path, depth: Int): Seq[Path] =
-        if (depth == 0) Seq(dir)
-        else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap(d => partitionDirs(d.getPath, depth - 1))
-      val oversized = partitionDirs(root, cfg.partitionCols.size)
-        .map(d => d -> dataFiles(d))
+      val oversized = partitionDirs(fs, root, cfg.partitionCols.size)
+        .map(d => d -> dataFiles(fs, d))
         .filter(_._2.size > maxFilesPerPartition)
       val qualifiedRoot = fs.makeQualified(root).toString
       oversized.foreach { case (dir, files) =>
         val rel = fs.makeQualified(dir).toString.stripPrefix(qualifiedRoot).stripPrefix("/")
         val pred = rel.split("/").map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull else col(k) === lit(v)
+          if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
+          else col(k) === lit(ExternalCatalogUtils.unescapePathName(v))
         }.reduce(_ && _)
         val target = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
         readTable(spark, cfg.path).foreach { t =>
-          writeStaged(spark, cfg, t.filter(pred).repartition(target), overwriteAll = false)
+          writeStaged(spark, cfg, t.filter(pred).repartition(target))
         }
       }
       oversized.size
@@ -271,58 +357,187 @@ object MergeEngine {
       }
       .reduce(_ || _)
 
-  private def write(
-      spark: SparkSession,
-      cfg: TableConfig,
-      df: DataFrame,
-      overwriteAll: Boolean): Unit = {
-    // within-partition sort -> parquet row-group min/max stats cluster
-    // on sortCols, so later point/range scans skip row groups
-    val clustered =
-      if (cfg.sortCols.isEmpty) df
-      else df.sortWithinPartitions(cfg.sortCols.map(col): _*)
-    val writer = clustered.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", if (overwriteAll) "static" else "dynamic")
-    (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
-      .parquet(cfg.path)
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+  /** Leaf partition dirs at exactly `depth` levels below `dir`. */
+  private def partitionDirs(fs: FileSystem, dir: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(dir)
+    else if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .flatMap(d => partitionDirs(fs, d.getPath, depth - 1))
+
+  /** Relative `k=v/...` path of one partition-value row. */
+  private def partitionRel(partCols: Seq[String], r: Row): String =
+    partCols.zipWithIndex
+      .map { case (c, i) =>
+        val v = Option(r.get(i))
+          .map(x => ExternalCatalogUtils.escapePathName(x.toString))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+        s"$c=$v"
+      }
+      .mkString("/")
+
+  /** Commit manifest: the durable record of an in-flight swap. Written
+    * (atomically, via tmp + rename) before the first rename; deleted as
+    * the commit point. Its presence on read means "roll back".
+    */
+  private case class Manifest(
+      txid: String,
+      partitioned: Boolean,
+      staging: String,
+      backup: String,
+      touched: Seq[String], // partition rels receiving staged data
+      removed: Seq[String], // partition rels removed with nothing staged
+      existing: Seq[String], // subset of touched++removed that pre-existed
+      stagedFiles: Seq[String], // unpartitioned: file names renamed in
+      originalFiles: Seq[String]) // unpartitioned: file names renamed out
+
+  private object Manifest {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    private implicit val fmt: Formats = DefaultFormats
+
+    def write(fs: FileSystem, root: Path, m: Manifest): Path = {
+      val tmp = new Path(root, ManifestName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(Serialization.write(m).getBytes("UTF-8"))
+      finally out.close()
+      val live = new Path(root, ManifestName)
+      fs.rename(tmp, live)
+      live
+    }
+
+    def read(fs: FileSystem, p: Path): Manifest = {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+      JsonMethods.parse(new String(bytes, "UTF-8")).extract[Manifest]
+    }
   }
 
-  /** Materialize `df` to a staging dir (breaking lineage against the
-    * target we are about to overwrite), then swap it in via dynamic
-    * partition overwrite. Returns the partition values written.
+  /** Crash-atomic write of `df` into the table at `cfg.path`.
+    *
+    * Protocol (the commit manifest + rename swap described in the class
+    * doc):
+    *   1. stage — write `df` (clustered on `sortCols`) to a sibling
+    *      staging dir with the target's exact partition layout;
+    *   2. manifest — record txid, staging/backup locations, and every
+    *      unit the swap will touch in `_graft_txn.json` (tmp + rename,
+    *      so a partial manifest is never live);
+    *   3. backup — rename each pre-existing touched unit (partition dir,
+    *      or root data file for unpartitioned tables) into the backup
+    *      dir;
+    *   4. swap — rename staged units into place;
+    *   5. commit — delete the manifest, then the backup and staging
+    *      dirs.
+    * A crash anywhere in 2-4 (and before the commit in 5) is rolled back
+    * by [[recoverTable]]; after the commit the merge is durable.
+    *
+    * Partitioned tables swap only the partitions present in `df`
+    * (plus `removeCandidates` partitions that received no staged data —
+    * used by [[delete]] to drop emptied partitions in the same
+    * transaction). Unpartitioned tables swap the full file set.
     */
   private def writeStaged(
       spark: SparkSession,
       cfg: TableConfig,
       df: DataFrame,
-      overwriteAll: Boolean): Array[Row] = {
-    val staging = s"${cfg.path}__staging_${UUID.randomUUID().toString.take(8)}"
-    val fs = new Path(cfg.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      removeCandidates: Array[Row] = Array.empty): Unit = {
+    val txid = UUID.randomUUID().toString.take(8)
+    val stagingDir = new Path(s"${cfg.path}__staging_$txid")
+    val backupDir = new Path(s"${cfg.path}__backup_$txid")
+    val root = new Path(cfg.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      df.write.mode("overwrite").parquet(staging)
-      val back = spark.read.option("mergeSchema", "true").parquet(staging)
-      write(spark, cfg, back, overwriteAll)
-      if (cfg.partitionCols.nonEmpty)
-        back.select(cfg.partitionCols.map(col): _*).distinct().collect()
-      else Array.empty[Row]
+      // 1. stage, clustered: within-partition sort -> parquet row-group
+      // min/max stats cluster on sortCols, so later point/range scans
+      // (incl. the delete probe) skip row groups
+      val clustered =
+        if (cfg.sortCols.isEmpty) df
+        else df.sortWithinPartitions(cfg.sortCols.map(col): _*)
+      val writer = clustered.write.mode("overwrite")
+      (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
+        .parquet(stagingDir.toString)
+      Failpoints.hook("staged")
+
+      fs.mkdirs(root) // first write on a brand-new path-only table
+      if (cfg.partitionCols.nonEmpty) {
+        val touched = partitionDirs(fs, stagingDir, cfg.partitionCols.size)
+          .map(d => relativize(fs, stagingDir, d))
+        val removed = removeCandidates
+          .map(partitionRel(cfg.partitionCols, _))
+          .filterNot(touched.contains)
+          .filter(rel => fs.exists(new Path(root, rel)))
+          .toSeq
+        val existing = (touched ++ removed).filter(rel => fs.exists(new Path(root, rel)))
+        if (touched.isEmpty && removed.isEmpty) return
+        // 2. manifest
+        Manifest.write(fs, root,
+          Manifest(txid, partitioned = true, stagingDir.toString, backupDir.toString,
+            touched, removed, existing, Nil, Nil))
+        Failpoints.hook("manifest")
+        // 3. backup pre-existing units
+        existing.foreach { rel =>
+          val dst = new Path(backupDir, rel)
+          fs.mkdirs(dst.getParent)
+          fs.rename(new Path(root, rel), dst)
+        }
+        Failpoints.hook("backed-up")
+        // 4. swap staged units in
+        touched.zipWithIndex.foreach { case (rel, i) =>
+          val dst = new Path(root, rel)
+          fs.mkdirs(dst.getParent)
+          fs.rename(new Path(stagingDir, rel), dst)
+          if (i == 0) Failpoints.hook("mid-swap")
+        }
+      } else {
+        val staged = dataFiles(fs, stagingDir).map(_.getPath.getName)
+        val originals = dataFiles(fs, root).map(_.getPath.getName)
+        // 2. manifest
+        Manifest.write(fs, root,
+          Manifest(txid, partitioned = false, stagingDir.toString, backupDir.toString,
+            Nil, Nil, Nil, staged, originals))
+        Failpoints.hook("manifest")
+        // 3. backup the current file set
+        fs.mkdirs(backupDir)
+        originals.foreach(f => fs.rename(new Path(root, f), new Path(backupDir, f)))
+        Failpoints.hook("backed-up")
+        // 4. swap staged files in
+        staged.zipWithIndex.foreach { case (f, i) =>
+          fs.rename(new Path(stagingDir, f), new Path(root, f))
+          if (i == 0) Failpoints.hook("mid-swap")
+        }
+      }
+      Failpoints.hook("pre-commit")
+      // 5. commit
+      fs.delete(new Path(root, ManifestName), false)
+      fs.delete(backupDir, true)
+      fs.delete(stagingDir, true)
     } finally {
-      fs.delete(new Path(staging), true)
-      ()
+      // normal-exit tidy only; after a crash the dirs are evidence for
+      // recoverTable and must stay. No manifest means either nothing was
+      // swapped (pre-manifest failure) or the commit already happened —
+      // in both cases staging and backup are garbage.
+      if (!fs.exists(new Path(root, ManifestName))) {
+        fs.delete(stagingDir, true)
+        fs.delete(backupDir, true)
+        ()
+      }
     }
   }
 
-  private def dropPartitionDirs(spark: SparkSession, cfg: TableConfig, parts: Array[Row]): Unit = {
-    val root = new Path(cfg.path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    parts.foreach { r =>
-      val rel = cfg.partitionCols.zipWithIndex
-        .map { case (c, i) =>
-          val v = Option(r.get(i)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
-          s"$c=$v"
-        }
-        .mkString("/")
-      fs.delete(new Path(root, rel), true)
-    }
+  private def relativize(fs: FileSystem, base: Path, p: Path): String = {
+    val b = fs.makeQualified(base).toString
+    fs.makeQualified(p).toString.stripPrefix(b).stripPrefix("/")
   }
 }

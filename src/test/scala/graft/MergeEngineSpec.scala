@@ -167,6 +167,152 @@ class MergeEngineSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Crash atomicity: kill the writer at each protocol point, then read —
+  // recoverTable (invoked from readTable) must hand back the intact
+  // pre-merge table, and a replay must land the merge.
+  // ---------------------------------------------------------------------
+
+  private class InjectedCrash extends RuntimeException("injected crash")
+
+  private def crashingAt(point: String)(body: => Unit): Unit = {
+    MergeEngine.Failpoints.hook = p => if (p == point) throw new InjectedCrash
+    try {
+      intercept[InjectedCrash](body)
+      ()
+    } finally MergeEngine.Failpoints.hook = _ => ()
+  }
+
+  private def crashPoints = Seq("manifest", "backed-up", "mid-swap", "pre-commit")
+
+  test("crash between stage and swap: partitioned table rolls back bit-for-bit") {
+    crashPoints.foreach { point =>
+      val path = tmpDir(s"merge-crash-$point")
+      val cfg = TableConfig("graft_test", "crash_tbl", s"$path/t", partitionCols = Seq("year"))
+      val b1 = Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn")
+      MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+      val before = filesUnder(s"$path/t")
+
+      val b2 = Seq((2, "B2", 2024, 20L), (3, "c", 2025, 21L)).toDF("id", "name", "year", "lsn")
+      crashingAt(point)(MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn"))
+
+      // first read rolls back; table is its exact pre-merge version
+      val t = MergeEngine.readTable(spark, cfg.path).get
+      assert(t.select("id", "name").as[(Int, String)].collect().toMap
+        == Map(1 -> "a", 2 -> "b"), s"[$point] rollback lost/changed rows")
+      assert(filesUnder(s"$path/t") == before, s"[$point] rollback not bit-for-bit")
+      assert(!new java.io.File(s"$path/t/year=2025").exists(), s"[$point] new partition survived rollback")
+
+      // the replayed batch applies cleanly after recovery
+      MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn")
+      val t2 = MergeEngine.readTable(spark, cfg.path).get
+      assert(t2.select("id", "name").as[(Int, String)].collect().toMap
+        == Map(1 -> "a", 2 -> "B2", 3 -> "c"), s"[$point] replay after recovery failed")
+    }
+  }
+
+  test("crash between stage and swap: unpartitioned table rolls back bit-for-bit") {
+    crashPoints.foreach { point =>
+      val path = tmpDir(s"merge-crash-flat-$point")
+      val cfg = TableConfig("graft_test", "crash_flat_tbl", s"$path/t")
+      val b1 = Seq((1, "a", 10L), (2, "b", 11L)).toDF("id", "name", "lsn")
+      MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+      val before = filesUnder(s"$path/t")
+
+      val b2 = Seq((2, "B2", 20L)).toDF("id", "name", "lsn")
+      crashingAt(point)(MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn"))
+
+      val t = MergeEngine.readTable(spark, cfg.path).get
+      assert(t.select("id", "name").as[(Int, String)].collect().toMap
+        == Map(1 -> "a", 2 -> "b"), s"[$point] rollback lost/changed rows")
+      assert(filesUnder(s"$path/t") == before, s"[$point] rollback not bit-for-bit")
+
+      MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn")
+      assert(MergeEngine.readTable(spark, cfg.path).get
+        .filter(col("id") === 2).select("name").as[String].head() == "B2")
+    }
+  }
+
+  test("crash during a partition-dropping delete rolls back the removed partition") {
+    val path = tmpDir("merge-crash-del")
+    val cfg = TableConfig("graft_test", "crash_del_tbl", s"$path/t", partitionCols = Seq("year"))
+    val b1 = Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+    val before = filesUnder(s"$path/t")
+
+    // deleting id=1 empties year=2023 entirely; crash after its backup rename
+    crashingAt("backed-up")(
+      MergeEngine.delete(spark, cfg, Seq((1, 0L)).toDF("id", "lsn"), Seq("id")))
+    assert(filesUnder(s"$path/t") != before, "crash point did not interrupt the swap")
+
+    val t = MergeEngine.readTable(spark, cfg.path).get
+    assert(t.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(filesUnder(s"$path/t") == before)
+
+    // replay completes the delete, removing the emptied partition atomically
+    MergeEngine.delete(spark, cfg, Seq((1, 0L)).toDF("id", "lsn"), Seq("id"))
+    assert(MergeEngine.readTable(spark, cfg.path).get.select("id").as[Int].collect().toSeq == Seq(2))
+    assert(!new java.io.File(s"$path/t/year=2023").exists())
+  }
+
+  test("recovery is idempotent and leaves no transaction debris") {
+    val path = tmpDir("merge-crash-idem")
+    val cfg = TableConfig("graft_test", "crash_idem_tbl", s"$path/t", partitionCols = Seq("year"))
+    MergeEngine.upsert(spark, cfg,
+      Seq((1, "a", 2023, 10L)).toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    crashingAt("mid-swap")(MergeEngine.upsert(spark, cfg,
+      Seq((1, "a2", 2023, 20L), (2, "b", 2024, 21L)).toDF("id", "name", "year", "lsn"),
+      Seq("id"), "lsn"))
+    assert(MergeEngine.recoverTable(spark, cfg.path), "first recover must roll back")
+    assert(!MergeEngine.recoverTable(spark, cfg.path), "second recover must be a no-op")
+    val parent = new java.io.File(path)
+    val debris = parent.listFiles().map(_.getName)
+      .filter(n => n.contains("__staging_") || n.contains("__backup_"))
+    assert(debris.isEmpty, s"leftover transaction dirs: ${debris.mkString(",")}")
+    assert(!new java.io.File(s"$path/t/_graft_txn.json").exists())
+  }
+
+  test("delete probe pushes a pk min/max range filter when files are pk-clustered") {
+    val pred = MergeEngine.pkRangeFilter(
+      Seq((5, 0L), (9, 0L)).toDF("id", "lsn"), Seq("id"), Seq("id"))
+    assert(pred.isDefined)
+    assert(pred.get.toString.contains("5") && pred.get.toString.contains("9"))
+    // not applicable: composite pk or no pk clustering
+    assert(MergeEngine.pkRangeFilter(
+      Seq((5, 0L)).toDF("id", "lsn"), Seq("id", "lsn"), Seq("id")).isEmpty)
+    assert(MergeEngine.pkRangeFilter(
+      Seq((5, 0L)).toDF("id", "lsn"), Seq("id"), Seq.empty).isEmpty)
+
+    // end-to-end: pk-clustered partitioned table, the probe's scan carries
+    // the pushed range so parquet row-group stats can skip files
+    val path = tmpDir("merge-prune-del")
+    val cfg = TableConfig("graft_test", "prune_del_tbl", s"$path/t",
+      partitionCols = Seq("year"), sortCols = Seq("id"))
+    val rows = (1 to 1000).map(i => (i, s"n$i", 2020 + i % 4, i.toLong))
+    MergeEngine.upsert(spark, cfg, rows.toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    val target = MergeEngine.readTable(spark, cfg.path).get
+    val probePlan = target.filter(MergeEngine.pkRangeFilter(
+      Seq((42, 0L), (44, 0L)).toDF("id", "lsn"), Seq("id"), cfg.sortCols).get)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("GreaterThanOrEqual(id,42)") && probePlan.contains("LessThanOrEqual(id,44)"),
+      s"range not pushed to scan:\n$probePlan")
+    MergeEngine.delete(spark, cfg, Seq((42, 0L), (44, 0L)).toDF("id", "lsn"), Seq("id"))
+    val t = MergeEngine.readTable(spark, cfg.path).get
+    assert(t.count() == 998)
+    assert(t.filter(col("id").isin(42, 44)).count() == 0)
+  }
+
+  private def filesUnder(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Seq.empty
+      else if (f.isFile) Seq(f)
+      else f.listFiles().toSeq.flatMap(walk)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(dir) + ":" + f.length())
+      .toSet
+  }
+
   private def listFiles(dir: String): Set[String] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Set.empty
