@@ -30,24 +30,29 @@ object Bench {
     warm.groupBy("l_returnflag").count().count()
     warm.filter("l_quantity > 0").select("l_orderkey").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      val median = times.sorted.apply(times.size / 2)
+      // a failed query must not report a normal-looking time: emit the
+      // -1 sentinel so downstream comparisons can't read a fast failure
+      // as a perf win
+      val median = if (failed) -1.0 else times.sorted.apply(times.size / 2)
       System.err.println(
         f"[bench] $name%-28s median $median%8.2f s  (cold ${times.head}%.2f, min ${times.min}%.2f)")
-      (name, median, times.head, times.min)
+      (name, median, times.head, times.min, failed)
     }
     def js(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = js(results.map(r => (r._1, r._2)))
     val cold = js(results.map(r => (r._1, r._3)))
     val mins = js(results.map(r => (r._1, r._4)))
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}""")
+    val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(!_._5).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedList,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

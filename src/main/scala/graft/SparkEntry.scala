@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions._
   *   - raw event timestamps are never returned (testdata carries
   *     nanosecond precision; Spark truncates to microseconds).
   */
+/** Session-scoped cache of the LSH candidate stage — the expensive
+  * common prefix of `dedup_minhash_lsh` and `dedup_ngram_jaccard`.
+  * Computed once per (application, dir) and shared; without it the
+  * verify stage silently re-runs the entire signature+banding pipeline
+  * it just executed.
+  *
+  * Lifecycle: entries hold persisted DataFrames whose cached blocks die
+  * with their session, so the map entries are evicted when the owning
+  * application ends (SparkListener.onApplicationEnd) — a long-lived JVM
+  * hosting many sequential sessions cannot accumulate entries for dead
+  * applications.
+  */
+private[graft] object LshStageCache {
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val hooked = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def getOrElseUpdate(s: SparkSession, dir: String)(
+      make: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val appId = s.sparkContext.applicationId
+    hooked.getOrElseUpdate(appId, {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = evict(appId)
+      })
+      true
+    })
+    cache.getOrElseUpdate(s"$appId:$dir", make)
+  }
+
+  private[graft] def evict(appId: String): Unit = {
+    cache.filterInPlace((k, _) => !k.startsWith(appId + ":"))
+    hooked.remove(appId)
+    ()
+  }
+
+  private[graft] def entryCount: Int = cache.size
+}
+
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -475,39 +515,44 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
-  /** The LSH candidate stage is the expensive common prefix of
-    * `dedup_minhash_lsh` and `dedup_ngram_jaccard` — compute it once per
-    * (session, dir) and share the (operator-persisted, materialized)
-    * result. Without this the verify stage silently re-runs the entire
-    * signature+banding pipeline it just executed.
-    */
-  private val lshCandidateCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    lshCandidateCache.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}:$dir",
-      TextDedup.minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5))
+  private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    LshStageCache.getOrElseUpdate(s, dir)(
+      TextDedup.minhashCandidatePairsAndShingles(
+        docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5))
 
   /** MinHash+LSH candidate duplicate pairs (rows-only: LSH banding is
     * not ANSI-SQL-expressible).
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashCandidates(s, dir)
+    minhashCandidates(s, dir)._1
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3).as("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Exact n-gram Jaccard verification of the LSH candidates. */
+  /** Exact word-3-gram Jaccard verification of the LSH candidates.
+    *
+    * Verifies against the STAGED shingle arrays the signatures were
+    * built from (no re-shingling of raw text — the recompute that made
+    * this the bench's dominant cost in round 3), streaming the
+    * persisted shingle blocks past a broadcast of the small candidate
+    * set: zero corpus shuffles. Beyond broadcast size (pair counts in
+    * the tens of millions) the pair side would drop the hint and fall
+    * back to an id-keyed shuffle join — same shape as the signature
+    * join-back inside the LSH operator.
+    *
+    * Oracle-gated: the exact all-pairs jaccard >= 0.5 truth set is
+    * SQL-expressible, and every such pair in this corpus sits far above
+    * the LSH recall band (min true jaccard 0.85 at sf0.01), so the
+    * verified candidates equal the truth set.
+    */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(s, dir)
-    val cands = minhashCandidates(s, dir)
-    val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-    cands
-      .join(ta, "id_a")
-      .join(tb, "id_b")
+    val (cands, shingled) = minhashCandidates(s, dir)
+    val pairs = cands.select(col("id_a"), col("id_b"))
+    val withA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(pairs), "id_a")
+    shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(TextDedup.ngramJaccard(col("text_a"), col("text_b")), 3).as("jaccard"))
+        round(TextDedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -809,7 +854,12 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("total_tokens"),
-        round(avg(col("q")), 4).as("avg_quality"))
+        // decimal-accumulated mean: double summation order differs across
+        // engines/partitionings, so sum exactly in decimal, then do ONE
+        // double division — the rounded value can never straddle a
+        // half-up boundary differently than the oracle (q41 pattern)
+        round(sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_quality"))
       .orderBy(col("source"))
   }
 
@@ -1225,6 +1275,31 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY h""".stripMargin,
+    // exact all-pairs word-3-gram jaccard >= 0.5: equals the Spark
+    // LSH-candidates-then-verify result because every true pair sits far
+    // above the LSH recall band (min true jaccard 0.85 at sf0.01)
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+        |           THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')
+        |                 for i in range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1)]
+        |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      END) AS s
+        |  FROM docs)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))*1.0
+        |          / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
@@ -1319,7 +1394,7 @@ object SparkEntry {
         |                 FROM deduped)
         |  WHERE rk <= 10)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |       round(avg(q), 4) AS avg_quality
+        |       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
         |FROM sampled
         |GROUP BY source
         |ORDER BY source""".stripMargin,

@@ -24,9 +24,9 @@ object Salting {
       keys: Seq[String],
       saltFactor: Int): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
-    // deterministic pseudo-random salt from the row content of the keys
-    // plus a disambiguator — monotonically_increasing_id is fine because
-    // the salt only has to spread rows, not be stable across runs
+    // salt from the key columns plus monotonically_increasing_id — NOT
+    // stable across runs (the id depends on partition layout), which is
+    // fine: the salt only has to spread rows, never to be reproducible
     val salted = left.withColumn(
       SaltCol, pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(saltFactor)))
     val replicated = right.withColumn(

@@ -83,6 +83,31 @@ object TextDedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 2000,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): DataFrame = {
+    val (pairs, shingled) =
+      minhashCandidatePairsAndShingles(df, idCol, textCol, numHashes, bands, threshold,
+        maxBucketSize, shingler)
+    shingled.unpersist()
+    pairs
+  }
+
+  /** [[minhashCandidatePairs]] plus the persisted `(id, sh)` distinct-
+    * shingle projection the signatures were built from. An exact-verify
+    * stage (e.g. [[jaccardFromShingles]] over the candidate pairs) MUST
+    * reuse these staged arrays: re-deriving shingles from raw text on
+    * both sides of the verify join re-runs the interpreted shingling —
+    * the most expensive per-row step of the whole pipeline — once per
+    * pair side per run. The caller owns `.unpersist()` of the second
+    * element.
+    */
+  def minhashCandidatePairsAndShingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // Word 3-gram shingles by default: ~#tokens elements per doc instead
@@ -143,7 +168,8 @@ object TextDedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    materialized(result, Seq(tokenized, shingled, sigs))
+    // `shingled` stays persisted for the caller's verify stage
+    (materialized(result, Seq(tokenized, sigs)), shingled)
   }
 
   /** Persist + materialize `result`, then release the intermediate
@@ -161,13 +187,21 @@ object TextDedup {
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (the
-    * verification stage after LSH candidate generation).
+    * verification stage after LSH candidate generation). Prefer
+    * [[jaccardFromShingles]] over staged arrays when the shingles
+    * already exist — this form re-shingles both texts inline.
     */
   def ngramJaccard(textA: Column, textB: Column, shingleSize: Int = 5): Column = {
     val sa = array_distinct(TextFunctions.charShingles(textA, shingleSize))
     val sb = array_distinct(TextFunctions.charShingles(textB, shingleSize))
-    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+    jaccardFromShingles(sa, sb)
   }
+
+  /** Exact Jaccard from two already-distinct shingle arrays (the staged
+    * form returned by [[minhashCandidatePairsAndShingles]]).
+    */
+  def jaccardFromShingles(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
 
   /** Per-bit one-counts over a token-hash array: ONE `aggregate` pass
     * maintaining a 64-counter accumulator (per hash: extract the 64

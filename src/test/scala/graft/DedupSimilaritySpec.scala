@@ -82,6 +82,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(j(3L) < 0.2)
   }
 
+  test("minhashCandidatePairsAndShingles: staged shingles power the exact verify") {
+    val (pairs, shingled) = TextDedup
+      .minhashCandidatePairsAndShingles(corpus, "doc_id", "text", threshold = 0.5)
+    val jmap = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(pairs.select("id_a", "id_b"), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextDedup.jaccardFromShingles(col("sh_a"), col("sh_b")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(v => (v._1, v._2) -> v._3).toMap
+    assert(jmap((1L, 4L)) == 1.0, "exact dup must verify at jaccard 1")
+    assert(jmap((1L, 2L)) > 0.8, "near dup must verify high")
+    shingled.unpersist()
+    pairs.unpersist()
+    ()
+  }
+
+  test("LshStageCache: per-application entries, evicted when the application ends") {
+    val appId = spark.sparkContext.applicationId
+    val before = LshStageCache.entryCount
+    val first = LshStageCache.getOrElseUpdate(spark, "/lsh-cache-test/dirA")((corpus, corpus))
+    val second = LshStageCache.getOrElseUpdate(spark, "/lsh-cache-test/dirA")((corpus.limit(1), corpus))
+    assert(first._1 eq second._1, "second lookup must return the cached stage")
+    assert(LshStageCache.entryCount == before + 1)
+    // what the registered onApplicationEnd listener fires:
+    LshStageCache.evict(appId)
+    assert(LshStageCache.entryCount == 0, "entries for the ended application must be gone")
+    // a later session (same or new appId) recomputes instead of double-holding
+    val third = LshStageCache.getOrElseUpdate(spark, "/lsh-cache-test/dirA")((corpus.limit(2), corpus))
+    assert(!(third._1 eq first._1), "evicted entry must be recomputed")
+    LshStageCache.evict(appId)
+    ()
+  }
+
   test("simhash pairs: near-dups within small hamming distance") {
     // exact duplicate at hamming 0 with the tight default
     val strict = TextDedup
