@@ -69,9 +69,21 @@ object VectorFunctions {
     *
     * The hyperplane components are derived from `xxhash64(i, j, seed)`
     * mapped to [-1, 1) — deterministic across the cluster with no
-    * broadcast state needed.
+    * broadcast state needed. Computed by the native
+    * [[HyperplaneSignature]] expression, which derives the component
+    * matrix once per task instead of re-hashing bits x dims times per
+    * row as the HOF formulation did.
     */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column = {
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      HyperplaneSignature(org.apache.spark.sql.GraftColumnShim.expression(vec), bits, seed))
+
+  /** Higher-order-function formulation of [[hyperplaneSignature]] —
+    * retained as the independently-derived reference the equivalence
+    * spec checks the native expression against. Do not use in hot
+    * paths: interpreted HOFs re-derive every component per row.
+    */
+  private[graft] def hyperplaneSignatureHof(vec: Column, bits: Int, seed: Int): Column = {
     require(bits > 0 && bits < 64, "bits must be in [1, 63]")
     val dims = size(vec)
     val bitCols = (0 until bits).map { i =>
