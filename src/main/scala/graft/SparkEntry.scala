@@ -601,8 +601,11 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Multimodal plumbing: synthetic media table -> mapPartitions stub
-    * feature extraction -> per-type stats (rows-only).
+  /** Multimodal pipeline: synthetic media table (REAL BMP/WAV
+    * containers) -> mapPartitions feature extraction -> per-type stats
+    * (rows-only). `avg_decoded` is computed from actually-decoded
+    * pixels (mean luminance) and samples (RMS); video rows have no
+    * codec and contribute null.
     */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMediaFromDocs(s, Tables(s, dir, "documents"))
@@ -614,6 +617,7 @@ object SparkEntry {
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("frames_sampled")).cast("long").as("total_frames"),
+        round(avg(col("decoded_mean")), 4).as("avg_decoded"),
         round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
       .orderBy(col("media_type"))
   }

@@ -1,0 +1,188 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the multimodal pipeline: uncompressed
+  * 24-bit BMP (BITMAPINFOHEADER) and RIFF/WAVE PCM-16. Zero external
+  * dependencies — no image/audio libraries exist on this classpath, and
+  * these two containers are simple enough that a complete, correct
+  * parser fits in a page. They make the feature-extraction path compute
+  * from REAL decoded pixels/samples; formats beyond them (png/mp4/...)
+  * remain declared stubs in [[Multimodal]].
+  */
+object Codecs extends Serializable {
+
+  /** Decoded image: `0xRRGGBB` pixels, row-major, top-down. */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Decoded audio: interleaved PCM-16 samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Encode `0xRRGGBB` top-down pixels as an uncompressed 24-bit BMP
+    * (54-byte BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows
+    * padded to 4 bytes — the classic Windows 3.x layout).
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"need $width x $height pixels, got ${pixels.length}")
+    val rowSize = (width * 3 + 3) & ~3
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54) // file size, reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24) // planes, bits-per-pixel
+    buf.putInt(0).putInt(dataSize) // BI_RGB (no compression), image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = pixels(y * width + x)
+        buf.put((p & 0xff).toByte).put(((p >> 8) & 0xff).toByte).put(((p >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode an uncompressed 24-bit BMP. Strict: validates the magic,
+    * header size, bit depth and compression mode, and throws on
+    * anything else (FAILFAST, like the Avro decode path).
+    */
+  def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54, s"truncated BMP: ${bytes.length} bytes")
+    require(buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte, "not a BMP: bad magic")
+    val pixelOffset = buf.getInt(10)
+    require(buf.getInt(14) >= 40, "unsupported BMP header")
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    require(width > 0 && height > 0, s"unsupported BMP geometry ${width}x$height")
+    require(buf.getShort(28) == 24, s"unsupported bit depth ${buf.getShort(28)}")
+    require(buf.getInt(30) == 0, "unsupported BMP compression")
+    val rowSize = (width * 3 + 3) & ~3
+    require(bytes.length >= pixelOffset + rowSize * height, "truncated BMP pixel data")
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val src = pixelOffset + (height - 1 - y) * rowSize // stored bottom-up
+      var x = 0
+      while (x < width) {
+        val b = bytes(src + x * 3) & 0xff
+        val g = bytes(src + x * 3 + 1) & 0xff
+        val r = bytes(src + x * 3 + 2) & 0xff
+        pixels(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, pixels)
+  }
+
+  /** Mean Rec.601 luminance of decoded pixels, normalized to [0, 1]. */
+  def meanLuma(img: BmpImage): Double = {
+    var sum = 0.0
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      i += 1
+    }
+    sum / img.pixels.length / 255.0
+  }
+
+  /** Nearest-neighbor resample of a decoded image. */
+  def resampleNearest(img: BmpImage, width: Int, height: Int): BmpImage = {
+    require(width > 0 && height > 0)
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = y * img.height / height
+      var x = 0
+      while (x < width) {
+        out(y * width + x) = img.pixels(sy * img.width + x * img.width / width)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, out)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode mono PCM-16 samples as RIFF/WAVE (fmt + data chunks). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decode RIFF/WAVE PCM-16: walks the chunk list (ignoring unknown
+    * chunks like LIST/INFO), reads `fmt ` then `data`. Strict on the
+    * container and sample format; throws otherwise.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): WavAudio = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, s"truncated WAV: ${bytes.length} bytes")
+    require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE", "not a RIFF/WAVE file")
+    var pos = 12
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+      val id = tag(bytes, pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length, s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "short fmt chunk")
+          require(buf.getShort(pos + 8) == 1, "unsupported WAV encoding (not PCM)")
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          require(buf.getShort(pos + 22) == 16, "unsupported bit depth (not PCM-16)")
+        case "data" =>
+          require(sampleRate > 0, "data chunk before fmt chunk")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => () // skip unknown chunk
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null, "no data chunk")
+    WavAudio(sampleRate, channels, samples)
+  }
+
+  /** Root-mean-square amplitude of decoded samples, normalized to [0, 1]. */
+  def rms(wav: WavAudio): Double = {
+    if (wav.samples.isEmpty) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < wav.samples.length) {
+      val s = wav.samples(i).toDouble
+      sum += s * s
+      i += 1
+    }
+    math.sqrt(sum / wav.samples.length) / 32768.0
+  }
+
+  private def tag(bytes: Array[Byte], pos: Int): String =
+    new String(bytes, pos, 4, "US-ASCII")
+}

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * pipelines: media travels as an opaque `binary` column next to typed
   * metadata, and per-record decode/feature-extraction runs inside
   * `mapPartitions` so each executor core streams its partition through
-  * a reusable "decoder" without any driver round-trip.
+  * a reusable decoder without any driver round-trip.
   *
-  * The actual byte decode is a STUB (no image/audio codecs exist in
-  * this environment): [[StubCodec]] produces deterministic fake
-  * features from the bytes. Everything around it — the schema, the
-  * typed Dataset boundary, the partition-wise batch shape, the
-  * column contracts — is real and is what a production codec would
-  * drop into.
+  * Decode is REAL for two formats — uncompressed 24-bit BMP and
+  * RIFF/WAVE PCM-16, both parsed by the dependency-free [[Codecs]] —
+  * and `decoded_mean` is computed from the actual pixels/samples.
+  * Compressed formats (png/mp4/...) have no codec on this classpath:
+  * for those, and for the synthetic `features` filler, [[StubCodec]]
+  * produces deterministic fake values and is clearly marked as such.
   */
 object Multimodal {
 
@@ -22,23 +22,29 @@ object Multimodal {
   final case class MediaRecord(
       media_id: Long,
       media_type: String, // "image" | "audio" | "video"
-      format: String, // container/codec name, e.g. "png", "wav"
+      format: String, // container/codec name, e.g. "bmp", "wav"
       width: Int,
       height: Int,
       duration_ms: Long,
       content: Array[Byte])
 
-  /** Extracted features per media row. */
+  /** Extracted features per media row. `decoded_mean` is computed from
+    * REAL decoded content — mean luminance for BMP images, RMS
+    * amplitude for WAV audio, both in [0, 1] — and None for formats
+    * with no codec on this classpath.
+    */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
       n_bytes: Long,
       frames_sampled: Int,
+      decoded_mean: Option[Double],
       features: Array[Float])
 
   /** STUB decoder: deterministic pseudo-features derived from content
-    * bytes. A real implementation decodes pixels/samples here; the
-    * call shape (reused per partition, batch-friendly) is the contract.
+    * bytes, used for the synthetic `features` vector and for formats
+    * (mp4, png, ...) that have no real codec here. A production
+    * embedding model drops into this call shape.
     */
   object StubCodec extends Serializable {
     def features(content: Array[Byte], dim: Int): Array[Float] = {
@@ -65,45 +71,58 @@ object Multimodal {
   }
 
   /** Feature extraction over a media table: one pass, executed as
-    * `mapPartitions` so the (stub) codec is reused across a partition's
-    * rows — the Scala analogue of a batched pandas UDF.
+    * `mapPartitions` so decoders are reused across a partition's rows —
+    * the Scala analogue of a batched pandas UDF. BMP and WAV rows get
+    * `decoded_mean` from real decoded pixels/samples.
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
+        val decodedMean = m.format match {
+          case "bmp" => Some(Codecs.meanLuma(Codecs.decodeBmp(m.content)))
+          case "wav" => Some(Codecs.rms(Codecs.decodeWavPcm16(m.content)))
+          case _ => None // no codec for compressed formats on this classpath
+        }
         val frames =
           if (m.media_type == "video")
             StubCodec.sampleFrameIndices(m.content.length, frameSize = 256, stride = 2).size
           else 1
         MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, frames,
-          StubCodec.features(m.content, dim))
+          decodedMean, StubCodec.features(m.content, dim))
       }
     }
   }
 
-  /** STUB resize: recomputes the metadata exactly as a real resize
-    * would and re-derives (fake) content deterministically — the
-    * Dataset-level shape (typed map, metadata contract, content
-    * replaced) is what a production implementation drops into.
+  /** Resize. REAL for BMP rows: decode, nearest-neighbor resample,
+    * re-encode — content is a valid BMP of the target geometry. Other
+    * formats keep the stub (deterministic fake bytes) with updated
+    * metadata, the shape a production codec drops into.
     */
   def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        // STUB: real codec decodes + rescales pixels; the fake keeps the
-        // bytes deterministic per (content, target size)
-        val fake = StubCodec.features(m.content, dim = 8).flatMap { f =>
-          java.nio.ByteBuffer.allocate(4).putFloat(f).array()
+        val content = m.format match {
+          case "bmp" =>
+            Codecs.encodeBmp(width, height,
+              Codecs.resampleNearest(Codecs.decodeBmp(m.content), width, height).pixels)
+          case _ =>
+            // STUB: no codec; fake bytes deterministic per (content, size)
+            StubCodec.features(m.content, dim = 8).flatMap { f =>
+              java.nio.ByteBuffer.allocate(4).putFloat(f).array()
+            }
         }
-        m.copy(width = width, height = height, content = fake)
+        m.copy(width = width, height = height, content = content)
       }
     }
   }
 
-  /** Synthesize a media table from the documents testdata (bytes from
-    * text) so the plumbing is exercisable without real codecs. Media
-    * type/format derive deterministically from the id.
+  /** Synthesize a media table from the documents testdata: image rows
+    * carry a REAL 24-bit BMP and audio rows a REAL PCM-16 WAV, both
+    * derived deterministically from the document text, so decode runs
+    * on valid containers without any codec dependency. Video rows stay
+    * opaque bytes (declared stub — no mp4 muxer here).
     */
   def syntheticMediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -112,12 +131,35 @@ object Multimodal {
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+        element_at(array(lit("bmp"), lit("wav"), lit("mp4")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height"),
         (col("n_chars") * 40).cast("long").as("duration_ms"),
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { m =>
+          m.media_type match {
+            case "image" =>
+              // bounded geometry; pixels derived from the text bytes
+              val w = math.min(m.width, 32).max(1)
+              val h = math.min(m.height, 32).max(1)
+              val px = Array.tabulate(w * h) { i =>
+                val b = m.content(i % m.content.length) & 0xff
+                (b << 16) | ((b * 31 % 256) << 8) | (b * 7 % 256)
+              }
+              m.copy(width = w, height = h, content = Codecs.encodeBmp(w, h, px))
+            case "audio" =>
+              val n = math.min(m.content.length * 4, 2048)
+              val samples = Array.tabulate(n) { i =>
+                val b = m.content(i % m.content.length) & 0xff
+                ((b - 128) * 256 + (i % 7) * 100).toShort
+              }
+              m.copy(content = Codecs.encodeWavPcm16(samples, 8000))
+            case _ => m // video: opaque stub bytes
+          }
+        }
+      }
   }
 }
