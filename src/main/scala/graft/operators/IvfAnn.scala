@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.functions.{NearestCentroid, VectorFunctions}
+
+import org.apache.spark.sql.{DataFrame, GraftColumnShim}
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat approximate-nearest-neighbor index: a k-means coarse
+  * quantizer partitions the corpus into `nlist` inverted lists; a query
+  * probes only the `nprobe` lists whose centroids are nearest, then
+  * runs exact cosine inside them. The standard trade
+  * (faiss-style IVF): recall is bounded by the probed fraction, cost
+  * drops by ~nlist/nprobe vs a full scan.
+  *
+  * This is the complementary scale path to
+  * [[SimilaritySearch.lshTopK]]: LSH prunes per-row with no training
+  * and no state beyond a signature column; IVF pays a one-time training
+  * pass to get contiguous, list-prunable storage — at 100 TB the
+  * assigned table is written partitioned BY list id, so a query's scan
+  * is `nprobe/nlist` of the corpus via partition pruning, not a full
+  * scan with a filter.
+  *
+  * Everything is deterministic: seeding picks the `nlist` vectors with
+  * the smallest `xxhash64(id)` (hash-derived, no RNG state — the same
+  * discipline as sampling/LSH elsewhere in graft), and Lloyd iterations
+  * are exact distributed means. Training is fully distributed — per
+  * iteration, one `NearestCentroid` assignment scan plus one
+  * `groupBy(list, dim).avg` shuffle; only the `nlist x dims` centroid
+  * matrix (a few KB) ever reaches the driver, mirroring how Spark
+  * MLlib's KMeans collects updated centers per iteration.
+  */
+object IvfAnn {
+
+  /** A trained index: the centroid matrix plus the corpus with its
+    * assigned inverted-list id (`__list`). `assigned` is persisted by
+    * [[build]]; release it with `assigned.unpersist()`.
+    */
+  final case class Index(
+      centroids: Array[Array[Double]],
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String)
+
+  private def nearestCentroid(vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    GraftColumnShim.column(
+      NearestCentroid(GraftColumnShim.expression(vec),
+        centroids.map(_.toSeq).toSeq))
+
+  /** Train the coarse quantizer and assign every vector to its list.
+    *
+    * Seeding is farthest-first traversal over a bounded deterministic
+    * sample (the `50 x nlist` vectors with smallest `xxhash64(id)` —
+    * a `TakeOrdered`, not a sort, and a few hundred KB on the driver
+    * at any corpus size): the first seed is the lowest-hash vector,
+    * each next seed is the sample vector least similar (max-cosine) to
+    * those already chosen. This guarantees well-separated clusters each
+    * contribute a seed — the failure mode of plain hash sampling is all
+    * seeds landing in one dense cluster.
+    *
+    * Then `iters` Lloyd iterations over the full corpus; empty clusters
+    * keep their previous centroid (they stay probe-able and can
+    * re-acquire vectors as neighbors move). Centroid means are computed
+    * in a single `groupBy(list, dim)` aggregation — map-side partial
+    * aggregation keeps the shuffle at `nlist x dims` rows regardless of
+    * corpus size.
+    */
+  def build(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 3): Index = {
+    require(nlist > 0, "nlist must be positive")
+    val corpus = embeddings
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .persist()
+
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(50 * nlist)
+      .select(col("__vec"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train on an empty corpus")
+    var centroids: Array[Array[Double]] = farthestFirstSeeds(sample, nlist)
+
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(nearestCentroid(col("__vec"), centroids).as("__list"),
+          posexplode(col("__vec")).as(Seq("__d", "__x")))
+        .groupBy(col("__list"), col("__d"))
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val updated = centroids.map(_.clone())
+      means.foreach { r =>
+        updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = updated
+    }
+
+    val assigned = corpus
+      .select(col("__id"), col("__vec"),
+        nearestCentroid(col("__vec"), centroids).as("__list"))
+      .persist()
+    assigned.count() // materialize so queries and corpus release don't re-scan
+    corpus.unpersist()
+    Index(centroids, assigned, idCol, vecCol)
+  }
+
+  /** Cosine top-k of the index vs the single row in `query`, probing
+    * the `nprobe` lists nearest the query vector. Returns
+    * (idCol, cos) descending, id ascending tie-break.
+    *
+    * Probe selection is driver-side arithmetic over the `nlist x dims`
+    * centroid matrix (no cluster work); the probed scan is a
+    * single-column `isin` filter — partition pruning when the assigned
+    * table is stored partitioned by `__list` — followed by exact
+    * cosine and `TakeOrderedAndProject` top-k.
+    */
+  def topK(index: Index, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val qRow = query.select(col(index.vecCol)).head()
+    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val probes = probeLists(index.centroids, qVec, nprobe)
+    val q = query.select(col(index.vecCol).as("__qv"))
+    index.assigned
+      .filter(col("__list").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .select(col("__id").as(index.idCol),
+        VectorFunctions.cosine(col("__vec"), col("__qv")).as("cos"))
+      .orderBy(col("cos").desc, col(index.idCol))
+      .limit(k)
+  }
+
+  /** Farthest-first traversal: seed 0 is `sample(0)` (the lowest-hash
+    * vector); each subsequent seed minimizes the maximum cosine to the
+    * seeds already chosen (ties toward the earlier sample position).
+    * Returns `min(nlist, sample.length)` distinct-by-position seeds,
+    * padded by repeating the last seed if the sample is smaller than
+    * `nlist` (the duplicate lists simply stay empty after Lloyd).
+    */
+  private[graft] def farthestFirstSeeds(
+      sample: Array[Array[Double]],
+      nlist: Int): Array[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    // maxSim(i) = highest cosine between sample(i) and any chosen seed
+    val maxSim = sample.map(cos(_, sample(0)))
+    while (chosen.length < math.min(nlist, sample.length)) {
+      var best = -1
+      var bestSim = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (maxSim(i) < bestSim) { bestSim = maxSim(i); best = i }
+        i += 1
+      }
+      val seed = sample(best)
+      chosen += seed
+      var j = 0
+      while (j < sample.length) {
+        val s = cos(sample(j), seed)
+        if (s > maxSim(j)) maxSim(j) = s
+        j += 1
+      }
+    }
+    while (chosen.length < nlist) chosen += chosen.last
+    chosen.toArray
+  }
+
+  /** Indexes of the `nprobe` centroids with highest cosine vs `q`
+    * (ties toward the lower index — same rule as [[NearestCentroid]]).
+    */
+  private[graft] def probeLists(
+      centroids: Array[Array[Double]],
+      q: Array[Double],
+      nprobe: Int): Seq[Int] = {
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var i = 0
+      while (i < math.min(c.length, q.length)) {
+        dot += c(i) * q(i); nc += c(i) * c(i); nq += q(i) * q(i); i += 1
+      }
+      if (nc == 0.0 || nq == 0.0) 0.0 else dot / math.sqrt(nc * nq)
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (cos(c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe)
+      .map(_._2)
+      .toSeq
+  }
+}
