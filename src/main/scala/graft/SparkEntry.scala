@@ -407,15 +407,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("event_type"))
 
-  /** Approximate + exact distinct side by side (HLL sketch; rows-only —
-    * estimator values are engine-specific).
+  /** Approximate distinct (HLL sketch) gated against the exact count.
+    * The estimator value itself is engine-specific, so the oracle-gated
+    * output is the exact count plus a tolerance verdict computed in the
+    * same plan: at rsd=0.02 the estimate must sit within 5% of truth
+    * (the oracle asserts `true`). HLL is deterministic per engine, so
+    * this is a stable gate, not a flaky statistical one.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts"))
+          <= col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** String functions: upper/substring/concat/length over part names. */
@@ -577,6 +584,23 @@ object SparkEntry {
       IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
     IvfAnn.topK(index, emb.filter(col("vec_id") === 0), k = 20, nprobe = 4)
       .select(col("vec_id"), round(col("cos"), 3).as("cos"))
+  }
+
+  /** IVF with EVERY list probed, oracle-gated against DuckDB's exact
+    * decimal-cosine top-20: full probe must degenerate to the exact
+    * scan, which proves end-to-end that training+assignment partition
+    * the corpus losslessly (no vector dropped from or duplicated
+    * across inverted lists). Decimal-accumulated cosine rounded at the
+    * ordering boundary so both engines rank identically; ties at the
+    * k-boundary break by vec_id on both sides.
+    */
+  private def annIvfFullprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val index = IvfStageCache.getOrElseUpdate(s, dir)(
+      IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
+    IvfAnn.topK(index, emb.filter(col("vec_id") === 0), k = 20, nprobe = 16,
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3) + lit(0.0))
+      .select(col("vec_id"), col("cos"))
   }
 
   /** Embedding near-duplicate pairs over planted perturbed copies
@@ -923,6 +947,7 @@ object SparkEntry {
     "simsearch_cosine" -> (simsearchCosine _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "cdc_wire_decode" -> (cdcWireDecode _),
     "sample_sketch" -> (sampleSketch _),
@@ -1399,6 +1424,29 @@ object SparkEntry {
         |FROM sampled
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "q34_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | true AS within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "ann_ivf_fullprobe" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |exploded AS (
+        |  SELECT e.vec_id,
+        |         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(q.qv AS DOUBLE[])) AS y
+        |  FROM embeddings e, q),
+        |sums AS (
+        |  SELECT vec_id,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY vec_id)
+        |SELECT vec_id,
+        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
+        |FROM sums ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{NearestCentroid, VectorFunctions}
 
-import org.apache.spark.sql.{DataFrame, GraftColumnShim}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim}
 import org.apache.spark.sql.functions._
 
 /** IVF-Flat approximate-nearest-neighbor index: a k-means coarse
@@ -41,8 +41,8 @@ object IvfAnn {
       idCol: String,
       vecCol: String)
 
-  private def nearestCentroid(vec: org.apache.spark.sql.Column,
-      centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+  private def nearestCentroid(vec: Column,
+      centroids: Array[Array[Double]]): Column =
     GraftColumnShim.column(
       NearestCentroid(GraftColumnShim.expression(vec),
         centroids.map(_.toSeq).toSeq))
@@ -118,7 +118,12 @@ object IvfAnn {
     * table is stored partitioned by `__list` — followed by exact
     * cosine and `TakeOrderedAndProject` top-k.
     */
-  def topK(index: Index, query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def topK(
+      index: Index,
+      query: DataFrame,
+      k: Int,
+      nprobe: Int,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     require(nprobe > 0, "nprobe must be positive")
     val qRow = query.select(col(index.vecCol)).head()
     val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
@@ -128,7 +133,7 @@ object IvfAnn {
       .filter(col("__list").isin(probes: _*))
       .crossJoin(broadcast(q))
       .select(col("__id").as(index.idCol),
-        VectorFunctions.cosine(col("__vec"), col("__qv")).as("cos"))
+        cosineFn(col("__vec"), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(index.idCol))
       .limit(k)
   }
