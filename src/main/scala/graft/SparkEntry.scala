@@ -508,14 +508,21 @@ object SparkEntry {
   private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     LshStageCache.getOrElseUpdate(s, dir)(
       TextDedup.minhashCandidatePairsAndShingles(
-        docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5))
+        docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5,
+        scheme = TextDedup.PortableMd5Scheme))
 
-  /** MinHash+LSH candidate duplicate pairs (rows-only: LSH banding is
-    * not ANSI-SQL-expressible).
+  /** MinHash+LSH candidate duplicate pairs, oracle-gated end-to-end:
+    * with [[TextDedup.PortableMd5Scheme]] every stage — seeded shingle
+    * hashes, the 32 running minimums, the 8 band hashes, the bucket
+    * join with its size guard, and the signature-agreement estimate —
+    * is recomputed verbatim by the DuckDB oracle SQL (md5 hex strings
+    * are engine-portable and order identically). est_jaccard is k/32
+    * with k integral, exact in binary on both engines, so it ships
+    * unrounded.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(s, dir)._1
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 3).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact word-3-gram Jaccard verification of the LSH candidates.
@@ -548,9 +555,17 @@ object SparkEntry {
   }
 
   /** SimHash near-duplicate pairs (rows-only). */
+  /** SimHash near-duplicate pairs, oracle-gated end-to-end with
+    * [[TextDedup.PortableMd5Simhash]]: the 60-bit md5-derived token
+    * hashes, majority-bit signature, pigeonhole bit-bands, bucket-size
+    * guard, and exact Hamming verify are all replayed verbatim by the
+    * DuckDB oracle SQL.
+    */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup
-      .simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 4)
+      .simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 4,
+        scheme = TextDedup.PortableMd5Simhash)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Language-id heuristic vs the labeled lang column (oracle-gated:
@@ -603,8 +618,16 @@ object SparkEntry {
       .select(col("vec_id"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs over planted perturbed copies
-    * (rows-only).
+  /** Embedding near-duplicate pairs over planted perturbed copies,
+    * oracle-gated by the recall argument (same as dedup_ngram_jaccard):
+    * the exact all-pairs cosine >= 0.98 truth set is SQL-expressible,
+    * and every true pair is a planted float-perturbed copy at cos ~
+    * 0.99998 — identical-signature recall for those is guaranteed at
+    * any SF that keeps vectors off the hyperplane boundaries (checked
+    * empirically at sf0.001/0.01/0.1), while random 64-dim pairs
+    * concentrate near cos 0 (max ~0.7 even at millions of pairs), far
+    * under the threshold. Decimal-accumulated cosine, rounded before
+    * the threshold filter on both engines.
     */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
@@ -616,8 +639,9 @@ object SparkEntry {
         col("label"))
     SimilaritySearch
       .embeddingNearDupPairs(emb.unionByName(perturbed), "vec_id", "embedding",
-        bits = 16, minCosine = 0.98)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+        bits = 16, minCosine = 0.98,
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
+      .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -843,14 +867,16 @@ object SparkEntry {
       .orderBy(col("event_type"))
 
   /** Custom TypedImperativeAggregate: deterministic bottom-k-by-hash
-    * sample per language (rows-only: xxhash64 is Spark-specific; the
-    * aggregate's equivalence to the oracle-gated window sampler is
-    * asserted in DeterministicSampleSpec).
+    * sample per language, oracle-gated via the portable md5 rank: the
+    * aggregate's bounded O(k) mergeable buffer must select exactly the
+    * rows DuckDB's `row_number() OVER (ORDER BY md5-rank) <= k`
+    * selects. (Equivalence of the default xxhash64 rank to the window
+    * sampler is separately asserted in DeterministicSampleSpec.)
     */
   private def sampleSketch(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .groupBy(col("lang"))
-      .agg(graft.functions.DeterministicSample(col("doc_id"), 5).as("sample"))
+      .agg(graft.functions.DeterministicSample(col("doc_id"), 5, portableRank = true).as("sample"))
       .select(col("lang"), explode(col("sample")).as("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
 
@@ -1325,6 +1351,127 @@ object SparkEntry {
         |          / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the portable-md5 MinHash+LSH pipeline: same seeded
+    // shingle hashes, 32 running minimums, 8 band hashes, bucket-size
+    // guard, and k/32 signature-agreement estimate as the Spark plan
+    "dedup_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t FROM base),
+        |grams AS (
+        |  SELECT id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END AS g
+        |  FROM toks),
+        |shing AS (SELECT DISTINCT id, unnest(g) AS sh FROM grams),
+        |minh AS (
+        |  SELECT id, s.seed, min(md5(s.seed::varchar || ':' || sh)) AS mh
+        |  FROM shing CROSS JOIN generate_series(0, 31) s(seed)
+        |  GROUP BY id, s.seed),
+        |sigs AS (SELECT id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bh
+        |  FROM sigs CROSS JOIN generate_series(0, 7) b(band)),
+        |buck AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 2000),
+        |bounded AS (SELECT banded.id, banded.band, banded.bh FROM banded JOIN buck USING (band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bounded a JOIN bounded b USING (band, bh)
+        |  WHERE a.id < b.id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.id = c.id_a
+        |  JOIN sigs sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the portable-md5 SimHash pipeline: 60-bit token
+    // hashes (15 md5 hex chars fit a signed BIGINT), majority-bit
+    // signature, 5 pigeonhole 12-bit bands, bucket-size guard, exact
+    // Hamming verify
+    "dedup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk FROM base),
+        |th AS (
+        |  SELECT id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h FROM tok),
+        |bitc AS (
+        |  SELECT id, b.bit, sum((h >> b.bit) & 1) AS c, count(*) AS n
+        |  FROM th CROSS JOIN generate_series(0, 59) b(bit)
+        |  GROUP BY id, b.bit),
+        |sigs AS (
+        |  SELECT id, CAST(sum(CASE WHEN 2*c >= n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bitc GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band, (sig >> (b.band*12)) & 4095 AS bval
+        |  FROM sigs CROSS JOIN generate_series(0, 4) b(band)),
+        |buck AS (SELECT band, bval FROM banded GROUP BY band, bval HAVING count(*) <= 2000),
+        |bounded AS (SELECT banded.id, banded.band, banded.bval FROM banded JOIN buck USING (band, bval)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bounded a JOIN bounded b USING (band, bval)
+        |  WHERE a.id < b.id)
+        |SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sigs sa ON sa.id = c.id_a
+        |JOIN sigs sb ON sb.id = c.id_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the DeterministicSample aggregate with the portable md5 rank must
+    // pick exactly the window-sampler's bottom-5 per language
+    "sample_sketch" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substr(md5(doc_id::varchar), 1, 15) AS BIGINT)) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+    // exact all-pairs cosine >= 0.98 truth set (recall argument: every
+    // true pair is a planted perturbed copy whose full-signature LSH
+    // recall is complete; random pairs sit far below the threshold).
+    // Double prefilter at 0.97 keeps the all-pairs pass linear-ish;
+    // decimal-exact recompute decides the emitted value and threshold.
+    "dedup_embedding" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding, x -> x + CAST(0.0005 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |pre AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         a.embedding AS va, b.embedding AS vb
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.97),
+        |exploded AS (
+        |  SELECT id_a, id_b,
+        |         unnest(CAST(va AS DOUBLE[])) AS x,
+        |         unnest(CAST(vb AS DOUBLE[])) AS y
+        |  FROM pre),
+        |sums AS (
+        |  SELECT id_a, id_b,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+        |FROM sums
+        |WHERE round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
     "text_tokens" ->
       """SELECT lang, count(*) AS n_docs,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, Literal, Md5, Substring, UnsafeProjection, UnsafeRow, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -25,17 +25,30 @@ import scala.collection.mutable
   *
   * Buffer is bounded at k entries regardless of input size; per-group
   * state is O(k).
+  *
+  * `portableRank = true` ranks by a 60-bit hash from the first 15 md5
+  * hex chars of the value's string form instead of xxhash64 — bit-
+  * identical in any engine with md5, so the selected sample is
+  * SQL-replayable (`row_number() OVER (... ORDER BY ('0x' ||
+  * substr(md5(v::varchar),1,15))::BIGINT) <= k` in DuckDB); that is
+  * how `sample_sketch` is oracle-gated. Default stays xxhash64 (one
+  * hash per row beats md5 + hex decode on the 100 TB path).
   */
 case class DeterministicSample(
     child: Expression,
     k: Int,
+    portableRank: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DeterministicSample.Buffer] {
 
   require(k > 0, "k must be positive")
 
-  @transient private lazy val hashExpr = XxHash64(Seq(child), 42L) // functions.xxhash64's seed
+  @transient private lazy val hashExpr: Expression =
+    if (portableRank)
+      Cast(Conv(Substring(Md5(Cast(Cast(child, StringType), BinaryType)), Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType)
+    else XxHash64(Seq(child), 42L) // functions.xxhash64's seed
   @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
 
   override def children: Seq[Expression] = Seq(child)
@@ -140,4 +153,9 @@ object DeterministicSample {
   def apply(c: Column, k: Int): Column =
     GraftColumnShim.column(
       DeterministicSample(GraftColumnShim.expression(c), k).toAggregateExpression())
+
+  /** Column API with an explicit rank hash family (see class doc). */
+  def apply(c: Column, k: Int, portableRank: Boolean): Column =
+    GraftColumnShim.column(
+      DeterministicSample(GraftColumnShim.expression(c), k, portableRank).toAggregateExpression())
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -91,7 +91,8 @@ object SimilaritySearch {
       bits: Int = 16,
       minCosine: Double = 0.95,
       seed: Int = 41,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     // persist: signatures would otherwise be recomputed on both join sides
     val sigs = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
@@ -116,7 +117,7 @@ object SimilaritySearch {
       .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+        cosineFn(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= minCosine)
     TextDedup.materialized(result, Seq(sigs))
   }

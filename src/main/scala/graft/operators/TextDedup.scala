@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Pluggable hash family for MinHash signatures and LSH band hashes.
+    *
+    * [[XxHash64Scheme]] (the default) hashes with seeded `xxhash64` —
+    * the fast path for production corpora. [[PortableMd5Scheme]] hashes
+    * with md5 hex strings: md5 is bit-identical across engines and hex
+    * strings order identically under plain string comparison, so ANY
+    * engine with md5 (DuckDB, Trino, Postgres, ...) can recompute the
+    * exact signatures, buckets, and candidate pairs in SQL — that is
+    * how `dedup_minhash_lsh` is oracle-gated. The portable scheme costs
+    * roughly 2-3x xxhash64 per shingle; use it for verification
+    * corpora, not the 100 TB path.
+    */
+  sealed trait MinhashScheme {
+    /** Hash of one shingle under seed `i`; any type with a total order
+      * under `least`. */
+    def shingleHash(seed: Int, shingle: Column): Column
+    /** Identity element for `least` over [[shingleHash]] values. */
+    def hashMax: Column
+    /** Hash of one signature band (a slice of the signature array). */
+    def bandHash(sigSlice: Column): Column
+  }
+
+  case object XxHash64Scheme extends MinhashScheme {
+    def shingleHash(seed: Int, shingle: Column): Column = xxhash64(lit(seed), shingle)
+    def hashMax: Column = lit(Long.MaxValue)
+    def bandHash(sigSlice: Column): Column = xxhash64(sigSlice)
+  }
+
+  case object PortableMd5Scheme extends MinhashScheme {
+    def shingleHash(seed: Int, shingle: Column): Column =
+      md5(concat(lit(s"$seed:"), shingle))
+    // 'g' sorts after every hex digit, so it is an identity for `least`
+    // over md5 hex strings.
+    def hashMax: Column = lit("g")
+    def bandHash(sigSlice: Column): Column = md5(concat_ws("|", sigSlice))
+  }
+
   /** Exact duplicate clusters by canonical-form fingerprint: one row per
     * duplicated fingerprint with the surviving (minimum) id and the ids
     * to drop.
@@ -39,12 +76,15 @@ object TextDedup {
     * cost at corpus scale (both forms are sub-second at sf0.1, so prefer
     * the single-pass form on allocation grounds, not a measured win).
     */
-  def minhashSignatureFromShingles(shingles: Column, numHashes: Int): Column =
+  def minhashSignatureFromShingles(
+      shingles: Column,
+      numHashes: Int,
+      scheme: MinhashScheme = XxHash64Scheme): Column =
     aggregate(
       shingles,
-      array_repeat(lit(Long.MaxValue), numHashes),
+      array_repeat(scheme.hashMax, numHashes),
       (acc, s) =>
-        zip_with(acc, array((0 until numHashes).map(i => xxhash64(lit(i), s)): _*),
+        zip_with(acc, array((0 until numHashes).map(i => scheme.shingleHash(i, s)): _*),
           (a, h) => least(a, h)))
 
   /** MinHash signature column: `numHashes` minimums over seeded
@@ -82,10 +122,11 @@ object TextDedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 2000,
-      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): DataFrame = {
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
     val (pairs, shingled) =
       minhashCandidatePairsAndShingles(df, idCol, textCol, numHashes, bands, threshold,
-        maxBucketSize, shingler)
+        maxBucketSize, shingler, scheme)
     shingled.unpersist()
     pairs
   }
@@ -107,7 +148,8 @@ object TextDedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 2000,
-      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3)): (DataFrame, DataFrame) = {
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // Word 3-gram shingles by default: ~#tokens elements per doc instead
@@ -137,7 +179,7 @@ object TextDedup {
       .persist()
     val sigs = shingled.select(
       col("id"),
-      minhashSignatureFromShingles(col("sh"), numHashes).as("sig"))
+      minhashSignatureFromShingles(col("sh"), numHashes, scheme).as("sig"))
       .persist()
     // Bucket-join on ids only: carrying the 32-long signatures through
     // the band shuffle would multiply shuffle volume ~8x (once per
@@ -146,7 +188,7 @@ object TextDedup {
     val banded = sigs.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))
+        scheme.bandHash(slice(col("sig"), b * rows + 1, rows))
       }: _*)).as(Seq("band", "band_hash")))
     // Mega-bucket guard: a band value shared by a near-identical cluster
     // of m docs yields m^2/2 candidate pairs. Buckets over maxBucketSize
@@ -203,40 +245,65 @@ object TextDedup {
   def jaccardFromShingles(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
 
+  /** Pluggable token-hash family for SimHash. [[XxHash64Simhash]]
+    * (default): 64-bit seeded xxhash64, the production path.
+    * [[PortableMd5Simhash]]: a 60-bit hash from the first 15 md5 hex
+    * chars — 60 bits so the value fits a signed BIGINT in every engine
+    * (`conv(substr(md5(t),1,15),16,10)` here, `('0x' ||
+    * substr(md5(t),1,15))::BIGINT` in DuckDB), making the whole
+    * signature/banding/Hamming pipeline replayable in SQL for the
+    * `dedup_simhash` oracle gate.
+    */
+  sealed trait SimhashScheme {
+    def tokenHash(t: Column): Column
+    def bits: Int
+  }
+
+  case object XxHash64Simhash extends SimhashScheme {
+    def tokenHash(t: Column): Column = xxhash64(t)
+    val bits: Int = 64
+  }
+
+  case object PortableMd5Simhash extends SimhashScheme {
+    def tokenHash(t: Column): Column =
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    val bits: Int = 60
+  }
+
   /** Per-bit one-counts over a token-hash array: ONE `aggregate` pass
-    * maintaining a 64-counter accumulator (per hash: extract the 64
+    * maintaining a `bits`-counter accumulator (per hash: extract the
     * bits with a `transform` over bit indices, add into the
     * accumulator). Same O(bits)-pass hazard — and fix — as
     * [[minhashSignatureFromShingles]].
     */
-  private def bitCounts(tokenHashes: Column): Column =
+  private def bitCounts(tokenHashes: Column, bits: Int): Column =
     aggregate(
       tokenHashes,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), bits),
       (acc, h) =>
         zip_with(
           acc,
-          transform(sequence(lit(0), lit(63)), i => call_function("shiftright", h, i).bitwiseAND(1)),
+          transform(sequence(lit(0), lit(bits - 1)), i => call_function("shiftright", h, i).bitwiseAND(1)),
           (a, b) => a + b))
 
-  /** Fold per-bit one-counts + total count into the 64-bit signature:
-    * bit i is set when at least half the token hashes have bit i set.
+  /** Fold per-bit one-counts + total count into the signature: bit i is
+    * set when at least half the token hashes have bit i set.
     */
-  private def sigFromCounts(counts: Column, n: Column): Column =
+  private def sigFromCounts(counts: Column, n: Column, bits: Int): Column =
     aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
+      zip_with(counts, sequence(lit(0), lit(bits - 1)),
         (c, i) => when(c * 2 >= n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
 
-  /** 64-bit SimHash over whitespace tokens: bit i is set when at least
+  /** SimHash over whitespace tokens: bit i is set when at least
     * half the token hashes have bit i set. Per-row (array ops only, no
     * shuffle); near-duplicate texts land within a small Hamming
     * distance.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    sigFromCounts(bitCounts(hashes), size(hashes))
+  def simhash(text: Column, scheme: SimhashScheme = XxHash64Simhash): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => scheme.tokenHash(t))
+    sigFromCounts(bitCounts(hashes, scheme.bits), size(hashes), scheme.bits)
   }
 
   /** SimHash near-duplicate pairs: bucket by `maxHamming + 1` bit-bands
@@ -258,20 +325,22 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      scheme: SimhashScheme = XxHash64Simhash): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
+    val bits = scheme.bits
     val nBands = maxHamming + 1
-    val starts = (0 to nBands).map(i => i * 64 / nBands)
+    val starts = (0 to nBands).map(i => i * bits / nBands)
     // Stage token hashes and signatures through persist boundaries (same
     // CollapseProject recompute hazard as the MinHash path: simhash()
     // would re-tokenize per band and per join side).
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val hashed = spread.select(
       col(idCol).as("id"),
-      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      transform(TextFunctions.tokens(col(textCol)), t => scheme.tokenHash(t)).as("th"))
       .persist()
     val sigs = hashed
-      .select(col("id"), sigFromCounts(bitCounts(col("th")), size(col("th"))).as("sig"))
+      .select(col("id"), sigFromCounts(bitCounts(col("th"), bits), size(col("th")), bits).as("sig"))
       .persist()
     val banded = sigs.select(
       col("id"),

@@ -32,6 +32,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
   }
 
+  test("portable-md5 minhash scheme finds the same duplicate structure") {
+    val pairs = TextDedup
+      .minhashCandidatePairs(corpus, "doc_id", "text", threshold = 0.5,
+        scheme = TextDedup.PortableMd5Scheme)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 4L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
+  }
+
   test("minhash LSH mega-bucket cap drops oversized buckets") {
     // cap 1 -> every bucket with >=2 members (i.e. every candidate
     // bucket) is dropped -> no pairs at all
@@ -128,6 +138,20 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(relaxed.contains((1L, 2L)) && relaxed.contains((1L, 4L)))
     assert(!relaxed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portable-md5 simhash scheme (60-bit) finds the same duplicate structure") {
+    val strict = TextDedup
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 3,
+        scheme = TextDedup.PortableMd5Simhash)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict.contains((1L, 4L)), "exact-dup pair missed")
+    val relaxed = TextDedup
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 16,
+        scheme = TextDedup.PortableMd5Simhash)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(relaxed.contains((1L, 2L)) && relaxed.contains((1L, 4L)))
+    assert(!relaxed.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
   }
 
   private lazy val vectors = {

@@ -23,6 +23,26 @@ class DeterministicSampleSpec extends SparkSpec {
     assert(viaAgg.groupBy(_._1).forall(_._2.size == 7))
   }
 
+  test("portable md5 rank agrees with the window sampler on the same rank") {
+    val md5Rank =
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    val viaAgg = df
+      .repartition(16)
+      .groupBy("g")
+      .agg(DeterministicSample(col("id"), 7, portableRank = true).as("sample"))
+      .select(col("g"), explode(col("sample")).as("id"))
+      .as[(String, Long)].collect().toSet
+    val viaWindow = Sampling.samplePerGroup(df, Seq("g"), Seq("id"), 7, hash = Some(md5Rank))
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // and the two rank families really are different samples
+    val viaDefault = df.groupBy("g")
+      .agg(DeterministicSample(col("id"), 7).as("sample"))
+      .select(col("g"), explode(col("sample")).as("id"))
+      .as[(String, Long)].collect().toSet
+    assert(viaAgg != viaDefault)
+  }
+
   test("string values, nulls skipped, buffer bounded") {
     val sdf = Seq(Some("a"), Some("b"), None, Some("c"), Some("d")).toDF("s")
     val out = sdf.agg(DeterministicSample(col("s"), 3).as("sample"))
