@@ -4,6 +4,7 @@ import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, CdcDedup, IvfAnn, MergeEngine, SimilaritySearch, TextDedup}
+import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -303,6 +304,23 @@ object SparkEntry {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
     AsOfJoin
+      .asOf(purchases, clicks, on = "user_id", leftTs = "ts", rightTs = "ts", payloadPrefix = "")
+      .select(col("event_id"), col("click_event").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Same as-of semantics through the planner-tier operator
+    * ([[graft.plans.AsOfJoinNode]] → sort-merge `AsOfJoinExec`):
+    * oracle-gated against the identical DuckDB ASOF JOIN, and
+    * PhysicalAsOfSpec proves row-for-row agreement with the
+    * union-window form q22 uses.
+    */
+  private def asofPhysical(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    PhysicalAsOf
       .asOf(purchases, clicks, on = "user_id", leftTs = "ts", rightTs = "ts", payloadPrefix = "")
       .select(col("event_id"), col("click_event").as("click_id"))
       .orderBy(col("event_id"))
@@ -939,6 +957,7 @@ object SparkEntry {
     "q20_rollup" -> (rollupOrders _),
     "q21_union_counts" -> (unionCounts _),
     "q22_asof_join" -> (asofClickPurchase _),
+    "q45_asof_physical" -> (asofPhysical _),
     "q23_running_sum" -> (runningRevenue _),
     "q24_lag_delta" -> (lagDelta _),
     "q25_cube" -> (cubeOrders _),
@@ -1136,6 +1155,12 @@ object SparkEntry {
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
     "q22_asof_join" ->
+      """SELECT p.event_id AS event_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q45_asof_physical" ->
       """SELECT p.event_id AS event_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
