@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, IvfAnn, MergeEngine, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, CdcDedup, IvfAnn, MergeEngine, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -324,6 +324,48 @@ object SparkEntry {
       .asOf(purchases, clicks, on = "user_id", leftTs = "ts", rightTs = "ts", payloadPrefix = "")
       .select(col("event_id"), col("click_event").as("click_id"))
       .orderBy(col("event_id"))
+  }
+
+  /** Overlapping price bands (800-wide, 400 apart) for the range-join
+    * queries: a genuine range predicate — each order price sits in TWO
+    * bands — not a disguised groupBy bucketing.
+    */
+  private def priceBands(s: SparkSession): DataFrame =
+    s.range(0, 1400).select(
+      col("id").as("band_id"),
+      (col("id") * 400).cast("double").as("lo"),
+      (col("id") * 400 + 800).cast("double").as("hi"))
+
+  /** Binned range join ([[RangeJoin.pointInInterval]]): orders matched
+    * to every overlapping price band via the bin equi-join — no
+    * nested-loop/cartesian fallback (RangeJoinSpec asserts the plan).
+    * Decimal-accumulated totals make the 2-dp rounding boundary-proof
+    * cross-engine (the q41 pattern).
+    */
+  private def rangeJoinBands(s: SparkSession, dir: String): DataFrame =
+    RangeJoin
+      .pointInInterval(Tables(s, dir, "orders"), priceBands(s),
+        "o_totalprice", "lo", "hi", binWidth = 400.0)
+      .groupBy(col("band_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).as("total"))
+      .orderBy(col("band_id"))
+
+  /** Binned interval-overlap join ([[RangeJoin.intervalOverlap]]): each
+    * customer's [min,max] order-price span against the overlapping
+    * bands, emitted exactly once per true overlap (responsible-bin
+    * dedup — no post-hoc distinct shuffle).
+    */
+  private def overlapCustBands(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_totalprice")).as("clo"), max(col("o_totalprice")).as("chi"))
+    RangeJoin
+      .intervalOverlap(spans, priceBands(s), "clo", "chi", "lo", "hi", binWidth = 800.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("band_id"))
   }
 
   /** Aggregate-over-window: running revenue per customer in order-key
@@ -958,6 +1000,8 @@ object SparkEntry {
     "q21_union_counts" -> (unionCounts _),
     "q22_asof_join" -> (asofClickPurchase _),
     "q45_asof_physical" -> (asofPhysical _),
+    "q46_range_join" -> (rangeJoinBands _),
+    "q47_interval_overlap" -> (overlapCustBands _),
     "q23_running_sum" -> (runningRevenue _),
     "q24_lag_delta" -> (lagDelta _),
     "q25_cube" -> (cubeOrders _),
@@ -1166,6 +1210,22 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q46_range_join" ->
+      """SELECT band_id, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+        |FROM (SELECT range AS band_id, CAST(range*400 AS DOUBLE) AS lo,
+        |             CAST(range*400+800 AS DOUBLE) AS hi FROM range(0, 1400)) b
+        |JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q47_interval_overlap" ->
+      """WITH spans AS (SELECT o_custkey, min(o_totalprice) AS clo,
+        |                      max(o_totalprice) AS chi
+        |               FROM orders GROUP BY o_custkey),
+        |b AS (SELECT range AS band_id, CAST(range*400 AS DOUBLE) AS lo,
+        |             CAST(range*400+800 AS DOUBLE) AS hi FROM range(0, 1400))
+        |SELECT band_id, count(*) AS n_customers
+        |FROM b JOIN spans ON clo <= hi AND lo <= chi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q23_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
