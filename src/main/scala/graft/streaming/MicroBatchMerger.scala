@@ -26,6 +26,18 @@ object MicroBatchMerger {
   val DefaultDeletedCol = "__deleted"
   val DefaultVersionCol = "__log_sequence_number"
 
+  /** Per-(application, table) memo of [[MergeEngine.createTableIfNotExists]]:
+    * the ensure is idempotent DDL, so after the first success per session
+    * the two catalog roundtrips per micro-batch are pure fixed cost.
+    */
+  private val ensuredTables = new graft.util.SessionScopedCache[Boolean]
+
+  /** Per-(application, table) processed-batch counter driving
+    * [[TableConfig.autoCompactEvery]].
+    */
+  private val batchCounters =
+    new graft.util.SessionScopedCache[java.util.concurrent.atomic.AtomicLong]
+
   /** @param failFast true (reference parity): a malformed Avro payload
     *                  fails the batch (and so the query). false:
     *                  PERMISSIVE — malformed payloads decode to null
@@ -41,23 +53,32 @@ object MicroBatchMerger {
     val spark = batch.sparkSession
     batch.cache()
     try {
-      val topics = batch.select("topic").distinct().collect().map(_.getString(0))
-      topics.foreach { topic =>
+      // ONE metadata job for the whole batch: the reference runs a
+      // distinct-topics pass plus a distinct-schema-pairs pass per
+      // topic; collecting (topic, key_id, value_id) once gives the same
+      // driver-side plan with topics-many fewer jobs — pure fixed cost
+      // at small batch sizes.
+      val meta = batch
+        .select("topic", "key_schema_id", "value_schema_id")
+        .distinct()
+        .collect()
+      meta.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (topic, rows) =>
         configs.get(topic).foreach { cfg =>
-          val current = batch.filter(col("topic") === topic).cache()
+          // older schema versions merge first — registry ids are monotone
+          val pairs = rows.map(r => (r.getInt(1), r.getInt(2))).sortBy { case (k, v) => (v, k) }
+          // the slice cache (S7) only pays for itself when several
+          // schema pairs re-read the same topic's rows; a single-pair
+          // topic reads straight from the cached batch
+          val current =
+            if (pairs.length > 1) batch.filter(col("topic") === topic).cache() else batch
           try {
-            val pairs = current
-              .select("key_schema_id", "value_schema_id")
-              .distinct()
-              .orderBy(asc("value_schema_id"), asc("key_schema_id"))
-              .collect()
-            pairs.foreach { pair =>
-              val (keyId, valueId) = (pair.getInt(0), pair.getInt(1))
+            pairs.foreach { case (keyId, valueId) =>
               val keyJson = provider.schemaJson(keyId)
               val valueJson = provider.schemaJson(valueId)
               val pkCols = AvroSchemas.fieldNames(keyJson)
 
               val slice = current
+                .filter(col("topic") === topic)
                 .filter(col("key_schema_id") === keyId)
                 .filter(col("value_schema_id") === valueId)
               val raw = slice
@@ -72,21 +93,43 @@ object MicroBatchMerger {
               val withAdditional =
                 (if (cfg.additionalCols.isEmpty) deduped
                  else deduped.select(deduped.columns.map(col).toSeq ++ cfg.additionalCols.map(expr): _*))
-                  .cache() // consumed up to 4x: two emptiness probes + two merges
+                  .cache() // consumed 3x: routing stats + up to two merges
 
               try {
                 val targetSchema =
                   StructType(withAdditional.schema.filterNot(_.name == deletedCol))
-                MergeEngine.createTableIfNotExists(spark, targetSchema, cfg)
+                ensuredTables.getOrElseUpdate(spark, cfg.qualifiedName) {
+                  MergeEngine.createTableIfNotExists(spark, targetSchema, cfg); true
+                }
 
-                val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
-                MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol)
+                // ONE routing job replaces the two per-branch emptiness
+                // probes: rows split exactly as the filters below do
+                // (null __deleted rows route to neither branch).
+                val routed = withAdditional
+                  .groupBy((col(deletedCol) === "true").as("__is_del"))
+                  .count()
+                  .collect()
+                def n(del: Boolean) = routed
+                  .find(r => !r.isNullAt(0) && r.getBoolean(0) == del)
+                  .map(_.getLong(1)).getOrElse(0L)
 
-                val deletes = withAdditional.filter(col(deletedCol) === "true")
-                MergeEngine.delete(spark, cfg, deletes, pkCols)
+                if (n(false) > 0) {
+                  val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
+                  MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol, knownNonEmpty = true)
+                }
+                if (n(true) > 0) {
+                  val deletes = withAdditional.filter(col(deletedCol) === "true")
+                  MergeEngine.delete(spark, cfg, deletes, pkCols, knownNonEmpty = true)
+                }
               } finally { withAdditional.unpersist(); () }
             }
-          } finally { current.unpersist(); () }
+            if (cfg.autoCompactEvery > 0) {
+              val n = batchCounters
+                .getOrElseUpdate(spark, cfg.qualifiedName)(new java.util.concurrent.atomic.AtomicLong)
+                .incrementAndGet()
+              if (n % cfg.autoCompactEvery == 0) { MergeEngine.compact(spark, cfg); () }
+            }
+          } finally { if (current ne batch) { current.unpersist(); () } }
         }
       }
     } finally { batch.unpersist(); () }
