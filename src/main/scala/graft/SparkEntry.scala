@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, IvfAnn, MergeEngine, RangeJoin, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, CdcDedup, Clustering, IvfAnn, MergeEngine, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -614,6 +614,34 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-duplicate GROUPS from the verified pair list:
+    * [[Clustering.connectedComponents]] labels every paired document
+    * with its component's minimum doc_id. Oracle-gated end-to-end — the
+    * DuckDB side recomputes the exact-jaccard truth pairs and closes
+    * them transitively with a recursive CTE.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Clustering
+      .connectedComponents(
+        dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrubbing over documents seeded with deterministic synthetic
+    * contact strings (the corpus itself is PII-free), so the redaction
+    * regexes are exercised on known material on both engines.
+    */
+  private def textScrubPii(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(
+        col("doc_id"),
+        TF.scrubPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example or call +1-555-0100 today"))).as("scrubbed"))
+      .orderBy(col("doc_id"))
+
   /** SimHash near-duplicate pairs (rows-only). */
   /** SimHash near-duplicate pairs, oracle-gated end-to-end with
     * [[TextDedup.PortableMd5Simhash]]: the 60-bit md5-derived token
@@ -1027,7 +1055,9 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
+    "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -1437,6 +1467,45 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+        |           THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')
+        |                 for i in range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1)]
+        |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      END) AS s
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_intersect(a.s, b.s))*1.0
+        |            / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     text || ' contact user' || doc_id || '@mail.example or call +1-555-0100 today',
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     // full replay of the portable-md5 MinHash+LSH pipeline: same seeded
     // shingle hashes, 32 running minimums, 8 band hashes, bucket-size
     // guard, and k/32 signature-agreement estimate as the Spark plan

@@ -120,6 +120,16 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Redact email addresses and phone-number-shaped digit runs —
+    * training-corpus PII scrubbing. Two codegen'd `regexp_replace`
+    * passes (no UDF); patterns are RE2-compatible so any engine can
+    * replay them (that is how the oracle gates `text_scrub_pii`).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+
   /** Small public stopword profiles (top function words per language). */
   val LangProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with", "that", "it"),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the last step of a near-dup
+  * pipeline: candidate PAIRS (from MinHash/SimHash/embedding LSH)
+  * become duplicate GROUPS, so a keep-one policy ("keep the smallest
+  * id, drop the rest") can be applied per component.
+  *
+  * Synchronous min-label propagation: every node starts labeled with
+  * its own id; each round every node takes the minimum of its label
+  * and its neighbors' labels; converges when a round changes nothing —
+  * after at most `diameter` rounds, each component is labeled with its
+  * minimum member id. Each round is one keyed join + one map-side
+  * combinable min aggregation; every intermediate is persisted and the
+  * previous round released, so round N plans against the cached round
+  * N-1, not the whole lineage.
+  *
+  * Scale notes: near-dup components are clique-ish (tiny diameter —
+  * 2-3 rounds in practice), so rounds, not round cost, stay small; the
+  * per-round shuffle is O(|edges|). For adversarially deep graphs
+  * (long chains) the two-phase large-star/small-star variant halves
+  * tree heights per round (O(log d) rounds) at the cost of re-writing
+  * the edge set each round — not worth it below millions of rounds of
+  * diameter, so this implementation keeps the cheaper per-round shape.
+  */
+object Clustering {
+
+  /** @param pairs one row per undirected edge (order irrelevant,
+    *              duplicates tolerated)
+    * @return (id, cluster) — every node that appears in some edge,
+    *         labeled with its component's minimum id. Nodes with no
+    *         edges are their own singleton cluster and are not emitted
+    *         (the caller's id space is unbounded; left-join the result
+    *         and coalesce to the id for keep-one policies).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      // any-change probe: one job, short-circuits on the first change
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+}
