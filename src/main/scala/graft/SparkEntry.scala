@@ -601,7 +601,7 @@ object SparkEntry {
     * the LSH recall band (min true jaccard 0.85 at sf0.01), so the
     * verified candidates equal the truth set.
     */
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val (cands, shingled) = minhashCandidates(s, dir)
     val pairs = cands.select(col("id_a"), col("id_b"))
     val withA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -611,8 +611,10 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         round(TextDedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Near-duplicate GROUPS from the verified pair list:
     * [[Clustering.connectedComponents]] labels every paired document
@@ -623,7 +625,7 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Clustering
       .connectedComponents(
-        dedupNgramJaccard(s, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+        ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
 

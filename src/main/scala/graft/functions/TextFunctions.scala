@@ -104,11 +104,21 @@ object TextFunctions {
       transform(sequence(lit(1), length(canon) - (n - 1)), i => canon.substr(i, lit(n))))
   }
 
+  /** Language id via [[LangIdExpression]] — one tokenize pass + hash
+    * lookups per row. Same semantics as [[langIdHof]] (LangIdSpec
+    * asserts agreement); this is the form for corpus-wide scans.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      LangIdExpression(org.apache.spark.sql.GraftColumnShim.expression(text), profiles))
+
   /** Language-id scores against per-language stopword profiles; returns
     * the best-scoring language code or "und" when nothing matches.
-    * N-gram/stopword heuristic — deterministic, codegen'd (no UDF).
+    * Built-ins-only formulation (kept as the differential oracle for
+    * [[langId]]): one interpreted `filter`/`array_contains` pass per
+    * language profile.
     */
-  def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+  def langIdHof(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
     val toks = tokens(text)
     val scored = profiles.toSeq.sortBy(_._1).map { case (langCode, words) =>
       val stops = array(words.map(lit): _*)
