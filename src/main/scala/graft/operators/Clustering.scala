@@ -63,15 +63,18 @@ object Clustering {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the round so convergence is a
+      // plain filter-count over the checkpointed rows — two jobs per
+      // round total (checkpoint materialization + count), no extra join
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       done = changed == 0L
       iter += 1
     }

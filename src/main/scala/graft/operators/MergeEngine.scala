@@ -204,7 +204,7 @@ object MergeEngine {
       knownNonEmpty: Boolean = false): Unit = {
     if (!knownNonEmpty && source.isEmpty) return
     val keys = (pkCols ++ cfg.partitionCols).distinct
-    readTable(spark, cfg.path) match {
+    val written = readTable(spark, cfg.path) match {
       case None =>
         writeStaged(spark, cfg, source)
       case Some(target) =>
@@ -218,16 +218,45 @@ object MergeEngine {
         val resolved = resolveUpsert(slice, source, keys, versionCol)
         writeStaged(spark, cfg, resolved)
     }
-    syncCatalog(spark, cfg)
+    syncCatalog(spark, cfg, written)
   }
 
-  /** Keep a registered catalog table consistent with the path: discover
-    * partitions added by direct path writes (MSCK-equivalent).
+  /** Keep a registered catalog table consistent with the path.
+    *
+    * The merge writes partitions directly to the path, so a registered
+    * catalog table must learn about NEW partition dirs. When the swap
+    * reports which partitions it touched, ONE targeted
+    * `ALTER TABLE ... ADD IF NOT EXISTS PARTITION` registers exactly
+    * those — O(touched per batch); `recoverPartitions` (the
+    * MSCK-equivalent fallback, also used when the touched list is
+    * unavailable) lists the ENTIRE table tree, a per-batch cost that
+    * grows with table size, not batch size.
     */
-  private def syncCatalog(spark: SparkSession, cfg: TableConfig): Unit =
+  private def syncCatalog(
+      spark: SparkSession,
+      cfg: TableConfig,
+      touchedRels: Seq[String] = Nil): Unit =
     if (cfg.partitionCols.nonEmpty && spark.catalog.tableExists(cfg.qualifiedName)) {
-      try spark.catalog.recoverPartitions(cfg.qualifiedName)
-      catch { case _: org.apache.spark.sql.AnalysisException => () } // not a partitioned catalog table
+      try {
+        if (touchedRels.nonEmpty) {
+          val specs = touchedRels.map { rel =>
+            rel.split("/").toSeq.map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(v).replace("'", "''")
+              s"$k='$value'"
+            }.mkString("PARTITION (", ", ", ")")
+          }
+          spark.sql(
+            s"ALTER TABLE ${cfg.qualifiedName} ADD IF NOT EXISTS ${specs.mkString(" ")}")
+          ()
+        } else spark.catalog.recoverPartitions(cfg.qualifiedName)
+      } catch {
+        // not a partitioned catalog table / DDL unsupported: best-effort
+        case _: org.apache.spark.sql.AnalysisException =>
+          try spark.catalog.recoverPartitions(cfg.qualifiedName)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
     }
 
   /** When the table clusters files on a single-column pk
@@ -450,11 +479,15 @@ object MergeEngine {
     * used by [[delete]] to drop emptied partitions in the same
     * transaction). Unpartitioned tables swap the full file set.
     */
+  /** @return the touched partition rel-paths (e.g. `year=2024`) for a
+    *         partitioned table — the caller's targeted catalog sync —
+    *         or Nil for unpartitioned / nothing-to-swap.
+    */
   private def writeStaged(
       spark: SparkSession,
       cfg: TableConfig,
       df: DataFrame,
-      removeCandidates: Array[Row] = Array.empty): Unit = {
+      removeCandidates: Array[Row] = Array.empty): Seq[String] = {
     val txid = UUID.randomUUID().toString.take(8)
     val stagingDir = new Path(s"${cfg.path}__staging_$txid")
     val backupDir = new Path(s"${cfg.path}__backup_$txid")
@@ -480,7 +513,7 @@ object MergeEngine {
       Failpoints.hook("staged")
 
       fs.mkdirs(root) // first write on a brand-new path-only table
-      if (cfg.partitionCols.nonEmpty) {
+      val touchedRels: Seq[String] = if (cfg.partitionCols.nonEmpty) {
         val touched = partitionDirs(fs, stagingDir, cfg.partitionCols.size)
           .map(d => relativize(fs, stagingDir, d))
         val removed = removeCandidates
@@ -489,7 +522,7 @@ object MergeEngine {
           .filter(rel => fs.exists(new Path(root, rel)))
           .toSeq
         val existing = (touched ++ removed).filter(rel => fs.exists(new Path(root, rel)))
-        if (touched.isEmpty && removed.isEmpty) return
+        if (touched.isEmpty && removed.isEmpty) return Nil
         // 2. manifest
         Manifest.write(fs, root,
           Manifest(txid, partitioned = true, stagingDir.toString, backupDir.toString,
@@ -509,6 +542,7 @@ object MergeEngine {
           fs.rename(new Path(stagingDir, rel), dst)
           if (i == 0) Failpoints.hook("mid-swap")
         }
+        touched
       } else {
         val staged = dataFiles(fs, stagingDir).map(_.getPath.getName)
         val originals = dataFiles(fs, root).map(_.getPath.getName)
@@ -526,12 +560,14 @@ object MergeEngine {
           fs.rename(new Path(stagingDir, f), new Path(root, f))
           if (i == 0) Failpoints.hook("mid-swap")
         }
+        Nil
       }
       Failpoints.hook("pre-commit")
       // 5. commit
       fs.delete(new Path(root, ManifestName), false)
       fs.delete(backupDir, true)
       fs.delete(stagingDir, true)
+      touchedRels
     } finally {
       // normal-exit tidy only; after a crash the dirs are evidence for
       // recoverTable and must stay. No manifest means either nothing was
