@@ -504,12 +504,29 @@ object MergeEngine {
       // aggregation's output shuffle. File-count growth is handled out
       // of band by [[compact]] (the OPTIMIZE model), which
       // [[graft.streaming.MicroBatchMerger]] can invoke on a cadence.
+      var staged4z: Option[DataFrame] = None
       val clustered =
         if (cfg.sortCols.isEmpty) df
-        else df.sortWithinPartitions(cfg.sortCols.map(col): _*)
+        else if (cfg.zOrderWrite && cfg.sortCols.size >= 2) {
+          // Z-order needs per-column ranges (one extra agg pass over the
+          // staged slice — the same range-estimation pass table formats
+          // run before their ZORDER rewrite), then sorts by the
+          // interleaved range-scaled key.
+          val zdf = df.persist()
+          staged4z = Some(zdf)
+          val aggs = cfg.sortCols.flatMap(c =>
+            Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+          val r = zdf.agg(aggs.head, aggs.tail: _*).head()
+          val scaled = cfg.sortCols.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(2 * i)) lit(0L)
+            else graft.functions.ZOrder.rangeScaled(col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1))
+          }
+          zdf.sortWithinPartitions(graft.functions.ZOrder.zorder(scaled: _*))
+        } else df.sortWithinPartitions(cfg.sortCols.map(col): _*)
       val writer = clustered.write.mode("overwrite")
       (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
         .parquet(stagingDir.toString)
+      staged4z.foreach(_.unpersist())
       Failpoints.hook("staged")
 
       fs.mkdirs(root) // first write on a brand-new path-only table
