@@ -1,7 +1,7 @@
 package graft
 
 import graft.avro.{AvroDecode, AvroEncode}
-import graft.functions.DeterministicSample
+import graft.functions.{DeterministicSample, HyperplaneSignature, InterleaveBits, LangIdExpression, TextFunctions}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -38,6 +38,27 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "deterministic_sample",
       exprs => DeterministicSample(exprs.head, constantInt(exprs(1), "deterministic_sample(_, k)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "lang_id",
+      exprs => LangIdExpression(exprs.head, TextFunctions.LangProfiles), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "scrub_pii",
+      // raw catalyst tree (the Column API's lazy ColumnNodes don't
+      // resolve through the registry path), same regexes as the
+      // Column-level TextFunctions.scrubPii
+      exprs => RegExpReplace(
+        RegExpReplace(exprs.head, Literal(TextFunctions.EmailRe), Literal("<EMAIL>")),
+        Literal(TextFunctions.PhoneRe), Literal("<PHONE>")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "interleave_bits", exprs => InterleaveBits(exprs), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "hyperplane_signature",
+      exprs => HyperplaneSignature(
+        exprs.head,
+        constantInt(exprs(1), "hyperplane_signature(_, bits, seed)"),
+        constantInt(exprs(2), "hyperplane_signature(_, bits, seed)")),
       "scala_udf")
     ()
   }

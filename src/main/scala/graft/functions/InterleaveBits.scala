@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 
 /** Native Z-order (Morton) key: interleaves the high bits of N numeric
@@ -29,8 +30,7 @@ import org.apache.spark.sql.types._
   * Each of the N inputs contributes its top floor(64/N) bits,
   * interleaved round-robin MSB-first.
   */
-case class InterleaveBits(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+case class InterleaveBits(children: Seq[Expression]) extends Expression {
   require(children.nonEmpty && children.size <= 8, "interleave_bits takes 1-8 columns")
 
   override def dataType: DataType = LongType
@@ -61,7 +61,8 @@ case class InterleaveBits(children: Seq[Expression])
     }
   }
 
-  private def monotoneDouble(d: Double): Long = {
+  /** public: called from generated code via an expression reference */
+  def monotoneDouble(d: Double): Long = {
     val bits = java.lang.Double.doubleToLongBits(d)
     if (bits < 0) ~bits else bits | Long.MinValue
   }
@@ -86,6 +87,48 @@ case class InterleaveBits(children: Seq[Expression])
       b += 1
     }
     out
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback): the monotone
+    * mapping is inlined per child AT CODEGEN TIME (types are static)
+    * and the interleave loop unrolls the per-child body, so a z-ordered
+    * write's sort key stays inside the same generated function as the
+    * merge projection feeding it — no interpreted boundary per row.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = children.size
+    val bitsPer = 64 / n
+    val self = ctx.addReferenceObj("interleaveExpr", this, classOf[InterleaveBits].getName)
+    val evals = children.map(_.genCode(ctx))
+    val us = children.indices.map(i => ctx.freshName(s"zu$i"))
+    val mapped = children.zipWithIndex.map { case (c, i) =>
+      val v = evals(i).value
+      val expr = c.dataType match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          s"(((long) $v) ^ java.lang.Long.MIN_VALUE)"
+        case LongType | TimestampType => s"($v ^ java.lang.Long.MIN_VALUE)"
+        case FloatType => s"$self.monotoneDouble((double) $v)"
+        case DoubleType => s"$self.monotoneDouble($v)"
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      s"long ${us(i)} = ${evals(i).isNull} ? 0L : $expr;"
+    }
+    val b = ctx.freshName("zb")
+    val pos = ctx.freshName("zpos")
+    val acc = ctx.freshName("zacc")
+    val perChild = us.map(u => s"$acc |= (($u >>> (63 - $b)) & 1L) << $pos; $pos--;").mkString("\n")
+    ev.copy(
+      isNull = FalseLiteral,
+      code = code"""
+        ${evals.map(_.code).mkString("\n")}
+        ${mapped.mkString("\n")}
+        long $acc = 0L;
+        int $pos = 63;
+        for (int $b = 0; $b < $bitsPer; $b++) {
+          $perChild
+        }
+        final long ${ev.value} = $acc;
+      """)
   }
 
   override protected def withNewChildrenInternal(

@@ -135,10 +135,11 @@ object TextFunctions {
     * passes (no UDF); patterns are RE2-compatible so any engine can
     * replay them (that is how the oracle gates `text_scrub_pii`).
     */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
   def scrubPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /** Small public stopword profiles (top function words per language). */
   val LangProfiles: Map[String, Seq[String]] = Map(

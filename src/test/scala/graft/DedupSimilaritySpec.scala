@@ -225,4 +225,18 @@ class DedupSimilaritySpec extends SparkSpec {
          |FROM kafka_batch""".stripMargin).collect().head
     assert(row.getInt(0) == 33 && row.getInt(1) == 9)
   }
+
+  test("SQL registration: lang_id / scrub_pii / interleave_bits / hyperplane_signature") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT lang_id('the cat is on the mat') AS lang,
+        |  scrub_pii('mail a@b.co or +1 555-123-9876 x') AS scrubbed,
+        |  interleave_bits(CAST(0 AS BIGINT)) AS z,
+        |  hyperplane_signature(array(CAST(1.0 AS FLOAT)), 8, 42) AS sig""".stripMargin)
+      .collect().head
+    assert(row.getString(0) == "en")
+    assert(row.getString(1) == "mail <EMAIL> or <PHONE> x")
+    assert(row.getLong(2) == Long.MinValue) // monotone(0) flips the sign bit
+    ()
+  }
 }

@@ -63,6 +63,23 @@ class ZOrderSpec extends SparkSpec {
     assert(zSpread < lexSpread / 2, s"z=$zSpread lex=$lexSpread")
   }
 
+  test("generated code compiles and agrees with interpreted eval (no silent fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rnd = new scala.util.Random(11)
+      val rows = Seq.fill(100)((rnd.nextLong(), rnd.nextDouble() * 100, rnd.nextInt()))
+      val out = rows.toDF("a", "b", "c")
+        .select(ZOrder.zorder(col("a"), col("b"), col("c"))).as[Long].collect()
+      rows.zip(out).foreach { case ((a, b, c), z) =>
+        assert(z == mortonRef(Seq(uLong(a), uDouble(b), uLong(c.toLong))))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      prev.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("MergeEngine zOrderWrite preserves merge semantics") {
     val path = tmpDir("merge-zorder")
     val cfg = TableConfig("graft_test", "z_tbl", s"$path/t",
