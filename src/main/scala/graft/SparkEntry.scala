@@ -550,6 +550,29 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** [[simsearchCosine]] recomputed over int8-QUANTIZED vectors
+    * ([[VF.quantizeInt8]]): the 4x-memory-cut scan a 100 TB embedding
+    * corpus runs. Oracle-gated END-TO-END — quantization uses only
+    * engine-portable IEEE arithmetic (floor(x/scale + 0.5)), integer
+    * dots/norms are exact, so DuckDB replays the whole approximate
+    * pipeline bit-for-bit. QuantizationSpec bounds the error vs the
+    * exact cosine.
+    */
+  private def simsearchQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        VF.quantizeInt8(col("embedding"), VF.quantizeScale(col("embedding"))).as("qa"),
+        VF.quantizeInt8(col("qv"), VF.quantizeScale(col("qv"))).as("qb"))
+      .select(
+        col("vec_id"),
+        (round(VF.cosineQuantized(col("qa"), col("qb")), 3) + lit(0.0)).as("cos_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Documents plus deterministic near-duplicate mutations (every 50th
     * doc gets a copy with an appended tail) — gives the near-dup
     * operators guaranteed work at any scale factor.
@@ -1066,6 +1089,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "simsearch_cosine" -> (simsearchCosine _),
+    "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
@@ -1765,5 +1789,22 @@ object SparkEntry {
         |  FROM exploded GROUP BY vec_id)
         |SELECT vec_id,
         |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
-        |FROM sums ORDER BY vec_id""".stripMargin)
+        |FROM sums ORDER BY vec_id""".stripMargin,
+    "simsearch_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |         THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE)
+        |                / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))/127.0)
+        |                + 0.5))
+        |    END AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qb FROM s WHERE vec_id = 0)
+        |SELECT z.vec_id,
+        |  round(list_dot_product(z.q, qv.qb)
+        |        / (sqrt(list_dot_product(z.q, z.q)) * sqrt(list_dot_product(qv.qb, qv.qb))), 3)
+        |    + 0.0 AS cos_q
+        |FROM s z, qv ORDER BY z.vec_id""".stripMargin)
 }

@@ -51,6 +51,40 @@ object VectorFunctions {
     dotDecimal(a, b).cast("double") /
       (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
 
+  /** Scalar int8 quantization scale: `max(|v_i|) / 127`, the symmetric
+    * per-vector scale used below. 0 for the all-zero vector.
+    */
+  def quantizeScale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Symmetric int8 quantization: `q_i = floor(v_i/scale + 0.5)` in
+    * [-127, 127] (`floor(x + 0.5)` instead of `round` because its IEEE
+    * arithmetic is bit-identical across engines — that is what lets an
+    * oracle replay the quantization exactly). A 4x memory cut per
+    * float32 corpus — the difference between an embedding table that
+    * fits executor memory at 100 TB and one that doesn't — for ~1%
+    * cosine error (QuantizationSpec measures it). All-zero vectors
+    * quantize to all zeros.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x.cast("double") / scale + lit(0.5)).cast("long")))
+
+  /** Exact integer dot product of two quantized vectors (int8 range:
+    * products <= 127^2 x dims — a long never overflows).
+    */
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Approximate cosine from int8-quantized vectors: integer dot and
+    * norms are EXACT, so the only error is quantization itself; the
+    * final division/sqrt are deterministic IEEE ops, reproducible
+    * cross-engine.
+    */
+  def cosineQuantized(qa: Column, qb: Column): Column =
+    intDot(qa, qb).cast("double") /
+      (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
+
   /** Squared L2 distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(
