@@ -60,6 +60,19 @@ object MergeEngine {
   private val TagCol = "__graft_src"
   private val ManifestName = "_graft_txn.json"
 
+  /** Table roots with a swap IN FLIGHT in this JVM. A manifest on disk
+    * means either an abandoned transaction (crashed writer — roll it
+    * back) or a LIVE one ([[writeStaged]] between manifest and commit
+    * — rolling that back would delete dirs under the writer's feet).
+    * In the single-writer model the two are distinguishable per
+    * process: readers skip recovery while the writer is registered
+    * here. Cross-process concurrent access remains out of scope
+    * (single writer per table, like the reference's one streaming
+    * query per table; see SCALE.md).
+    */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Test-only crash injection: [[writeStaged]] invokes this hook at the
     * named protocol points ("staged", "manifest", "backed-up",
     * "mid-swap", "pre-commit"); a hook that throws simulates a crash at
@@ -138,6 +151,9 @@ object MergeEngine {
     */
   def recoverTable(spark: SparkSession, path: String): Boolean = {
     val root = new Path(path)
+    // a manifest belonging to a LIVE writer in this JVM is not a crash
+    // — rolling it back would corrupt the in-flight swap
+    if (inFlight.contains(root.toString)) return false
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a crash during manifest creation leaves only the tmp file: nothing
     // was swapped yet, so discarding it (and any staged bytes) suffices
@@ -493,6 +509,7 @@ object MergeEngine {
     val backupDir = new Path(s"${cfg.path}__backup_$txid")
     val root = new Path(cfg.path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    inFlight.add(root.toString)
     try {
       // 1. stage, clustered: within-partition sort -> parquet row-group
       // min/max stats cluster on sortCols, so later point/range scans
@@ -586,10 +603,14 @@ object MergeEngine {
       fs.delete(stagingDir, true)
       touchedRels
     } finally {
+      inFlight.remove(root.toString)
       // normal-exit tidy only; after a crash the dirs are evidence for
       // recoverTable and must stay. No manifest means either nothing was
       // swapped (pre-manifest failure) or the commit already happened —
-      // in both cases staging and backup are garbage.
+      // in both cases staging and backup are garbage. (A simulated
+      // crash — a failpoint throw — also lands here: the writer
+      // deregisters, so the left-behind manifest is correctly seen as
+      // abandoned and recoverable.)
       if (!fs.exists(new Path(root, ManifestName))) {
         fs.delete(stagingDir, true)
         fs.delete(backupDir, true)

@@ -211,6 +211,50 @@ class MergeEngineSpec extends SparkSpec {
     }
   }
 
+  test("crash during compaction rolls back; data and files intact") {
+    val path = tmpDir("merge-compact-crash")
+    val cfg = TableConfig("graft_test", "cc_tbl", s"$path/t", partitionCols = Seq("year"))
+    // seed a partition with a guaranteed-multi-file layout (explicit
+    // repartition count defeats AQE coalescing)
+    Seq((0, "n0", 2024, 0L), (1, "n1", 2024, 1L), (2, "n2", 2024, 2L))
+      .toDF("id", "name", "year", "lsn")
+      .repartition(3)
+      .write.partitionBy("year").mode("append").parquet(cfg.path)
+    val before = filesUnder(s"$path/t")
+    crashingAt("mid-swap")(
+      { MergeEngine.compact(spark, cfg, targetFileBytes = 1L << 30, maxFilesPerPartition = 1); () })
+    val t = MergeEngine.readTable(spark, cfg.path).get // triggers rollback
+    assert(t.select("id").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    assert(filesUnder(s"$path/t") == before, "aborted compaction changed the file set")
+    // retry compacts cleanly
+    assert(MergeEngine.compact(spark, cfg, targetFileBytes = 1L << 30, maxFilesPerPartition = 1) == 1)
+    assert(MergeEngine.readTable(spark, cfg.path).get
+      .select("id").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("a reader arriving mid-swap must NOT roll back the live transaction") {
+    val path = tmpDir("merge-live")
+    val cfg = TableConfig("graft_test", "live_tbl", s"$path/t", partitionCols = Seq("year"))
+    val b1 = Seq((1, "a", 2023, 10L)).toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+
+    // simulate a concurrent reader hitting recovery at every in-flight
+    // point: with the writer registered, recoverTable must be a no-op
+    val observed = scala.collection.mutable.Map[String, Boolean]()
+    MergeEngine.Failpoints.hook = p => observed(p) = MergeEngine.recoverTable(spark, cfg.path)
+    val b2 = Seq((1, "A2", 2023, 20L), (2, "b", 2024, 21L)).toDF("id", "name", "year", "lsn")
+    try MergeEngine.upsert(spark, cfg, b2, Seq("id"), "lsn")
+    finally MergeEngine.Failpoints.hook = _ => ()
+
+    assert(observed.values.forall(_ == false),
+      s"reader rolled back a live transaction at: ${observed.filter(_._2).keys}")
+    // the swap committed despite the concurrent recovery attempts
+    val t = MergeEngine.readTable(spark, cfg.path).get
+    assert(t.select("id", "name").as[(Int, String)].collect().toMap
+      == Map(1 -> "A2", 2 -> "b"))
+    assert(!new java.io.File(s"$path/t/${"_graft_txn.json"}").exists())
+  }
+
   test("crash between stage and swap: unpartitioned table rolls back bit-for-bit") {
     crashPoints.foreach { point =>
       val path = tmpDir(s"merge-crash-flat-$point")
