@@ -62,10 +62,27 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` registration. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration:
+  * the as-of planner strategy plus the graft SQL functions (the
+  * config-based twin of `GraftFunctions.registerAll`, for sessions the
+  * library user doesn't construct).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lang_id"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.LangIdExpression].getName, "lang_id"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LangIdExpression(exprs.head, graft.functions.TextFunctions.LangProfiles)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.InterleaveBits(exprs)))
+  }
 }
 
 /** Sort-merge as-of join exec node. Children are key-clustered and

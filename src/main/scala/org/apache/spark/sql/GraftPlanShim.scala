@@ -16,4 +16,18 @@ object GraftPlanShim {
   /** The analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Test access to `private[sql]` extension builders: what would this
+    * extensions object contribute to a session built with it?
+    */
+  def buildStrategies(
+      e: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark)
+
+  def registerFunctions(
+      e: SparkSessionExtensions,
+      r: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    e.registerFunctions(r)
 }

@@ -101,6 +101,17 @@ class PhysicalAsOfSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the strategy and the SQL functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    import org.apache.spark.sql.GraftPlanShim
+    assert(GraftPlanShim.buildStrategies(ext, spark).contains(graft.plans.AsOfJoinStrategy))
+    val registry = GraftPlanShim.registerFunctions(
+      ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    assert(registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("lang_id")))
+    assert(registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits")))
+  }
+
   test("physical asOf: plan contains AsOfJoinExec and reuses key partitioning") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
