@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * and its neighbors' labels; converges when a round changes nothing —
   * after at most `diameter` rounds, each component is labeled with its
   * minimum member id. Each round is one keyed join + one map-side
-  * combinable min aggregation; every intermediate is persisted and the
-  * previous round released, so round N plans against the cached round
-  * N-1, not the whole lineage.
+  * combinable min aggregation, eagerly lineage-truncated
+  * (localCheckpoint), so round N plans against round N-1's stored rows,
+  * not the whole accumulated plan.
   *
   * Scale notes: near-dup components are clique-ish (tiny diameter —
   * 2-3 rounds in practice), so rounds, not round cost, stay small; the

@@ -10,16 +10,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** The micro-batch merge closure — the engine's core control flow,
-  * reproducing the reference's driver-orchestrated multi-pass loop
-  * exactly (reference: stream.py:39-156, traced in SURVEY.md §3.2):
+  * with the same SEMANTICS as the reference's driver-orchestrated loop
+  * (reference: stream.py:39-156, traced in SURVEY.md §3.2) but fewer
+  * fixed per-batch jobs:
   *
-  * cache batch -> distinct topics -> per topic: cache slice, distinct
-  * (key_schema_id, value_schema_id) pairs in ascending registry order
-  * (older schema versions merge first — ids are monotone) -> per pair:
-  * pk cols from the key schema, FAILFAST Avro decode, struct expansion,
-  * Debezium casts, W1 latest-per-key dedup, additional cols, create
-  * table if needed, upsert the live slice (strict LSN guard), delete
-  * the tombstone slice (pk-only, no guard).
+  * cache batch -> ONE distinct (topic, key_schema_id, value_schema_id)
+  * metadata collect (the reference runs a topics pass plus a pairs
+  * pass per topic) -> per topic, pairs in ascending registry order
+  * (older schema versions merge first — ids are monotone; the topic
+  * slice is additionally cached only when several pairs will re-read
+  * it) -> per pair: pk cols from the key schema, FAILFAST Avro decode,
+  * struct expansion, Debezium casts, W1 latest-per-key dedup,
+  * additional cols, memoized create-table, ONE routing aggregation
+  * (replacing two per-branch emptiness probes), upsert the live slice
+  * (strict LSN guard), delete the tombstone slice (pk-only, no guard).
   */
 object MicroBatchMerger {
 

@@ -101,6 +101,23 @@ class PhysicalAsOfSpec extends SparkSpec {
     }
   }
 
+  test("physical asOf: pre-partitioned inputs add NO join exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = Seq((1, 100L, "L1"), (2, 50L, "L2")).toDF("k", "ts", "lid").repartition(col("k"))
+      val right = Seq((1, 90L, "R1")).toDF("k", "ts", "tag").repartition(col("k"))
+      val out = PhysicalAsOf.asOf(left, right, "k", "ts", "ts")
+      out.collect()
+      val shuffles = physicalPlan(out).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      // only the two explicit repartitions — the join itself declares
+      // its distribution as satisfied and inserts none
+      assert(shuffles.size == 2, s"join added exchanges:\n${physicalPlan(out)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("GraftExtensions injects the strategy and the SQL functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
