@@ -29,7 +29,11 @@ object Bench {
     val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
     warm.filter("l_quantity > 0").select("l_orderkey").limit(10).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: comma-separated name substrings; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -29,6 +29,12 @@ object Clustering {
 
   /** @param pairs one row per undirected edge (order irrelevant,
     *              duplicates tolerated)
+    * @param broadcastThresholdRows when the node count is at or below
+    *              this, each round's label lookups ride broadcast hash
+    *              joins — one shuffle per round (the min aggregation)
+    *              instead of three. Above it, shuffled joins: the label
+    *              table no longer fits an executor, and the per-round
+    *              shuffles are the intended O(|edges|) scale shape.
     * @return (id, cluster) — every node that appears in some edge,
     *         labeled with its component's minimum id. Nodes with no
     *         edges are their own singleton cluster and are not emitted
@@ -39,7 +45,8 @@ object Clustering {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      broadcastThresholdRows: Long = 4L << 20): DataFrame = {
     // TRUNCATE LINEAGE every round (eager localCheckpoint — stores the
     // rows, replaces the plan with a LogicalRDD leaf). Persist alone is
     // NOT enough for an iterative DataFrame loop: round N's logical
@@ -56,18 +63,23 @@ object Clustering {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the label table is one row per node in the PAIR graph — in a
+    // near-dup pipeline a small fraction of the corpus — so it usually
+    // broadcasts; count() is free, labels is already materialized
+    val small = labels.count() <= broadcastThresholdRows
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .join(side(labels.select(col("id").as("dst"), col("label"))), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       // carry the previous label through the round so convergence is a
       // plain filter-count over the checkpointed rows — two jobs per
       // round total (checkpoint materialization + count), no extra join
       val next = labels
-        .join(neighborMin, Seq("id"), "left")
+        .join(side(neighborMin), Seq("id"), "left")
         .select(
           col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
