@@ -534,6 +534,25 @@ object SparkEntry {
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition/shape signals + keep gate per document
+    * (sampled: first 20 doc ids keep the oracle diff small). Every
+    * ratio is an exact integer ratio divided once, so Spark and DuckDB
+    * round identical doubles.
+    */
+  private def textGopherQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), TF.tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(TF.meanWordLength(col("ws")), 4).as("mean_word_len"),
+        round(TF.dupWordFraction(col("ws")), 4).as("dup_word_frac"),
+        round(TF.topWordFraction(col("ws")), 4).as("top_word_frac"),
+        round(TF.dupNgramFraction(col("ws"), 2), 4).as("dup_bigram_frac"),
+        TF.gopherKeep(col("ws")).as("keep"))
+      .orderBy(col("doc_id"))
+
   /** Brute-force cosine similarity of every vector against a query
     * vector (vec_id=0) — the exact baseline for ANN.
     */
@@ -1086,6 +1105,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_gopher_quality" -> (textGopherQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "simsearch_cosine" -> (simsearchCosine _),
@@ -1671,6 +1691,34 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "text_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 20),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 2
+        |         THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |         ELSE [array_to_string(ws, ' ')]
+        |    END AS bg
+        |  FROM t),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+        |    CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dwf,
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |           w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS twf,
+        |    CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dbf
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(dwf, 4) AS dup_word_frac,
+        |  round(twf, 4) AS top_word_frac,
+        |  round(dbf, 4) AS dup_bigram_frac,
+        |  (mwl BETWEEN 3.0 AND 10.0) AND twf <= 0.2 AND dbf <= 0.2 AS keep
+        |FROM sig
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents

@@ -141,6 +141,54 @@ object TextFunctions {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  // ------------------------------------------------------------------
+  // Gopher-style repetition / shape signals (Rae et al. 2021 §A1.1,
+  // adapted to word/n-gram repetition: this engine's quality gate runs
+  // before any line re-flowing, and duplicate words and n-grams are the
+  // signals that survive single-line documents). All built-ins —
+  // per-row array ops, no shuffle, no UDF — and every formula is
+  // replayable in ANSI-ish SQL (list functions), which is how
+  // `text_gopher_quality` is oracle-gated.
+  // ------------------------------------------------------------------
+
+  /** Fraction of words that are repeats of an earlier word:
+    * `1 - |distinct|/|words|` computed as an exact integer ratio.
+    */
+  def dupWordFraction(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+
+  /** Fraction of all words taken by the single most frequent word
+    * (Gopher gates documents where one token dominates). O(distinct x
+    * words) per row — bounded by document length, not corpus size.
+    */
+  def topWordFraction(toks: Column): Column =
+    array_max(
+      transform(array_distinct(toks), w => size(filter(toks, x => x === w))))
+      .cast("double") / size(toks)
+
+  /** Fraction of word n-grams that are repeats (Gopher's duplicate
+    * 2-/3-/4-gram fractions). Uses [[ngramsFromTokens]], so short
+    * documents (< n words) are a single whole-text shingle with zero
+    * duplication.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val gs = ngramsFromTokens(toks, n)
+    (size(gs) - size(array_distinct(gs))).cast("double") / size(gs)
+  }
+
+  /** Mean word length in characters (Gopher keeps 3-10). */
+  def meanWordLength(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks)
+
+  /** Gopher-adapted keep gate over the repetition/shape signals:
+    * mean word length in [3, 10], no single word above 20% of the
+    * document, duplicate-bigram fraction at most 20%.
+    */
+  def gopherKeep(toks: Column): Column =
+    meanWordLength(toks).between(lit(3.0), lit(10.0)) &&
+      topWordFraction(toks) <= lit(0.2) &&
+      dupNgramFraction(toks, 2) <= lit(0.2)
+
   /** Small public stopword profiles (top function words per language). */
   val LangProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with", "that", "it"),

@@ -85,6 +85,32 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getInt(3) == "parsejson fast2x now!".length - 4)
   }
 
+  test("text: Gopher repetition signals against hand-computed values") {
+    // "a bb a bb a" -> words [a,bb,a,bb,a]: 5 words, 2 distinct,
+    // mean len 7/5, top word a = 3/5, bigrams [a bb, bb a, a bb, bb a]
+    // -> 2 of 4 duplicated
+    val df = Seq(
+      (1, "a bb A bb a"),
+      (2, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    val r = df.select(
+      col("id"),
+      TF.dupWordFraction(TF.tokens(col("text"))).as("dwf"),
+      TF.topWordFraction(TF.tokens(col("text"))).as("twf"),
+      TF.dupNgramFraction(TF.tokens(col("text")), 2).as("dbf"),
+      TF.meanWordLength(TF.tokens(col("text"))).as("mwl"),
+      TF.gopherKeep(TF.tokens(col("text"))).as("keep"))
+      .collect().map(row => row.getInt(0) -> row).toMap
+    assert(r(1).getDouble(1) == 3.0 / 5)
+    assert(r(1).getDouble(2) == 3.0 / 5)
+    assert(r(1).getDouble(3) == 2.0 / 4)
+    assert(r(1).getDouble(4) == 7.0 / 5)
+    assert(!r(1).getBoolean(5), "repetitive short-word doc must be dropped")
+    assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(3) == 0.0)
+    assert(r(2).getDouble(2) == 1.0 / 10)
+    assert(r(2).getDouble(4) == 39.0 / 10)
+    assert(r(2).getBoolean(5), "clean doc must be kept")
+  }
+
   test("text: langId picks the dominant stopword profile") {
     val df = Seq(
       (1, "the cat sat on the mat and it is happy"),
