@@ -671,6 +671,21 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** C4-style corpus-frequency n-gram duplication per document
+    * (computed over the FULL corpus; output sampled to the first 30 doc
+    * ids to keep the oracle diff small).
+    */
+  private def dedupGlobalNgrams(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .globalNgramDupStats(Tables(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 2)
+      .filter(col("id") < 30)
+      .select(
+        col("id").as("doc_id"),
+        col("n_grams"),
+        col("dup_grams"),
+        round(col("dup_frac"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1100,6 +1115,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1594,6 +1610,28 @@ object SparkEntry {
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_global_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 3
+        |           THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS gs
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |d AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, count(*) AS dup_grams FROM e JOIN d USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(g.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(dp.dup_grams, 0) AS BIGINT) AS dup_grams,
+        |  round(CAST(coalesce(dp.dup_grams, 0) AS DOUBLE) / len(g.gs), 4) AS dup_frac
+        |FROM g LEFT JOIN dp ON g.doc_id = dp.doc_id
+        |WHERE g.doc_id < 30
+        |ORDER BY g.doc_id""".stripMargin,
     // full replay of the portable-md5 SimHash pipeline: 60-bit token
     // hashes (15 md5 hex chars fit a signed BIGINT), majority-bit
     // signature, 5 pigeonhole 12-bit bands, bucket-size guard, exact

@@ -245,6 +245,53 @@ object TextDedup {
   def jaccardFromShingles(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
 
+  /** Corpus-frequency n-gram duplication stats (the C4-style GLOBAL
+    * dedup signal, complementary to pairwise LSH): for each document,
+    * how many of its distinct word n-grams occur in at least `minDocs`
+    * documents corpus-wide, and the duplicated fraction. High-fraction
+    * documents are boilerplate/templates even when no single pair of
+    * documents is a near-duplicate — the case pairwise MinHash cannot
+    * see.
+    *
+    * Scale shape: one explode to (id, gram) — cardinality O(total
+    * n-grams), the inherent C4 cost — then a map-side-combinable
+    * doc-frequency count, a gram-keyed join back (duplicated grams are
+    * usually a small set; AQE broadcasts it when it fits), and a
+    * per-doc count. No pairwise anything, no collect.
+    *
+    * @return (id, n_grams, dup_grams, dup_frac), one row per input doc.
+    */
+  def globalNgramDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Int = 2): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    // staged + persisted: referenced by the explode AND the final
+    // per-doc projection (CollapseProject would re-shingle per use)
+    val grams = toks.select(
+      col("id"),
+      array_distinct(TextFunctions.ngramsFromTokens(col("toks"), n)).as("gs"))
+      .persist()
+    val exploded = grams.select(col("id"), explode(col("gs")).as("gram"))
+    val dupGrams = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select(col("gram"))
+    val dupPerDoc = exploded.join(dupGrams, "gram")
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_grams"))
+    val out = grams.select(col("id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac", col("dup_grams").cast("double") / col("n_grams"))
+    materialized(out, Seq(grams))
+  }
+
   /** Pluggable token-hash family for SimHash. [[XxHash64Simhash]]
     * (default): 64-bit seeded xxhash64, the production path.
     * [[PortableMd5Simhash]]: a 60-bit hash from the first 15 md5 hex

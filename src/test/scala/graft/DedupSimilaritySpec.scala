@@ -42,6 +42,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc flagged")
   }
 
+  test("globalNgramDupStats counts corpus-wide duplicated n-grams per doc") {
+    // docs 1, 2, 4 share their first 3-grams; docs 3 and 5 are unique
+    val stats = TextDedup.globalNgramDupStats(corpus, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"), r.getAs[Double]("dup_frac"))).toMap
+    // identical docs 1 and 4: every 3-gram duplicated
+    assert(stats(1L)._2 == stats(1L)._1 && stats(1L)._3 == 1.0)
+    assert(stats(4L) == stats(1L))
+    // near-dup doc 2 shares all but the trailing "today!" grams
+    assert(stats(2L)._2 > 0 && stats(2L)._2 < stats(2L)._1)
+    // unique docs share nothing
+    assert(stats(3L)._2 == 0L && stats(3L)._3 == 0.0)
+    assert(stats(5L)._2 == 0L)
+  }
+
   test("minhash LSH mega-bucket cap drops oversized buckets") {
     // cap 1 -> every bucket with >=2 members (i.e. every candidate
     // bucket) is dropped -> no pairs at all
