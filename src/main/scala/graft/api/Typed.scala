@@ -1,0 +1,123 @@
+package graft.api
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Clustering, TextDedup}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed (case-class `Encoder`) surface over the engine's core
+  * training-data pipeline: compile-time column safety for the call
+  * sites an application wires together, DataFrame plans underneath —
+  * `.as[T]` is a plan-level cast, so every operator here runs the SAME
+  * Catalyst plan as its untyped twin (no extra serialization stage;
+  * whole-stage codegen is unaffected).
+  *
+  * Use the untyped DataFrame API for schema-dynamic work (CDC
+  * envelopes, evolving tables); use this module when the schema is a
+  * product type the compiler should enforce.
+  */
+object Typed {
+
+  /** One corpus document (the `documents` table's row type). */
+  final case class Document(
+      doc_id: Long,
+      text: String,
+      lang: String,
+      source: String,
+      n_chars: Long)
+
+  /** A document with its pipeline quality signals. */
+  final case class ScoredDocument(
+      doc_id: Long,
+      text: String,
+      lang: String,
+      source: String,
+      n_chars: Long,
+      lang_id: String,
+      n_tokens: Long,
+      quality: Double,
+      keep: Boolean)
+
+  /** One near-duplicate candidate pair (MinHash-estimated Jaccard). */
+  final case class DupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** A document's duplicate-component label. */
+  final case class ClusterLabel(id: Long, cluster: Long)
+
+  /** One embedding row (the `embeddings` table's row type). */
+  final case class EmbeddingRow(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** A scored neighbor from a similarity search. */
+  final case class Neighbor(vec_id: Long, score: Double)
+
+  /** Read the documents table as a typed Dataset. */
+  def documents(spark: SparkSession, sfDir: String): Dataset[Document] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, sfDir, "documents").as[Document]
+  }
+
+  /** Read the embeddings table as a typed Dataset. */
+  def embeddings(spark: SparkSession, sfDir: String): Dataset[EmbeddingRow] = {
+    import spark.implicits._
+    graft.sources.Tables(spark, sfDir, "embeddings").as[EmbeddingRow]
+  }
+
+  /** Quality/language scoring: one codegen'd scan, no shuffle. */
+  def score(docs: Dataset[Document]): Dataset[ScoredDocument] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .withColumn("lang_id", TextFunctions.langId(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("keep", TextFunctions.gopherKeep(TextFunctions.tokens(col("text"))))
+      .as[ScoredDocument]
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs (bucketed, guarded —
+    * see [[TextDedup.minhashCandidatePairs]] for the scale shape).
+    */
+  def nearDupPairs(docs: Dataset[Document]): Dataset[DupPair] = {
+    import docs.sparkSession.implicits._
+    TextDedup.minhashCandidatePairs(docs.toDF(), "doc_id", "text").as[DupPair]
+  }
+
+  /** Duplicate components from candidate pairs (min-label
+    * propagation); labels every paired doc with its component minimum.
+    */
+  def components(pairs: Dataset[DupPair]): Dataset[ClusterLabel] = {
+    import pairs.sparkSession.implicits._
+    Clustering.connectedComponents(pairs.toDF(), "id_a", "id_b").as[ClusterLabel]
+  }
+
+  /** Keep-one-per-component + quality gate: the end-to-end typed
+    * dedup. Documents outside any component are their own survivor.
+    */
+  def dedupedKeepSet(docs: Dataset[Document]): Dataset[ScoredDocument] = {
+    val scored = score(docs)
+    import scored.sparkSession.implicits._
+    val labels = components(nearDupPairs(docs)).toDF()
+    scored.toDF()
+      .join(labels, col("doc_id") === col("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1 && col("keep"))
+      .drop("id", "cluster", "__rk")
+      .as[ScoredDocument]
+  }
+
+  /** Brute-force cosine top-k against a query vector, typed. */
+  def topK(emb: Dataset[EmbeddingRow], query: Array[Float], k: Int): Dataset[Neighbor] = {
+    import emb.sparkSession.implicits._
+    val q = lit(query)
+    emb.toDF()
+      .select(
+        col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), q).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .as[Neighbor]
+  }
+}

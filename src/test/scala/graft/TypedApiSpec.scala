@@ -1,0 +1,50 @@
+package graft
+
+import graft.api.Typed
+import graft.api.Typed.{Document, EmbeddingRow}
+
+/** The typed Dataset facade: compile-time row types over the same
+  * Catalyst plans as the untyped operators.
+  */
+class TypedApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    Document(1L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "web", 63L),
+    Document(2L, "the quick brown fox jumps over the lazy dog near the river bank!", "en", "web", 64L),
+    Document(3L, "catalyst optimizer rules rewrite logical plans before physical planning", "en", "web", 71L),
+    Document(4L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "web", 63L),
+    Document(5L, "parquet row groups carry min max statistics for scan pruning", "en", "web", 60L)).toDS()
+
+  test("score returns typed quality signals on one scan") {
+    val scored = Typed.score(docs).collect().map(d => d.doc_id -> d).toMap
+    assert(scored(1L).lang_id == "en")
+    assert(scored(1L).n_tokens == 13L)
+    assert(scored.values.forall(d => d.quality >= 0.0 && d.quality <= 1.0))
+    assert(scored(3L).keep, "clean technical prose passes the gate")
+  }
+
+  test("nearDupPairs + components label the duplicate family") {
+    val labels = Typed.components(Typed.nearDupPairs(docs))
+      .collect().map(l => l.id -> l.cluster).toMap
+    // docs 1, 2, 4 are one family labeled by the minimum id
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(4L) == 1L)
+    assert(!labels.contains(3L) && !labels.contains(5L), "unique docs are unlabeled")
+  }
+
+  test("dedupedKeepSet keeps one quality-passing survivor per family") {
+    val kept = Typed.dedupedKeepSet(docs).collect().map(_.doc_id).toSet
+    assert(!kept.contains(2L) && !kept.contains(4L), "dup family must keep only doc 1")
+    assert(kept.subsetOf(Set(1L, 3L, 5L)))
+  }
+
+  test("topK returns typed neighbors in score order") {
+    val emb = Seq(
+      EmbeddingRow(0L, Array(1f, 0f, 0f), 0),
+      EmbeddingRow(1L, Array(0.9f, 0.1f, 0f), 0),
+      EmbeddingRow(2L, Array(0f, 1f, 0f), 1)).toDS()
+    val top = Typed.topK(emb, Array(1f, 0f, 0f), 2).collect()
+    assert(top.map(_.vec_id).toSeq == Seq(0L, 1L))
+    assert(top.head.score > top(1).score)
+  }
+}
