@@ -29,6 +29,9 @@ object StreamJoins {
     *        only matches events in its first `maxIntervalLength`). It
     *        gives the planner the `event_time <= start + bound`
     *        conjunct that makes interval-side state evictable.
+    * @param joinType "inner", or "left_outer" to also emit events that
+    *        fall in no interval (null interval columns) — emitted once
+    *        the watermark proves no matching interval can still arrive.
     */
   def pointInInterval(
       events: DataFrame,
@@ -39,7 +42,8 @@ object StreamJoins {
       keyCols: Seq[String],
       eventDelay: String,
       intervalDelay: String,
-      maxIntervalLength: String): DataFrame = {
+      maxIntervalLength: String,
+      joinType: String = "inner"): DataFrame = {
     val e = events.withWatermark(eventTime, eventDelay).alias("e")
     val i = intervals.withWatermark(startCol, intervalDelay).alias("i")
     val timeCond =
@@ -47,7 +51,7 @@ object StreamJoins {
         col(s"e.$eventTime") <= col(s"i.$endCol") &&
         col(s"e.$eventTime") <= col(s"i.$startCol") + expr(s"interval $maxIntervalLength")
     val cond = keyCols.foldLeft(timeCond)((c, k) => c && col(s"e.$k") === col(s"i.$k"))
-    keyCols.foldLeft(e.join(i, cond, "inner"))((d, k) => d.drop(col(s"i.$k")))
+    keyCols.foldLeft(e.join(i, cond, joinType))((d, k) => d.drop(col(s"i.$k")))
   }
 
   /** As-of-WITHIN-HORIZON candidate rows: for each event, every update
@@ -63,6 +67,10 @@ object StreamJoins {
     * nearest preceding update is OLDER than the horizon gets no row
     * (downstream treats it as "no dimension value"), because matching
     * it would require keeping every update forever.
+    *
+    * @param joinType "inner", or "left_outer" to keep dimension-less
+    *        events as null-extended rows (emitted once the watermark
+    *        closes their horizon).
     */
   def asOfCandidates(
       events: DataFrame,
@@ -72,13 +80,14 @@ object StreamJoins {
       keyCols: Seq[String],
       eventDelay: String,
       updateDelay: String,
-      horizon: String): DataFrame = {
+      horizon: String,
+      joinType: String = "inner"): DataFrame = {
     val e = events.withWatermark(eventTime, eventDelay).alias("e")
     val u = updates.withWatermark(updateTime, updateDelay).alias("u")
     val timeCond =
       col(s"u.$updateTime") <= col(s"e.$eventTime") &&
         col(s"u.$updateTime") > col(s"e.$eventTime") - expr(s"interval $horizon")
     val cond = keyCols.foldLeft(timeCond)((c, k) => c && col(s"e.$k") === col(s"u.$k"))
-    keyCols.foldLeft(e.join(u, cond, "inner"))((d, k) => d.drop(col(s"u.$k")))
+    keyCols.foldLeft(e.join(u, cond, joinType))((d, k) => d.drop(col(s"u.$k")))
   }
 }

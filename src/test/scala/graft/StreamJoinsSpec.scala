@@ -42,6 +42,37 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer pointInInterval emits unmatched events after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Int, Timestamp, String)]
+    val iv = MemoryStream[(Int, Timestamp, Timestamp, String)]
+    val out = StreamJoins.pointInInterval(
+      ev.toDF.toDF("k", "ts", "ev"),
+      "ts",
+      iv.toDF.toDF("k", "start_ts", "end_ts", "iv"),
+      "start_ts", "end_ts",
+      Seq("k"),
+      eventDelay = "5 minutes", intervalDelay = "5 minutes",
+      maxIntervalLength = "30 minutes",
+      joinType = "left_outer")
+    val name = s"pio_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      iv.addData((1, ts(0), ts(10), "win1"))
+      ev.addData((1, ts(5), "inside"), (2, ts(5), "orphan"))
+      q.processAllAvailable()
+      // push both watermarks far past the orphan's join window
+      iv.addData((9, ts(500), ts(501), "late-win"))
+      ev.addData((9, ts(500), "late-ev"))
+      q.processAllAvailable()
+      val got = spark.table(name).select("ev", "iv")
+        .as[(String, Option[String])].collect().toMap
+      assert(got("inside").contains("win1"))
+      assert(got.contains("orphan") && got("orphan").isEmpty,
+        s"unmatched event must surface with null interval: $got")
+    } finally q.stop()
+  }
+
   test("asOfCandidates + latest-per-key dedup = as-of within horizon") {
     implicit val sqlCtx = spark.sqlContext
     val ev = MemoryStream[(Int, Timestamp, String)]
