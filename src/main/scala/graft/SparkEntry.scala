@@ -467,6 +467,39 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy(col("event_type"))
 
+  /** Deterministic training-mixture sampling: per-source md5-threshold
+    * rates (src0 keeps all, src1 half, src2 a quarter, src3 an eighth,
+    * everything else one sixteenth), then per-source counts.
+    */
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .mixtureSampleMd5(
+        Tables(s, dir, "documents"), "source", col("doc_id"),
+        Map("src0" -> 16, "src1" -> 8, "src2" -> 4, "src3" -> 2),
+        defaultSixteenths = 1)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).cast("long").as("tokens"))
+      .orderBy(col("source"))
+
+  /** Concat-and-chunk sequence packing into 2048-token packs across 4
+    * shards (md5 order hash so the oracle replays the exact layout),
+    * reported as per-pack fill statistics.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val packed = graft.operators.Packing.packChunks(
+      Tables(s, dir, "documents"),
+      "doc_id",
+      TF.tokenCount(col("text")),
+      budgetTokens = budget,
+      shards = 4,
+      orderHash = Some(md5(col("doc_id").cast("string"))))
+    graft.operators.Packing.packStats(packed, budget)
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
   /** Approximate distinct (HLL sketch) gated against the exact count.
     * The estimator value itself is engine-specific, so the oracle-gated
     * output is the exact count plus a tolerance verdict computed in the
@@ -1100,6 +1133,8 @@ object SparkEntry {
     "q31_window_dedup_agg" -> (windowDedupAgg _),
     "q32_sample_per_group" -> (samplePerGroup _),
     "q33_hash_rate_sample" -> (hashRateSample _),
+    "mixture_sample" -> (mixtureSample _),
+    "pack_sequences" -> (packSequences _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q35_json_extract" -> (jsonExtract _),
     "q36_explode_top_words" -> (explodeTopWords _),
@@ -1394,6 +1429,33 @@ object SparkEntry {
         |WHERE md5(CAST(event_id AS VARCHAR)) < '2'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "mixture_sample" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8'
+        |              WHEN 'src2' THEN '4' WHEN 'src3' THEN '2' ELSE '1' END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pack_offset
+        |  FROM t)
+        |SELECT shard, CAST(floor(CAST(pack_offset AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  round(CAST(sum(n_tokens) AS BIGINT) / 2048.0, 4) AS fill
+        |FROM p
+        |GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
     "q35_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS avg_k,

@@ -45,4 +45,49 @@ object Sampling {
   /** Rate-filter on a caller-supplied deterministic hash column. */
   def hashRateFilter(df: DataFrame, hash: Column, num: Int, denom: Int): DataFrame =
     df.filter(pmod(hash, lit(denom.toLong)) < num.toLong)
+
+  /** Deterministic MIXTURE sampling: each group (e.g. data source) is
+    * hash-sampled at its own rate — the data-mixing step that reweights
+    * sources before training. One codegen'd filter over the scan, no
+    * shuffle, no RNG: the mixture is a pure function of the data and
+    * the rate table.
+    *
+    * @param rates per-group (num, denom) keep rates; groups absent from
+    *              the map use `default` ((1, 1) keeps everything)
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCols: Seq[String],
+      rates: Map[String, (Int, Int)],
+      default: (Int, Int) = (1, 1)): DataFrame = {
+    val h = xxhash64(idCols.map(col): _*)
+    val num = rates.toSeq.sortBy(_._1).foldLeft(lit(default._1.toLong)) {
+      case (acc, (g, (n, _))) => when(col(groupCol) === g, lit(n.toLong)).otherwise(acc)
+    }
+    val den = rates.toSeq.sortBy(_._1).foldLeft(lit(default._2.toLong)) {
+      case (acc, (g, (_, d))) => when(col(groupCol) === g, lit(d.toLong)).otherwise(acc)
+    }
+    df.filter(pmod(h, den) < num)
+  }
+
+  /** [[mixtureSample]] in engine-portable form: keep iff the row's md5
+    * hex is below the group's threshold digit — rates are sixteenths
+    * (`md5(id) < '4'` keeps 4/16), replayable verbatim in any engine
+    * with md5 (that is how the `mixture_sample` oracle gate works).
+    * Rate 16 keeps everything ('g' sorts after every hex digit).
+    */
+  def mixtureSampleMd5(
+      df: DataFrame,
+      groupCol: String,
+      idCol: Column,
+      rateSixteenths: Map[String, Int],
+      defaultSixteenths: Int = 16): DataFrame = {
+    def thr(r: Int): String =
+      if (r >= 16) "g" else "0123456789abcdef".charAt(r).toString
+    val bound = rateSixteenths.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultSixteenths))) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(thr(r))).otherwise(acc)
+    }
+    df.filter(md5(idCol.cast("string")) < bound)
+  }
 }

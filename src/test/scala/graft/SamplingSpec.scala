@@ -23,4 +23,55 @@ class SamplingSpec extends SparkSpec {
     assert(n > 150 && n < 350, s"expected ~250 of 1000, got $n")
     assert(kept.count() == n) // deterministic
   }
+
+  test("mixtureSample: per-group rates, deterministic, default for unlisted") {
+    val kept = Sampling.mixtureSample(
+      df, "g", Seq("id"),
+      rates = Map("g0" -> ((1, 1)), "g1" -> ((1, 4)), "g2" -> ((0, 1))),
+      default = (1, 2))
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("g0") == 250L, "rate 1/1 keeps the whole group")
+    assert(!counts.contains("g2"), "rate 0 drops the group entirely")
+    val g1 = counts("g1")
+    assert(g1 > 30 && g1 < 95, s"~1/4 of 250 expected, got $g1")
+    val g3 = counts("g3")
+    assert(g3 > 85 && g3 < 165, s"default 1/2 of 250 expected, got $g3")
+    assert(kept.count() == counts.values.sum) // deterministic
+  }
+
+  test("mixtureSampleMd5: threshold digits give monotone rates") {
+    val kept = Sampling.mixtureSampleMd5(
+      df, "g", col("id"),
+      rateSixteenths = Map("g0" -> 16, "g1" -> 4, "g2" -> 0),
+      defaultSixteenths = 8)
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("g0") == 250L)
+    assert(!counts.contains("g2"))
+    assert(counts("g1") < counts("g3"), "4/16 must keep fewer than 8/16")
+  }
+
+  test("packChunks: offsets are contiguous per shard and packs respect the budget") {
+    val docs = (1 to 200).map(i => (i.toLong, 10L + i % 7)).toDF("doc_id", "toks")
+    val packed = graft.operators.Packing
+      .packChunks(docs, "doc_id", col("toks"), budgetTokens = 100L, shards = 3)
+    val rows = packed.select("shard", "pack_id", "pack_offset", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // per shard: offsets start at 0 and are the running sum of tokens
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, "offsets must be gapless")
+        case _ =>
+      }
+      // pack id is the offset's budget bucket
+      sorted.foreach(r => assert(r._2 == r._3 / 100L))
+    }
+    // determinism
+    val again = graft.operators.Packing
+      .packChunks(docs, "doc_id", col("toks"), budgetTokens = 100L, shards = 3)
+      .select("shard", "pack_id", "pack_offset", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.toSet == again.toSet)
+  }
 }
