@@ -1,7 +1,7 @@
 package graft
 
 import graft.avro.{AvroDecode, AvroEncode}
-import graft.functions.{DeterministicSample, HyperplaneSignature, InterleaveBits, LangIdExpression, TextFunctions}
+import graft.functions.{DeterministicSample, HyperplaneSignature, InterleaveBits, LangIdExpression, MinHashSignature, TextFunctions}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -59,6 +59,12 @@ object GraftFunctions {
         exprs.head,
         constantInt(exprs(1), "hyperplane_signature(_, bits, seed)"),
         constantInt(exprs(2), "hyperplane_signature(_, bits, seed)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(
+        exprs.head,
+        constantInt(exprs(1), "minhash_signature(_, numHashes)")),
       "scala_udf")
     ()
   }

@@ -65,18 +65,39 @@ object TextDedup {
         sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_copies") > 1)
 
-  /** MinHash signature from an already-staged shingle array: ONE
-    * `aggregate` pass over the shingles maintaining `numHashes` running
-    * minimums (per shingle: hash `numHashes` ways, zip into the
-    * accumulator with `least`). The obvious alternative — `numHashes`
-    * separate `array_min(transform(...))` columns — re-traverses the
-    * shingle array once per hash and allocates a shingle-sized
-    * intermediate each time; interpreted higher-order functions make
-    * that O(numHashes x shingles) array overhead a real constant-factor
-    * cost at corpus scale (both forms are sub-second at sf0.1, so prefer
-    * the single-pass form on allocation grounds, not a measured win).
+  /** MinHash signature from an already-staged shingle array.
+    *
+    * The production xxhash64 scheme resolves to the native
+    * [[graft.functions.MinHashSignature]] Catalyst expression — a
+    * primitive-array loop per row. The portable-md5 scheme (whose
+    * point is SQL replayability, not speed) keeps the ONE-`aggregate`-
+    * pass HOF form, which is also retained as
+    * [[minhashSignatureFromShinglesHof]] — the bit-identical
+    * differential oracle for the native expression
+    * (MinHashSignatureSpec).
     */
   def minhashSignatureFromShingles(
+      shingles: Column,
+      numHashes: Int,
+      scheme: MinhashScheme = XxHash64Scheme): Column = scheme match {
+    case XxHash64Scheme =>
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.MinHashSignature(
+          org.apache.spark.sql.GraftColumnShim.expression(shingles), numHashes))
+    case _ => minhashSignatureFromShinglesHof(shingles, numHashes, scheme)
+  }
+
+  /** HOF formulation: ONE `aggregate` pass over the shingles
+    * maintaining `numHashes` running minimums (per shingle: hash
+    * `numHashes` ways, zip into the accumulator with `least`). The
+    * obvious alternative — `numHashes` separate
+    * `array_min(transform(...))` columns — re-traverses the shingle
+    * array once per hash and allocates a shingle-sized intermediate
+    * each time; interpreted higher-order functions make that
+    * O(numHashes x shingles) array overhead a real constant-factor
+    * cost at corpus scale.
+    */
+  def minhashSignatureFromShinglesHof(
       shingles: Column,
       numHashes: Int,
       scheme: MinhashScheme = XxHash64Scheme): Column =
