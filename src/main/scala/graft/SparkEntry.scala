@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, Clustering, IvfAnn, MergeEngine, RangeJoin, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, CdcDedup, Clustering, Decontamination, IvfAnn, MergeEngine, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -719,6 +719,48 @@ object SparkEntry {
         round(col("dup_frac"), 4).as("dup_frac"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination: the "eval set" is a planted exact
+    * subset of the corpus (every doc_id % 50 == 7), so those documents
+    * are fully contaminated by construction and the rest only via
+    * chance 4-gram collisions — both paths of the flag are exercised.
+    * Oracle-gated: word 4-grams, broadcast eval-gram probe, per-doc
+    * overlap count, all replayed in SQL.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 50 === 7).select(col("text"))
+    Decontamination.flagContaminated(docs, evalSet, "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id"), col("n_grams"), col("eval_hits"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature linear quality score per document, oracle-gated via
+    * the portable md5 hash scheme: bucket, LCG weight, exact integer
+    * feature sum, mean-weight score, and the integer-compare keep gate
+    * are all replayed in SQL. The xxhash64 production scheme is spec'd
+    * in QualityClassifierSpec.
+    */
+  private def textQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier
+      .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("feat_sum"), col("score"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Budget-capped corpus selection composed on the quality classifier:
+    * keep the best-scoring documents until the running token total
+    * exceeds the budget. Oracle-gated: the SQL replays the classifier
+    * then one window running sum over (score desc, doc_id) — exactly
+    * the total order the two-layer Spark plan reproduces without a
+    * single-partition window.
+    */
+  private def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = QualityClassifier
+      .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
+    graft.operators.Sampling.tokenBudgetSelect(scored, "id", "score", "n_tokens", budget = 5000L)
+      .select(col("id").as("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1152,6 +1194,9 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
+    "decontaminate" -> (decontaminate _),
+    "text_quality_classifier" -> (textQualityClassifier _),
+    "token_budget_select" -> (tokenBudgetSelect _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -1694,6 +1739,84 @@ object SparkEntry {
         |FROM g LEFT JOIN dp ON g.doc_id = dp.doc_id
         |WHERE g.doc_id < 30
         |ORDER BY g.doc_id""".stripMargin,
+    // full replay of the decontamination flag: distinct word 4-grams
+    // per doc, eval-gram set from the planted doc_id % 50 == 7 subset,
+    // per-doc overlap count, contaminated = any overlap
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 4
+        |           THEN [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS gs
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |ev AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 7),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS eval_hits
+        |  FROM e JOIN ev USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(g.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.eval_hits, 0) AS BIGINT) AS eval_hits,
+        |  coalesce(h.eval_hits, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    // full replay of the hashed-linear quality score: 60-bit md5 token
+    // hash -> bucket -> LCG integer weight, exact integer sum per doc,
+    // one float conversion at the end, integer-compare keep gate
+    "text_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tk FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % 4096)
+        |      * 1103515245 + 12345) % 1000003 AS v
+        |  FROM tok),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  s AS feat_sum,
+        |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 500001.5) - 1.0, 4) + 0.0 AS score,
+        |  2 * s > n * 1000003 AS keep
+        |FROM a
+        |ORDER BY doc_id""".stripMargin,
+    // classifier replay + ONE window running sum over the total order
+    // (score desc, doc_id asc); the Spark side reproduces the same
+    // order via per-score prefix + within-score window
+    "token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tk FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % 4096)
+        |      * 1103515245 + 12345) % 1000003 AS v
+        |  FROM tok),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 500001.5) - 1.0, 4) + 0.0 AS score,
+        |    CAST(n AS BIGINT) AS n_tokens
+        |  FROM a),
+        |r AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM sc)
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM r WHERE cum_tokens <= 5000
+        |ORDER BY doc_id""".stripMargin,
     // full replay of the portable-md5 SimHash pipeline: 60-bit token
     // hashes (15 md5 hex chars fit a signed BIGINT), majority-bit
     // signature, 5 pigeonhole 12-bit bands, bucket-size guard, exact

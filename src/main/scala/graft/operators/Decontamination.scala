@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination — flag training documents that share any
+  * word n-gram with an evaluation/benchmark set, so they can be dropped
+  * before training (the standard leakage guard: a doc that contains an
+  * eval question verbatim inflates the benchmark).
+  *
+  * Shape at scale: the eval side is benchmarks — thousands to millions
+  * of rows, orders of magnitude smaller than the corpus — so its
+  * distinct n-gram set is built once and BROADCAST; the corpus side is
+  * a single scan + explode + broadcast join + per-doc count. One
+  * shuffle total (the per-doc aggregation), nothing pairwise, no
+  * corpus-side state. At 100 TB the corpus never moves: only its
+  * exploded gram stream flows through the broadcast probe and collapses
+  * back to one row per doc. If the eval set ever outgrows an executor,
+  * pass `broadcastEval = false` to fall back to a shuffled semi-join —
+  * same plan shape as [[TextDedup.globalNgramDupStats]].
+  */
+object Decontamination {
+
+  /** Per-document contamination stats against an eval set.
+    *
+    * @param corpus training documents (idCol, textCol)
+    * @param evalSet benchmark documents (textCol; ids irrelevant)
+    * @param n word n-gram order; higher n = stricter (fewer chance
+    *          collisions). 8-13 is typical for real corpora.
+    * @param broadcastEval broadcast the eval gram set (default; see
+    *          class note for when to turn it off)
+    * @return (id, n_grams, eval_hits, contaminated): distinct-gram
+    *         count, how many of them appear in the eval set, and the
+    *         drop flag (any overlap at all)
+    */
+  def flagContaminated(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(distinctGrams(evalSet, textCol, n)).as("gram"))
+      .distinct()
+    val probe = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    // staged + persisted: referenced by the explode AND the final
+    // per-doc projection (CollapseProject would re-tokenize per use)
+    val grams = corpus
+      .select(col(idCol).as("id"), distinctGrams(corpus, textCol, n).as("gs"))
+      .persist()
+    val hits = grams.select(col("id"), explode(col("gs")).as("gram"))
+      .join(probe, "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("eval_hits"))
+    val out = grams.select(col("id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        coalesce(col("eval_hits"), lit(0L)).as("eval_hits"))
+      .withColumn("contaminated", col("eval_hits") > 0L)
+    TextDedup.materialized(out, Seq(grams))
+  }
+
+  private def distinctGrams(df: DataFrame, textCol: String, n: Int) =
+    array_distinct(TextFunctions.ngramsFromTokens(TextFunctions.tokens(col(textCol)), n))
+}

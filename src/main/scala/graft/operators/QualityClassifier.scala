@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Hashed-bag-of-words linear quality scorer — the fastText-shaped
+  * classifier every large corpus pipeline runs ("does this doc look
+  * like reference text?"): tokens are feature-hashed into a fixed
+  * weight table, the doc's score is the mean token weight, and the
+  * keep gate is score > 0.
+  *
+  * There is no model file in this container, so the weight table is a
+  * DETERMINISTIC function of the bucket index (an LCG step) — the
+  * plumbing (hash → bucket → weight → mean → gate) is the real
+  * artifact; swap [[weightOf]] for an `element_at` against a broadcast
+  * literal array to serve trained weights.
+  *
+  * Numeric contract: tokens are scored in INTEGER space (the raw LCG
+  * value, exact under any summation order) and converted to a float
+  * weight only once per document, so the score is bit-stable across
+  * engines and partitionings — same trick as the decimal-sum oracles.
+  * Per row it is one codegen'd projection: no shuffle, no UDF, no
+  * state; at 100 TB this is a pure map over the corpus scan.
+  */
+object QualityClassifier {
+
+  /** Feature-hash buckets. */
+  val NumBuckets = 4096
+  /** LCG constants (glibc): v = (bucket * A + C) mod M, weight = v/H - 1. */
+  val A = 1103515245L
+  val C = 12345L
+  val M = 1000003L
+  /** Half of M, so weights span [-1, 1). */
+  val H = 500001.5
+
+  /** Pluggable token-hash family, mirroring [[TextDedup.MinhashScheme]]:
+    * xxhash64 is the production path; the portable scheme uses a 60-bit
+    * md5 prefix (`('0x' || substr(md5(t),1,15))::BIGINT` in DuckDB) so
+    * the whole score is replayable in SQL — that is how
+    * `text_quality_classifier` is oracle-gated.
+    */
+  sealed trait HashScheme { def bucket(token: Column): Column }
+  case object XxHash64Scheme extends HashScheme {
+    def bucket(token: Column): Column = pmod(xxhash64(token), lit(NumBuckets.toLong))
+  }
+  case object PortableMd5Scheme extends HashScheme {
+    def bucket(token: Column): Column =
+      conv(substring(md5(token), 1, 15), 16, 10).cast("long") % NumBuckets
+  }
+
+  /** Integer weight of one bucket (float weight = v/H - 1). */
+  private def rawWeight(bucket: Column): Column = (bucket * A + C) % M
+
+  /** Per-document score + keep gate.
+    *
+    * @return (id, n_tokens, feat_sum, score, keep): token count, exact
+    *         integer feature sum, mean weight in [-1, 1) rounded to 4
+    *         decimals, and the keep flag (mean weight > 0, decided by
+    *         the exact integer comparison `2*feat_sum > n*M`)
+    */
+  def score(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scheme: HashScheme = XxHash64Scheme): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(
+        col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(
+          transform(toks, t => rawWeight(scheme.bucket(t))),
+          lit(0L),
+          (acc, v) => acc + v).as("feat_sum"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("feat_sum"),
+        // `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 = +0.0) so the
+        // score is safe to group/order by downstream (tokenBudgetSelect)
+        (round(col("feat_sum").cast("double") / (col("n_tokens").cast("double") * lit(H)) - 1.0, 4)
+          + 0.0).as("score"),
+        (col("feat_sum") * 2L > col("n_tokens") * M).as("keep"))
+  }
+}

@@ -90,4 +90,49 @@ object Sampling {
     }
     df.filter(md5(idCol.cast("string")) < bound)
   }
+
+  /** Exact budget-capped corpus selection: keep documents in
+    * (score desc, id asc) order while the running token total stays
+    * within `budget` — "take the best docs until N tokens", the step
+    * after quality scoring in a training-data pipeline.
+    *
+    * A naive global-window running sum moves the WHOLE corpus to one
+    * partition; this computes the same total order in two scale-safe
+    * layers instead:
+    *  1. per-distinct-score token totals (one groupBy; output is
+    *     |distinct scores| rows, e.g. ≤ 20001 for a 4-decimal score)
+    *     get an exclusive prefix sum — the only unpartitioned window,
+    *     over scores, not documents;
+    *  2. each document adds its within-score running total (window
+    *     PARTITIONED by score, ordered by id) on top of its score's
+    *     broadcast prefix.
+    * `prefix(score) + within(score, id)` IS the global running sum
+    * under the total order, so the result is exact, not approximate.
+    *
+    * @param scoreCol must not be an IEEE -0.0 producer (normalize with
+    *                 `+ 0.0` upstream) — it is grouped and ordered on
+    * @return kept rows only: (id, score, n_tokens, cum_tokens)
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"), col(scoreCol).as("score"), col(tokensCol).cast("long").as("n_tokens"))
+    val perScore = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("score_toks"))
+    val wScores = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perScore.select(
+      col("score"),
+      coalesce(sum(col("score_toks")).over(wScores), lit(0L)).as("prefix_toks"))
+    val wWithin = Window.partitionBy(col("score")).orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(prefix), "score")
+      .withColumn("cum_tokens", col("prefix_toks") + sum(col("n_tokens")).over(wWithin))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Decontamination
+
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"), // contains the planted eval 4-gram
+    (2L, "alpha beta gamma delta unrelated tail words here"), // same leading 4-gram
+    (3L, "completely different content about catalyst optimizer internals"),
+    (4L, "short doc"), // shorter than n: single whole-doc gram
+    (5L, "beta gamma delta epsilon shifted by one position")) // overlapping 4-gram
+    .toDF("doc_id", "text")
+
+  private lazy val evalSet = Seq(
+    "alpha beta gamma delta epsilon", // leaks grams into docs 1, 2, 5
+    "totally disjoint benchmark question text")
+    .toDF("text")
+
+  test("flags exactly the docs sharing an n-gram with the eval set") {
+    val out = Decontamination
+      .flagContaminated(corpus, evalSet, "doc_id", "text", n = 4)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.length == 5)
+    assert(byId(1L).getAs[Boolean]("contaminated"))
+    assert(byId(2L).getAs[Boolean]("contaminated"))
+    assert(!byId(3L).getAs[Boolean]("contaminated"))
+    assert(!byId(4L).getAs[Boolean]("contaminated"))
+    assert(byId(5L).getAs[Boolean]("contaminated"))
+    // doc 1 has 3 distinct 4-grams, 2 of them in the eval set
+    assert(byId(1L).getAs[Long]("n_grams") == 3L)
+    assert(byId(1L).getAs[Long]("eval_hits") == 2L)
+  }
+
+  test("doc shorter than n matches only a whole-doc eval gram") {
+    val leakyEval = Seq("short doc").toDF("text")
+    val out = Decontamination
+      .flagContaminated(corpus, leakyEval, "doc_id", "text", n = 4)
+      .filter(col("id") === 4L).collect()
+    assert(out.head.getAs[Boolean]("contaminated"))
+    assert(out.head.getAs[Long]("eval_hits") == 1L)
+  }
+
+  test("eval probe rides a broadcast join by default") {
+    val plan = Decontamination
+      .flagContaminated(corpus, evalSet, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.QualityClassifier
+import graft.operators.QualityClassifier.{M, PortableMd5Scheme, XxHash64Scheme}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha alpha alpha alpha"), // repeated token: sum = 4 * one weight
+    (3L, "x"),
+    (4L, "mixed Case  Whitespace   run"))
+    .toDF("doc_id", "text")
+
+  private def rows(scheme: QualityClassifier.HashScheme): Map[Long, Row] =
+    QualityClassifier.score(docs, "doc_id", "text", scheme)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+
+  test("score contract holds under both hash schemes") {
+    for (scheme <- Seq(XxHash64Scheme, PortableMd5Scheme)) {
+      val byId = rows(scheme)
+      assert(byId.size == 4)
+      // token counts: lower/trim/whitespace-split semantics
+      assert(byId(1L).getAs[Long]("n_tokens") == 4L)
+      assert(byId(4L).getAs[Long]("n_tokens") == 4L)
+      // repeated token: feat_sum is exactly 4x the single-token weight,
+      // and every per-token weight is in [0, M)
+      val sum = byId(2L).getAs[Long]("feat_sum")
+      assert(sum % 4L == 0L)
+      assert(sum >= 0L && sum < 4L * M)
+      // keep gate agrees with the exact integer definition
+      for ((_, r) <- byId) {
+        val s = r.getAs[Long]("feat_sum")
+        val n = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Boolean]("keep") == (2 * s > n * M))
+        // score is the mean weight, in [-1, 1)
+        val score = r.getAs[Double]("score")
+        assert(score >= -1.0 && score < 1.0)
+      }
+    }
+  }
+
+  test("schemes disagree on hashes but agree on the contract") {
+    val a = rows(XxHash64Scheme)
+    val b = rows(PortableMd5Scheme)
+    // same ids, same token counts; feature sums generally differ
+    assert(a.keySet == b.keySet)
+    for (id <- a.keySet)
+      assert(a(id).getAs[Long]("n_tokens") == b(id).getAs[Long]("n_tokens"))
+  }
+
+  test("scoring is a single shuffle-free projection") {
+    val plan = QualityClassifier.score(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
