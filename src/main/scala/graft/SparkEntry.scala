@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, Clustering, Decontamination, IvfAnn, MergeEngine, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, CdcDedup, Clustering, CorpusDiff, Decontamination, IvfAnn, MergeEngine, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -761,6 +761,67 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental exact dedup against a fingerprint store. Store = docs
+    * with doc_id < 400. Increment: exact copies of every doc_id % 25 ==
+    * 3 doc (store dups where the base id < 400, fresh content
+    * otherwise), genuinely new docs, and a second in-increment copy of
+    * every doc_id % 100 == 3 doc (whole fingerprint group must drop
+    * when the store already has it). Oracle-gated end to end.
+    */
+  private def dedupIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val store = docs.filter(col("doc_id") < 400)
+      .select(TF.fingerprint(col("text")).as("fp"))
+    val incoming = docs.filter(col("doc_id") % 25 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 40 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 100 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    TextDedup.exactSurvivorsAgainstStore(incoming, store, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental near-dup dedup against a MinHash signature store
+    * (portable-md5 scheme, so signatures, bands, the store-side bucket
+    * guard, and the Jaccard estimate replay in SQL). Store = the whole
+    * corpus; increment = near-duplicate tails of every 50th doc, which
+    * must match their base doc.
+    */
+  private def dedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val store = TextDedup.buildMinhashStore(docs, "doc_id", "text",
+      scheme = TextDedup.PortableMd5Scheme)
+    val incoming = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"))
+    val out = TextDedup
+      .minhashAgainstStore(incoming, store, "doc_id", "text",
+        scheme = TextDedup.PortableMd5Scheme)
+      .select(col("id").as("doc_id"), col("store_id"), col("est_jaccard"))
+      .orderBy(col("doc_id"), col("store_id"))
+    store.unpersist()
+    out
+  }
+
+  /** Corpus snapshot diff: old = doc_id < 400, new = doc_id >= 100 with
+    * every doc_id % 40 == 0 rewritten — yields all four statuses.
+    * Oracle-gated (a FULL OUTER JOIN over fingerprint projections).
+    */
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") < 400)
+    val newSnap = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        when(col("doc_id") % 40 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1197,6 +1258,9 @@ object SparkEntry {
     "decontaminate" -> (decontaminate _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "token_budget_select" -> (tokenBudgetSelect _),
+    "dedup_incremental_exact" -> (dedupIncrementalExact _),
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
+    "corpus_diff" -> (corpusDiff _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -1765,6 +1829,89 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // incremental exact dedup replay: md5 fingerprints, keep-first
+    // within the increment, anti-join against the store set
+    "dedup_incremental_exact" ->
+      """WITH store AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' fresh tail' FROM documents WHERE doc_id % 40 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 100 = 3),
+        |first_per_fp AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         min(doc_id) AS doc_id
+        |  FROM incoming GROUP BY 1)
+        |SELECT doc_id, fp FROM first_per_fp
+        |WHERE fp NOT IN (SELECT fp FROM store)
+        |ORDER BY doc_id""".stripMargin,
+    // incremental near-dup replay: portable-md5 minhash signatures for
+    // store and increment, store-side bucket guard, band probe,
+    // signature-agreement Jaccard estimate
+    "dedup_incremental_minhash" ->
+      """WITH store_docs AS (SELECT doc_id AS id, text FROM documents),
+        |inc_docs AS (
+        |  SELECT doc_id + 1000000 AS id, text || ' near duplicate tail' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |base AS (SELECT * FROM store_docs UNION ALL SELECT * FROM inc_docs),
+        |toks AS (
+        |  SELECT id, string_split_regex(lower(trim(text)), '\s+') AS t FROM base),
+        |grams AS (
+        |  SELECT id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END AS g
+        |  FROM toks),
+        |shing AS (SELECT DISTINCT id, unnest(g) AS sh FROM grams),
+        |minh AS (
+        |  SELECT id, s.seed, min(md5(s.seed::varchar || ':' || sh)) AS mh
+        |  FROM shing CROSS JOIN generate_series(0, 31) s(seed)
+        |  GROUP BY id, s.seed),
+        |sigs AS (SELECT id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bh
+        |  FROM sigs CROSS JOIN generate_series(0, 7) b(band)),
+        |store_bands AS (SELECT * FROM banded WHERE id < 1000000),
+        |inc_bands AS (SELECT * FROM banded WHERE id >= 1000000),
+        |buck AS (
+        |  SELECT band, bh FROM store_bands GROUP BY band, bh HAVING count(*) <= 2000),
+        |bounded AS (
+        |  SELECT store_bands.id, store_bands.band, store_bands.bh
+        |  FROM store_bands JOIN buck USING (band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT i.id AS doc_id, s.id AS store_id
+        |  FROM inc_bands i JOIN bounded s USING (band, bh)
+        |  WHERE i.id != s.id),
+        |est AS (
+        |  SELECT c.doc_id, c.store_id,
+        |    len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.id = c.doc_id
+        |  JOIN sigs sb ON sb.id = c.store_id)
+        |SELECT doc_id, store_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY doc_id, store_id""".stripMargin,
+    // snapshot diff replay: FULL OUTER JOIN over fingerprint projections
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_old
+        |  FROM documents WHERE doc_id < 400),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 40 = 0 THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g')) AS fp_new
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // full replay of the hashed-linear quality score: 60-bit md5 token
     // hash -> bucket -> LCG integer weight, exact integer sum per doc,
     // one float conversion at the end, integer-compare keep gate

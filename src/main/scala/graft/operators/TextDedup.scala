@@ -172,45 +172,12 @@ object TextDedup {
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    // Word 3-gram shingles by default: ~#tokens elements per doc instead
-    // of ~#chars for character shingles — higher-order functions are
-    // interpreted (not codegen'd), so the per-element count is the cost
-    // driver. The shingler receives (tokenArray, rawText); pass
-    // `(_, text) => TextFunctions.charShingles(text, 5)` for
-    // short/no-whitespace corpora.
-    // Stage the pipeline through persist boundaries. Without them,
-    // CollapseProject inlines the shingle computation into each of the
-    // `numHashes` min-hash transforms (a ~32x recompute) and the
-    // signature into every band hash and both join sides.
-    // Repartition first so the per-row compute uses every core even when
-    // the input is one unsplittable file/row-group.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    // Tokenize in its own persisted projection: the default shingler
-    // derives n-grams from the bound token attribute, so the O(len)
-    // split never re-runs per shingle element.
-    val tokenized = spread.select(
-      col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("toks"),
-      col(textCol).as("__text"))
-      .persist()
-    val shingled = tokenized.select(
-      col("id"),
-      array_distinct(shingler(col("toks"), col("__text"))).as("sh"))
-      .persist()
-    val sigs = shingled.select(
-      col("id"),
-      minhashSignatureFromShingles(col("sh"), numHashes, scheme).as("sig"))
-      .persist()
+    val (tokenized, shingled, sigs) = stagedSignatures(df, idCol, textCol, numHashes, shingler, scheme)
     // Bucket-join on ids only: carrying the 32-long signatures through
     // the band shuffle would multiply shuffle volume ~8x (once per
     // shared band); instead dedupe candidate id-pairs first, then join
     // the (persisted) signatures back exactly once per pair.
-    val banded = sigs.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        scheme.bandHash(slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = bandTable(sigs, numHashes, bands, scheme)
     // Mega-bucket guard: a band value shared by a near-identical cluster
     // of m docs yields m^2/2 candidate pairs. Buckets over maxBucketSize
     // are dropped — such clusters are duplicate *groups*, found far
@@ -233,6 +200,174 @@ object TextDedup {
       .filter(col("est_jaccard") >= threshold)
     // `shingled` stays persisted for the caller's verify stage
     (materialized(result, Seq(tokenized, sigs)), shingled)
+  }
+
+  /** The staged signature pipeline shared by the pairwise and the
+    * store-backed (incremental) MinHash paths.
+    *
+    * Word 3-gram shingles by default: ~#tokens elements per doc instead
+    * of ~#chars for character shingles — higher-order functions are
+    * interpreted (not codegen'd), so the per-element count is the cost
+    * driver. The shingler receives (tokenArray, rawText); pass
+    * `(_, text) => TextFunctions.charShingles(text, 5)` for
+    * short/no-whitespace corpora.
+    * Staged through persist boundaries: without them, CollapseProject
+    * inlines the shingle computation into each of the `numHashes`
+    * min-hash transforms (a ~32x recompute) and the signature into
+    * every band hash and both join sides. Repartitioned first so the
+    * per-row compute uses every core even when the input is one
+    * unsplittable file/row-group.
+    *
+    * @return (tokenized, shingled, sigs), each persisted; the caller
+    *         owns the unpersists
+    */
+  private[operators] def stagedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingler: (Column, Column) => Column,
+      scheme: MinhashScheme): (DataFrame, DataFrame, DataFrame) = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Tokenize in its own persisted projection: the default shingler
+    // derives n-grams from the bound token attribute, so the O(len)
+    // split never re-runs per shingle element.
+    val tokenized = spread.select(
+      col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("toks"),
+      col(textCol).as("__text"))
+      .persist()
+    val shingled = tokenized.select(
+      col("id"),
+      array_distinct(shingler(col("toks"), col("__text"))).as("sh"))
+      .persist()
+    val sigs = shingled.select(
+      col("id"),
+      minhashSignatureFromShingles(col("sh"), numHashes, scheme).as("sig"))
+      .persist()
+    (tokenized, shingled, sigs)
+  }
+
+  /** Exploded LSH band table (id, band, band_hash) from a signature
+    * table — the join key of both the pairwise bucket join and the
+    * incremental store probe.
+    */
+  private[operators] def bandTable(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      scheme: MinhashScheme): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        scheme.bandHash(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  // ------------------- incremental (store-backed) dedup -------------------
+  //
+  // A training corpus is built in rounds; re-running pairwise dedup over
+  // the full corpus per increment is O(corpus) when it should be
+  // O(increment). The store-backed forms keep per-corpus state — exact:
+  // one fingerprint per kept doc; near-dup: the signature and band
+  // tables — and dedup each increment against that state. At 100 TB the
+  // store lives as parquet partitioned by a band_hash prefix (bands) and
+  // bucketed by id (sigs); each round appends the survivors' rows.
+
+  /** Exact incremental dedup: rows of `incoming` whose canonical
+    * fingerprint is not in `storeFps` (a table with an `fp` column) and
+    * is the first (minimum id) occurrence within the increment. A
+    * fingerprint already in the store drops ALL its increment copies.
+    * Append the result to the store to complete the ingest round.
+    *
+    * One map-side-combinable groupBy on the increment plus one anti
+    * join against the store — cost scales with the increment; the
+    * store side streams through the join without materializing.
+    */
+  def exactSurvivorsAgainstStore(
+      incoming: DataFrame,
+      storeFps: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    incoming
+      .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .join(storeFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("id"), col("fp"))
+
+  /** Near-dup store: `sigs` (id, sig) and `bands` (id, band, band_hash),
+    * both persisted; release with [[MinhashStore.unpersist]].
+    */
+  final case class MinhashStore(sigs: DataFrame, bands: DataFrame) {
+    def unpersist(): Unit = { sigs.unpersist(); bands.unpersist() }
+  }
+
+  /** Build the near-dup store for a corpus (one-time, or the union of
+    * prior survivors).
+    */
+  def buildMinhashStore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): MinhashStore = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (tokenized, shingled, sigs) = stagedSignatures(df, idCol, textCol, numHashes, shingler, scheme)
+    val banded = bandTable(sigs, numHashes, bands, scheme).persist()
+    banded.count() // materialize while upstream caches are alive
+    tokenized.unpersist()
+    shingled.unpersist()
+    MinhashStore(sigs, banded)
+  }
+
+  /** Near-duplicate matches of an increment against the store:
+    * (id, store_id, est_jaccard) for every incoming doc whose signature
+    * shares a band bucket with a stored doc and whose estimated Jaccard
+    * clears `threshold`. The caller drops matched ids and appends the
+    * survivors' signature/band rows to the store.
+    *
+    * The mega-bucket guard applies to STORE bucket sizes (the corpus
+    * side is where degenerate near-identical clusters live; the
+    * increment is small by construction): store buckets over
+    * `maxBucketSize` are dropped, same rationale as the pairwise form.
+    */
+  def minhashAgainstStore(
+      incoming: DataFrame,
+      store: MinhashStore,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (tokenized, shingled, sigs) = stagedSignatures(incoming, idCol, textCol, numHashes, shingler, scheme)
+    val inBands = bandTable(sigs, numHashes, bands, scheme)
+    val boundedStore = store.bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+      .join(store.bands, Seq("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col("id").as("store_id"))
+    val candidates = inBands
+      .join(boundedStore, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("store_id")) // re-ingested same-id rows are not matches
+      .select(col("id"), col("store_id"))
+      .distinct()
+    val result = candidates
+      .join(sigs.select(col("id"), col("sig").as("sig_new")), "id")
+      .join(store.sigs.select(col("id").as("store_id"), col("sig").as("sig_store")), "store_id")
+      .select(
+        col("id"), col("store_id"),
+        estimatedJaccard(col("sig_new"), col("sig_store")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    materialized(result, Seq(tokenized, shingled, sigs))
   }
 
   /** Persist + materialize `result`, then release the intermediate
