@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * and its neighbors' labels; converges when a round changes nothing —
   * after at most `diameter` rounds, each component is labeled with its
   * minimum member id. Each round is one keyed join + one map-side
-  * combinable min aggregation, lineage-truncated (lazy localCheckpoint
-  * materialized by the round's convergence count), so round N plans
-  * against round N-1's stored rows, not the whole accumulated plan.
+  * combinable min aggregation, eagerly lineage-truncated
+  * (localCheckpoint), so round N plans against round N-1's stored rows,
+  * not the whole accumulated plan.
   *
   * Scale notes: near-dup components are clique-ish (tiny diameter —
   * 2-3 rounds in practice), so rounds, not round cost, stay small; the
@@ -56,21 +56,16 @@ object Clustering {
     // on a 369-edge input, 25x the truncated form. On a multi-tenant
     // cluster swap localCheckpoint for reliable `checkpoint` (executor
     // loss kills local-checkpointed lineage-free blocks).
-    // LAZY (eager=false) checkpoints throughout: the next action both
-    // computes the rows and stores them, so materialization rides an
-    // action we need anyway instead of being its own job. Here the
-    // labels.count() below materializes edges AND labels — one setup
-    // job instead of three.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(false) // the caller's pair plan runs exactly once
+      .localCheckpoint(true) // the caller's pair plan runs exactly once
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // the label table is one row per node in the PAIR graph — in a
     // near-dup pipeline a small fraction of the corpus — so it usually
-    // broadcasts; this count doubles as the setup materialization
+    // broadcasts; count() is free, labels is already materialized
     val small = labels.count() <= broadcastThresholdRows
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var iter = 0
@@ -81,16 +76,15 @@ object Clustering {
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       // carry the previous label through the round so convergence is a
-      // plain filter-count over the checkpointed rows; the checkpoint is
-      // LAZY, so the count action materializes it — ONE job per round
-      // (compute + store + count fused), no extra join
+      // plain filter-count over the checkpointed rows — two jobs per
+      // round total (checkpoint materialization + count), no extra join
       val next = labels
         .join(side(neighborMin), Seq("id"), "left")
         .select(
           col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
       done = changed == 0L

@@ -73,6 +73,31 @@ object MergeEngine {
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Unified read schema per table, maintained at commit time (and on
+    * the first merged read), so the steady-state micro-batch loop reads
+    * the target with an EXPLICIT schema — skipping the
+    * `mergeSchema=true` footer sweep, whose cost grows with live file
+    * count and is paid per batch. The schema written by a merge is the
+    * union of the table's previous unified schema and the source's
+    * (resolveUpsert unions both ways), so the cached value stays a
+    * superset of every live file; parquet fills columns missing from
+    * older files with nulls, exactly as the footer-merge read would.
+    * JVM-local, single-writer model: an external writer that evolves
+    * the table from another process requires [[invalidateSchema]] (or a
+    * new session).
+    */
+  private val schemaCache = new graft.util.SessionScopedCache[StructType]
+
+  /** Drop the cached read schema for `path` (external schema change). */
+  def invalidateSchema(spark: SparkSession, path: String): Unit =
+    schemaCache.remove(spark, path)
+
+  /** All-nullable copy: files written before an evolution lack the new
+    * columns, so a cached read schema must never claim non-nullability.
+    */
+  private def nullableOf(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
   /** Test-only crash injection: [[writeStaged]] invokes this hook at the
     * named protocol points ("staged", "manifest", "backed-up",
     * "mid-swap", "pre-commit"); a hook that throws simulates a crash at
@@ -131,8 +156,18 @@ object MergeEngine {
     */
   def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
     recoverTable(spark, path)
-    try Some(spark.read.option("mergeSchema", "true").parquet(path))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    try Some(schemaCache.get(spark, path) match {
+      case Some(schema) => spark.read.schema(schema).parquet(path)
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        schemaCache.put(spark, path, nullableOf(df.schema)) // one footer sweep per session
+        df
+    })
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        schemaCache.remove(spark, path) // table gone; don't trust the cache on recreate
+        None
+    }
   }
 
   /** Roll back an uncommitted merge transaction, if one is present.
@@ -601,6 +636,9 @@ object MergeEngine {
       fs.delete(new Path(root, ManifestName), false)
       fs.delete(backupDir, true)
       fs.delete(stagingDir, true)
+      // the committed schema is the table's new unified read schema
+      // (see schemaCache): steady-state reads skip the footer sweep
+      schemaCache.put(spark, cfg.path, nullableOf(df.schema))
       touchedRels
     } finally {
       inFlight.remove(root.toString)

@@ -20,6 +20,28 @@ private[graft] class SessionScopedCache[T] {
   private val hooked = TrieMap.empty[String, Boolean]
 
   def getOrElseUpdate(s: SparkSession, key: String)(make: => T): T = {
+    hook(s)
+    cache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$key", make)
+  }
+
+  /** Imperative variants for caches maintained at write time rather
+    * than built lazily (e.g. the merge schema cache).
+    */
+  def put(s: SparkSession, key: String, value: T): Unit = {
+    hook(s)
+    cache.put(s"${s.sparkContext.applicationId}:$key", value)
+    ()
+  }
+
+  def get(s: SparkSession, key: String): Option[T] =
+    cache.get(s"${s.sparkContext.applicationId}:$key")
+
+  def remove(s: SparkSession, key: String): Unit = {
+    cache.remove(s"${s.sparkContext.applicationId}:$key")
+    ()
+  }
+
+  private def hook(s: SparkSession): Unit = {
     val appId = s.sparkContext.applicationId
     hooked.getOrElseUpdate(appId, {
       s.sparkContext.addSparkListener(new SparkListener {
@@ -27,7 +49,7 @@ private[graft] class SessionScopedCache[T] {
       })
       true
     })
-    cache.getOrElseUpdate(s"$appId:$key", make)
+    ()
   }
 
   private[graft] def evict(appId: String): Unit = {

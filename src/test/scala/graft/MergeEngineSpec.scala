@@ -55,6 +55,26 @@ class MergeEngineSpec extends SparkSpec {
     assert(row2.getAs[String]("name") == null && row2.getAs[String]("email") == "b@x")
   }
 
+  test("cached read schema survives evolution and external rewrites are recoverable") {
+    val path = tmpDir("merge-schemacache")
+    val cfg = TableConfig("graft_test", "sc_tbl", s"$path/t")
+    MergeEngine.upsert(spark, cfg, Seq((1, "a", 10L)).toDF("id", "name", "lsn"), Seq("id"), "lsn")
+    // evolution through the merge path: the cached schema must pick up
+    // the union, and pre-evolution rows read as null in the new column
+    MergeEngine.upsert(spark, cfg, Seq((2, "b@x", 20L)).toDF("id", "email", "lsn"), Seq("id"), "lsn")
+    val t = MergeEngine.readTable(spark, cfg.path).get.orderBy("id").collect()
+    assert(t.map(_.getAs[Any]("email")).toSeq == Seq(null, "b@x"))
+    assert(t.map(_.getAs[Any]("name")).toSeq == Seq("a", null))
+    // an EXTERNAL writer changes the table outside the merge protocol;
+    // invalidateSchema makes the next read re-sweep the footers
+    Seq((9, "ext", 99L, true)).toDF("id", "name", "lsn", "flag")
+      .write.mode("overwrite").parquet(cfg.path)
+    MergeEngine.invalidateSchema(spark, cfg.path)
+    val ext = MergeEngine.readTable(spark, cfg.path).get
+    assert(ext.columns.contains("flag"))
+    assert(ext.count() == 1L)
+  }
+
   test("table-backed upsert/delete on a partitioned table, incl. partition cleanup") {
     val path = tmpDir("merge-part")
     val cfg = TableConfig("graft_test", "part_tbl", s"$path/t", partitionCols = Seq("year"))
