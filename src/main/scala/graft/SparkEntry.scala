@@ -831,6 +831,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment (90/5/5) in the
+    * engine-portable md5 form, summarized per source. Oracle-gated: the
+    * bucket, range bounds, and counts replay verbatim in SQL.
+    */
+  private def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100L
+    graft.operators.Sampling
+      .hashSplitBy(docs, bucket, Seq(("train", 90), ("val", 5), ("test", 5)))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1270,6 +1285,7 @@ object SparkEntry {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "corpus_diff" -> (corpusDiff _),
+    "split_assign" -> (splitAssign _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -1904,6 +1920,19 @@ object SparkEntry {
         |SELECT doc_id, store_id, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5
         |ORDER BY doc_id, store_id""".stripMargin,
+    // split assignment replay: md5 bucket -> cumulative range bounds
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
     // snapshot diff replay: FULL OUTER JOIN over fingerprint projections
     "corpus_diff" ->
       """WITH o AS (

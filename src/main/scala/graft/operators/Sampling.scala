@@ -91,6 +91,34 @@ object Sampling {
     df.filter(md5(idCol.cast("string")) < bound)
   }
 
+  /** Deterministic train/validation/test assignment: each row lands in
+    * the split whose cumulative weight range contains
+    * `xxhash64(idCols) mod total` — a pure function of the row's id, so
+    * the assignment survives re-runs, repartitions, and incremental
+    * appends (a doc added next month cannot move an existing doc across
+    * splits, which a rank- or RNG-based splitter cannot promise).
+    * Stateless per-row projection: no shuffle at any corpus size.
+    *
+    * @param splits (name, weight) in assignment order, e.g.
+    *               `Seq(("train", 98), ("val", 1), ("test", 1))`
+    */
+  def hashSplit(df: DataFrame, idCols: Seq[String], splits: Seq[(String, Int)]): DataFrame =
+    hashSplitBy(df, pmod(xxhash64(idCols.map(col): _*), lit(splits.map(_._2).sum.toLong)), splits)
+
+  /** [[hashSplit]] with a caller-supplied non-negative hash column.
+    * Engine-portable form: pass an md5-derived bucket (e.g.
+    * `conv(substr(md5(id),1,15),16,10) % total`) and the assignment is
+    * replayable in any engine with md5 — the `split_assign` oracle gate.
+    */
+  def hashSplitBy(df: DataFrame, bucket: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val expr = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), acc) => when(bucket < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Exact budget-capped corpus selection: keep documents in
     * (score desc, id asc) order while the running token total stays
     * within `budget` — "take the best docs until N tokens", the step
