@@ -1,7 +1,7 @@
 package graft
 
 import graft.avro.{AvroDecode, AvroEncode}
-import graft.functions.{DeterministicSample, HyperplaneSignature, InterleaveBits, LangIdExpression, MinHashSignature, TextFunctions}
+import graft.functions.{DeterministicSample, HashedLinearScore, HyperplaneSignature, InterleaveBits, LangIdExpression, MinHashSignature, TextFunctions}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -65,6 +65,15 @@ object GraftFunctions {
       exprs => MinHashSignature(
         exprs.head,
         constantInt(exprs(1), "minhash_signature(_, numHashes)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "hashed_linear_score",
+      exprs => HashedLinearScore(
+        exprs.head,
+        graft.operators.QualityClassifier.NumBuckets,
+        graft.operators.QualityClassifier.A,
+        graft.operators.QualityClassifier.C,
+        graft.operators.QualityClassifier.M),
       "scala_udf")
     ()
   }

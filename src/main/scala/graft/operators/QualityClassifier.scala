@@ -53,6 +53,18 @@ object QualityClassifier {
   /** Integer weight of one bucket (float weight = v/H - 1). */
   private def rawWeight(bucket: Column): Column = (bucket * A + C) % M
 
+  /** HOF formulation of the feature sum — the bit-identical
+    * differential oracle for the native
+    * [[graft.functions.HashedLinearScore]] expression
+    * (QualityClassifierSpec), and the execution form of the portable
+    * scheme.
+    */
+  private[graft] def featSumHof(toks: Column, scheme: HashScheme): Column =
+    aggregate(
+      transform(toks, t => rawWeight(scheme.bucket(t))),
+      lit(0L),
+      (acc, v) => acc + v)
+
   /** Per-document score + keep gate.
     *
     * @return (id, n_tokens, feat_sum, score, keep): token count, exact
@@ -66,13 +78,20 @@ object QualityClassifier {
       textCol: String,
       scheme: HashScheme = XxHash64Scheme): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
+    // production scheme resolves to the native HashedLinearScore
+    // expression (primitive per-token loop); the portable scheme keeps
+    // the HOF form it exists to replay in SQL
+    val featSum = scheme match {
+      case XxHash64Scheme =>
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.functions.HashedLinearScore(
+            org.apache.spark.sql.GraftColumnShim.expression(toks), NumBuckets, A, C, M))
+      case _ => featSumHof(toks, scheme)
+    }
     df.select(
         col(idCol).as("id"),
         size(toks).cast("long").as("n_tokens"),
-        aggregate(
-          transform(toks, t => rawWeight(scheme.bucket(t))),
-          lit(0L),
-          (acc, v) => acc + v).as("feat_sum"))
+        featSum.as("feat_sum"))
       .select(
         col("id"),
         col("n_tokens"),

@@ -53,6 +53,35 @@ class QualityClassifierSpec extends SparkSpec {
       assert(a(id).getAs[Long]("n_tokens") == b(id).getAs[Long]("n_tokens"))
   }
 
+  test("native HashedLinearScore is bit-identical to the HOF form") {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val wide = docs.unionAll(Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text"))
+    val both = wide.select(
+      col("doc_id"),
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.HashedLinearScore(
+          org.apache.spark.sql.GraftColumnShim.expression(toks),
+          QualityClassifier.NumBuckets, QualityClassifier.A,
+          QualityClassifier.C, QualityClassifier.M)).as("native"),
+      QualityClassifier.featSumHof(toks, XxHash64Scheme).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both)
+      assert(r.getAs[Long]("native") == r.getAs[Long]("hof"), s"mismatch at $r")
+  }
+
+  test("SQL surface: hashed_linear_score registered and identical to the Column path") {
+    GraftFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("qc_in")
+    val sql = spark.sql(
+      """SELECT doc_id, hashed_linear_score(split(lower(trim(text)), '\\s+')) AS fs
+        |FROM qc_in""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val col = rows(XxHash64Scheme).map { case (id, r) => id -> r.getAs[Long]("feat_sum") }
+    assert(sql == col)
+  }
+
   test("scoring is a single shuffle-free projection") {
     val plan = QualityClassifier.score(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
