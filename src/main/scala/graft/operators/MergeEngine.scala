@@ -272,6 +272,68 @@ object MergeEngine {
     syncCatalog(spark, cfg, written)
   }
 
+  /** MERGE-upsert + MERGE-delete in ONE read-modify-write transaction —
+    * the mixed-batch fast path (a CDC micro-batch usually carries
+    * both). One target read, one resolve chain (upsert semantics first,
+    * then the pk-only delete — the reference's sequential order), one
+    * staged atomic swap, one catalog sync; sequential
+    * `upsert(); delete()` pays each of those twice.
+    *
+    * Sequentially equivalent to upsert-then-delete: the rewritten slice
+    * is the UNION of the upsert-touched partitions and the
+    * delete-affected partitions (probed on the pre-state), and an
+    * upsert can introduce keys only inside its own touched partitions —
+    * so every row the sequential delete pass could see is in the slice,
+    * including a key inserted and deleted by the same batch.
+    */
+  def merge(
+      spark: SparkSession,
+      cfg: TableConfig,
+      upserts: DataFrame,
+      deletes: DataFrame,
+      pkCols: Seq[String],
+      versionCol: String,
+      knownBothNonEmpty: Boolean = false): Unit = {
+    if (!knownBothNonEmpty) {
+      // degenerate routing keeps the single-sided invariants (incl.
+      // upsert's no-op on empty) in one place
+      if (deletes.isEmpty) return upsert(spark, cfg, upserts, pkCols, versionCol)
+      if (upserts.isEmpty) return delete(spark, cfg, deletes, pkCols)
+    }
+    val keys = (pkCols ++ cfg.partitionCols).distinct
+    readTable(spark, cfg.path) match {
+      case None =>
+        // brand-new table: deletes can only match keys from this batch
+        val written = writeStaged(spark, cfg, resolveDelete(upserts, deletes, pkCols))
+        syncCatalog(spark, cfg, written)
+      case Some(target) =>
+        if (cfg.partitionCols.isEmpty) {
+          val resolved =
+            resolveDelete(resolveUpsert(target, upserts, keys, versionCol), deletes, pkCols)
+          if (resolved.isEmpty) truncate(spark, cfg)
+          else { writeStaged(spark, cfg, resolved); () }
+        } else {
+          val touched = upserts.select(cfg.partitionCols.map(col): _*).distinct().collect()
+          val delKeys = deletes.select(pkCols.map(col): _*).distinct()
+          val probe = pkRangeFilter(deletes, pkCols, cfg.sortCols)
+            .map(target.filter)
+            .getOrElse(target)
+          val affected = probe
+            .join(delKeys, pkCols, "left_semi")
+            .select(cfg.partitionCols.map(col): _*)
+            .distinct()
+            .collect()
+          val union = (touched ++ affected).distinct
+          if (union.isEmpty) return
+          val slice = target.filter(partitionPredicate(cfg.partitionCols, union))
+          val resolved =
+            resolveDelete(resolveUpsert(slice, upserts, keys, versionCol), deletes, pkCols)
+          val written = writeStaged(spark, cfg, resolved, removeCandidates = union)
+          syncCatalog(spark, cfg, written)
+        }
+    }
+  }
+
   /** Keep a registered catalog table consistent with the path.
     *
     * The merge writes partitions directly to the path, so a registered

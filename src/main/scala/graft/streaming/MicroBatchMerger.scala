@@ -117,14 +117,16 @@ object MicroBatchMerger {
                   .find(r => !r.isNullAt(0) && r.getBoolean(0) == del)
                   .map(_.getLong(1)).getOrElse(0L)
 
-                if (n(false) > 0) {
-                  val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
+                val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
+                val deletes = withAdditional.filter(col(deletedCol) === "true")
+                if (n(false) > 0 && n(true) > 0)
+                  // mixed batch: ONE read-modify-write transaction
+                  MergeEngine.merge(spark, cfg, upserts, deletes, pkCols, versionCol,
+                    knownBothNonEmpty = true)
+                else if (n(false) > 0)
                   MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol, knownNonEmpty = true)
-                }
-                if (n(true) > 0) {
-                  val deletes = withAdditional.filter(col(deletedCol) === "true")
+                else if (n(true) > 0)
                   MergeEngine.delete(spark, cfg, deletes, pkCols, knownNonEmpty = true)
-                }
               } finally { withAdditional.unpersist(); () }
             }
             if (cfg.autoCompactEvery > 0) {

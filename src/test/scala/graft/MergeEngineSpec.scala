@@ -102,6 +102,37 @@ class MergeEngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/t/year=2023").exists(), "emptied partition not cleaned up")
   }
 
+  test("fused mixed-batch merge on a partitioned table: one transaction, same end state") {
+    val path = tmpDir("merge-fused-part")
+    val cfg = TableConfig("graft_test", "fused_tbl", s"$path/t", partitionCols = Seq("year"))
+    val b1 = Seq(
+      (1, "a", 2023, 10L), (2, "b", 2023, 11L), (3, "c", 2024, 12L))
+      .toDF("id", "name", "year", "lsn")
+    MergeEngine.upsert(spark, cfg, b1, Seq("id"), "lsn")
+
+    // mixed batch: update id=3 (2024), insert id=4 (2025), delete BOTH
+    // 2023 rows (partition must vanish), stale replay for id=3 ignored
+    val ups = Seq((3, "c2", 2024, 20L), (4, "d", 2025, 21L), (3, "stale", 2024, 1L))
+      .toDF("id", "name", "year", "lsn")
+    val upserts = graft.operators.CdcDedup.latestPerKey(ups, Seq("id"), "lsn")
+    val deletes = Seq((1, 99L), (2, 99L)).toDF("id", "lsn")
+    MergeEngine.merge(spark, cfg, upserts, deletes, Seq("id"), "lsn")
+
+    val t = MergeEngine.readTable(spark, cfg.path).get
+    assert(t.select("id").as[Int].collect().sorted.toSeq == Seq(3, 4))
+    assert(t.filter(col("id") === 3).select("name").as[String].collect().head == "c2")
+    assert(!new java.io.File(s"$path/t/year=2023").exists(), "emptied partition not cleaned up")
+    assert(new java.io.File(s"$path/t/year=2025").exists(), "new partition missing")
+
+    // key inserted and deleted by the SAME mixed batch never lands
+    val ups2 = Seq((9, "ghost", 2026, 30L)).toDF("id", "name", "year", "lsn")
+    val dels2 = Seq((9, 31L)).toDF("id", "lsn")
+    MergeEngine.merge(spark, cfg, ups2, dels2, Seq("id"), "lsn")
+    val t2 = MergeEngine.readTable(spark, cfg.path).get
+    assert(t2.filter(col("id") === 9).count() == 0L)
+    assert(!new java.io.File(s"$path/t/year=2026").exists(), "ghost partition left behind")
+  }
+
   test("upsert is idempotent under batch replay (same batch twice)") {
     val path = tmpDir("merge-replay")
     val cfg = TableConfig("graft_test", "replay_tbl", s"$path/t")

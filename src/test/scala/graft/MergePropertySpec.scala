@@ -44,13 +44,21 @@ class MergePropertySpec extends SparkSpec {
     state
   }
 
-  private def runEngine(batches: Seq[Seq[Op]], path: String): Map[Int, (String, Long)] = {
+  private def runEngine(
+      batches: Seq[Seq[Op]],
+      path: String,
+      fused: Boolean = false): Map[Int, (String, Long)] = {
     val cfg = TableConfig("graft_test", "prop_tbl", path)
     batches.foreach { batch =>
       if (batch.nonEmpty) {
         val deduped = CdcDedup.latestPerKey(batch.toDF(), Seq("id"), "lsn")
-        MergeEngine.upsert(spark, cfg, deduped.filter(!col("deleted")).drop("deleted"), Seq("id"), "lsn")
-        MergeEngine.delete(spark, cfg, deduped.filter(col("deleted")), Seq("id"))
+        val ups = deduped.filter(!col("deleted")).drop("deleted")
+        val dels = deduped.filter(col("deleted"))
+        if (fused) MergeEngine.merge(spark, cfg, ups, dels, Seq("id"), "lsn")
+        else {
+          MergeEngine.upsert(spark, cfg, ups, Seq("id"), "lsn")
+          MergeEngine.delete(spark, cfg, dels, Seq("id"))
+        }
       }
     }
     MergeEngine.readTable(spark, cfg.path) match {
@@ -75,6 +83,23 @@ class MergePropertySpec extends SparkSpec {
       val got = runEngine(batches, s"${tmpDir("merge-prop")}/t")
       val want = model(batches).map { case (k, op) => k -> ((op.name, op.lsn)) }
       assert(got == want, s"case $caseNo mismatch:\n batches=$batches\n got=$got\n want=$want")
+    }
+  }
+
+  test("fused mixed-batch merge matches the reference model on random changelogs") {
+    val rng = new Random(7)
+    (1 to 12).foreach { caseNo =>
+      val batches = Seq.fill(1 + rng.nextInt(4)) {
+        Seq.fill(rng.nextInt(11)) {
+          val id = 1 + rng.nextInt(8)
+          val lsn = 1L + rng.nextInt(40)
+          val deleted = rng.nextInt(3) == 0 // delete-heavy: exercise the fused path
+          Op(id, s"n$id-$lsn", deleted, lsn)
+        }
+      }
+      val got = runEngine(batches, s"${tmpDir("merge-prop-fused")}/t", fused = true)
+      val want = model(batches).map { case (k, op) => k -> ((op.name, op.lsn)) }
+      assert(got == want, s"fused case $caseNo mismatch:\n batches=$batches\n got=$got\n want=$want")
     }
   }
 }
