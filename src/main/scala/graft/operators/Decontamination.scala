@@ -65,6 +65,39 @@ object Decontamination {
     TextDedup.materialized(out, Seq(grams))
   }
 
+  /** Streaming-safe form: the eval n-gram set is materialized to the
+    * driver once (it is benchmark-sized by assumption) and checked
+    * per row with an `array_intersect` against a literal array — a
+    * stateless projection, so it runs on an unaggregated stream with
+    * no watermark and selects exactly what the batch operator flags
+    * for the same eval set (StreamDecontaminationSpec).
+    *
+    * @param evalSet BATCH DataFrame of benchmark documents; collected
+    *                here — size it accordingly (millions of grams is
+    *                fine, a corpus is not; that is [[flagContaminated]])
+    */
+  def flagContaminatedStream(
+      stream: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = evalSet
+      .select(explode(distinctGrams(evalSet, textCol, n)).as("gram"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    val hits = size(array_intersect(
+      distinctGrams(stream, textCol, n),
+      typedlit(grams.toSeq))).cast("long")
+    stream.select(
+      col(idCol).as("id"),
+      size(distinctGrams(stream, textCol, n)).cast("long").as("n_grams"),
+      hits.as("eval_hits"),
+      (hits > 0L).as("contaminated"))
+  }
+
   private def distinctGrams(df: DataFrame, textCol: String, n: Int) =
     array_distinct(TextFunctions.ngramsFromTokens(TextFunctions.tokens(col(textCol)), n))
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{NearestCentroid, VectorFunctions}
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-Flat approximate-nearest-neighbor index: a k-means coarse
@@ -136,6 +136,39 @@ object IvfAnn {
         cosineFn(col("__vec"), col("__qv")).as("cos"))
       .orderBy(col("cos").desc, col(index.idCol))
       .limit(k)
+  }
+
+  /** Persist a trained index: the assigned corpus is written
+    * PARTITIONED BY the inverted-list id — the on-disk layout the IVF
+    * trade exists for. A loaded index's probe (`__list isin probes`)
+    * then prunes at the directory level: a query scans `nprobe/nlist`
+    * of the corpus bytes, verified by the PartitionFilters assertion in
+    * IvfAnnSpec. The centroid matrix rides along as a small parquet.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("__list").parquet(s"$path/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The assigned table is NOT eagerly cached:
+    * the point of the partitioned layout is that probes read only
+    * their lists from disk.
+    */
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("__id"), col("__vec"), col("__list"))
+    Index(centroids, assigned, idCol, vecCol)
   }
 
   /** Farthest-first traversal: seed 0 is `sample(0)` (the lowest-hash

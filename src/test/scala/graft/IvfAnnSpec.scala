@@ -98,6 +98,29 @@ class IvfAnnSpec extends SparkSpec {
     index.assigned.unpersist()
   }
 
+  test("save/load round trip: identical results and a partition-pruned probe scan") {
+    val index = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3)
+    val path = tmpDir("ivf-index")
+    IvfAnn.save(index, path)
+    val loaded = IvfAnn.load(spark, path, "vec_id", "embedding")
+    assert(loaded.centroids.length == index.centroids.length)
+    for ((a, b) <- loaded.centroids.zip(index.centroids)) assert(a.toSeq == b.toSeq)
+
+    val query = vectors.filter(col("vec_id") === 0)
+    val fromMem = IvfAnn.topK(index, query, k = 10, nprobe = 1)
+      .select(col("vec_id"), round(col("cos"), 6)).as[(Long, Double)].collect().toSeq
+    val fromDisk = IvfAnn.topK(loaded, query, k = 10, nprobe = 1)
+      .select(col("vec_id"), round(col("cos"), 6)).as[(Long, Double)].collect().toSeq
+    assert(fromDisk == fromMem)
+
+    // the probe must prune at the directory level, not post-filter
+    val plan = IvfAnn.topK(loaded, query, k = 10, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"),
+      s"expected __list partition pruning in:\n$plan")
+    index.assigned.unpersist()
+  }
+
   test("probeLists ranks centroids by cosine with low-index ties") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.7, 0.7))
     val probes = IvfAnn.probeLists(cents, Array(1.0, 0.05), nprobe = 2)
