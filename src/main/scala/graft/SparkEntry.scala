@@ -58,6 +58,14 @@ private[graft] object IvfStageCache
 private[graft] object MinhashStoreCache
     extends graft.util.SessionScopedCache[TextDedup.MinhashStore]
 
+/** Session-scoped cache of the portable-scheme classifier scores:
+  * `text_quality_classifier` reports them and `token_budget_select`
+  * selects on them — one scoring pass feeds both, the way a real
+  * pipeline scores once and reuses the column.
+  */
+private[graft] object ClassifierStageCache
+    extends graft.util.SessionScopedCache[DataFrame]
+
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -748,9 +756,17 @@ object SparkEntry {
     * are all replayed in SQL. The xxhash64 production scheme is spec'd
     * in QualityClassifierSpec.
     */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    ClassifierStageCache.getOrElseUpdate(s, dir) {
+      val scored = QualityClassifier
+        .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
+        .persist()
+      scored.count()
+      scored
+    }
+
   private def textQualityClassifier(s: SparkSession, dir: String): DataFrame =
-    QualityClassifier
-      .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
+    scoredDocs(s, dir)
       .select(col("id").as("doc_id"), col("n_tokens"), col("feat_sum"), col("score"), col("keep"))
       .orderBy(col("doc_id"))
 
@@ -761,13 +777,11 @@ object SparkEntry {
     * the total order the two-layer Spark plan reproduces without a
     * single-partition window.
     */
-  private def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
-    val scored = QualityClassifier
-      .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
-    graft.operators.Sampling.tokenBudgetSelect(scored, "id", "score", "n_tokens", budget = 5000L)
+  private def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .tokenBudgetSelect(scoredDocs(s, dir), "id", "score", "n_tokens", budget = 5000L)
       .select(col("id").as("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
-  }
 
   /** Incremental exact dedup against a fingerprint store. Store = docs
     * with doc_id < 400. Increment: exact copies of every doc_id % 25 ==
