@@ -860,6 +860,24 @@ object SparkEntry {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Per-language corpus report: doc/token counts plus exact token
+    * percentiles — the summary table every ingest round publishes.
+    * Oracle-gated: Spark `percentile` and DuckDB `quantile_cont` share
+    * the linear-interpolation definition, and the only division is a
+    * single deterministic IEEE op per cell.
+    */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), TF.tokenCount(col("text")).as("toks"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(percentile(col("toks"), lit(0.5)), 4).as("med_tokens"),
+        round(percentile(col("toks"), lit(0.95)), 4).as("p95_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1300,6 +1318,7 @@ object SparkEntry {
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "corpus_diff" -> (corpusDiff _),
     "split_assign" -> (splitAssign _),
+    "corpus_stats" -> (corpusStats _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -1947,6 +1966,22 @@ object SparkEntry {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY source, split
         |ORDER BY source, split""".stripMargin,
+    // corpus report replay: quantile_cont shares percentile's linear
+    // interpolation; each avg is one deterministic IEEE division
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(toks, 0.5), 4) AS med_tokens,
+        |  round(quantile_cont(toks, 0.95), 4) AS p95_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM t GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // snapshot diff replay: FULL OUTER JOIN over fingerprint projections
     "corpus_diff" ->
       """WITH o AS (

@@ -120,4 +120,37 @@ object Typed {
       .limit(k)
       .as[Neighbor]
   }
+
+  /** A document's train/val/test assignment. */
+  final case class SplitAssignment(doc_id: Long, split: String)
+
+  /** Deterministic hash-ranged split assignment, typed
+    * ([[graft.operators.Sampling.hashSplit]] semantics: append-stable,
+    * shuffle-free).
+    */
+  def splitAssignments(
+      docs: Dataset[Document],
+      splits: Seq[(String, Int)]): Dataset[SplitAssignment] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Sampling.hashSplit(docs.toDF(), Seq("doc_id"), splits)
+      .select(col("doc_id"), col("split"))
+      .as[SplitAssignment]
+  }
+
+  /** A document flagged against an eval set. */
+  final case class ContaminationFlag(
+      id: Long, n_grams: Long, eval_hits: Long, contaminated: Boolean)
+
+  /** Benchmark decontamination, typed
+    * ([[graft.operators.Decontamination.flagContaminated]]).
+    */
+  def contamination(
+      docs: Dataset[Document],
+      evalSet: Dataset[Document],
+      n: Int = 8): Dataset[ContaminationFlag] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Decontamination
+      .flagContaminated(docs.toDF(), evalSet.toDF(), "doc_id", "text", n)
+      .as[ContaminationFlag]
+  }
 }

@@ -38,6 +38,21 @@ class TypedApiSpec extends SparkSpec {
     assert(kept.subsetOf(Set(1L, 3L, 5L)))
   }
 
+  test("splitAssignments covers every doc with a valid split name") {
+    val got = Typed.splitAssignments(docs, Seq(("train", 3), ("test", 1))).collect()
+    assert(got.map(_.doc_id).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.forall(a => a.split == "train" || a.split == "test"))
+  }
+
+  test("contamination flags the docs sharing grams with the eval set") {
+    val evalSet = Seq(
+      Document(100L, "the quick brown fox jumps", "en", "eval", 25L)).toDS()
+    val flags = Typed.contamination(docs, evalSet, n = 4)
+      .collect().map(f => f.id -> f.contaminated).toMap
+    assert(flags(1L) && flags(2L) && flags(4L))
+    assert(!flags(3L) && !flags(5L))
+  }
+
   test("topK returns typed neighbors in score order") {
     val emb = Seq(
       EmbeddingRow(0L, Array(1f, 0f, 0f), 0),
