@@ -878,6 +878,25 @@ object SparkEntry {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
       .orderBy(col("lang"))
 
+  /** Span-level exact-substring dedup over documents seeded with a
+    * 10-token boilerplate prefix on every doc_id % 10 == 1 doc: the
+    * boilerplate's 8-token windows duplicate across those docs, so
+    * exactly the planted prefix is removed from each while the unique
+    * remainder (and every unseeded doc) survives. Oracle-gated: window
+    * starts, the corpus-wide gram count, position covers, and the
+    * reassembled clean text all replay in SQL.
+    */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val seeded = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextDedup.removeDupSpans(seeded, "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("removed_tokens"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1319,6 +1338,7 @@ object SparkEntry {
     "corpus_diff" -> (corpusDiff _),
     "split_assign" -> (splitAssign _),
     "corpus_stats" -> (corpusStats _),
+    "dedup_spans" -> (dedupSpans _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -1966,6 +1986,43 @@ object SparkEntry {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY source, split
         |ORDER BY source, split""".stripMargin,
+    // span dedup replay: k=8 windows, corpus-wide gram count, covered
+    // positions, anti-join, ordered string_agg reassembly
+    "dedup_spans" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1
+        |         THEN 'subscribe to our newsletter for updates terms of service apply ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM d0),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'s': i, 'g': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, greatest(len(ws) - 6, 1))]) AS e
+        |  FROM t),
+        |g AS (SELECT doc_id, e.s AS start, e.g AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest([p for p in range(start, start + 8)]) AS pos
+        |  FROM g JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |p0 AS (
+        |  SELECT doc_id, unnest([{'p': i, 'tok': ws[i]} for i in range(1, len(ws) + 1)]) AS e
+        |  FROM t),
+        |p AS (SELECT doc_id, e.p AS pos, e.tok AS tok FROM p0),
+        |kept AS (
+        |  SELECT p.doc_id, count(*) AS kept_tokens,
+        |    string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // corpus report replay: quantile_cont shares percentile's linear
     // interpolation; each avg is one deterministic IEEE division
     "corpus_stats" ->

@@ -370,6 +370,79 @@ object TextDedup {
     materialized(result, Seq(tokenized, shingled, sigs))
   }
 
+  /** Exact duplicated-SPAN removal — the substring-level dedup family
+    * (C4's duplicated-span removal, Lee et al.'s exact-substring
+    * dedup): document-level dedup misses boilerplate that rides inside
+    * otherwise-unique documents. Every k-token window whose exact text
+    * occurs at least `minOccurrences` times in the corpus (across or
+    * within documents) marks its positions; marked positions are
+    * removed from EVERY document (the aggressive remove-all policy —
+    * deterministic and order-free, where keep-one needs a global
+    * owner election) and the cleaned text is reassembled in token
+    * order.
+    *
+    * Scale shape: one O(total tokens) window explode (the inherent
+    * substring-dedup cost, same as [[globalNgramDupStats]]), a
+    * map-side-combinable gram count, and only DUPLICATED window starts
+    * explode k-wide into positions — boilerplate is rare relative to
+    * the corpus, so the cover join is small. Join keys here are the
+    * gram STRINGS (that is what the SQL oracle replays); at 100 TB
+    * hash them first (xxhash64) to cut shuffle width.
+    *
+    * @return (id, n_tokens, removed_tokens, clean_text), one row per
+    *         input document; fully-removed docs get clean_text = "".
+    */
+  def removeDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOccurrences: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .persist()
+    // all k-token windows with their 1-based start positions; docs
+    // shorter than k have no window and survive untouched
+    val grams = toks.select(
+        col("id"),
+        posexplode(
+          when(size(col("toks")) >= k,
+            transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).as("start"), col("gram"))
+      .persist()
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("gram"))
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("id"), explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val positions = toks
+      .select(col("id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = positions.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
+    val out = toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    materialized(out, Seq(toks, grams))
+  }
+
   /** Persist + materialize `result`, then release the intermediate
     * cached stages — long-lived sessions calling the pair operators
     * repeatedly would otherwise accumulate cached blocks until storage

@@ -38,6 +38,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!matches.exists(_._1 == 102L), s"novel doc falsely matched: $matches")
   }
 
+  test("removeDupSpans strips only corpus-duplicated windows, reassembles in order") {
+    val boiler = "one two three four" // k=3 -> windows of the shared prefix duplicate
+    val seeded = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "entirely unique words nothing shared here at all"),
+      (4L, "hi there")) // shorter than k: untouched
+      .toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(seeded, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // docs 1 and 2 share windows "one two three" and "two three four":
+    // positions 1-4 covered; the window straddling the boundary
+    // ("three four alpha" vs "three four delta") is unique per doc
+    assert(out(1L).getAs[String]("clean_text") == "alpha beta gamma")
+    assert(out(1L).getAs[Long]("removed_tokens") == 4L)
+    assert(out(2L).getAs[String]("clean_text") == "delta epsilon zeta")
+    assert(out(3L).getAs[Long]("removed_tokens") == 0L)
+    assert(out(3L).getAs[String]("clean_text") == "entirely unique words nothing shared here at all")
+    assert(out(4L).getAs[Long]("removed_tokens") == 0L)
+    assert(out(4L).getAs[String]("clean_text") == "hi there")
+  }
+
+  test("removeDupSpans: a doc that is all boilerplate empties cleanly") {
+    val seeded = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(seeded, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Long]("removed_tokens") == 4L)
+      assert(out(id).getAs[String]("clean_text") == "")
+    }
+  }
+
   test("corpus diff classifies all four statuses") {
     val oldSnap = Seq(
       (1L, "doc one"), (2L, "doc two"), (3L, "doc three")).toDF("doc_id", "text")
