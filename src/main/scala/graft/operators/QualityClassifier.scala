@@ -14,8 +14,9 @@ import graft.functions.TextFunctions
   * There is no model file in this container, so the weight table is a
   * DETERMINISTIC function of the bucket index (an LCG step) — the
   * plumbing (hash → bucket → weight → mean → gate) is the real
-  * artifact; swap [[weightOf]] for an `element_at` against a broadcast
-  * literal array to serve trained weights.
+  * artifact; swap [[rawWeight]] (and [[graft.functions.HashedLinearScore]]'s
+  * LCG step) for an `element_at` against a broadcast literal array to
+  * serve trained weights.
   *
   * Numeric contract: tokens are scored in INTEGER space (the raw LCG
   * value, exact under any summation order) and converted to a float
