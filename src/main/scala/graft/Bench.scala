@@ -9,10 +9,24 @@ import org.apache.spark.sql.SparkSession
   * reports the per-query MEDIAN (noise-resistant — a single-shot bench
   * on a shared machine produced a phantom 5x regression in round 2),
   * plus the cold (first-run) time per query for cache-sensitive ops.
+  *
+  * The same JSON line (plus /proc/loadavg snapshots before and after
+  * the run) is also written to BENCH_SELF.json in the working
+  * directory: the driver's log capture truncates long lines, and a
+  * loaded machine inflates wall times 2-17x between sessions — the
+  * durable record lets a later reader separate load noise from real
+  * regressions without re-running.
   */
 object Bench {
+  private def loadavg(): String =
+    try {
+      scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString.trim)
+    } catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
@@ -56,7 +70,18 @@ object Bench {
     val mins = js(results.map(r => (r._1, r._4)))
     val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(!_._5).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedList,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedList,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}"""
+    println(line)
+    val record =
+      s"""{"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench":$line}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SELF.json"),
+        (record + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    }
     spark.stop()
   }
 }
