@@ -1070,24 +1070,80 @@ object SparkEntry {
   }
 
   /** Multimodal pipeline: synthetic media table (REAL BMP/WAV
-    * containers) -> mapPartitions feature extraction -> per-type stats
-    * (rows-only). `avg_decoded` is computed from actually-decoded
-    * pixels (mean luminance) and samples (RMS); video rows have no
-    * codec and contribute null.
+    * containers) -> mapPartitions feature extraction -> per-type stats,
+    * oracle-gated. Counts, byte totals, and frame totals are closed-
+    * form functions of doc_id and the UTF-8 text length (the BMP/WAV
+    * container sizes are deterministic), so DuckDB replays them
+    * exactly; the decoded pixel/sample means are gated by an in-plan
+    * verdict against [[expectedDecodedMeans]] — an independent
+    * recomputation from the raw document bytes that never touches the
+    * codecs — so `decode_ok = true` proves the encode->decode round
+    * trip reproduced every pixel and sample (both paths sum the same
+    * doubles in the same order; the 1e-12 tolerance is pure slack).
     */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMediaFromDocs(s, Tables(s, dir, "documents"))
-    Multimodal
-      .extractFeatures(media, dim = 16)
-      .toDF()
+    val docs = Tables(s, dir, "documents")
+    val media = Multimodal.syntheticMediaFromDocs(s, docs)
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    feats
+      .join(expectedDecodedMeans(s, docs), Seq("media_id"))
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("frames_sampled")).cast("long").as("total_frames"),
-        round(avg(col("decoded_mean")), 4).as("avg_decoded"),
-        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        bool_and(
+          when(col("expected_mean").isNull, col("decoded_mean").isNull)
+            .otherwise(abs(col("decoded_mean") - col("expected_mean")) < 1e-12))
+          .as("decode_ok"),
+        bool_and(
+          size(col("features")) === 16 &&
+            forall(col("features"), f => f.isNotNull && f >= -1f && f <= 1f))
+          .as("features_ok"))
       .orderBy(col("media_type"))
+  }
+
+  /** Expected decoded means for the synthetic media table, recomputed
+    * from the raw document text bytes with the generator's formulas —
+    * mean Rec.601 luminance for image rows, RMS amplitude for audio
+    * rows, null for video (no codec). Deliberately does NOT call
+    * [[graft.multimodal.Codecs]]: this is the independent side of the
+    * decode-fidelity verdict in [[multimodalFeatures]].
+    */
+  private def expectedDecodedMeans(
+      s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (docId, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val expected: Option[Double] = (docId % 3).toInt match {
+          case 0 => // image: pixels (b, b*31%256, b*7%256) from text bytes
+            val w = math.max(math.min((docId % 640 + 16).toInt, 32), 1)
+            val h = math.max(math.min((docId % 480 + 16).toInt, 32), 1)
+            var sum = 0.0
+            var i = 0
+            while (i < w * h) {
+              val b = bytes(i % bytes.length) & 0xff
+              sum += 0.299 * b + 0.587 * (b * 31 % 256) + 0.114 * (b * 7 % 256)
+              i += 1
+            }
+            Some(sum / (w * h) / 255.0)
+          case 1 => // audio: samples (b-128)*256 + (i%7)*100 from text bytes
+            val n = math.min(bytes.length * 4, 2048)
+            var sum = 0.0
+            var i = 0
+            while (i < n) {
+              val b = bytes(i % bytes.length) & 0xff
+              val smp = ((b - 128) * 256 + (i % 7) * 100).toShort.toDouble
+              sum += smp * smp
+              i += 1
+            }
+            Some(math.sqrt(sum / n) / 32768.0)
+          case _ => None // video: opaque bytes, no codec, decode emits null
+        }
+        (docId, expected)
+    }.toDF("media_id", "expected_mean")
   }
 
   /** Full wire->decode batch path as a query: events rows are
@@ -2457,6 +2513,36 @@ object SparkEntry {
         |SELECT vec_id,
         |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
         |FROM sums ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // Closed-form replay of the synthetic media table: BMP size =
+    // 54-byte header + 4-byte-padded BGR rows, WAV size = 44-byte
+    // header + 2 bytes/sample (samples = min(4*text_bytes, 2048)),
+    // video = raw UTF-8 bytes with stride-2 sampling over 256-byte
+    // frames. strlen() is DuckDB's byte length, matching Spark's
+    // UTF-8 encode. The decode/feature verdicts are asserted true
+    // (q34 tolerance-verdict pattern).
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT)
+        |           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         strlen(text) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_type,
+        |    CASE media_type
+        |      WHEN 'image' THEN 54 + ((least(doc_id % 640 + 16, 32) * 3 + 3) // 4 * 4)
+        |                             * least(doc_id % 480 + 16, 32)
+        |      WHEN 'audio' THEN 44 + least(len * 4, 2048) * 2
+        |      ELSE len END AS n_bytes,
+        |    CASE media_type
+        |      WHEN 'video' THEN (greatest(len // 256, 1) + 1) // 2
+        |      ELSE 1 END AS frames
+        |  FROM m)
+        |SELECT media_type, count(*) AS n,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(frames) AS BIGINT) AS total_frames,
+        |       true AS decode_ok, true AS features_ok
+        |FROM b GROUP BY media_type ORDER BY media_type""".stripMargin,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (
