@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -32,7 +32,7 @@ case class HashedLinearScore(
     a: Long,
     c: Long,
     m: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numBuckets > 0 && m > 0, "numBuckets and m must be positive")
 
   override def dataType: DataType = LongType
@@ -46,8 +46,11 @@ case class HashedLinearScore(
         s"hashed_linear_score requires array<string>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    scoreOf(input.asInstanceOf[ArrayData])
+
+  /** public: called from generated code via an expression reference */
+  def scoreOf(arr: ArrayData): Long = {
     val n = arr.numElements()
     var sum = 0L
     var j = 0
@@ -60,6 +63,17 @@ case class HashedLinearScore(
       j += 1
     }
     sum
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback — the fallback trait
+    * ejects the entire enclosing stage from whole-stage codegen). The
+    * token loop stays one JVM method on a referenced expression object;
+    * the surrounding stage stays fused in generated code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("hashedLinearExpr", this, classOf[HashedLinearScore].getName)
+    defineCodeGen(ctx, ev, c => s"$self.scoreOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =

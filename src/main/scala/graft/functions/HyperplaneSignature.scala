@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   * colliding null vectors with empty ones in the signature space.
   */
 case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits > 0 && bits < 64, "bits must be in [1, 63]")
 
   override def dataType: DataType = LongType
@@ -78,8 +78,11 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
       m
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    signatureOf(input.asInstanceOf[ArrayData])
+
+  /** public: called from generated code via an expression reference */
+  def signatureOf(arr: ArrayData): Long = {
     val dims = arr.numElements()
     if (dims == 0) return 0L
     val p = planes(dims)
@@ -112,6 +115,20 @@ case class HyperplaneSignature(child: Expression, bits: Int, seed: Int)
       i += 1
     }
     sig
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback — the fallback trait
+    * ejects the ENTIRE enclosing stage from whole-stage codegen, a
+    * constant factor on exactly the hottest per-row loop of the ANN
+    * scan). The projection loop stays one JVM method on a referenced
+    * expression object — identical bytecode to the interpreted path,
+    * per-task plane cache included — while the surrounding stage stays
+    * fused in generated code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("hyperplaneExpr", this, classOf[HyperplaneSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$self.signatureOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - zero hits -> "und"; null text -> null.
   */
 case class LangIdExpression(child: Expression, profiles: Map[String, Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(profiles.nonEmpty, "at least one language profile required")
 
   override def dataType: DataType = StringType
@@ -57,10 +57,14 @@ case class LangIdExpression(child: Expression, profiles: Map[String, Seq[String]
 
   private val Und = UTF8String.fromString("und")
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    langOf(input.asInstanceOf[UTF8String])
+
+  /** public: called from generated code via an expression reference */
+  def langOf(input: UTF8String): UTF8String = {
     // UTF8String's own trim/toLowerCase so canonicalization matches
     // Spark's trim()/lower() exactly (incl. unicode case folding)
-    val s = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val s = input.trim().toLowerCase.toString
     val counts = new Array[Int](langs.length)
     ws.split(s, -1).foreach { tok =>
       val hit = wordToLangs.get(tok)
@@ -76,6 +80,17 @@ case class LangIdExpression(child: Expression, profiles: Map[String, Seq[String]
       i += 1
     }
     if (bestScore > 0) UTF8String.fromString(bestLang) else Und
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback — the fallback trait
+    * ejects the entire enclosing stage from whole-stage codegen). The
+    * tokenize-and-count loop stays one JVM method on a referenced
+    * expression object (per-task profile map included); the surrounding
+    * stage stays fused in generated code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langIdExpr", this, classOf[LangIdExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$self.langOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangIdExpression =

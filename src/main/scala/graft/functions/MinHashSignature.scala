@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * SQL-replayability in other engines, not speed.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0, "numHashes must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -48,8 +48,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   @transient private lazy val seedHashes: Array[Long] =
     Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    signatureOf(input.asInstanceOf[ArrayData])
+
+  /** public: called from generated code via an expression reference */
+  def signatureOf(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val acc = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
@@ -72,6 +75,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       j += 1
     }
     new GenericArrayData(acc)
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback — the fallback trait
+    * ejects the ENTIRE enclosing stage from whole-stage codegen, a
+    * constant factor on exactly the hottest per-row loop of the dedup
+    * scan). The signature loop stays one JVM method on a referenced
+    * expression object — identical bytecode to the interpreted path —
+    * while projections around it remain fused in the generated stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$self.signatureOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * (degenerate vectors all land in one probe-able bucket).
   */
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
 
   override def dataType: DataType = IntegerType
@@ -48,8 +48,11 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       if (n == 0.0) arr else arr.map(_ / n)
     }.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    nearestOf(input.asInstanceOf[ArrayData])
+
+  /** public: called from generated code via an expression reference */
+  def nearestOf(arr: ArrayData): Int = {
     val dims = arr.numElements()
     if (dims != normalized.head.length) return 0
     val vec = new Array[Double](dims)
@@ -76,6 +79,18 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       i += 1
     }
     best
+  }
+
+  /** Real whole-stage codegen (not CodegenFallback — the fallback trait
+    * ejects the entire enclosing stage from whole-stage codegen). The
+    * k-dot-products loop stays one JVM method on a referenced
+    * expression object (pre-normalized centroid matrix included); the
+    * surrounding stage stays fused in generated code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("nearestCentroidExpr", this, classOf[NearestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$self.nearestOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =

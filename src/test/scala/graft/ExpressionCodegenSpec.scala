@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions._
+import graft.operators.QualityClassifier
+
+import org.apache.spark.sql.{DataFrame, GraftColumnShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The hot-loop custom expressions must participate in whole-stage
+  * codegen (a CodegenFallback anywhere in a projection ejects the
+  * ENTIRE stage from generated code — a constant factor on the per-row
+  * hottest loops of the dedup/ANN/classifier scans), and the generated
+  * path must agree bit-for-bit with the interpreted `eval` path.
+  *
+  * Inputs are derived from `range(1)`'s id column (id=0) rather than
+  * literals: a foldable child would be constant-folded at plan time and
+  * never reach the generated code this spec exists to exercise.
+  */
+class ExpressionCodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asCol(e: Expression) = GraftColumnShim.column(e)
+
+  private def idS = col("id").cast("string") // "0" at runtime, not foldable
+
+  /** A projection fused into whole-stage codegen renders with the `*(n)`
+    * stage marker; a CodegenFallback projection renders bare.
+    */
+  private def fused(df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"projection not whole-stage-codegen'd:\n$plan")
+  }
+
+  test("minhash_signature: codegen'd stage, bit-identical to interpreted eval") {
+    val df = spark.range(1)
+      .select(array(
+        concat(lit("the quick"), idS),
+        concat(lit("quick brown"), idS),
+        concat(lit("uniçode"), idS)).as("sh"))
+      .select(asCol(MinHashSignature(GraftColumnShim.expression(col("sh")), 16)).as("sig"))
+    fused(df)
+    val fromCodegen = df.collect().head.getAs[scala.collection.Seq[Long]]("sig").toSeq
+    val sh = Seq("the quick0", "quick brown0", "uniçode0")
+    val interpreted = MinHashSignature(Literal.create(sh, ArrayType(StringType)), 16)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(fromCodegen == interpreted)
+  }
+
+  test("hyperplane_signature: codegen'd stage, bit-identical to interpreted eval") {
+    val idF = col("id").cast("float")
+    val df = spark.range(1)
+      .select(array(
+        idF + lit(0.25f), idF - lit(1.5f), idF + lit(0.75f), idF + lit(2.0f),
+        idF - lit(0.125f), idF + lit(0.5f), idF - lit(3.0f), idF + lit(1.0f)).as("v"))
+      .select(asCol(HyperplaneSignature(GraftColumnShim.expression(col("v")), 32, 41)).as("sig"))
+    fused(df)
+    val fromCodegen = df.collect().head.getLong(0)
+    val vec = Seq(0.25f, -1.5f, 0.75f, 2.0f, -0.125f, 0.5f, -3.0f, 1.0f)
+    val interpreted = HyperplaneSignature(Literal.create(vec, ArrayType(FloatType)), 32, 41)
+      .eval(null).asInstanceOf[Long]
+    assert(fromCodegen == interpreted)
+  }
+
+  test("hashed_linear_score: codegen'd stage, bit-identical to interpreted eval") {
+    val df = spark.range(1)
+      .select(array(
+        concat(lit("alpha"), idS), concat(lit("beta"), idS),
+        concat(lit("alpha"), idS), idS).as("t"))
+      .select(asCol(HashedLinearScore(GraftColumnShim.expression(col("t")),
+        QualityClassifier.NumBuckets, QualityClassifier.A, QualityClassifier.C,
+        QualityClassifier.M)).as("s"))
+    fused(df)
+    val fromCodegen = df.collect().head.getLong(0)
+    val toks = Seq("alpha0", "beta0", "alpha0", "0")
+    val interpreted = HashedLinearScore(Literal.create(toks, ArrayType(StringType)),
+      QualityClassifier.NumBuckets, QualityClassifier.A, QualityClassifier.C,
+      QualityClassifier.M).eval(null).asInstanceOf[Long]
+    assert(fromCodegen == interpreted)
+  }
+
+  test("lang_id: codegen'd stage, identical to interpreted eval") {
+    val base = "  The Quick Brown Fox AND the lazy dog "
+    val df = spark.range(1)
+      .select(concat(lit(base), idS).as("t"))
+      .select(asCol(
+        LangIdExpression(GraftColumnShim.expression(col("t")), TextFunctions.LangProfiles))
+        .as("lang"))
+    fused(df)
+    val fromCodegen = df.collect().head.getString(0)
+    val interpreted =
+      LangIdExpression(Literal(UTF8String.fromString(base + "0"), StringType),
+        TextFunctions.LangProfiles).eval(null).asInstanceOf[UTF8String].toString
+    assert(fromCodegen == interpreted)
+  }
+
+  test("nearest_centroid: codegen'd stage, identical to interpreted eval") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val idF = col("id").cast("float")
+    val df = spark.range(1)
+      .select(array(idF + lit(0.1f), idF + lit(0.9f), idF + lit(0.2f)).as("v"))
+      .select(asCol(NearestCentroid(GraftColumnShim.expression(col("v")), centroids)).as("c"))
+    fused(df)
+    val fromCodegen = df.collect().head.getInt(0)
+    val interpreted = NearestCentroid(
+      Literal.create(Seq(0.1f, 0.9f, 0.2f), ArrayType(FloatType)), centroids)
+      .eval(null).asInstanceOf[Int]
+    assert(fromCodegen == interpreted)
+  }
+
+  test("null inputs stay null through the codegen path") {
+    val df = spark.range(1)
+      .select(
+        when(col("id") < 0, array(lit("x"))).as("sh"),
+        when(col("id") < 0, array(lit(1.0f))).as("v"),
+        when(col("id") < 0, lit("x")).as("t"))
+      .select(
+        asCol(MinHashSignature(GraftColumnShim.expression(col("sh")), 8)).as("a"),
+        asCol(HyperplaneSignature(GraftColumnShim.expression(col("v")), 16, 41)).as("b"),
+        asCol(LangIdExpression(GraftColumnShim.expression(col("t")), TextFunctions.LangProfiles))
+          .as("c"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
