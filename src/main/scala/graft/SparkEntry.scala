@@ -892,7 +892,9 @@ object SparkEntry {
       col("doc_id"),
       when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
         .otherwise(col("text")).as("text"))
-    TextDedup.removeDupSpans(seeded, "doc_id", "text", k = 8)
+    // string gram keys: the SQL-replayable scheme (the xxhash64 default
+    // is the 100 TB path; IncrementalDedupSpec proves span-identity)
+    TextDedup.removeDupSpans(seeded, "doc_id", "text", k = 8, hashedGramKeys = false)
       .select(col("id").as("doc_id"), col("n_tokens"), col("removed_tokens"), col("clean_text"))
       .orderBy(col("doc_id"))
   }

@@ -385,9 +385,18 @@ object TextDedup {
     * substring-dedup cost, same as [[globalNgramDupStats]]), a
     * map-side-combinable gram count, and only DUPLICATED window starts
     * explode k-wide into positions — boilerplate is rare relative to
-    * the corpus, so the cover join is small. Join keys here are the
-    * gram STRINGS (that is what the SQL oracle replays); at 100 TB
-    * hash them first (xxhash64) to cut shuffle width.
+    * the corpus, so the cover join is small.
+    *
+    * Dual key scheme (same pattern as MinhashScheme): by default the
+    * gram count/join keys are `xxhash64` of the window text — an
+    * 8-byte long instead of a k-token string, cutting the width of the
+    * two largest shuffles by ~an order of magnitude at 100 TB. A
+    * 64-bit collision would remove a non-duplicated span; at n grams
+    * the chance any collision exists is ~n^2/2^65 (even 10^12 grams
+    * keeps it ~3%, and a collision costs k tokens of over-removal, not
+    * corruption). `hashedGramKeys = false` keeps the gram STRINGS as
+    * keys — exact at any scale and what the SQL oracle replays;
+    * IncrementalDedupSpec asserts both paths select identical spans.
     *
     * @return (id, n_tokens, removed_tokens, clean_text), one row per
     *         input document; fully-removed docs get clean_text = "".
@@ -397,7 +406,8 @@ object TextDedup {
       idCol: String,
       textCol: String,
       k: Int,
-      minOccurrences: Int = 2): DataFrame = {
+      minOccurrences: Int = 2,
+      hashedGramKeys: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val toks = spread
@@ -412,7 +422,9 @@ object TextDedup {
             transform(sequence(lit(1), size(col("toks")) - (k - 1)),
               i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
             .otherwise(array().cast("array<string>"))).as(Seq("p0", "gram")))
-      .select(col("id"), (col("p0") + 1).as("start"), col("gram"))
+      .select(col("id"), (col("p0") + 1).as("start"),
+        // hashed keys shrink the count + cover shuffles to 8 bytes/gram
+        (if (hashedGramKeys) xxhash64(col("gram")) else col("gram")).as("gram"))
       .persist()
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__n"))

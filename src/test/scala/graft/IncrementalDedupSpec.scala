@@ -60,6 +60,27 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out(4L).getAs[String]("clean_text") == "hi there")
   }
 
+  test("removeDupSpans: hashed and string gram keys select identical spans") {
+    // real-ish corpus slice: seeded boilerplate + unique tails + a doc
+    // with internal repetition, exercising every removal case on both
+    // key schemes
+    val boiler = "subscribe to our newsletter for all the latest updates"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, "a b c d a b c d a b c d"), // self-repeating windows
+      (4L, "wholly unique content that shares nothing with the others"),
+      (5L, "tiny"))
+      .toDF("doc_id", "text")
+    val stringKeyed = TextDedup
+      .removeDupSpans(docs, "doc_id", "text", k = 4, hashedGramKeys = false)
+      .orderBy("id").collect().toSeq
+    val hashKeyed = TextDedup
+      .removeDupSpans(docs, "doc_id", "text", k = 4, hashedGramKeys = true)
+      .orderBy("id").collect().toSeq
+    assert(stringKeyed == hashKeyed)
+  }
+
   test("removeDupSpans: a doc that is all boilerplate empties cleanly") {
     val seeded = Seq(
       (1L, "spam spam spam spam"),
