@@ -11,12 +11,14 @@ import graft.functions.TextFunctions
   * weight table, the doc's score is the mean token weight, and the
   * keep gate is score > 0.
   *
-  * There is no model file in this container, so the weight table is a
-  * DETERMINISTIC function of the bucket index (an LCG step) — the
-  * plumbing (hash → bucket → weight → mean → gate) is the real
-  * artifact; swap [[rawWeight]] (and [[graft.functions.HashedLinearScore]]'s
-  * LCG step) for an `element_at` against a broadcast literal array to
-  * serve trained weights.
+  * There is no model file in this container, so the DEFAULT weight
+  * table is a deterministic function of the bucket index (an LCG step)
+  * — the plumbing (hash → bucket → weight → mean → gate) is the real
+  * artifact. [[scoreWithWeights]] is the serving path for a trained
+  * model: it takes the weight array itself and evaluates it through the
+  * native [[graft.functions.HashedWeightScore]] expression (the table
+  * rides in the task closure — broadcast-array shape, one array read
+  * per token).
   *
   * Numeric contract: tokens are scored in INTEGER space (the raw LCG
   * value, exact under any summation order) and converted to a float
@@ -68,6 +70,12 @@ object QualityClassifier {
 
   /** Per-document score + keep gate.
     *
+    * Null contract: a NULL text scores exactly like an empty document —
+    * `n_tokens = 0`, `feat_sum = 0`, `score` null (a mean over zero
+    * tokens has no value; ANSI division would otherwise throw),
+    * `keep = false` (deterministically rejected, never a null gate that
+    * both `filter(keep)` and `filter(!keep)` would drop).
+    *
     * @return (id, n_tokens, feat_sum, score, keep): token count, exact
     *         integer feature sum, mean weight in [-1, 1) rounded to 4
     *         decimals, and the keep flag (mean weight > 0, decided by
@@ -91,16 +99,55 @@ object QualityClassifier {
     }
     df.select(
         col(idCol).as("id"),
-        size(toks).cast("long").as("n_tokens"),
-        featSum.as("feat_sum"))
+        // null text folds to the empty-document case (see null contract)
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(featSum, lit(0L)).as("feat_sum"))
       .select(
         col("id"),
         col("n_tokens"),
         col("feat_sum"),
         // `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 = +0.0) so the
         // score is safe to group/order by downstream (tokenBudgetSelect)
-        (round(col("feat_sum").cast("double") / (col("n_tokens").cast("double") * lit(H)) - 1.0, 4)
-          + 0.0).as("score"),
+        when(col("n_tokens") > 0L,
+          round(col("feat_sum").cast("double") / (col("n_tokens").cast("double") * lit(H)) - 1.0, 4)
+            + 0.0).as("score"),
         (col("feat_sum") * 2L > col("n_tokens") * M).as("keep"))
+  }
+
+  /** [[score]] serving a TRAINED weight table: `weights(b)` replaces
+    * the LCG step for bucket `b = pmod(xxhash64(token),
+    * weights.length)`; the doc score is the mean token weight and the
+    * keep gate is mean > 0. The table ships once per task closure
+    * inside the native [[graft.functions.HashedWeightScore]] expression
+    * and per-row work stays one hash + one array read per token, fused
+    * into whole-stage codegen.
+    *
+    * Same null contract as [[score]]: null text -> n_tokens 0,
+    * w_sum 0.0, keep false.
+    *
+    * @return (id, n_tokens, w_sum, score, keep) — w_sum is the exact
+    *         double weight sum; score = round(w_sum / n_tokens, 4)
+    */
+  def scoreWithWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val toks = TextFunctions.tokens(col(textCol))
+    val wSum = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.HashedWeightScore(
+        org.apache.spark.sql.GraftColumnShim.expression(toks), weights))
+    df.select(
+        col(idCol).as("id"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(wSum, lit(0.0)).as("w_sum"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        col("w_sum"),
+        when(col("n_tokens") > 0L,
+          round(col("w_sum") / col("n_tokens").cast("double"), 4) + 0.0).as("score"),
+        (col("w_sum") > 0.0).as("keep"))
   }
 }

@@ -83,6 +83,21 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(fromCodegen == interpreted)
   }
 
+  test("hashed_weight_score: codegen'd stage, bit-identical to interpreted eval") {
+    val weights = (0 until 64).map(i => (i - 32) * 0.125)
+    val df = spark.range(1)
+      .select(array(
+        concat(lit("alpha"), idS), concat(lit("beta"), idS),
+        concat(lit("alpha"), idS)).as("t"))
+      .select(asCol(HashedWeightScore(GraftColumnShim.expression(col("t")), weights)).as("s"))
+    fused(df)
+    val fromCodegen = df.collect().head.getDouble(0)
+    val toks = Seq("alpha0", "beta0", "alpha0")
+    val interpreted = HashedWeightScore(Literal.create(toks, ArrayType(StringType)), weights)
+      .eval(null).asInstanceOf[Double]
+    assert(fromCodegen == interpreted)
+  }
+
   test("lang_id: codegen'd stage, identical to interpreted eval") {
     val base = "  The Quick Brown Fox AND the lazy dog "
     val df = spark.range(1)

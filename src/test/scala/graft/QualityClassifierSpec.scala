@@ -87,4 +87,53 @@ class QualityClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("null text is deterministically rejected, not a null gate") {
+    val withNull = Seq((1L, Some("alpha beta")), (2L, None))
+      .toDF("doc_id", "text")
+    for (scheme <- Seq(XxHash64Scheme, PortableMd5Scheme)) {
+      val byId = QualityClassifier.score(withNull, "doc_id", "text", scheme)
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+      assert(byId(2L).getAs[Long]("n_tokens") == 0L)
+      assert(byId(2L).getAs[Long]("feat_sum") == 0L)
+      assert(!byId(2L).isNullAt(4) && !byId(2L).getAs[Boolean]("keep"))
+    }
+    // filter(keep) and filter(!keep) partition ALL rows between them
+    val scored = QualityClassifier.score(withNull, "doc_id", "text")
+    val kept = scored.filter(col("keep")).count()
+    val rejected = scored.filter(!col("keep")).count()
+    assert(kept + rejected == 2L)
+  }
+
+  test("scoreWithWeights serves a handcrafted trained table") {
+    // place +1.0 at "good"'s bucket and -1.0 at "bad"'s, zero elsewhere
+    // (buckets computed with the same pmod(xxhash64) the serving path uses)
+    val buckets = Seq("good", "bad").toDF("t")
+      .select(col("t"), pmod(xxhash64(col("t")), lit(QualityClassifier.NumBuckets.toLong)).as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(buckets("good") != buckets("bad"), "test tokens collided; pick others")
+    val weights = Array.fill(QualityClassifier.NumBuckets)(0.0)
+    weights(buckets("good").toInt) = 1.0
+    weights(buckets("bad").toInt) = -1.0
+    val docs = Seq(
+      (1L, Some("good good filler")), // w_sum 2.0 -> keep
+      (2L, Some("bad filler")), // w_sum -1.0 -> reject
+      (3L, Some("filler only text")), // w_sum 0.0 -> reject (gate is > 0)
+      (4L, None)) // null contract
+      .toDF("doc_id", "text")
+    val byId = QualityClassifier
+      .scoreWithWeights(docs, "doc_id", "text", weights.toSeq)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Double]("w_sum") == 2.0 && byId(1L).getAs[Boolean]("keep"))
+    assert(byId(1L).getAs[Double]("score") == 0.6667) // 2.0 / 3 tokens
+    assert(byId(2L).getAs[Double]("w_sum") == -1.0 && !byId(2L).getAs[Boolean]("keep"))
+    assert(byId(3L).getAs[Double]("w_sum") == 0.0 && !byId(3L).getAs[Boolean]("keep"))
+    assert(byId(4L).getAs[Long]("n_tokens") == 0L && !byId(4L).getAs[Boolean]("keep"))
+    // serving stays a shuffle-free projection (whole-stage codegen of
+    // HashedWeightScore is asserted in ExpressionCodegenSpec, where the
+    // input cannot constant-fold away)
+    val plan = QualityClassifier.scoreWithWeights(docs, "doc_id", "text", weights.toSeq)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
