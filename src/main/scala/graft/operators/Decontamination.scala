@@ -66,15 +66,24 @@ object Decontamination {
   }
 
   /** Streaming-safe form: the eval n-gram set is materialized to the
-    * driver once (it is benchmark-sized by assumption) and checked
-    * per row with an `array_intersect` against a literal array — a
-    * stateless projection, so it runs on an unaggregated stream with
-    * no watermark and selects exactly what the batch operator flags
-    * for the same eval set (StreamDecontaminationSpec).
+    * driver once (it is benchmark-sized by assumption) and probed per
+    * row through the native [[graft.functions.ArrayHitCount]]
+    * expression — a stateless projection, so it runs on an unaggregated
+    * stream with no watermark and selects exactly what the batch
+    * operator flags for the same eval set (StreamDecontaminationSpec).
+    *
+    * The doc's gram array is staged ONCE (one tokenize/shingle pass per
+    * row, not one per output column) and the eval set is hashed once
+    * per executor inside the expression, so per-row cost is O(doc
+    * grams) lookups — not the O(eval grams) that a per-row
+    * `array_intersect` against a plan literal would pay rebuilding its
+    * set every row.
     *
     * @param evalSet BATCH DataFrame of benchmark documents; collected
-    *                here — size it accordingly (millions of grams is
-    *                fine, a corpus is not; that is [[flagContaminated]])
+    *                here. The gram set rides in the task closure (not
+    *                the per-row path): ~10^6 grams ≈ tens of MB
+    *                shipped once per executor is fine; a corpus-sized
+    *                set is not — that is [[flagContaminated]]
     */
   def flagContaminatedStream(
       stream: DataFrame,
@@ -88,14 +97,23 @@ object Decontamination {
       .collect()
       .map(_.getString(0))
       .sorted
-    val hits = size(array_intersect(
-      distinctGrams(stream, textCol, n),
-      typedlit(grams.toSeq))).cast("long")
-    stream.select(
+    val staged = stream.select(
       col(idCol).as("id"),
-      size(distinctGrams(stream, textCol, n)).cast("long").as("n_grams"),
-      hits.as("eval_hits"),
-      (hits > 0L).as("contaminated"))
+      distinctGrams(stream, textCol, n).as("__gs"))
+    val hits = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.ArrayHitCount(
+        org.apache.spark.sql.GraftColumnShim.expression(col("__gs")),
+        grams.toSeq))
+    staged
+      .select(
+        col("id"),
+        size(col("__gs")).cast("long").as("n_grams"),
+        hits.as("eval_hits"))
+      .select(
+        col("id"),
+        col("n_grams"),
+        col("eval_hits"),
+        (col("eval_hits") > 0L).as("contaminated"))
   }
 
   private def distinctGrams(df: DataFrame, textCol: String, n: Int) =

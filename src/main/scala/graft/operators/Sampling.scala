@@ -128,17 +128,25 @@ object Sampling {
     * partition; this computes the same total order in two scale-safe
     * layers instead:
     *  1. per-distinct-score token totals (one groupBy; output is
-    *     |distinct scores| rows, e.g. ≤ 20001 for a 4-decimal score)
-    *     get an exclusive prefix sum — the only unpartitioned window,
-    *     over scores, not documents;
+    *     |distinct scores| rows) get an exclusive prefix sum — the
+    *     only unpartitioned window, over scores, not documents;
     *  2. each document adds its within-score running total (window
     *     PARTITIONED by score, ordered by id) on top of its score's
     *     broadcast prefix.
     * `prefix(score) + within(score, id)` IS the global running sum
     * under the total order, so the result is exact, not approximate.
     *
-    * @param scoreCol must not be an IEEE -0.0 producer (normalize with
-    *                 `+ 0.0` upstream) — it is grouped and ordered on
+    * The two-layer shape is only scale-safe when the distinct-score
+    * count is bounded, so the score is QUANTIZED here: rounded to
+    * `scorePrecision` decimals (and `+ 0.0`-normalized, so an IEEE
+    * -0.0 producer upstream is harmless) before grouping/ordering.
+    * That caps layer 1 at ~2·10^p·range+1 rows by construction — a
+    * continuous score column can no longer degenerate the prefix
+    * window and broadcast to O(n_docs). The quantized score DEFINES
+    * the selection order (ties broken by id) and is what the output
+    * reports; pass-through of an already-rounded score (e.g.
+    * [[QualityClassifier.score]]'s 4-decimal output) is exact.
+    *
     * @return kept rows only: (id, score, n_tokens, cum_tokens)
     */
   def tokenBudgetSelect(
@@ -146,9 +154,14 @@ object Sampling {
       idCol: String,
       scoreCol: String,
       tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long,
+      scorePrecision: Int = 4): DataFrame = {
+    require(scorePrecision >= 0 && scorePrecision <= 6,
+      "scorePrecision must be in [0, 6] — the prefix table is 2*10^p*range rows")
     val base = df.select(
-      col(idCol).as("id"), col(scoreCol).as("score"), col(tokensCol).cast("long").as("n_tokens"))
+      col(idCol).as("id"),
+      (round(col(scoreCol), scorePrecision) + lit(0.0)).as("score"),
+      col(tokensCol).cast("long").as("n_tokens"))
     val perScore = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("score_toks"))
     val wScores = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -38,6 +38,27 @@ class TokenBudgetSpec extends SparkSpec {
     assert(scaled == naive)
   }
 
+  test("continuous scores are quantized: bounded prefix, naive-order agreement") {
+    // unrounded scores (1/id) would otherwise make |distinct scores| =
+    // n_docs and degenerate layer 1; the internal round(_, 2) caps it
+    val continuous = spark.range(1, 201)
+      .select(col("id"), (lit(1.0) / col("id").cast("double")).as("score"),
+        lit(10L).as("toks"))
+    val out = Sampling
+      .tokenBudgetSelect(continuous, "id", "score", "toks", budget = 500L, scorePrecision = 2)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val naive = continuous
+      .withColumn("q", round(col("score"), 2) + 0.0)
+      .withColumn("cum_tokens",
+        sum(col("toks")).over(
+          Window.orderBy(col("q").desc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 500L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out == naive)
+    assert(out.size == 50)
+  }
+
   test("per-document windows are partitioned; only the tiny score table is not") {
     val plan = Sampling.tokenBudgetSelect(docs, "id", "score", "toks", budget = 800L)
       .queryExecution.executedPlan.toString
