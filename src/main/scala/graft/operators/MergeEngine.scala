@@ -245,6 +245,12 @@ object MergeEngine {
     * Only partitions present in `source` are read from the target and
     * rewritten (static partition pruning: the touched partition values are
     * collected — they are few — and pushed as scan filters).
+    *
+    * @param touchedUpsert the distinct `cfg.partitionCols` values of
+    *        `source`, when the caller already collected them (the
+    *        micro-batch loop folds them into its routing aggregation so
+    *        routing + partition discovery is ONE driver job); None
+    *        collects here
     */
   def upsert(
       spark: SparkSession,
@@ -252,7 +258,8 @@ object MergeEngine {
       source: DataFrame,
       pkCols: Seq[String],
       versionCol: String,
-      knownNonEmpty: Boolean = false): Unit = {
+      knownNonEmpty: Boolean = false,
+      touchedUpsert: Option[Array[Row]] = None): Unit = {
     if (!knownNonEmpty && source.isEmpty) return
     val keys = (pkCols ++ cfg.partitionCols).distinct
     val written = readTable(spark, cfg.path) match {
@@ -262,7 +269,8 @@ object MergeEngine {
         val slice =
           if (cfg.partitionCols.isEmpty) target
           else {
-            val touched = source.select(cfg.partitionCols.map(col): _*).distinct().collect()
+            val touched = touchedUpsert.getOrElse(
+              source.select(cfg.partitionCols.map(col): _*).distinct().collect())
             if (touched.isEmpty) return
             target.filter(partitionPredicate(cfg.partitionCols, touched))
           }
@@ -293,11 +301,13 @@ object MergeEngine {
       deletes: DataFrame,
       pkCols: Seq[String],
       versionCol: String,
-      knownBothNonEmpty: Boolean = false): Unit = {
+      knownBothNonEmpty: Boolean = false,
+      touchedUpsert: Option[Array[Row]] = None): Unit = {
     if (!knownBothNonEmpty) {
       // degenerate routing keeps the single-sided invariants (incl.
       // upsert's no-op on empty) in one place
-      if (deletes.isEmpty) return upsert(spark, cfg, upserts, pkCols, versionCol)
+      if (deletes.isEmpty)
+        return upsert(spark, cfg, upserts, pkCols, versionCol, touchedUpsert = touchedUpsert)
       if (upserts.isEmpty) return delete(spark, cfg, deletes, pkCols)
     }
     val keys = (pkCols ++ cfg.partitionCols).distinct
@@ -313,7 +323,8 @@ object MergeEngine {
           if (resolved.isEmpty) truncate(spark, cfg)
           else { writeStaged(spark, cfg, resolved); () }
         } else {
-          val touched = upserts.select(cfg.partitionCols.map(col): _*).distinct().collect()
+          val touched = touchedUpsert.getOrElse(
+            upserts.select(cfg.partitionCols.map(col): _*).distinct().collect())
           val delKeys = deletes.select(pkCols.map(col): _*).distinct()
           val probe = pkRangeFilter(deletes, pkCols, cfg.sortCols)
             .map(target.filter)

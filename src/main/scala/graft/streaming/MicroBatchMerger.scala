@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.StructType
   * it) -> per pair: pk cols from the key schema, FAILFAST Avro decode,
   * struct expansion, Debezium casts, W1 latest-per-key dedup,
   * additional cols, memoized create-table, ONE routing aggregation
-  * (replacing two per-branch emptiness probes), upsert the live slice
-  * (strict LSN guard), delete the tombstone slice (pk-only, no guard).
+  * (replacing two per-branch emptiness probes AND the merge's
+  * upsert-touched partition collect), upsert the live slice (strict
+  * LSN guard), delete the tombstone slice (pk-only, no guard).
   */
 object MicroBatchMerger {
 
@@ -106,25 +107,41 @@ object MicroBatchMerger {
                   MergeEngine.createTableIfNotExists(spark, targetSchema, cfg); true
                 }
 
-                // ONE routing job replaces the two per-branch emptiness
-                // probes: rows split exactly as the filters below do
-                // (null __deleted rows route to neither branch).
+                // ONE routing + partition-discovery job: per-(branch,
+                // partition) counts replace the two per-branch emptiness
+                // probes AND the merge's upsert-touched partition collect
+                // (null __deleted rows route to neither branch). Row
+                // cardinality is branches x touched partitions — driver-
+                // bounded by construction.
+                val partCols = cfg.partitionCols
                 val routed = withAdditional
-                  .groupBy((col(deletedCol) === "true").as("__is_del"))
+                  .groupBy(
+                    (col(deletedCol) === "true").as("__is_del") +: partCols.map(col): _*)
                   .count()
                   .collect()
                 def n(del: Boolean) = routed
-                  .find(r => !r.isNullAt(0) && r.getBoolean(0) == del)
-                  .map(_.getLong(1)).getOrElse(0L)
+                  .filter(r => !r.isNullAt(0) && r.getBoolean(0) == del)
+                  .map(_.getLong(partCols.size + 1)).sum
+                // the distinct partition values of the upsert branch, in
+                // the positional Row shape MergeEngine's partition
+                // predicate consumes
+                val touchedUpsert =
+                  if (partCols.isEmpty) None
+                  else Some(routed
+                    .filter(r => !r.isNullAt(0) && !r.getBoolean(0))
+                    .map(r => org.apache.spark.sql.Row
+                      .fromSeq((1 to partCols.size).map(r.get)))
+                    .distinct)
 
                 val upserts = withAdditional.filter(col(deletedCol) =!= "true").drop(deletedCol)
                 val deletes = withAdditional.filter(col(deletedCol) === "true")
                 if (n(false) > 0 && n(true) > 0)
                   // mixed batch: ONE read-modify-write transaction
                   MergeEngine.merge(spark, cfg, upserts, deletes, pkCols, versionCol,
-                    knownBothNonEmpty = true)
+                    knownBothNonEmpty = true, touchedUpsert = touchedUpsert)
                 else if (n(false) > 0)
-                  MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol, knownNonEmpty = true)
+                  MergeEngine.upsert(spark, cfg, upserts, pkCols, versionCol,
+                    knownNonEmpty = true, touchedUpsert = touchedUpsert)
                 else if (n(true) > 0)
                   MergeEngine.delete(spark, cfg, deletes, pkCols, knownNonEmpty = true)
               } finally { withAdditional.unpersist(); () }

@@ -102,6 +102,56 @@ class MergeEngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/t/year=2023").exists(), "emptied partition not cleaned up")
   }
 
+  test("pre-collected touched partitions skip the discovery job, same end state") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val seed = Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn")
+    val src = Seq((1, "a2", 2023, 20L), (3, "c", 2025, 21L)).toDF("id", "name", "year", "lsn")
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+    }
+    // count Spark jobs for f: listener events are async, so poll until
+    // the count has been stable for a while before reading it
+    def jobs(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      counter.set(0)
+      try {
+        f
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = counter.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get
+    }
+    def run(name: String, touched: Option[Array[org.apache.spark.sql.Row]]): (Int, Seq[(Int, String)]) = {
+      val path = tmpDir(s"merge-touched-$name")
+      val cfg = TableConfig("graft_test", s"touched_$name", s"$path/t",
+        partitionCols = Seq("year"))
+      MergeEngine.upsert(spark, cfg, seed, Seq("id"), "lsn")
+      val n = jobs(MergeEngine.upsert(spark, cfg, src, Seq("id"), "lsn",
+        knownNonEmpty = true, touchedUpsert = touched))
+      val state = MergeEngine.readTable(spark, cfg.path).get
+        .select("id", "name").as[(Int, String)].collect().sortBy(_._1).toSeq
+      (n, state)
+    }
+    val (jobsCollecting, stateA) = run("collect", None)
+    val (jobsProvided, stateB) =
+      run("given", Some(Array(
+        org.apache.spark.sql.Row(2023), org.apache.spark.sql.Row(2025))))
+    assert(stateA == stateB, "end states diverged")
+    assert(stateA.map(_._1) == Seq(1, 2, 3))
+    // the caller-provided partition list drops the discovery
+    // distinct+collect entirely (>= 1 job; 2 under AQE's staged
+    // shuffle) — the micro-batch loop folds it into its routing
+    // aggregation, so routing + discovery is ONE driver job per pair
+    assert(jobsProvided < jobsCollecting,
+      s"expected fewer jobs, got $jobsProvided vs $jobsCollecting")
+  }
+
   test("fused mixed-batch merge on a partitioned table: one transaction, same end state") {
     val path = tmpDir("merge-fused-part")
     val cfg = TableConfig("graft_test", "fused_tbl", s"$path/t", partitionCols = Seq("year"))
