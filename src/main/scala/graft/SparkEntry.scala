@@ -58,6 +58,16 @@ private[graft] object IvfStageCache
 private[graft] object MinhashStoreCache
     extends graft.util.SessionScopedCache[TextDedup.MinhashStore]
 
+/** Session-scoped cache of the exact decimal-cosine top-20 over the
+  * planted-neighbor corpus — the SQL-replayable half both ANN recall
+  * gates (`ann_lsh_topk`, `ann_ivf_topk`) compare against; computing it
+  * once per (application, dir) saves each later gate a full corpus
+  * scan, and the persisted 20-row frame also feeds each gate's verdict
+  * semi-join without a recompute.
+  */
+private[graft] object ExactTopCache
+    extends graft.util.SessionScopedCache[DataFrame]
+
 /** Session-scoped cache of the portable-scheme classifier scores:
   * `text_quality_classifier` reports them and `token_budget_select`
   * selects on them — one scoring pass feeds both, the way a real
@@ -770,6 +780,29 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_tokens"), col("feat_sum"), col("score"), col("keep"))
       .orderBy(col("doc_id"))
 
+  /** TRAINED-weight classifier serving, oracle-gated end-to-end via the
+    * portable scheme: the weight table is tabulated from the closed
+    * form w(b) = (b - 2048) / 2048 (exact dyadic rationals, so the
+    * double sums are exact in ANY order on both engines) and served
+    * through [[QualityClassifier.scoreWithWeights]]'s real
+    * `element_at`-against-the-table path — the oracle recomputes the
+    * same weights from the closed form without ever seeing the array.
+    */
+  private def textQualityTrained(s: SparkSession, dir: String): DataFrame = {
+    val weights =
+      Array.tabulate(graft.operators.QualityClassifier.NumBuckets)(b => (b - 2048) / 2048.0)
+    graft.operators.QualityClassifier
+      .scoreWithWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        weights.toSeq, graft.operators.QualityClassifier.PortableMd5Scheme)
+      .select(
+        col("id").as("doc_id"),
+        col("n_tokens"),
+        (col("w_sum") + 0.0).as("w_sum"),
+        col("score"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Budget-capped corpus selection composed on the quality classifier:
     * keep the best-scoring documents until the running token total
     * exceeds the budget. Oracle-gated: the SQL replays the classifier
@@ -966,15 +999,23 @@ object SparkEntry {
     * oracle: round-3 decimal cosine, ties at the k-boundary break by
     * vec_id).
     */
-  private def exactTop20(corpus: DataFrame, query: DataFrame): DataFrame = {
-    val q = query.select(col("embedding").as("__qv"))
-    corpus
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        (round(VF.cosineDecimal(col("embedding"), col("__qv")), 3) + lit(0.0)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(20)
-  }
+  private def exactTop20(
+      s: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      query: DataFrame): DataFrame =
+    ExactTopCache.getOrElseUpdate(s, dir + "#planted-top20") {
+      val q = query.select(col("embedding").as("__qv"))
+      val top = corpus
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (round(VF.cosineDecimal(col("embedding"), col("__qv")), 3) + lit(0.0)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+        .persist()
+      top.count()
+      top
+    }
 
   /** Exact top-20 rows plus an in-plan recall verdict on an approximate
     * top-k (the `q34_approx_distinct` tolerance-verdict pattern): the
@@ -1007,7 +1048,7 @@ object SparkEntry {
     val approx = SimilaritySearch
       .lshTopK(corpus, query, "vec_id", "embedding",
         k = 20, bits = 32, maxHamming = 12)
-    exactTopWithRecallVerdict(exactTop20(corpus, query), approx)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
   /** IVF-Flat ANN top-20 around vec_id=0 over the planted-neighbor
@@ -1024,7 +1065,7 @@ object SparkEntry {
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#planted")(
       IvfAnn.build(corpus, "vec_id", "embedding", nlist = 16, iters = 3))
     val approx = IvfAnn.topK(index, query, k = 20, nprobe = 4)
-    exactTopWithRecallVerdict(exactTop20(corpus, query), approx)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
   /** IVF with EVERY list probed, oracle-gated against DuckDB's exact
@@ -1456,6 +1497,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
     "text_quality_classifier" -> (textQualityClassifier _),
+    "text_quality_trained" -> (textQualityTrained _),
     "token_budget_select" -> (tokenBudgetSelect _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
@@ -2201,6 +2243,31 @@ object SparkEntry {
         |  s AS feat_sum,
         |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 500001.5) - 1.0, 4) + 0.0 AS score,
         |  2 * s > n * 1000003 AS keep
+        |FROM a
+        |ORDER BY doc_id""".stripMargin,
+    // trained-weight serving replay: the oracle recomputes the weight
+    // table from its closed form w(b) = (b - 2048)/2048 — exact dyadic
+    // rationals, so the double sums match Spark's element_at path
+    // bit-for-bit regardless of summation order
+    "text_quality_trained" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tk FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    (CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % 4096) AS b
+        |  FROM tok),
+        |a AS (
+        |  SELECT doc_id,
+        |    sum((CAST(b AS DOUBLE) - 2048.0) / 2048.0) AS s,
+        |    count(*) AS n
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  s + 0.0 AS w_sum,
+        |  round(s / CAST(n AS DOUBLE), 4) + 0.0 AS score,
+        |  s > 0.0 AS keep
         |FROM a
         |ORDER BY doc_id""".stripMargin,
     // classifier replay + ONE window running sum over the total order

@@ -125,6 +125,11 @@ object QualityClassifier {
     * Same null contract as [[score]]: null text -> n_tokens 0,
     * w_sum 0.0, keep false.
     *
+    * The portable-md5 scheme (weights.length must equal [[NumBuckets]])
+    * evaluates `element_at` against the literal table instead — every
+    * step replayable in SQL, which is how `text_quality_trained` is
+    * oracle-gated.
+    *
     * @return (id, n_tokens, w_sum, score, keep) — w_sum is the exact
     *         double weight sum; score = round(w_sum / n_tokens, 4)
     */
@@ -132,12 +137,23 @@ object QualityClassifier {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      weights: Seq[Double]): DataFrame = {
+      weights: Seq[Double],
+      scheme: HashScheme = XxHash64Scheme): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     val toks = TextFunctions.tokens(col(textCol))
-    val wSum = org.apache.spark.sql.GraftColumnShim.column(
-      graft.functions.HashedWeightScore(
-        org.apache.spark.sql.GraftColumnShim.expression(toks), weights))
+    val wSum = scheme match {
+      case XxHash64Scheme =>
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.functions.HashedWeightScore(
+            org.apache.spark.sql.GraftColumnShim.expression(toks), weights))
+      case _ =>
+        require(weights.length == NumBuckets,
+          s"portable scheme buckets by $NumBuckets; got ${weights.length} weights")
+        aggregate(
+          transform(toks, t => element_at(typedlit(weights), (scheme.bucket(t) + 1).cast("int"))),
+          lit(0.0),
+          (acc, v) => acc + v)
+    }
     df.select(
         col(idCol).as("id"),
         coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"),

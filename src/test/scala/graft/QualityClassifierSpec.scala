@@ -105,6 +105,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(kept + rejected == 2L)
   }
 
+  test("scoreWithWeights: all-ones table sums to the token count under both schemes") {
+    val ones = Seq.fill(QualityClassifier.NumBuckets)(1.0)
+    for (scheme <- Seq(XxHash64Scheme, PortableMd5Scheme)) {
+      val rows = QualityClassifier.scoreWithWeights(docs, "doc_id", "text", ones, scheme)
+        .collect()
+      for (r <- rows)
+        assert(r.getAs[Double]("w_sum") == r.getAs[Long]("n_tokens").toDouble,
+          s"scheme $scheme: $r")
+    }
+  }
+
   test("scoreWithWeights serves a handcrafted trained table") {
     // place +1.0 at "good"'s bucket and -1.0 at "bad"'s, zero elsewhere
     // (buckets computed with the same pmod(xxhash64) the serving path uses)
