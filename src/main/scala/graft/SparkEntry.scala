@@ -932,6 +932,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain document cap (the RefinedWeb-style quota) over
+    * synthetic URLs seeded from the source column — one domain per
+    * source (25+ docs each at every SF), so the cap of 10 genuinely
+    * cuts. Oracle-gated end-to-end: URL synthesis, the RE2-portable
+    * host regex, and the deterministic md5 rank within each domain all
+    * replay in SQL.
+    */
+  private def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/docs/"),
+      col("doc_id").cast("string"))
+    graft.operators.DomainOps
+      .capPerDomain(
+        docs.select(col("doc_id"), url.as("url")),
+        graft.operators.DomainOps.extractDomain(col("url")), "doc_id", cap = 10)
+      .select(col("domain"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
   /** PII scrubbing over documents seeded with deterministic synthetic
     * contact strings (the corpus itself is PII-free), so the redaction
     * regexes are exercised on known material on both engines.
@@ -1505,6 +1525,7 @@ object SparkEntry {
     "split_assign" -> (splitAssign _),
     "corpus_stats" -> (corpusStats _),
     "dedup_spans" -> (dedupSpans _),
+    "domain_cap" -> (domainCap _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
@@ -2189,6 +2210,26 @@ object SparkEntry {
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // per-domain cap replay: URL synthesis, host regex, and the md5
+    // rank are all engine-portable
+    "domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS domain
+        |  FROM u),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d)
+        |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY domain, rk""".stripMargin,
     // corpus report replay: quantile_cont shares percentile's linear
     // interpolation; each avg is one deterministic IEEE division
     "corpus_stats" ->
