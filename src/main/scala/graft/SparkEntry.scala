@@ -58,6 +58,13 @@ private[graft] object IvfStageCache
 private[graft] object MinhashStoreCache
     extends graft.util.SessionScopedCache[TextDedup.MinhashStore]
 
+/** Session-scoped cache of the incremental SPAN-dedup gram store
+  * (same lifecycle argument as [[MinhashStoreCache]]: built once per
+  * (application, dir), probed by every later increment).
+  */
+private[graft] object SpanStoreCache
+    extends graft.util.SessionScopedCache[TextDedup.SpanStore]
+
 /** Session-scoped cache of the exact decimal-cosine top-20 over the
   * planted-neighbor corpus — the SQL-replayable half both ANN recall
   * gates (`ann_lsh_topk`, `ann_ivf_topk`) compare against; computing it
@@ -932,6 +939,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL span dedup: the boilerplate-seeded corpus below
+    * doc_id 400 is the ingested store (gram counts, session-cached);
+    * docs >= 400 are the increment probed against it. Oracle-gated by
+    * the equivalence the operator guarantees: the SQL replays the full
+    * union computation (the `dedup_spans` pipeline over ALL seeded
+    * docs) restricted to the increment's ids — which is exactly what
+    * the store probe computes without re-exploding the corpus side.
+    */
+  private def dedupIncrementalSpans(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val seeded = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val store = SpanStoreCache.getOrElseUpdate(s, dir + "#spans")(
+      TextDedup.buildSpanStore(seeded.filter(col("doc_id") < 400), "doc_id", "text",
+        k = 8, hashedGramKeys = false))
+    TextDedup
+      .removeDupSpansAgainstStore(seeded.filter(col("doc_id") >= 400), store,
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("removed_tokens"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-domain document cap (the RefinedWeb-style quota) over
     * synthetic URLs seeded from the source column — one domain per
     * source (25+ docs each at every SF), so the cap of 10 genuinely
@@ -1525,6 +1556,7 @@ object SparkEntry {
     "split_assign" -> (splitAssign _),
     "corpus_stats" -> (corpusStats _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_incremental_spans" -> (dedupIncrementalSpans _),
     "domain_cap" -> (domainCap _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -2209,6 +2241,46 @@ object SparkEntry {
         |  CAST(len(t.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // incremental span dedup replay: the FULL union computation (same
+    // CTEs as dedup_spans) restricted to the increment's ids — the
+    // equivalence the store probe implements
+    "dedup_incremental_spans" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1
+        |         THEN 'subscribe to our newsletter for updates terms of service apply ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM d0),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'s': i, 'g': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, greatest(len(ws) - 6, 1))]) AS e
+        |  FROM t),
+        |g AS (SELECT doc_id, e.s AS start, e.g AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest([p for p in range(start, start + 8)]) AS pos
+        |  FROM g JOIN dup USING (gram)
+        |  WHERE doc_id >= 400),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |p0 AS (
+        |  SELECT doc_id, unnest([{'p': i, 'tok': ws[i]} for i in range(1, len(ws) + 1)]) AS e
+        |  FROM t WHERE doc_id >= 400),
+        |p AS (SELECT doc_id, e.p AS pos, e.tok AS tok FROM p0),
+        |kept AS (
+        |  SELECT p.doc_id, count(*) AS kept_tokens,
+        |    string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |WHERE t.doc_id >= 400
         |ORDER BY t.doc_id""".stripMargin,
     // per-domain cap replay: URL synthesis, host regex, and the md5
     // rank are all engine-portable

@@ -409,13 +409,28 @@ object TextDedup {
       minOccurrences: Int = 2,
       hashedGramKeys: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val toks = spread
+    val toks = stagedSpanTokens(df, idCol, textCol)
+    val grams = stagedSpanGrams(toks, k, hashedGramKeys)
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("gram"))
+    val out = cleanedFromCoveredGrams(toks, grams, dupGrams, k)
+    materialized(out, Seq(toks, grams))
+  }
+
+  /** Persisted `(id, toks)` projection shared by the span-dedup forms. */
+  private def stagedSpanTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .persist()
-    // all k-token windows with their 1-based start positions; docs
-    // shorter than k have no window and survive untouched
-    val grams = toks.select(
+
+  /** Persisted k-token windows with 1-based start positions; docs
+    * shorter than k have no window and survive untouched. Hashed keys
+    * shrink the count + cover shuffles to 8 bytes/gram.
+    */
+  private def stagedSpanGrams(toks: DataFrame, k: Int, hashedGramKeys: Boolean): DataFrame =
+    toks.select(
         col("id"),
         posexplode(
           when(size(col("toks")) >= k,
@@ -423,13 +438,18 @@ object TextDedup {
               i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
             .otherwise(array().cast("array<string>"))).as(Seq("p0", "gram")))
       .select(col("id"), (col("p0") + 1).as("start"),
-        // hashed keys shrink the count + cover shuffles to 8 bytes/gram
         (if (hashedGramKeys) xxhash64(col("gram")) else col("gram")).as("gram"))
       .persist()
-    val dupGrams = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minOccurrences)
-      .select(col("gram"))
+
+  /** Expand duplicated-gram window starts into covered positions,
+    * strip them, reassemble clean text in token order — the shared
+    * tail of [[removeDupSpans]] and [[removeDupSpansAgainstStore]].
+    */
+  private def cleanedFromCoveredGrams(
+      toks: DataFrame,
+      grams: DataFrame,
+      dupGrams: DataFrame,
+      k: Int): DataFrame = {
     val covered = grams.join(dupGrams, "gram")
       .select(col("id"), explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .distinct()
@@ -445,13 +465,69 @@ object TextDedup {
             array_sort(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok")),
           " ").as("clean_text"))
-    val out = toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+    toks.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(kept, Seq("id"), "left")
       .select(
         col("id"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-corpus gram-count state for INCREMENTAL span dedup: the
+    * k-token window counts of the already-ingested corpus, persisted
+    * for probing by each increment. Key scheme must match the probe's
+    * (`hashedGramKeys`); release with [[SpanStore.unpersist]].
+    */
+  final case class SpanStore(grams: DataFrame, k: Int, hashedGramKeys: Boolean) {
+    def unpersist(): Unit = { grams.unpersist(); () }
+  }
+
+  /** Build the [[SpanStore]]: one window explode + one
+    * map-side-combinable count over the corpus — the same O(total
+    * tokens) cost [[removeDupSpans]] pays once, amortized here across
+    * every future increment.
+    */
+  def buildSpanStore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashedGramKeys: Boolean = true): SpanStore = {
+    require(k > 0, "k must be positive")
+    val toks = stagedSpanTokens(corpus, idCol, textCol)
+    val grams = stagedSpanGrams(toks, k, hashedGramKeys)
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    val store = materialized(counts, Seq(toks, grams))
+    SpanStore(store, k, hashedGramKeys)
+  }
+
+  /** Span-dedup an ingest INCREMENT against the store: a window is
+    * boilerplate when its total occurrence count across store +
+    * increment reaches `minOccurrences` — exactly
+    * `removeDupSpans(store corpus ∪ increment)` restricted to the
+    * increment's documents (IncrementalDedupSpec asserts that
+    * equivalence), without recomputing the corpus side.
+    *
+    * Scale shape: only the increment explodes and shuffles
+    * (O(increment tokens)); the store side is ONE join on the gram
+    * key. The increment is small by definition — rebuilding the store
+    * per batch would be [[removeDupSpans]] with extra steps.
+    */
+  def removeDupSpansAgainstStore(
+      increment: DataFrame,
+      store: SpanStore,
+      idCol: String,
+      textCol: String,
+      minOccurrences: Int = 2): DataFrame = {
+    val toks = stagedSpanTokens(increment, idCol, textCol)
+    val grams = stagedSpanGrams(toks, store.k, store.hashedGramKeys)
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__inc_n"))
+      .join(store.grams.select(col("gram"), col("n").as("__store_n")), Seq("gram"), "left")
+      .filter(col("__inc_n") + coalesce(col("__store_n"), lit(0L)) >= minOccurrences)
+      .select(col("gram"))
+    val out = cleanedFromCoveredGrams(toks, grams, dupGrams, store.k)
     materialized(out, Seq(toks, grams))
   }
 

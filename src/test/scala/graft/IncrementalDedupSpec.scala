@@ -2,6 +2,8 @@ package graft
 
 import graft.operators.{CorpusDiff, TextDedup}
 
+import org.apache.spark.sql.functions.col
+
 class IncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -79,6 +81,38 @@ class IncrementalDedupSpec extends SparkSpec {
       .removeDupSpans(docs, "doc_id", "text", k = 4, hashedGramKeys = true)
       .orderBy("id").collect().toSeq
     assert(stringKeyed == hashKeyed)
+  }
+
+  test("removeDupSpansAgainstStore == full recompute restricted to the increment") {
+    val boiler = "subscribe to our newsletter for all the latest updates"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma"), // store already carries the boilerplate...
+      (2L, "unrelated stored content with many distinct words"),
+      (3L, "another stored document entirely"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (101L, s"$boiler delta epsilon"), // ...so ONE new occurrence is already a dup
+      (102L, "fresh unique words nothing shared"),
+      (103L, "repeated inside increment repeated inside increment")) // self-dup
+      .toDF("doc_id", "text")
+    for (hashed <- Seq(true, false)) {
+      val store = TextDedup.buildSpanStore(corpus, "doc_id", "text", k = 4,
+        hashedGramKeys = hashed)
+      val incremental = TextDedup
+        .removeDupSpansAgainstStore(increment, store, "doc_id", "text")
+        .orderBy("id").collect().toSeq
+      val full = TextDedup
+        .removeDupSpans(corpus.unionByName(increment), "doc_id", "text", k = 4,
+          hashedGramKeys = hashed)
+        .filter(col("id") >= 100L)
+        .orderBy("id").collect().toSeq
+      store.unpersist()
+      assert(incremental == full, s"hashed=$hashed diverged")
+      // the boilerplate prefix really was stripped from the increment doc
+      val byId = incremental.map(r => r.getAs[Long]("id") -> r).toMap
+      assert(byId(101L).getAs[String]("clean_text") == "delta epsilon")
+      assert(byId(102L).getAs[Long]("removed_tokens") == 0L)
+    }
   }
 
   test("removeDupSpans: a doc that is all boilerplate empties cleanly") {
