@@ -510,9 +510,13 @@ object TextDedup {
     * equivalence), without recomputing the corpus side.
     *
     * Scale shape: only the increment explodes and shuffles
-    * (O(increment tokens)); the store side is ONE join on the gram
-    * key. The increment is small by definition — rebuilding the store
-    * per batch would be [[removeDupSpans]] with extra steps.
+    * (O(increment tokens)). The store side NEVER moves: its counts are
+    * probed with an inner join against a BROADCAST of the increment's
+    * distinct gram keys — a left join keyed the other way would
+    * shuffle the whole corpus-sized store per batch. The broadcast
+    * carries one key per distinct increment gram (the same
+    * batch-sized-increment contract as the decontamination probe); a
+    * corpus-sized "increment" is [[removeDupSpans]]'s job.
     */
   def removeDupSpansAgainstStore(
       increment: DataFrame,
@@ -522,13 +526,18 @@ object TextDedup {
       minOccurrences: Int = 2): DataFrame = {
     val toks = stagedSpanTokens(increment, idCol, textCol)
     val grams = stagedSpanGrams(toks, store.k, store.hashedGramKeys)
-    val dupGrams = grams.groupBy(col("gram"))
+    val incCounts = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__inc_n"))
-      .join(store.grams.select(col("gram"), col("n").as("__store_n")), Seq("gram"), "left")
+      .persist()
+    val storeHits = store.grams
+      .select(col("gram"), col("n").as("__store_n"))
+      .join(broadcast(incCounts.select(col("gram"))), Seq("gram"))
+    val dupGrams = incCounts
+      .join(storeHits, Seq("gram"), "left")
       .filter(col("__inc_n") + coalesce(col("__store_n"), lit(0L)) >= minOccurrences)
       .select(col("gram"))
     val out = cleanedFromCoveredGrams(toks, grams, dupGrams, store.k)
-    materialized(out, Seq(toks, grams))
+    materialized(out, Seq(toks, grams, incCounts))
   }
 
   /** Persist + materialize `result`, then release the intermediate

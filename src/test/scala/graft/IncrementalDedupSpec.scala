@@ -115,6 +115,18 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("span store probe broadcasts the increment grams; the store never shuffles") {
+    val corpus = (1L to 30L).map(i => (i, s"stored doc $i with words $i and more $i"))
+      .toDF("doc_id", "text")
+    val store = TextDedup.buildSpanStore(corpus, "doc_id", "text", k = 3)
+    val increment = Seq((100L, "stored doc 1 with fresh tail")).toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpansAgainstStore(increment, store, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    store.unpersist()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"store probe not broadcast:\n$plan")
+  }
+
   test("removeDupSpans: a doc that is all boilerplate empties cleanly") {
     val seeded = Seq(
       (1L, "spam spam spam spam"),
