@@ -98,6 +98,22 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(fromCodegen == interpreted)
   }
 
+  test("array_hit_count: codegen'd stage, bit-identical to interpreted eval") {
+    val needles = Seq("alpha0", "gamma0", "zeta0")
+    val df = spark.range(1)
+      .select(array(
+        concat(lit("alpha"), idS), concat(lit("beta"), idS),
+        concat(lit("alpha"), idS), concat(lit("zeta"), idS)).as("g"))
+      .select(asCol(ArrayHitCount(GraftColumnShim.expression(col("g")), needles)).as("h"))
+    fused(df)
+    val fromCodegen = df.collect().head.getLong(0)
+    val arr = Seq("alpha0", "beta0", "alpha0", "zeta0")
+    val interpreted = ArrayHitCount(Literal.create(arr, ArrayType(StringType)), needles)
+      .eval(null).asInstanceOf[Long]
+    assert(fromCodegen == interpreted)
+    assert(fromCodegen == 3L) // alpha0 twice + zeta0; input here is not distinct
+  }
+
   test("lang_id: codegen'd stage, identical to interpreted eval") {
     val base = "  The Quick Brown Fox AND the lazy dog "
     val df = spark.range(1)
