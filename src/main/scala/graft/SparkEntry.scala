@@ -1106,15 +1106,22 @@ object SparkEntry {
     * corpus (nprobe=4 of nlist=16 — a 4x scan reduction), oracle-gated
     * via the in-plan recall verdict (k-means training itself is not
     * ANSI-SQL-expressible; the recall of its probe against the exact
-    * top-20 is). IvfAnnSpec additionally proves full-probe equals the
-    * exact brute-force top-k.
+    * top-20 is). The planted copies reach the index through
+    * [[IvfAnn.append]] — the assign-only incremental-ingest path — on
+    * top of the SAME trained index [[annIvfFullprobe]] uses, so the
+    * quantizer trains once per (session, dir) and the gate also
+    * exercises real index ingest. IvfAnnSpec additionally proves
+    * full-probe equals the exact brute-force top-k.
     */
   private def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val corpus = embWithPlantedNeighbors(emb)
     val query = emb.filter(col("vec_id") === 0)
-    val index = IvfStageCache.getOrElseUpdate(s, dir + "#planted")(
-      IvfAnn.build(corpus, "vec_id", "embedding", nlist = 16, iters = 3))
+    val index = IvfStageCache.getOrElseUpdate(s, dir + "#planted") {
+      val base = IvfStageCache.getOrElseUpdate(s, dir)(
+        IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
+      IvfAnn.append(base, corpus.filter(col("vec_id") >= 1000000L))
+    }
     val approx = IvfAnn.topK(index, query, k = 20, nprobe = 4)
     exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }

@@ -138,6 +138,55 @@ object IvfAnn {
       .limit(k)
   }
 
+  /** Incremental ingest: assign `newVectors` to the EXISTING centroids
+    * (one NearestCentroid projection — no retraining, no corpus
+    * rescan) and return an index over the union. This is how a real
+    * IVF index absorbs new data: the coarse quantizer is trained once
+    * and amortized across every later batch; re-training per ingest
+    * would be [[build]] with extra steps. Assignment depends only on
+    * the centroid matrix, so an appended vector lands in exactly the
+    * list a full rebuild with these centroids would give it
+    * (IvfAnnSpec proves append-then-full-probe equals the exact scan
+    * over the union).
+    *
+    * The input index is NOT released — it stays valid and shares no
+    * state with the returned one; the caller owns both lifecycles.
+    */
+  def append(index: Index, newVectors: DataFrame): Index = {
+    val fresh = newVectors
+      .select(col(index.idCol).as("__id"), col(index.vecCol).as("__vec"))
+      .select(col("__id"), col("__vec"),
+        nearestCentroid(col("__vec"), index.centroids).as("__list"))
+    val merged = index.assigned.unionByName(fresh).persist()
+    merged.count()
+    Index(index.centroids, merged, index.idCol, index.vecCol)
+  }
+
+  /** [[append]] for a PERSISTED index: assign against the saved
+    * centroids and append the new rows into the list-partitioned
+    * layout (dynamic-partition append — only the lists that receive
+    * vectors gain files; existing directories are untouched). The
+    * 100 TB ingest path: no rewrite, no retrain, probes keep pruning
+    * at the directory level.
+    */
+  def appendToSaved(
+      spark: SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    newVectors
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .select(col("__id"), col("__vec"),
+        nearestCentroid(col("__vec"), centroids).as("__list"))
+      .write.mode("append").partitionBy("__list").parquet(s"$path/assigned")
+  }
+
   /** Persist a trained index: the assigned corpus is written
     * PARTITIONED BY the inverted-list id — the on-disk layout the IVF
     * trade exists for. A loaded index's probe (`__list isin probes`)

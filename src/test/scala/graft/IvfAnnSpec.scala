@@ -121,6 +121,64 @@ class IvfAnnSpec extends SparkSpec {
     index.assigned.unpersist()
   }
 
+  test("append: assign-only ingest is lossless and equals a rebuild's assignment") {
+    val index = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3)
+    // new batch: near-copies of cluster 1's center plus a fresh outlier
+    val fresh = Seq(
+      (900L, Seq(0.02f, 1.0f, 0.0f, 0.0f)),
+      (901L, Seq(0.0f, 0.98f, 0.01f, 0.0f)),
+      (902L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val appended = IvfAnn.append(index, fresh)
+    // the input index stays intact and usable
+    assert(index.assigned.count() == 60L)
+    assert(appended.assigned.count() == 63L)
+    // lossless: full probe over the appended index == exact scan over the union
+    val union = vectors.select("vec_id", "embedding").unionByName(fresh)
+    val query = vectors.filter(col("vec_id") === 100)
+    val ivf = IvfAnn.topK(appended, query, k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+    val brute = SimilaritySearch
+      .bruteForceTopK(union, query, "vec_id", "embedding", k = 10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == brute)
+    // assignment used the existing centroids: appended rows land in the
+    // same lists a NearestCentroid projection against them computes
+    val expected = fresh
+      .select(col("vec_id"),
+        nc(col("embedding"), index.centroids.map(_.toSeq).toSeq).as("l"))
+      .as[(Long, Int)].collect().toMap
+    val actual = appended.assigned.filter(col("__id") >= 900L)
+      .select(col("__id"), col("__list")).as[(Long, Int)].collect().toMap
+    assert(actual == expected)
+    appended.assigned.unpersist()
+    index.assigned.unpersist()
+  }
+
+  test("appendToSaved: dynamic-partition append keeps directory pruning") {
+    val index = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3)
+    val path = tmpDir("ivf-append")
+    IvfAnn.save(index, path)
+    val fresh = Seq((950L, Seq(0.01f, 1.0f, 0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    IvfAnn.appendToSaved(spark, path, fresh, "vec_id", "embedding")
+    val loaded = IvfAnn.load(spark, path, "vec_id", "embedding")
+    assert(loaded.assigned.count() == 61L)
+    // the new vector is findable through a pruned probe on its own list
+    val query = fresh
+    val top = IvfAnn.topK(loaded, query, k = 3, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.head._1 == 950L && top.head._2 > 0.999)
+    val plan = IvfAnn.topK(loaded, query, k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"))
+    index.assigned.unpersist()
+  }
+
   test("probeLists ranks centroids by cosine with low-index ties") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.7, 0.7))
     val probes = IvfAnn.probeLists(cents, Array(1.0, 0.05), nprobe = 2)
