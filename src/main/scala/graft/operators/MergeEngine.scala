@@ -345,16 +345,28 @@ object MergeEngine {
     }
   }
 
+  /** Per-(application, table) memo of partition rels already registered
+    * in the catalog: a steady-state CDC stream touches the same few
+    * partitions batch after batch, and each redundant `ALTER TABLE ADD
+    * IF NOT EXISTS PARTITION` is a catalog round trip — pure fixed cost
+    * (NOTES' remaining CDC item). Entries are recorded only after the
+    * ALTER succeeds. Caveat (same class as the read-schema cache): an
+    * EXTERNAL `DROP PARTITION` against a live session's table is not
+    * observed; the memo is session-scoped, so a fresh session re-adds.
+    */
+  private val registeredPartitions =
+    new graft.util.SessionScopedCache[java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]
+
   /** Keep a registered catalog table consistent with the path.
     *
     * The merge writes partitions directly to the path, so a registered
     * catalog table must learn about NEW partition dirs. When the swap
     * reports which partitions it touched, ONE targeted
     * `ALTER TABLE ... ADD IF NOT EXISTS PARTITION` registers exactly
-    * those — O(touched per batch); `recoverPartitions` (the
-    * MSCK-equivalent fallback, also used when the touched list is
-    * unavailable) lists the ENTIRE table tree, a per-batch cost that
-    * grows with table size, not batch size.
+    * those NOT yet known to this session — O(new per batch);
+    * `recoverPartitions` (the MSCK-equivalent fallback, also used when
+    * the touched list is unavailable) lists the ENTIRE table tree, a
+    * per-batch cost that grows with table size, not batch size.
     */
   private def syncCatalog(
       spark: SparkSession,
@@ -363,16 +375,22 @@ object MergeEngine {
     if (cfg.partitionCols.nonEmpty && spark.catalog.tableExists(cfg.qualifiedName)) {
       try {
         if (touchedRels.nonEmpty) {
-          val specs = touchedRels.map { rel =>
-            rel.split("/").toSeq.map { seg =>
-              val Array(k, v) = seg.split("=", 2)
-              val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(v).replace("'", "''")
-              s"$k='$value'"
-            }.mkString("PARTITION (", ", ", ")")
+          val known = registeredPartitions.getOrElseUpdate(spark, cfg.qualifiedName)(
+            new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+          val fresh = touchedRels.filterNot(known.containsKey)
+          if (fresh.nonEmpty) {
+            val specs = fresh.map { rel =>
+              rel.split("/").toSeq.map { seg =>
+                val Array(k, v) = seg.split("=", 2)
+                val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(v).replace("'", "''")
+                s"$k='$value'"
+              }.mkString("PARTITION (", ", ", ")")
+            }
+            spark.sql(
+              s"ALTER TABLE ${cfg.qualifiedName} ADD IF NOT EXISTS ${specs.mkString(" ")}")
+            fresh.foreach(known.put(_, java.lang.Boolean.TRUE))
           }
-          spark.sql(
-            s"ALTER TABLE ${cfg.qualifiedName} ADD IF NOT EXISTS ${specs.mkString(" ")}")
           ()
         } else spark.catalog.recoverPartitions(cfg.qualifiedName)
       } catch {

@@ -102,6 +102,31 @@ class MergeEngineSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/t/year=2023").exists(), "emptied partition not cleaned up")
   }
 
+  test("catalog partition registration is memoized per session") {
+    val path = tmpDir("merge-cat-memo")
+    val cfg = TableConfig("graft_test", "cat_memo_tbl", s"$path/t",
+      partitionCols = Seq("year"))
+    val schema = Seq((0, "x", 2023, 0L)).toDF("id", "name", "year", "lsn").schema
+    MergeEngine.createTableIfNotExists(spark, schema, cfg)
+    MergeEngine.upsert(spark, cfg,
+      Seq((1, "a", 2023, 10L)).toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    def parts() = spark.sql(s"SHOW PARTITIONS ${cfg.qualifiedName}")
+      .collect().map(_.getString(0)).toSet
+    assert(parts() == Set("year=2023"))
+    // simulate an external drop: the session memo must SKIP the re-add
+    // for an already-seen partition (that skip is the saved round trip)
+    spark.sql(s"ALTER TABLE ${cfg.qualifiedName} DROP PARTITION (year=2023)")
+    MergeEngine.upsert(spark, cfg,
+      Seq((2, "b", 2023, 11L)).toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    assert(!parts().contains("year=2023"), "memoized partition was re-added")
+    // a genuinely new partition still registers
+    MergeEngine.upsert(spark, cfg,
+      Seq((3, "c", 2024, 12L)).toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    assert(parts().contains("year=2024"))
+    // the path table itself has every row regardless of catalog state
+    assert(MergeEngine.readTable(spark, cfg.path).get.count() == 3L)
+  }
+
   test("pre-collected touched partitions skip the discovery job, same end state") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val seed = Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn")
