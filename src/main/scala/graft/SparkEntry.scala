@@ -939,13 +939,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** INCREMENTAL span dedup: the boilerplate-seeded corpus below
-    * doc_id 400 is the ingested store (gram counts, session-cached);
-    * docs >= 400 are the increment probed against it. Oracle-gated by
-    * the equivalence the operator guarantees: the SQL replays the full
-    * union computation (the `dedup_spans` pipeline over ALL seeded
-    * docs) restricted to the increment's ids — which is exactly what
-    * the store probe computes without re-exploding the corpus side.
+  /** INCREMENTAL span dedup: the boilerplate-seeded corpus except the
+    * doc_id % 50 == 7 slice is the ingested store (gram counts,
+    * session-cached); that 2% slice is the increment probed against it
+    * — small relative to the store at EVERY scale factor, which is the
+    * operator's contract (the increment's distinct gram keys are
+    * broadcast). Oracle-gated by the equivalence the operator
+    * guarantees: the SQL replays the full union computation (the
+    * `dedup_spans` pipeline over ALL seeded docs) restricted to the
+    * increment's ids — which is exactly what the store probe computes
+    * without re-exploding the corpus side.
     */
   private def dedupIncrementalSpans(s: SparkSession, dir: String): DataFrame = {
     val boiler = "subscribe to our newsletter for updates terms of service apply"
@@ -954,10 +957,10 @@ object SparkEntry {
       when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
         .otherwise(col("text")).as("text"))
     val store = SpanStoreCache.getOrElseUpdate(s, dir + "#spans")(
-      TextDedup.buildSpanStore(seeded.filter(col("doc_id") < 400), "doc_id", "text",
+      TextDedup.buildSpanStore(seeded.filter(col("doc_id") % 50 =!= 7), "doc_id", "text",
         k = 8, hashedGramKeys = false))
     TextDedup
-      .removeDupSpansAgainstStore(seeded.filter(col("doc_id") >= 400), store,
+      .removeDupSpansAgainstStore(seeded.filter(col("doc_id") % 50 === 7), store,
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_tokens"), col("removed_tokens"), col("clean_text"))
       .orderBy(col("doc_id"))
@@ -2270,11 +2273,11 @@ object SparkEntry {
         |cov0 AS (
         |  SELECT doc_id, unnest([p for p in range(start, start + 8)]) AS pos
         |  FROM g JOIN dup USING (gram)
-        |  WHERE doc_id >= 400),
+        |  WHERE doc_id % 50 = 7),
         |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
         |p0 AS (
         |  SELECT doc_id, unnest([{'p': i, 'tok': ws[i]} for i in range(1, len(ws) + 1)]) AS e
-        |  FROM t WHERE doc_id >= 400),
+        |  FROM t WHERE doc_id % 50 = 7),
         |p AS (SELECT doc_id, e.p AS pos, e.tok AS tok FROM p0),
         |kept AS (
         |  SELECT p.doc_id, count(*) AS kept_tokens,
@@ -2287,7 +2290,7 @@ object SparkEntry {
         |  CAST(len(t.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
-        |WHERE t.doc_id >= 400
+        |WHERE t.doc_id % 50 = 7
         |ORDER BY t.doc_id""".stripMargin,
     // per-domain cap replay: URL synthesis, host regex, and the md5
     // rank are all engine-portable
