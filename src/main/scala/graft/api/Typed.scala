@@ -153,4 +153,45 @@ object Typed {
       .flagContaminated(docs.toDF(), evalSet.toDF(), "doc_id", "text", n)
       .as[ContaminationFlag]
   }
+
+  /** A document surviving the per-domain quota, with its domain and
+    * deterministic rank inside it.
+    */
+  final case class DomainCapped(
+      doc_id: Long,
+      text: String,
+      lang: String,
+      source: String,
+      n_chars: Long,
+      domain: String,
+      rk: Int)
+
+  /** Per-domain document quota, typed
+    * ([[graft.operators.DomainOps.capPerDomain]]; the domain is derived
+    * from `urlOf` applied to each document).
+    */
+  def domainCapped(
+      docs: Dataset[Document],
+      urlOf: org.apache.spark.sql.Column,
+      cap: Int): Dataset[DomainCapped] = {
+    import docs.sparkSession.implicits._
+    graft.operators.DomainOps
+      .capPerDomain(docs.toDF(), graft.operators.DomainOps.extractDomain(urlOf),
+        "doc_id", cap)
+      .as[DomainCapped]
+  }
+
+  /** A span-deduplicated document: token counts plus the reassembled
+    * clean text.
+    */
+  final case class SpanCleaned(
+      id: Long, n_tokens: Long, removed_tokens: Long, clean_text: String)
+
+  /** Span-level exact-substring dedup, typed
+    * ([[TextDedup.removeDupSpans]] semantics and scale shape).
+    */
+  def spanCleaned(docs: Dataset[Document], k: Int): Dataset[SpanCleaned] = {
+    import docs.sparkSession.implicits._
+    TextDedup.removeDupSpans(docs.toDF(), "doc_id", "text", k).as[SpanCleaned]
+  }
 }

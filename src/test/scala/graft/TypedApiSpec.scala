@@ -53,6 +53,26 @@ class TypedApiSpec extends SparkSpec {
     assert(!flags(3L) && !flags(5L))
   }
 
+  test("domainCapped keeps the quota per derived domain") {
+    import org.apache.spark.sql.functions._
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("doc_id").cast("string"))
+    val kept = Typed.domainCapped(docs, url, cap = 2).collect()
+    assert(kept.length == 2)
+    assert(kept.forall(_.domain == "web.example.com"))
+    assert(kept.forall(_.rk <= 2))
+  }
+
+  test("spanCleaned strips corpus-duplicated windows, typed") {
+    val cleaned = Typed.spanCleaned(docs, k = 8).collect().map(c => c.id -> c).toMap
+    // docs 1 and 4 are identical; 2 differs only by punctuation in the
+    // last token — their shared 8-token windows are boilerplate
+    assert(cleaned(1L).removed_tokens > 0L)
+    assert(cleaned(4L).removed_tokens > 0L)
+    assert(cleaned(3L).removed_tokens == 0L)
+    assert(cleaned(5L).removed_tokens == 0L)
+  }
+
   test("topK returns typed neighbors in score order") {
     val emb = Seq(
       EmbeddingRow(0L, Array(1f, 0f, 0f), 0),
