@@ -75,6 +75,12 @@ object GraftFunctions {
         graft.operators.QualityClassifier.C,
         graft.operators.QualityClassifier.M),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "array_hit_count",
+      exprs => graft.functions.ArrayHitCount(
+        exprs.head,
+        constantStringArray(exprs(1), "array_hit_count(_, array('a','b',...))")),
+      "scala_udf")
     ()
   }
 
@@ -102,5 +108,17 @@ object GraftFunctions {
     case Literal(s: UTF8String, _) => s.toString
     case other if other.foldable => String.valueOf(other.eval(null))
     case _ => throw new IllegalArgumentException(s"$ctx requires a constant string schema argument")
+  }
+
+  /** A constant array<string> argument (e.g. `array('a','b')`),
+    * evaluated once at registration so the needle set is hashed once
+    * per executor inside the expression, never per row.
+    */
+  private def constantStringArray(e: Expression, ctx: String): Seq[String] = e match {
+    case other if other.foldable =>
+      val arr = other.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until arr.numElements()).map(i =>
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString)
+    case _ => throw new IllegalArgumentException(s"$ctx requires a constant array argument")
   }
 }

@@ -45,6 +45,19 @@ class DecontaminationSpec extends SparkSpec {
     assert(out.head.getAs[Long]("eval_hits") == 1L)
   }
 
+  test("SQL surface: array_hit_count registered and identical to the expression path") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, Seq("a b", "c d", "e f"))).toDF("id", "gs").createOrReplaceTempView("ahc_in")
+    val sql = spark.sql("SELECT array_hit_count(gs, array('c d', 'x y')) AS h FROM ahc_in")
+      .as[Long].head()
+    assert(sql == 1L)
+    // non-constant needle arrays are rejected at analysis, not silently slow
+    val err = intercept[Exception] {
+      spark.sql("SELECT array_hit_count(gs, gs) FROM ahc_in").collect()
+    }
+    assert(err.getMessage.contains("constant array"))
+  }
+
   test("eval probe rides a broadcast join by default") {
     val plan = Decontamination
       .flagContaminated(corpus, evalSet, "doc_id", "text", n = 4)
