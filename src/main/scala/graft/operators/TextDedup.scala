@@ -297,10 +297,64 @@ object TextDedup {
       .select(col("id"), col("fp"))
 
   /** Near-dup store: `sigs` (id, sig) and `bands` (id, band, band_hash),
-    * both persisted; release with [[MinhashStore.unpersist]].
+    * both persisted when built in-session; release with
+    * [[MinhashStore.unpersist]] (a no-op for disk-backed stores from
+    * [[loadMinhashStore]], whose point is staying on disk).
+    *
+    * `prefixBuckets` is set on loaded stores: the band table then
+    * carries a `__bp` partition column (`xxhash64(band_hash) mod
+    * prefixBuckets`) and [[minhashAgainstStore]] prunes the store read
+    * to the increment's band-hash prefixes at the directory level.
     */
-  final case class MinhashStore(sigs: DataFrame, bands: DataFrame) {
+  final case class MinhashStore(
+      sigs: DataFrame,
+      bands: DataFrame,
+      prefixBuckets: Option[Int] = None) {
     def unpersist(): Unit = { sigs.unpersist(); bands.unpersist() }
+  }
+
+  /** Hash-prefix partition key shared by the store writers and the
+    * probe-side pruning: deterministic for any key type (long gram
+    * hashes, string grams, long or md5-string band hashes).
+    */
+  private def hashPrefix(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  /** The store-side band read of [[minhashAgainstStore]]: for a
+    * disk-backed store, pruned to the increment's band-hash prefixes.
+    * The collect is bounded by prefixBuckets (<= 64 values) regardless
+    * of increment or store size, and every row of a given band_hash
+    * shares one prefix, so the per-bucket size guard stays exact under
+    * pruning. StorePersistenceSpec asserts the parquet scan carries
+    * the `__bp` PartitionFilters.
+    */
+  private[graft] def prunedStoreBands(store: MinhashStore, inBands: DataFrame): DataFrame =
+    store.prefixBuckets match {
+      case Some(nb) =>
+        val prefixes = inBands.select(hashPrefix(col("band_hash"), nb).as("__bp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        store.bands.filter(col("__bp").isin(prefixes: _*)).drop("__bp")
+      case None => store.bands
+    }
+
+  /** The store-side gram read of [[removeDupSpansAgainstStore]]:
+    * pruned to the increment's gram prefixes for disk-backed stores
+    * (bounded collect, same argument as [[prunedStoreBands]]), probed
+    * with the BROADCAST increment keys, then summed per gram over the
+    * (small) hit set — the additive-deltas contract.
+    */
+  private[graft] def prunedStoreGrams(store: SpanStore, incCounts: DataFrame): DataFrame = {
+    val storeGrams = store.prefixBuckets match {
+      case Some(nb) =>
+        val prefixes = incCounts.select(hashPrefix(col("gram"), nb).as("__gp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        store.grams.filter(col("__gp").isin(prefixes: _*))
+      case None => store.grams
+    }
+    storeGrams
+      .select(col("gram"), col("n"))
+      .join(broadcast(incCounts.select(col("gram"))), Seq("gram"))
+      .groupBy(col("gram")).agg(sum(col("n")).as("__store_n"))
   }
 
   /** Build the near-dup store for a corpus (one-time, or the union of
@@ -348,12 +402,13 @@ object TextDedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (tokenized, shingled, sigs) = stagedSignatures(incoming, idCol, textCol, numHashes, shingler, scheme)
     val inBands = bandTable(sigs, numHashes, bands, scheme)
-    val boundedStore = store.bands
+    val storeBands = prunedStoreBands(store, inBands)
+    val boundedStore = storeBands
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") <= maxBucketSize)
       .drop("__bucket_n")
-      .join(store.bands, Seq("band", "band_hash"))
+      .join(storeBands, Seq("band", "band_hash"))
       .select(col("band"), col("band_hash"), col("id").as("store_id"))
     val candidates = inBands
       .join(boundedStore, Seq("band", "band_hash"))
@@ -368,6 +423,101 @@ object TextDedup {
         estimatedJaccard(col("sig_new"), col("sig_store")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     materialized(result, Seq(tokenized, shingled, sigs))
+  }
+
+  /** Persist a [[MinhashStore]] to parquet — the state a restarted
+    * pipeline reloads instead of re-signing the corpus. The band table
+    * is written PARTITIONED BY a band-hash prefix (`xxhash64(band_hash)
+    * mod prefixBuckets`), so a loaded store's probe reads only the
+    * directories the increment's band hashes land in (the same
+    * directory-pruning trade as [[IvfAnn.save]]'s list-partitioned
+    * layout); the signature table and a one-row meta parquet ride
+    * along.
+    */
+  def saveMinhashStore(store: MinhashStore, path: String, prefixBuckets: Int = 64): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = store.sigs.sparkSession
+    import spark.implicits._
+    store.bands.select(col("id"), col("band"), col("band_hash"))
+      .withColumn("__bp", hashPrefix(col("band_hash"), prefixBuckets))
+      .write.mode("overwrite").partitionBy("__bp").parquet(s"$path/bands")
+    store.sigs.select(col("id"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    Seq(prefixBuckets).toDF("prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted [[MinhashStore]]. Nothing is eagerly cached: the
+    * partitioned layout exists so probes read only their band-hash
+    * prefixes from disk.
+    */
+  def loadMinhashStore(spark: org.apache.spark.sql.SparkSession, path: String): MinhashStore = {
+    val nb = spark.read.parquet(s"$path/meta").head().getAs[Int]("prefixBuckets")
+    MinhashStore(
+      spark.read.parquet(s"$path/sigs"),
+      spark.read.parquet(s"$path/bands"),
+      Some(nb))
+  }
+
+  /** Fold an ingest round's SURVIVORS (the increment rows that
+    * [[minhashAgainstStore]] did not match) into the store without
+    * rebuilding it — the [[IvfAnn.append]] shape: only the increment
+    * is signed and banded (one staged-signature pass over it, no
+    * corpus shuffle), then unioned in. Signatures are per-row
+    * deterministic, so the result equals [[buildMinhashStore]] over
+    * the union corpus (IncrementalDedupSpec asserts probe-equivalence).
+    * The input store is untouched; the caller owns both lifecycles.
+    */
+  def absorbIntoMinhashStore(
+      store: MinhashStore,
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): MinhashStore = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (tokenized, shingled, sigs) = stagedSignatures(survivors, idCol, textCol, numHashes, shingler, scheme)
+    val newBands = store.prefixBuckets match {
+      case Some(nb) =>
+        bandTable(sigs, numHashes, bands, scheme)
+          .withColumn("__bp", hashPrefix(col("band_hash"), nb))
+      case None => bandTable(sigs, numHashes, bands, scheme)
+    }
+    val mergedSigs = store.sigs.unionByName(sigs).persist()
+    val mergedBands = store.bands.unionByName(newBands).persist()
+    mergedSigs.count()
+    mergedBands.count()
+    tokenized.unpersist(); shingled.unpersist(); sigs.unpersist()
+    MinhashStore(mergedSigs, mergedBands, store.prefixBuckets)
+  }
+
+  /** [[absorbIntoMinhashStore]] for a PERSISTED store: sign and band
+    * the survivors, then dynamic-partition-APPEND into the saved
+    * layout — only the band-hash prefixes that receive rows gain
+    * files; existing directories are untouched. The 100 TB ingest
+    * path: no store read, no rewrite, probes keep pruning at the
+    * directory level.
+    */
+  def appendToSavedMinhashStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
+      scheme: MinhashScheme = XxHash64Scheme): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val nb = spark.read.parquet(s"$path/meta").head().getAs[Int]("prefixBuckets")
+    val (tokenized, shingled, sigs) = stagedSignatures(survivors, idCol, textCol, numHashes, shingler, scheme)
+    bandTable(sigs, numHashes, bands, scheme)
+      .withColumn("__bp", hashPrefix(col("band_hash"), nb))
+      .write.mode("append").partitionBy("__bp").parquet(s"$path/bands")
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    tokenized.unpersist(); shingled.unpersist(); sigs.unpersist()
   }
 
   /** Exact duplicated-SPAN removal — the substring-level dedup family
@@ -387,16 +537,19 @@ object TextDedup {
     * explode k-wide into positions — boilerplate is rare relative to
     * the corpus, so the cover join is small.
     *
-    * Dual key scheme (same pattern as MinhashScheme): by default the
-    * gram count/join keys are `xxhash64` of the window text — an
-    * 8-byte long instead of a k-token string, cutting the width of the
-    * two largest shuffles by ~an order of magnitude at 100 TB. A
-    * 64-bit collision would remove a non-duplicated span; at n grams
-    * the chance any collision exists is ~n^2/2^65 (even 10^12 grams
-    * keeps it ~3%, and a collision costs k tokens of over-removal, not
-    * corruption). `hashedGramKeys = false` keeps the gram STRINGS as
-    * keys — exact at any scale and what the SQL oracle replays;
-    * IncrementalDedupSpec asserts both paths select identical spans.
+    * Dual key scheme (same pattern as MinhashScheme): the default
+    * (`hashedGramKeys = false`) keeps the gram STRINGS as count/join
+    * keys — exact at any scale and what the SQL oracle replays.
+    * `hashedGramKeys = true` is the opt-in 100 TB path: keys become
+    * `xxhash64` of the window text — an 8-byte long instead of a
+    * k-token string, cutting the width of the two largest shuffles by
+    * ~an order of magnitude. A 64-bit collision would remove a
+    * non-duplicated span; at n grams the chance any collision exists
+    * is ~n^2/2^65 (even 10^12 grams keeps it ~3%, and a collision
+    * costs k tokens of over-removal, not corruption). The exact scheme
+    * is the default so external callers never silently trade
+    * exactness for width; IncrementalDedupSpec asserts both paths
+    * select identical spans.
     *
     * @return (id, n_tokens, removed_tokens, clean_text), one row per
     *         input document; fully-removed docs get clean_text = "".
@@ -407,7 +560,7 @@ object TextDedup {
       textCol: String,
       k: Int,
       minOccurrences: Int = 2,
-      hashedGramKeys: Boolean = true): DataFrame = {
+      hashedGramKeys: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val toks = stagedSpanTokens(df, idCol, textCol)
     val grams = stagedSpanGrams(toks, k, hashedGramKeys)
@@ -477,9 +630,26 @@ object TextDedup {
   /** Per-corpus gram-count state for INCREMENTAL span dedup: the
     * k-token window counts of the already-ingested corpus, persisted
     * for probing by each increment. Key scheme must match the probe's
-    * (`hashedGramKeys`); release with [[SpanStore.unpersist]].
+    * (`hashedGramKeys`); release with [[SpanStore.unpersist]] (a no-op
+    * for disk-backed stores from [[loadSpanStore]]).
+    *
+    * Counts are ADDITIVE across rows: `grams` may carry several
+    * (gram, n) rows per gram — [[absorbIntoSpanStore]] and
+    * [[appendToSavedSpanStore]] append count DELTAS instead of
+    * rewriting the corpus-sized count table, and the probe sums per
+    * gram over its (small) hit set. [[saveSpanStore]] compacts back to
+    * one row per gram.
+    *
+    * `prefixBuckets` is set on loaded stores: `grams` then carries a
+    * `__gp` partition column (`xxhash64(gram) mod prefixBuckets`) and
+    * the probe prunes the store read to the increment's gram prefixes
+    * at the directory level.
     */
-  final case class SpanStore(grams: DataFrame, k: Int, hashedGramKeys: Boolean) {
+  final case class SpanStore(
+      grams: DataFrame,
+      k: Int,
+      hashedGramKeys: Boolean,
+      prefixBuckets: Option[Int] = None) {
     def unpersist(): Unit = { grams.unpersist(); () }
   }
 
@@ -493,7 +663,7 @@ object TextDedup {
       idCol: String,
       textCol: String,
       k: Int,
-      hashedGramKeys: Boolean = true): SpanStore = {
+      hashedGramKeys: Boolean = false): SpanStore = {
     require(k > 0, "k must be positive")
     val toks = stagedSpanTokens(corpus, idCol, textCol)
     val grams = stagedSpanGrams(toks, k, hashedGramKeys)
@@ -529,15 +699,99 @@ object TextDedup {
     val incCounts = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__inc_n"))
       .persist()
-    val storeHits = store.grams
-      .select(col("gram"), col("n").as("__store_n"))
-      .join(broadcast(incCounts.select(col("gram"))), Seq("gram"))
+    // The probe joins the (pruned) store with the BROADCAST increment
+    // keys and sums per gram — the store's counts are additive deltas,
+    // and only the hit set (one row per increment-shared gram per
+    // delta) reaches the sum.
+    val storeHits = prunedStoreGrams(store, incCounts)
     val dupGrams = incCounts
       .join(storeHits, Seq("gram"), "left")
       .filter(col("__inc_n") + coalesce(col("__store_n"), lit(0L)) >= minOccurrences)
       .select(col("gram"))
     val out = cleanedFromCoveredGrams(toks, grams, dupGrams, store.k)
     materialized(out, Seq(toks, grams, incCounts))
+  }
+
+  /** Persist a [[SpanStore]] to parquet, COMPACTED to one row per gram
+    * (summing any absorbed deltas) and PARTITIONED BY a gram-key
+    * prefix, so a loaded store's probe reads only the directories the
+    * increment's grams land in. `k`/`hashedGramKeys`/`prefixBuckets`
+    * ride along in a one-row meta parquet — a loaded store is
+    * self-describing.
+    */
+  def saveSpanStore(store: SpanStore, path: String, prefixBuckets: Int = 64): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = store.grams.sparkSession
+    import spark.implicits._
+    store.grams.groupBy(col("gram")).agg(sum(col("n")).as("n"))
+      .withColumn("__gp", hashPrefix(col("gram"), prefixBuckets))
+      .write.mode("overwrite").partitionBy("__gp").parquet(s"$path/grams")
+    Seq((store.k, store.hashedGramKeys, prefixBuckets))
+      .toDF("k", "hashedGramKeys", "prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted [[SpanStore]]. Nothing is eagerly cached: probes
+    * prune the partitioned layout on disk.
+    */
+  def loadSpanStore(spark: org.apache.spark.sql.SparkSession, path: String): SpanStore = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    SpanStore(
+      spark.read.parquet(s"$path/grams"),
+      m.getAs[Int]("k"),
+      m.getAs[Boolean]("hashedGramKeys"),
+      Some(m.getAs[Int]("prefixBuckets")))
+  }
+
+  /** Fold an ingest round's increment into the store without
+    * rebuilding it: ONE window explode + count over the increment
+    * (O(increment tokens)), appended as count DELTAS — the store side
+    * is never scanned, shuffled, or rewritten; the probe sums deltas
+    * per gram over its hit set. Counts add, so the result is
+    * probe-equivalent to [[buildSpanStore]] over the union corpus
+    * (IncrementalDedupSpec asserts it). The input store is untouched;
+    * the caller owns both lifecycles.
+    */
+  def absorbIntoSpanStore(
+      store: SpanStore,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String): SpanStore = {
+    val toks = stagedSpanTokens(increment, idCol, textCol)
+    val grams = stagedSpanGrams(toks, store.k, store.hashedGramKeys)
+    val delta0 = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    val delta = store.prefixBuckets match {
+      case Some(nb) => delta0.withColumn("__gp", hashPrefix(col("gram"), nb))
+      case None => delta0
+    }
+    val deltaP = delta.persist()
+    deltaP.count()
+    toks.unpersist(); grams.unpersist()
+    SpanStore(store.grams.unionByName(deltaP), store.k, store.hashedGramKeys,
+      store.prefixBuckets)
+  }
+
+  /** [[absorbIntoSpanStore]] for a PERSISTED store: count the
+    * increment's windows and dynamic-partition-APPEND the deltas into
+    * the saved layout — only the gram prefixes that receive rows gain
+    * files, nothing is read back or rewritten (the additive-counts
+    * contract makes upsert unnecessary). Re-save via [[saveSpanStore]]
+    * to compact when delta files accumulate.
+    */
+  def appendToSavedSpanStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val nb = m.getAs[Int]("prefixBuckets")
+    val toks = stagedSpanTokens(increment, idCol, textCol)
+    val grams = stagedSpanGrams(toks, m.getAs[Int]("k"), m.getAs[Boolean]("hashedGramKeys"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .withColumn("__gp", hashPrefix(col("gram"), nb))
+      .write.mode("append").partitionBy("__gp").parquet(s"$path/grams")
+    toks.unpersist(); grams.unpersist()
   }
 
   /** Persist + materialize `result`, then release the intermediate
