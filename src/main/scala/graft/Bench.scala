@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   * loaded machine inflates wall times 2-17x between sessions — the
   * durable record lets a later reader separate load noise from real
   * regressions without re-running.
+  *
+  * Besides wall time, every query reports its PROCESS-CPU seconds
+  * (`queries_cpu`, median of per-rep getProcessCpuTime deltas). In
+  * local mode the executors share the JVM, so this captures all
+  * compute the query caused while being invariant to noisy neighbors:
+  * a loaded machine stretches wall clock (the scheduler slices this
+  * process thinner) but barely moves the CPU a query burns. Rounds 2,
+  * 5 and 6 each produced phantom wall-clock "regressions" (up to
+  * 100x) that took a full session to disprove — compare `queries_cpu`
+  * across rounds first, wall only on a calm machine.
   */
 object Bench {
   private def loadavg(): String =
@@ -23,6 +33,16 @@ object Bench {
       scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
         _.mkString.trim)
     } catch { case _: Throwable => "unavailable" }
+
+  // com.sun.management is present on every JDK this project supports
+  // (Java 17 HotSpot); fall back to -1 deltas if a different VM ever
+  // returns an unexpected bean.
+  private val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def processCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,29 +69,37 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val results = selected.map { case (name, fn) =>
       var failed = false
-      val times = (1 to reps).map { _ =>
+      val samples = (1 to reps).map { _ =>
+        val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
+        (wall, cpu)
       }
+      val times = samples.map(_._1)
+      val cpus = samples.map(_._2)
       // a failed query must not report a normal-looking time: emit the
       // -1 sentinel so downstream comparisons can't read a fast failure
       // as a perf win
       val median = if (failed) -1.0 else times.sorted.apply(times.size / 2)
+      val medianCpu = if (failed) -1.0 else cpus.sorted.apply(cpus.size / 2)
       System.err.println(
-        f"[bench] $name%-28s median $median%8.2f s  (cold ${times.head}%.2f, min ${times.min}%.2f)")
-      (name, median, times.head, times.min, failed)
+        f"[bench] $name%-28s median $median%8.2f s  (cpu $medianCpu%.2f, cold ${times.head}%.2f, min ${times.min}%.2f)")
+      (name, median, times.head, times.min, failed, medianCpu)
     }
     def js(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = js(results.map(r => (r._1, r._2)))
     val cold = js(results.map(r => (r._1, r._3)))
     val mins = js(results.map(r => (r._1, r._4)))
+    val cpuJs = js(results.map(r => (r._1, r._6)))
     val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(!_._5).map(_._2).sum
+    val totalCpu = results.filter(!_._5).map(_._6).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedList,"queries":$qs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_cpu":$totalCpu,"failed":$failedList,"queries":$qs,"queries_cpu":$cpuJs,"queries_cold":$cold,"queries_min":$mins,"sf":"$sfDir"}"""
     println(line)
     val record =
       s"""{"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench":$line}"""
