@@ -103,12 +103,16 @@ object Bench {
     println(line)
     val record =
       s"""{"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench":$line}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_SELF.json"),
-        (record + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    // only FULL runs update the durable record — a filtered dev-loop
+    // run must not clobber the whole-suite numbers
+    if (only.isEmpty) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_SELF.json"),
+          (record + "\n").getBytes("UTF-8"))
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+      }
     }
     spark.stop()
   }

@@ -6,7 +6,7 @@ import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,16 +27,19 @@ import scala.util.control.NonFatal
   * unions, logical date/timestamp/decimal, string/enum/bytes/fixed,
   * arrays, maps, nested records.
   *
-  * Per-partition state (reader, decoder) is reused across rows; the
-  * expression is eval-only (`CodegenFallback`) but sits in a single
-  * projection so the batch scan stays one stage.
+  * Per-partition state (reader, decoder) is reused across rows, and
+  * the expression participates in whole-stage codegen (the decode is
+  * one JVM call on a referenced expression object — a CodegenFallback
+  * here would eject the per-record hot loop of the entire CDC path
+  * from generated code; same rationale as
+  * [[graft.functions.MinHashSignature]]).
   *
   * FAILFAST parity: a malformed payload throws (like the reference's
   * `{"mode": "FAILFAST"}`); with `failFast = false` it yields null
   * (PERMISSIVE).
   */
 case class AvroDecode(child: Expression, schemaJson: String, failFast: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val avroSchema: Schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val reader = new GenericDatumReader[Any](avroSchema)
@@ -52,8 +55,13 @@ case class AvroDecode(child: Expression, schemaJson: String, failFast: Boolean)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"avro_decode requires a binary input, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(input: Any): Any =
+    decodeBytes(input.asInstanceOf[Array[Byte]])
+
+  /** public: called from generated code via an expression reference.
+    * Returns null for a malformed payload in PERMISSIVE mode.
+    */
+  def decodeBytes(bytes: Array[Byte]): Any =
     try {
       decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
       val record = reader.read(null, decoder)
@@ -65,6 +73,25 @@ case class AvroDecode(child: Expression, schemaJson: String, failFast: Boolean)
             s"Malformed Avro record for schema ${avroSchema.getFullName} (FAILFAST): ${e.getMessage}", e)
         else null
     }
+
+  /** Real whole-stage codegen: the decode stays a single call on the
+    * referenced expression object while the surrounding projection
+    * (wire-envelope slicing, struct expansion, casts) remains fused in
+    * the generated stage. PERMISSIVE nulls flow through `isNull`.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroDecodeExpr", this, classOf[AvroDecode].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val decoded = ctx.freshName("decoded")
+      s"""
+         |Object $decoded = $self.decodeBytes($c);
+         |if ($decoded == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $decoded;
+         |}
+       """.stripMargin
+    })
   }
 
   override def prettyName: String = "avro_decode"

@@ -6,7 +6,7 @@ import org.apache.avro.io.{BinaryEncoder, EncoderFactory}
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,9 +24,13 @@ import scala.jdk.CollectionConverters._
   * The input struct's fields are matched to the Avro record's fields BY
   * POSITION (the struct should be built from the same schema, e.g. via
   * [[AvroSchemas.toStructType]]).
+  *
+  * Participates in whole-stage codegen like [[AvroDecode]]: the encode
+  * is one JVM call on a referenced expression object, so fixture/
+  * backfill projections around it stay fused.
   */
 case class AvroEncode(child: Expression, schemaJson: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val avroSchema: Schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val writer = new GenericDatumWriter[Any](avroSchema)
@@ -44,14 +48,23 @@ case class AvroEncode(child: Expression, schemaJson: String)
           s"avro_encode requires a struct input, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    encodeRow(input.asInstanceOf[InternalRow])
+
+  /** public: called from generated code via an expression reference */
+  def encodeRow(row: InternalRow): Array[Byte] = {
     val avroValue =
-      AvroEncode.toAvro(input, child.dataType, avroSchema)
+      AvroEncode.toAvro(row, child.dataType, avroSchema)
     out.reset()
     encoder = EncoderFactory.get().binaryEncoder(out, encoder)
     writer.write(avroValue, encoder)
     encoder.flush()
     out.toByteArray
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("avroEncodeExpr", this, classOf[AvroEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$self.encodeRow($c)")
   }
 
   override def prettyName: String = "avro_encode"

@@ -143,6 +143,51 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(fromCodegen == interpreted)
   }
 
+  test("avro_encode/avro_decode: codegen'd stage, bit-identical to interpreted eval") {
+    import graft.avro.{AvroDecode, AvroEncode}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":["null","string"]}]}""".stripMargin
+    val st = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true)))
+    val df = spark.range(1)
+      .select(struct(col("id").cast("int").as("a"), concat(lit("x"), idS).as("b")).as("r"))
+      .select(asCol(AvroEncode(GraftColumnShim.expression(col("r")), schema)).as("bytes"))
+      .select(col("bytes"),
+        asCol(AvroDecode(GraftColumnShim.expression(col("bytes")), schema, failFast = true)).as("rec"))
+    fused(df)
+    val row = df.collect().head
+    val bytes = row.getAs[Array[Byte]]("bytes")
+    val rec = row.getStruct(1)
+    assert(rec.getInt(0) == 0 && rec.getString(1) == "x0")
+    // interpreted encode produces the same wire bytes…
+    val interpretedBytes = AvroEncode(
+      Literal(InternalRow(0, UTF8String.fromString("x0")), st), schema)
+      .eval(null).asInstanceOf[Array[Byte]]
+    assert(bytes.sameElements(interpretedBytes))
+    // …and the interpreted decode agrees field-for-field
+    val interpreted = AvroDecode(Literal(bytes, BinaryType), schema, failFast = true)
+      .eval(null).asInstanceOf[InternalRow]
+    assert(interpreted.getInt(0) == 0 && interpreted.getUTF8String(1).toString == "x0")
+  }
+
+  test("avro_decode PERMISSIVE: malformed bytes yield null through the codegen path") {
+    import graft.avro.AvroDecode
+    val schema = """{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}"""
+    // 0x83 is a varint with its continuation bit set and no next byte:
+    // guaranteed malformed, and the `when` on id keeps it non-foldable
+    val df = spark.range(1)
+      .select(when(col("id") >= 0, lit(Array[Byte](0x83.toByte))).as("bytes"))
+      .select(asCol(
+        GraftColumnShim.expression(col("bytes")) match {
+          case e => AvroDecode(e, schema, failFast = false)
+        }).as("rec"))
+    fused(df)
+    assert(df.collect().head.isNullAt(0))
+  }
+
   test("null inputs stay null through the codegen path") {
     val df = spark.range(1)
       .select(
