@@ -58,8 +58,10 @@ object SimilaritySearch {
     val q = query.select(
       col(vecCol).as("__qv"),
       VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed).as("__qsig"))
-    embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    // spread-to-cores is CONDITIONAL (TextDedup.spreadToCores): a
+    // many-partition corpus flows through with no exchange — the
+    // signature filter runs directly over the scan
+    TextDedup.spreadToCores(embeddings)
       .withColumn("__sig", VectorFunctions.hyperplaneSignature(col(vecCol), bits, seed))
       .crossJoin(broadcast(q))
       .filter(VectorFunctions.hammingDistance(col("__sig"), col("__qsig")) <= maxHamming)
@@ -94,8 +96,7 @@ object SimilaritySearch {
       maxBucketSize: Int = 2000,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     // persist: signatures would otherwise be recomputed on both join sides
-    val sigs = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val sigs = TextDedup.spreadToCores(embeddings)
       .select(
         col(idCol).as("id"),
         col(vecCol).as("vec"),

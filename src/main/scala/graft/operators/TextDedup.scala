@@ -53,6 +53,20 @@ object TextDedup {
     def bandHash(sigSlice: Column): Column = md5(concat_ws("|", sigSlice))
   }
 
+  /** Spread a SMALL-partition-count input across the cores before
+    * per-row-heavy staging (shingling, signatures): local single-file
+    * testdata arrives as ONE unsplittable row group, which would
+    * serialize the per-row compute. A corpus at scale already has
+    * >= cores partitions, and then this is the identity — an
+    * unconditional repartition here would be a scan-sized shuffle
+    * nobody asked for (flagged in round 6). Parallelism stays
+    * caller-owned in the common case.
+    */
+  private[operators] def spreadToCores(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Exact duplicate clusters by canonical-form fingerprint: one row per
     * duplicated fingerprint with the surviving (minimum) id and the ids
     * to drop.
@@ -214,9 +228,9 @@ object TextDedup {
     * Staged through persist boundaries: without them, CollapseProject
     * inlines the shingle computation into each of the `numHashes`
     * min-hash transforms (a ~32x recompute) and the signature into
-    * every band hash and both join sides. Repartitioned first so the
-    * per-row compute uses every core even when the input is one
-    * unsplittable file/row-group.
+    * every band hash and both join sides. Spread across cores first
+    * ([[spreadToCores]]) so the per-row compute uses every core even
+    * when the input is one unsplittable file/row-group.
     *
     * @return (tokenized, shingled, sigs), each persisted; the caller
     *         owns the unpersists
@@ -228,7 +242,7 @@ object TextDedup {
       numHashes: Int,
       shingler: (Column, Column) => Column,
       scheme: MinhashScheme): (DataFrame, DataFrame, DataFrame) = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = spreadToCores(df)
     // Tokenize in its own persisted projection: the default shingler
     // derives n-grams from the bound token attribute, so the O(len)
     // split never re-runs per shingle element.
@@ -574,7 +588,7 @@ object TextDedup {
 
   /** Persisted `(id, toks)` projection shared by the span-dedup forms. */
   private def stagedSpanTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spreadToCores(df)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .persist()
 
@@ -847,7 +861,7 @@ object TextDedup {
       textCol: String,
       n: Int = 3,
       minDocs: Int = 2): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = spreadToCores(df)
     val toks = spread.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
     // staged + persisted: referenced by the explode AND the final
     // per-doc projection (CollapseProject would re-shingle per use)
@@ -961,7 +975,7 @@ object TextDedup {
     // Stage token hashes and signatures through persist boundaries (same
     // CollapseProject recompute hazard as the MinHash path: simhash()
     // would re-tokenize per band and per join side).
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = spreadToCores(df)
     val hashed = spread.select(
       col(idCol).as("id"),
       transform(TextFunctions.tokens(col(textCol)), t => scheme.tokenHash(t)).as("th"))

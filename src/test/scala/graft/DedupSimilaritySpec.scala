@@ -193,6 +193,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top == Seq(0L, 1L))
   }
 
+  test("lshTopK: an already-partitioned corpus gets NO repartition exchange") {
+    val cores = spark.sparkContext.defaultParallelism
+    // >= cores partitions: the production shape; the conditional spread
+    // must be the identity, so no round-robin exchange precedes the
+    // signature filter (hash repartition here so the only possible
+    // RoundRobin in the plan would be the operator's own)
+    val spreadCorpus = vectors.repartition(cores, col("vec_id"))
+    val plan = SimilaritySearch
+      .lshTopK(spreadCorpus, vectors.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 2, bits = 32, maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"unconditional repartition leaked back into lshTopK:\n$plan")
+    // a single-partition local input still gets spread across cores
+    val onePart = vectors.coalesce(1)
+    val spreadPlan = SimilaritySearch
+      .lshTopK(onePart, vectors.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 2, bits = 32, maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("RoundRobinPartitioning"),
+      s"single-partition input no longer spread:\n$spreadPlan")
+  }
+
   test("embeddingNearDupPairs: only the planted near-pair survives") {
     val pairs = SimilaritySearch
       .embeddingNearDupPairs(vectors, "vec_id", "embedding", bits = 16, minCosine = 0.98)
