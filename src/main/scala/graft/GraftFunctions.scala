@@ -116,9 +116,16 @@ object GraftFunctions {
     */
   private def constantStringArray(e: Expression, ctx: String): Seq[String] = e match {
     case other if other.foldable =>
-      val arr = other.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      (0 until arr.numElements()).map(i =>
-        if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString)
+      // a foldable NULL (e.g. CAST(NULL AS ARRAY<STRING>)) evals to
+      // null — same analysis-time error as a non-constant argument,
+      // not an NPE
+      other.eval(null) match {
+        case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until arr.numElements()).map(i =>
+            if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString)
+        case _ =>
+          throw new IllegalArgumentException(s"$ctx requires a constant array argument")
+      }
     case _ => throw new IllegalArgumentException(s"$ctx requires a constant array argument")
   }
 }

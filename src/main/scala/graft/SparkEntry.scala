@@ -1228,22 +1228,26 @@ object SparkEntry {
             var sum = 0.0
             var i = 0
             while (i < w * h) {
-              val b = bytes(i % bytes.length) & 0xff
+              // empty text -> all-zero pixels, mirroring the generator
+              val b = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
               sum += 0.299 * b + 0.587 * (b * 31 % 256) + 0.114 * (b * 7 % 256)
               i += 1
             }
             Some(sum / (w * h) / 255.0)
           case 1 => // audio: samples (b-128)*256 + (i%7)*100 from text bytes
             val n = math.min(bytes.length * 4, 2048)
-            var sum = 0.0
-            var i = 0
-            while (i < n) {
-              val b = bytes(i % bytes.length) & 0xff
-              val smp = ((b - 128) * 256 + (i % 7) * 100).toShort.toDouble
-              sum += smp * smp
-              i += 1
+            if (n == 0) Some(0.0) // empty text -> zero samples; rms() guards to 0.0
+            else {
+              var sum = 0.0
+              var i = 0
+              while (i < n) {
+                val b = bytes(i % bytes.length) & 0xff
+                val smp = ((b - 128) * 256 + (i % 7) * 100).toShort.toDouble
+                sum += smp * smp
+                i += 1
+              }
+              Some(math.sqrt(sum / n) / 32768.0)
             }
-            Some(math.sqrt(sum / n) / 32768.0)
           case _ => None // video: opaque bytes, no codec, decode emits null
         }
         (docId, expected)

@@ -145,8 +145,9 @@ object Multimodal {
               // bounded geometry; pixels derived from the text bytes
               val w = math.min(m.width, 32).max(1)
               val h = math.min(m.height, 32).max(1)
+              // empty text -> all-zero pixels (no mod-by-zero)
               val px = Array.tabulate(w * h) { i =>
-                val b = m.content(i % m.content.length) & 0xff
+                val b = if (m.content.isEmpty) 0 else m.content(i % m.content.length) & 0xff
                 (b << 16) | ((b * 31 % 256) << 8) | (b * 7 % 256)
               }
               m.copy(width = w, height = h, content = Codecs.encodeBmp(w, h, px))

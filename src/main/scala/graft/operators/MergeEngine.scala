@@ -233,6 +233,12 @@ object MergeEngine {
   def createTableIfNotExists(spark: SparkSession, schema: StructType, cfg: TableConfig): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.schema}")
     if (!spark.catalog.tableExists(cfg.qualifiedName)) {
+      // an ACTUAL (re)creation invalidates any memoized partition
+      // registrations from a previous life of this table name — a
+      // stale memo would skip the ALTER for a re-added partition and a
+      // catalog reader would miss its data. The common per-batch call
+      // (table exists) keeps the memo.
+      registeredPartitions.remove(spark, cfg.qualifiedName)
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       val writer = empty.write.format("parquet").mode("ignore").option("path", cfg.path)
       (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*) else writer)
@@ -350,9 +356,12 @@ object MergeEngine {
     * partitions batch after batch, and each redundant `ALTER TABLE ADD
     * IF NOT EXISTS PARTITION` is a catalog round trip — pure fixed cost
     * (NOTES' remaining CDC item). Entries are recorded only after the
-    * ALTER succeeds. Caveat (same class as the read-schema cache): an
-    * EXTERNAL `DROP PARTITION` against a live session's table is not
-    * observed; the memo is session-scoped, so a fresh session re-adds.
+    * ALTER succeeds, and evicted whenever the ENGINE itself invalidates
+    * them: a swap that removes partitions drops those rels, truncate
+    * and an actual table (re)creation drop the table's whole entry.
+    * Caveat (same class as the read-schema cache): an EXTERNAL
+    * `DROP PARTITION` against a live session's table is not observed;
+    * the memo is session-scoped, so a fresh session re-adds.
     */
   private val registeredPartitions =
     new graft.util.SessionScopedCache[java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]
@@ -468,6 +477,7 @@ object MergeEngine {
     val root = new Path(cfg.path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
+    registeredPartitions.remove(spark, cfg.qualifiedName)
     ()
   }
 
@@ -681,6 +691,13 @@ object MergeEngine {
           .filterNot(touched.contains)
           .filter(rel => fs.exists(new Path(root, rel)))
           .toSeq
+        // partitions this swap removes leave the session memo, so a
+        // future re-add of the same partition goes back through the
+        // catalog ALTER (eviction is safe even if the swap fails: a
+        // memo miss only costs one redundant idempotent ALTER)
+        if (removed.nonEmpty)
+          registeredPartitions.get(spark, cfg.qualifiedName)
+            .foreach(known => removed.foreach(known.remove))
         val existing = (touched ++ removed).filter(rel => fs.exists(new Path(root, rel)))
         if (touched.isEmpty && removed.isEmpty) return Nil
         // 2. manifest

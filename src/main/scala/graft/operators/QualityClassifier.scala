@@ -166,4 +166,89 @@ object QualityClassifier {
           round(col("w_sum") / col("n_tokens").cast("double"), 4) + 0.0).as("score"),
         (col("w_sum") > 0.0).as("keep"))
   }
+
+  /** Distributed trainer producing the weight table [[scoreWithWeights]]
+    * serves — full-batch logistic gradient descent over the SAME hashed
+    * representation the serving path evaluates: a document's features
+    * are its L1-normalized bucket counts (x_b = count_b / n_tokens,
+    * buckets from `pmod(xxhash64(token), numBuckets)`), so the trained
+    * decision value w·x IS the serving score (mean token weight) and
+    * the serving gate `w_sum > 0` is exactly the trained decision
+    * boundary — no train/serve skew.
+    *
+    * Each epoch is ONE `treeAggregate` over the corpus: every partition
+    * folds its documents' residual-weighted features into a dense
+    * buckets-length gradient array, partials combine pairwise up a tree
+    * (no shuffle of the corpus — only O(numBuckets) arrays move), and
+    * one final array reaches the driver for the weight update — the
+    * classic distributed-GD shape (Spark MLlib's optimizer loop). The
+    * bucketed doc representation is computed once and cached across
+    * epochs; per-doc cost is O(tokens) per epoch. This is the rare
+    * justified RDD use in graft: per-partition imperative accumulation
+    * into a shared dense array, which no Column expression expresses.
+    *
+    * Docs with no tokens carry no gradient and are excluded up front
+    * (the serving null contract already rejects them).
+    *
+    * Determinism: the gradient is a float sum whose partition combine
+    * order may perturb last-ulp bits; the decision structure the spec
+    * gates on is stable. The SERVING path stays bit-deterministic
+    * regardless (weights are fixed once training ends).
+    *
+    * @param labelCol boolean or numeric 0/1 column; 1 = reference-like
+    * @return the trained weight table, `numBuckets` long
+    */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = NumBuckets,
+      epochs: Int = 30,
+      learningRate: Double = 2.0,
+      l2: Double = 0.0): Array[Double] = {
+    require(numBuckets > 0 && epochs > 0, "numBuckets and epochs must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(
+        col(labelCol).cast("double").as("y"),
+        transform(TextFunctions.tokens(col(textCol)),
+          t => pmod(xxhash64(t), lit(numBuckets.toLong)).cast("int")).as("buckets"))
+      .where(size(col("buckets")) > 0)
+      .as[(Double, Array[Int])]
+      .rdd
+      .persist()
+    val nDocs = data.count()
+    require(nDocs > 0, "cannot train on a corpus with no tokenized documents")
+
+    val w = new Array[Double](numBuckets)
+    for (_ <- 1 to epochs) {
+      val wCur = w.clone() // ship a stable snapshot in the task closure
+      val grad = data.treeAggregate(new Array[Double](numBuckets))(
+        seqOp = { (acc, doc) =>
+          val (y, bs) = doc
+          val inv = 1.0 / bs.length
+          var z = 0.0
+          var i = 0
+          while (i < bs.length) { z += wCur(bs(i)); i += 1 }
+          z *= inv
+          val resid = 1.0 / (1.0 + math.exp(-z)) - y
+          val g = resid * inv
+          i = 0
+          while (i < bs.length) { acc(bs(i)) += g; i += 1 }
+          acc
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+      var i = 0
+      while (i < numBuckets) {
+        w(i) -= learningRate * (grad(i) / nDocs + l2 * w(i))
+        i += 1
+      }
+    }
+    data.unpersist()
+    w
+  }
 }

@@ -136,6 +136,14 @@ object Sampling {
     * `prefix(score) + within(score, id)` IS the global running sum
     * under the total order, so the result is exact, not approximate.
     *
+    * BEHAVIOR NOTE for callers with higher-than-4-decimal scores: the
+    * default quantization changes the selection order relative to the
+    * raw column and the reported `score` is the quantized value. Pass
+    * [[NoScoreQuantization]] to select on the raw score — accepting
+    * that the layer-1 prefix table then scales with the DISTINCT-score
+    * count (O(n_docs) for a continuous score), which is the hazard the
+    * quantization exists to cap.
+    *
     * The two-layer shape is only scale-safe when the distinct-score
     * count is bounded, so the score is QUANTIZED here: rounded to
     * `scorePrecision` decimals (and `+ 0.0`-normalized, so an IEEE
@@ -149,6 +157,12 @@ object Sampling {
     *
     * @return kept rows only: (id, score, n_tokens, cum_tokens)
     */
+  /** Sentinel for [[tokenBudgetSelect]]'s `scorePrecision`: no
+    * quantization — the raw score column defines the selection order.
+    * The caller owns the distinct-score-count scale hazard.
+    */
+  val NoScoreQuantization: Int = -1
+
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,
@@ -156,11 +170,14 @@ object Sampling {
       tokensCol: String,
       budget: Long,
       scorePrecision: Int = 4): DataFrame = {
-    require(scorePrecision >= 0 && scorePrecision <= 6,
-      "scorePrecision must be in [0, 6] — the prefix table is 2*10^p*range rows")
+    require(scorePrecision == NoScoreQuantization || (scorePrecision >= 0 && scorePrecision <= 6),
+      "scorePrecision must be in [0, 6] (or NoScoreQuantization) — the prefix table is 2*10^p*range rows")
+    val quantized =
+      if (scorePrecision == NoScoreQuantization) col(scoreCol) + lit(0.0)
+      else round(col(scoreCol), scorePrecision) + lit(0.0)
     val base = df.select(
       col(idCol).as("id"),
-      (round(col(scoreCol), scorePrecision) + lit(0.0)).as("score"),
+      quantized.as("score"),
       col(tokensCol).cast("long").as("n_tokens"))
     val perScore = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("score_toks"))
     val wScores = Window.orderBy(col("score").desc)

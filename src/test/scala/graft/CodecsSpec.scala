@@ -102,6 +102,20 @@ class CodecsSpec extends SparkSpec {
     assert(feats(2L).decoded_mean.isEmpty)
   }
 
+  test("empty-text docs synthesize and decode cleanly (no mod-by-zero)") {
+    val docs = Seq(
+      (3L, "", "en", "s", 0L), // image from empty text: all-zero pixels
+      (1L, "", "en", "s", 0L), // audio from empty text: zero samples
+      (2L, "", "en", "s", 0L)) // video stub: empty opaque bytes
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMediaFromDocs(spark, docs), dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(3L).decoded_mean.contains(0.0)) // black image
+    assert(feats(1L).decoded_mean.contains(0.0)) // silent (empty) audio
+    assert(feats(2L).decoded_mean.isEmpty)
+  }
+
   test("resize produces a valid BMP of the target geometry for image rows") {
     val docs = Seq((3L, "image doc payload text", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -56,6 +56,11 @@ class DecontaminationSpec extends SparkSpec {
       spark.sql("SELECT array_hit_count(gs, gs) FROM ahc_in").collect()
     }
     assert(err.getMessage.contains("constant array"))
+    // a foldable NULL array gets the same analysis error, not an NPE
+    val errNull = intercept[Exception] {
+      spark.sql("SELECT array_hit_count(gs, CAST(NULL AS ARRAY<STRING>)) FROM ahc_in").collect()
+    }
+    assert(errNull.getMessage.contains("constant array"), s"got: ${errNull.getMessage}")
   }
 
   test("eval probe rides a broadcast join by default") {

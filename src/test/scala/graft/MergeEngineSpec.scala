@@ -127,6 +127,31 @@ class MergeEngineSpec extends SparkSpec {
     assert(MergeEngine.readTable(spark, cfg.path).get.count() == 3L)
   }
 
+  test("memo evicted when the engine removes a partition: a re-add re-registers") {
+    val path = tmpDir("merge-cat-evict")
+    val cfg = TableConfig("graft_test", "cat_evict_tbl", s"$path/t",
+      partitionCols = Seq("year"))
+    val schema = Seq((0, "x", 2023, 0L)).toDF("id", "name", "year", "lsn").schema
+    MergeEngine.createTableIfNotExists(spark, schema, cfg)
+    MergeEngine.upsert(spark, cfg,
+      Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn"),
+      Seq("id"), "lsn")
+    def parts() = spark.sql(s"SHOW PARTITIONS ${cfg.qualifiedName}")
+      .collect().map(_.getString(0)).toSet
+    assert(parts() == Set("year=2023", "year=2024"))
+    // the ENGINE's delete empties 2023: dir removed and memo entry evicted
+    MergeEngine.delete(spark, cfg, Seq((1, 0L)).toDF("id", "lsn"), Seq("id"))
+    assert(!new java.io.File(s"$path/t/year=2023").exists())
+    spark.sql(s"ALTER TABLE ${cfg.qualifiedName} DROP PARTITION (year=2023)")
+    assert(!parts().contains("year=2023"))
+    // re-adding the SAME partition value must go through the ALTER again
+    // (a stale memo would skip it and the catalog would miss the data)
+    MergeEngine.upsert(spark, cfg,
+      Seq((5, "e", 2023, 30L)).toDF("id", "name", "year", "lsn"), Seq("id"), "lsn")
+    assert(parts().contains("year=2023"),
+      "re-added partition missing from catalog (stale registration memo)")
+  }
+
   test("pre-collected touched partitions skip the discovery job, same end state") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val seed = Seq((1, "a", 2023, 10L), (2, "b", 2024, 11L)).toDF("id", "name", "year", "lsn")

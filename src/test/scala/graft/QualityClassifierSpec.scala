@@ -147,4 +147,35 @@ class QualityClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("train: distributed logistic GD reaches separation, served through the real path") {
+    // two disjoint class vocabularies mixed with shared filler, so the
+    // boundary is learnable but not trivial (filler weights must stay
+    // near zero under balanced classes)
+    val goodVocab = Seq("coherent", "prose", "citation", "paragraph", "analysis")
+    val badVocab = Seq("zzspam", "clickzz", "buyzz", "winzz", "freezz")
+    val filler = Seq("the", "and", "of")
+    val labeled = (0 until 40).map { i =>
+      val vocab = if (i % 2 == 0) goodVocab else badVocab
+      val words = (0 until 12).map(j => vocab((i + j) % vocab.size)) ++ filler
+      (i.toLong, words.mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "label")
+
+    val w = QualityClassifier.train(labeled, "text", "label", epochs = 40, learningRate = 4.0)
+    assert(w.length == QualityClassifier.NumBuckets)
+
+    // the trained table served through scoreWithWeights (the actual
+    // serving path, native expression included) classifies every doc:
+    // the train-time decision boundary IS the serving keep gate
+    val served = QualityClassifier.scoreWithWeights(labeled, "doc_id", "text", w.toSeq)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    (0 until 40).foreach { i =>
+      assert(served(i.toLong) == (i % 2 == 0), s"doc $i misclassified after training")
+    }
+    // docs with no tokens neither train nor crash
+    val degenerate = Seq((1L, "", true), (2L, "zzspam zzspam", false))
+      .toDF("doc_id", "text", "label")
+    val w2 = QualityClassifier.train(degenerate, "text", "label", epochs = 2)
+    assert(w2.length == QualityClassifier.NumBuckets)
+  }
 }
