@@ -59,10 +59,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm JIT/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session startup.
-    val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    warm.groupBy("l_returnflag").count().count()
-    warm.filter("l_quantity > 0").select("l_orderkey").limit(10).count()
+    // doesn't absorb session startup. The warm table is whichever
+    // exists: scale-rehearsal fixture dirs (ScaleFixture) carry only
+    // documents/embeddings.
+    Seq("lineitem", "documents")
+      .map(t => new java.io.File(s"$sfDir/$t.parquet"))
+      .find(_.exists())
+      .foreach { f =>
+        val warm = spark.read.parquet(f.getPath)
+        warm.groupBy(warm.columns.head).count().count()
+        warm.limit(10).count()
+      }
     // dev-loop filter: comma-separated name substrings; unset = all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -869,6 +869,35 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("store_id"))
   }
 
+  /** [[dedupIncrementalMinhash]] through a DISK round-trip of the
+    * store: build once, save to parquet (band-hash-prefix partitioned,
+    * the IvfAnn.save shape), LOAD, probe the loaded store — the
+    * restarted-pipeline deployment path. Oracle-gated with the live
+    * twin's SQL verbatim: persistence must be invisible to results.
+    * The probe of the loaded store prunes the band read to the
+    * increment's hash prefixes at the directory level
+    * (StorePersistenceSpec asserts the PartitionFilters).
+    */
+  private def dedupIncrementalMinhashPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val store = MinhashStoreCache.getOrElseUpdate(s, dir + "#minhash-persisted") {
+      val live = TextDedup.buildMinhashStore(docs, "doc_id", "text",
+        scheme = TextDedup.PortableMd5Scheme)
+      val path = java.nio.file.Files.createTempDirectory("graft-minhash-store").toString
+      TextDedup.saveMinhashStore(live, path, prefixBuckets = 32)
+      live.unpersist()
+      TextDedup.loadMinhashStore(s, path)
+    }
+    val incoming = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"))
+    TextDedup
+      .minhashAgainstStore(incoming, store, "doc_id", "text",
+        scheme = TextDedup.PortableMd5Scheme)
+      .select(col("id").as("doc_id"), col("store_id"), col("est_jaccard"))
+      .orderBy(col("doc_id"), col("store_id"))
+  }
+
   /** Corpus snapshot diff: old = doc_id < 400, new = doc_id >= 100 with
     * every doc_id % 40 == 0 rewritten — yields all four statuses.
     * Oracle-gated (a FULL OUTER JOIN over fingerprint projections).
@@ -959,6 +988,33 @@ object SparkEntry {
     val store = SpanStoreCache.getOrElseUpdate(s, dir + "#spans")(
       TextDedup.buildSpanStore(seeded.filter(col("doc_id") % 50 =!= 7), "doc_id", "text",
         k = 8, hashedGramKeys = false))
+    TextDedup
+      .removeDupSpansAgainstStore(seeded.filter(col("doc_id") % 50 === 7), store,
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("removed_tokens"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupIncrementalSpans]] through a DISK round-trip of the span
+    * store: the corpus gram counts are saved gram-key-prefix
+    * partitioned, loaded, and the increment probed against the LOADED
+    * store — the probe reads only the increment's gram prefixes from
+    * disk. Oracle-gated with the live twin's SQL verbatim.
+    */
+  private def dedupIncrementalSpansPersisted(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val seeded = Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val store = SpanStoreCache.getOrElseUpdate(s, dir + "#spans-persisted") {
+      val live = TextDedup.buildSpanStore(seeded.filter(col("doc_id") % 50 =!= 7),
+        "doc_id", "text", k = 8, hashedGramKeys = false)
+      val path = java.nio.file.Files.createTempDirectory("graft-span-store").toString
+      TextDedup.saveSpanStore(live, path, prefixBuckets = 32)
+      live.unpersist()
+      TextDedup.loadSpanStore(s, path)
+    }
     TextDedup
       .removeDupSpansAgainstStore(seeded.filter(col("doc_id") % 50 === 7), store,
         "doc_id", "text")
@@ -1566,11 +1622,13 @@ object SparkEntry {
     "token_budget_select" -> (tokenBudgetSelect _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
+    "dedup_incremental_minhash_persisted" -> (dedupIncrementalMinhashPersisted _),
     "corpus_diff" -> (corpusDiff _),
     "split_assign" -> (splitAssign _),
     "corpus_stats" -> (corpusStats _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
+    "dedup_incremental_spans_persisted" -> (dedupIncrementalSpansPersisted _),
     "domain_cap" -> (domainCap _),
     "text_scrub_pii" -> (textScrubPii _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1591,8 +1649,16 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
+    * Persisted-store round-trip queries share their live twin's oracle
+    * VERBATIM — persistence must be invisible to results; what the
+    * round trip adds (directory-pruned probing of the on-disk layout)
+    * is asserted in StorePersistenceSpec.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "dedup_incremental_minhash_persisted" -> oracleSqlBase("dedup_incremental_minhash"),
+    "dedup_incremental_spans_persisted" -> oracleSqlBase("dedup_incremental_spans"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
