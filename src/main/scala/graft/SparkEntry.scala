@@ -65,6 +65,13 @@ private[graft] object MinhashStoreCache
 private[graft] object SpanStoreCache
     extends graft.util.SessionScopedCache[TextDedup.SpanStore]
 
+/** Session-scoped cache of the trained bigram LM (same lifecycle
+  * argument: the reference-corpus model is trained once and scores
+  * every later slice).
+  */
+private[graft] object NgramLmCache
+    extends graft.util.SessionScopedCache[graft.operators.NgramLm.Model]
+
 /** Session-scoped cache of the exact decimal-cosine top-20 over the
   * planted-neighbor corpus — the SQL-replayable half both ANN recall
   * gates (`ann_lsh_topk`, `ann_ivf_topk`) compare against; computing it
@@ -1022,6 +1029,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet-class quality signal):
+    * the model trains on the doc_id % 50 != 7 reference slice, the
+    * held-out 2% slice is scored against it — same train/probe split
+    * as the incremental-dedup family. Oracle-gated end-to-end: counts,
+    * vocabulary, the add-one probability, and the FLOOR-quantized
+    * 1e-6-scaled log-prob (a LONG, so the per-doc sum is exact in any
+    * order on both engines) all replay in SQL; the only float steps are
+    * `ln`/`exp` of identical IEEE rationals plus round(4).
+    */
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val model = NgramLmCache.getOrElseUpdate(s, dir)(
+      graft.operators.NgramLm.train(docs.filter(col("doc_id") % 50 =!= 7), "doc_id", "text"))
+    graft.operators.NgramLm
+      .perplexity(docs.filter(col("doc_id") % 50 === 7), model, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"), col("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-domain document cap (the RefinedWeb-style quota) over
     * synthetic URLs seeded from the source column — one domain per
     * source (25+ docs each at every SF), so the cap of 10 genuinely
@@ -1634,6 +1660,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_perplexity" -> (textPerplexity _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
@@ -2589,6 +2616,47 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // bigram-LM perplexity: train counts on the %50!=7 slice, score
+    // the held-out slice; per-position log-probs are floor-quantized
+    // to 1e-6-scaled BIGINTs so the per-doc sum is order-exact
+    "text_perplexity" ->
+      """WITH train_toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 50 <> 7),
+        |pairs_t0 AS (
+        |  SELECT unnest([{'c': t[i], 'w': t[i+1]} for i in range(1, len(t))]) AS e
+        |  FROM train_toks WHERE len(t) >= 2),
+        |pairs_t AS (SELECT e.c AS ctx, e.w AS w FROM pairs_t0),
+        |cnt AS (SELECT ctx, w, count(*) AS c FROM pairs_t GROUP BY ctx, w),
+        |ctxc AS (SELECT ctx, count(*) AS c_ctx FROM pairs_t GROUP BY ctx),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM train_toks)),
+        |score_toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 50 = 7),
+        |pairs_s0 AS (
+        |  SELECT doc_id, unnest([{'c': t[i], 'w': t[i+1]} for i in range(1, len(t))]) AS e
+        |  FROM score_toks WHERE len(t) >= 2),
+        |pairs_s AS (SELECT doc_id, e.c AS ctx, e.w AS w FROM pairs_s0),
+        |lp AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(ln(
+        |      CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(ctxc.c_ctx, 0) + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM pairs_s p
+        |  LEFT JOIN cnt ON p.ctx = cnt.ctx AND p.w = cnt.w
+        |  LEFT JOIN ctxc ON p.ctx = ctxc.ctx
+        |  CROSS JOIN vocab),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS lp_sum
+        |  FROM lp GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(CAST(a.lp_sum AS DOUBLE) / 1000000.0 / CAST(a.n_bigrams AS DOUBLE), 4) AS avg_logp,
+        |  round(exp(-(CAST(a.lp_sum AS DOUBLE) / 1000000.0 / CAST(a.n_bigrams AS DOUBLE))), 4) AS perplexity
+        |FROM score_toks s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
