@@ -72,6 +72,13 @@ private[graft] object SpanStoreCache
 private[graft] object NgramLmCache
     extends graft.util.SessionScopedCache[graft.operators.NgramLm.Model]
 
+/** Session-scoped cache of the BM25 inverted index (same lifecycle
+  * argument: built once per (application, dir), searched by every
+  * later query).
+  */
+private[graft] object Bm25IndexCache
+    extends graft.util.SessionScopedCache[graft.operators.Bm25.Index]
+
 /** Session-scoped cache of the exact decimal-cosine top-20 over the
   * planted-neighbor corpus — the SQL-replayable half both ANN recall
   * gates (`ann_lsh_topk`, `ann_ivf_topk`) compare against; computing it
@@ -1048,6 +1055,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-20 retrieval over the documents corpus (the lookup side
+    * of decontamination audits / corpus inspection). Oracle-gated
+    * end-to-end: tf/df/dl/N are exact counts, idf and the length
+    * normalization are IEEE arithmetic over them with identical
+    * literal constants on both engines, and each (doc, term)
+    * contribution is FLOOR-quantized to a 1e-6-scaled LONG before the
+    * per-doc sum — ranking, tie-breaks (by the exact sum then
+    * doc_id), and the round(4) score all replay in SQL.
+    */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val idx = Bm25IndexCache.getOrElseUpdate(s, dir)(
+      graft.operators.Bm25.build(Tables(s, dir, "documents"), "doc_id", "text"))
+    graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 20)
+      .select(col("id").as("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Per-domain document cap (the RefinedWeb-style quota) over
     * synthetic URLs seeded from the source column — one domain per
     * source (25+ docs each at every SF), so the cap of 10 genuinely
@@ -1661,6 +1684,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_perplexity" -> (textPerplexity _),
+    "bm25_search" -> (bm25Search _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
@@ -2657,6 +2681,34 @@ object SparkEntry {
         |  round(exp(-(CAST(a.lp_sum AS DOUBLE) / 1000000.0 / CAST(a.n_bigrams AS DOUBLE))), 4) AS perplexity
         |FROM score_toks s LEFT JOIN agg a USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+    // BM25 top-20: per-(doc,term) contributions floor-quantized to
+    // 1e-6-scaled BIGINTs; selection and tie-breaks on the exact sum
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM docs),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('vector', 'merge', 'stream')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |         (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS lp
+        |  FROM post p JOIN dfreq USING (term) JOIN docs USING (doc_id) CROSS JOIN meta),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(lp) AS s
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_terms, round(CAST(s AS DOUBLE) / 1000000.0, 4) AS score
+        |FROM agg ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the lookup side of a
+  * training-data pipeline: "show me the strongest matches for these
+  * terms" drives eval-set decontamination audits, targeted corpus
+  * inspection, and seed-set expansion. Okapi BM25 with the Lucene
+  * positive idf:
+  *
+  *   idf(t)    = ln((N - df + 0.5) / (df + 0.5) + 1)
+  *   score(d)  = SUM_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+  *
+  * Scale shape: the index is two projections of the corpus — postings
+  * (term, id, tf) from one explode+count, and doc lengths (id, dl)
+  * from a map-only `size` — built once, saved partitioned by a term
+  * hash prefix. A search touches ONLY the query terms' postings
+  * (partition-pruned on disk, an `isin` scan filter in memory), joins
+  * them to doc lengths on id (bucket both by id at 100 TB for a
+  * shuffle-free sort-merge), and takes top-k via ORDER+LIMIT —
+  * Spark plans that as TakeOrderedAndProject, never a global sort.
+  * Nothing in the search is proportional to corpus size except the
+  * postings rows of the searched terms themselves.
+  *
+  * Numeric contract (repo-wide integer-space discipline): every
+  * per-(doc,term) contribution is floor-quantized to a 1e-6-scaled
+  * LONG before the per-doc sum, so ranking and scores are EXACT under
+  * any partition order and replay bit-for-bit in SQL — idf/length
+  * normalization are IEEE arithmetic over exactly-representable
+  * counts, identical on any engine that parses the same literals.
+  */
+object Bm25 {
+
+  /** Okapi defaults (Robertson; the Lucene/Elasticsearch constants). */
+  val K1: Double = 1.2
+  val B: Double = 0.75
+
+  /** Scale factor of the quantized per-term contribution. */
+  val ScoreScale: Double = 1e6
+
+  /** A built index: `postings` (term, id, tf), `docs` (id, dl), and
+    * the exact corpus totals avgdl derives from. `prefixBuckets` is
+    * set on loaded indexes: postings then carry a `__tp` partition
+    * column and [[search]] prunes the read to the query terms'
+    * prefixes.
+    */
+  final case class Index(
+      postings: DataFrame,
+      docs: DataFrame,
+      nDocs: Long,
+      totalDl: Long,
+      prefixBuckets: Option[Int] = None) {
+    /** avgdl recomputed from the exact totals — identical IEEE
+      * division on build and after load, so saved scores replay.
+      */
+    def avgDl: Double = totalDl.toDouble / nDocs.toDouble
+    def unpersist(): Unit = { postings.unpersist(); docs.unpersist(); () }
+  }
+
+  /** Build the index: one staged tokenize feeding the postings
+    * explode+count and the map-combinable length projection.
+    */
+  def build(corpus: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = TextDedup.spreadToCores(corpus)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .persist()
+    val docs = toks.select(col("id"), size(col("toks")).cast("long").as("dl")).persist()
+    val postings = toks
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+      .persist()
+    postings.count()
+    val totals = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("total")).head()
+    toks.unpersist()
+    Index(postings, docs, totals.getAs[Long]("n"), totals.getAs[Long]("total"))
+  }
+
+  private def hashPrefix(key: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  /** Top-k documents for `queryTerms`, ranked by the quantized BM25
+    * sum (ties broken by ascending id — fully deterministic).
+    *
+    * @return (id, n_terms, score): matched query-term count and the
+    *         rounded(4) BM25 score, k rows, best first.
+    */
+  def search(
+      index: Index,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = K1,
+      b: Double = B): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    // Disk-backed index: prune the postings read to the query terms'
+    // partitions. The collect is |terms| values computed by a one-job
+    // lookup of Spark's own xxhash64 (driver-side reimplementation
+    // would risk divergence).
+    val matchedAll = index.prefixBuckets match {
+      case Some(nb) =>
+        val prefixes = terms.toDF("term")
+          .select(hashPrefix(col("term"), nb).as("__tp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.postings.filter(col("__tp").isin(prefixes: _*)).drop("__tp")
+      case None => index.postings
+    }
+    val matched = matchedAll.filter(col("term").isin(terms: _*))
+    // df per searched term: |terms| rows — broadcast back onto postings.
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      ((lit(index.nDocs) - col("df")).cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    val norm = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / index.avgDl)))
+    val contrib = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(index.docs, Seq("id"))
+      .select(col("id"), floor(idf * norm * ScoreScale).cast("long").as("lp"))
+    contrib.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("lp")).as("lp_sum"))
+      .orderBy(col("lp_sum").desc, col("id"))
+      .limit(k)
+      .select(
+        col("id"),
+        col("n_terms"),
+        round(col("lp_sum").cast("double") / lit(ScoreScale), 4).as("score"))
+  }
+
+  /** Persist the index: postings partitioned by a term hash prefix
+    * (searches read only the query terms' directories), doc lengths
+    * plain, exact totals in a one-row meta parquet.
+    */
+  def save(index: Index, path: String, prefixBuckets: Int = 64): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings.select(col("term"), col("id"), col("tf"))
+      .withColumn("__tp", hashPrefix(col("term"), prefixBuckets))
+      .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
+    index.docs.select(col("id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    Seq((index.nDocs, index.totalDl, prefixBuckets))
+      .toDF("nDocs", "totalDl", "prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted index; nothing is eagerly cached and searches
+    * prune the postings read by partition.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Index(
+      spark.read.parquet(s"$path/postings").select(col("term"), col("id"), col("tf"), col("__tp")),
+      spark.read.parquet(s"$path/docs").select(col("id"), col("dl")),
+      meta.getAs[Long]("nDocs"),
+      meta.getAs[Long]("totalDl"),
+      Some(meta.getAs[Int]("prefixBuckets")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Bm25
+
+import org.apache.spark.sql.functions.col
+
+/** BM25 retrieval: closed-form scores on a tiny corpus, deterministic
+  * tie-breaks, unknown-term handling, and the save/load round trip
+  * with partition-pruned postings reads.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def expectedScore(
+      terms: Seq[(Long, Long)], // (tf, df) per matched term
+      n: Long, dl: Long, avgDl: Double): Double = {
+    val sum = terms.map { case (tf, df) =>
+      val idf = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val norm = (tf.toDouble * (Bm25.K1 + 1.0)) /
+        (tf.toDouble + Bm25.K1 * ((1.0 - Bm25.B) + Bm25.B * (dl.toDouble / avgDl)))
+      math.floor(idf * norm * Bm25.ScoreScale).toLong
+    }.sum
+    BigDecimal(sum.toDouble / Bm25.ScoreScale)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("closed-form BM25 on a three-doc corpus") {
+    // dl: d1=4, d2=2, d3=3; N=3, total=9, avgdl=3
+    val corpus = Seq(
+      (1L, "cat dog cat fish"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("doc_id", "text")
+    val idx = Bm25.build(corpus, "doc_id", "text")
+    assert(idx.nDocs == 3 && idx.totalDl == 9 && idx.avgDl == 3.0)
+
+    val hits = Bm25.search(idx, Seq("cat", "fish"), k = 3).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+    // cat: df=1; fish: df=2
+    val d1 = expectedScore(Seq((2L, 1L), (1L, 2L)), 3, 4, 3.0) // cat tf=2, fish tf=1
+    val d3 = expectedScore(Seq((3L, 2L)), 3, 3, 3.0)           // fish tf=3
+    assert(hits.map(_._1).toSeq == Seq(1L, 3L), s"ranking wrong: ${hits.toSeq}")
+    assert(hits(0) == ((1L, 2L, d1)) && hits(1) == ((3L, 1L, d3)), s"scores wrong: ${hits.toSeq}")
+    assert(hits.length == 2, "doc 2 matches no query term and must not appear")
+    idx.unpersist()
+  }
+
+  test("ties break by ascending id; unknown terms are ignored") {
+    val corpus = Seq(
+      (7L, "alpha beta"),
+      (3L, "alpha beta"),
+      (5L, "alpha beta")).toDF("doc_id", "text")
+    val idx = Bm25.build(corpus, "doc_id", "text")
+    val hits = Bm25.search(idx, Seq("alpha", "no_such_term"), k = 2).collect()
+      .map(r => r.getAs[Long]("id"))
+    assert(hits.toSeq == Seq(3L, 5L), s"tie-break wrong: ${hits.toSeq}")
+    idx.unpersist()
+  }
+
+  test("save -> load round-trips search; loaded postings read is partition-pruned") {
+    val corpus = (0L until 40L).map { i =>
+      (i, if (i % 4 == 0) s"needle common$i filler filler" else s"common$i filler hay stack")
+    }.toDF("doc_id", "text")
+    val idx = Bm25.build(corpus, "doc_id", "text")
+    val live = Bm25.search(idx, Seq("needle", "hay"), k = 10).collect().toSeq
+
+    val path = tmpDir("bm25-index")
+    Bm25.save(idx, path, prefixBuckets = 16)
+    val loaded = Bm25.load(spark, path)
+    assert(loaded.prefixBuckets.contains(16))
+    assert(loaded.nDocs == idx.nDocs && loaded.totalDl == idx.totalDl)
+    val replayed = Bm25.search(loaded, Seq("needle", "hay"), k = 10)
+    assert(replayed.collect().toSeq == live, "loaded search must equal live search")
+
+    val plan = replayed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__tp"),
+      s"expected __tp partition pruning in:\n$plan")
+    idx.unpersist()
+  }
+}
