@@ -1055,6 +1055,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The stateless-projection twin of [[textPerplexity]]
+    * ([[graft.operators.NgramLm.perplexityInline]] — model rides the
+    * task closure via the codegen'd BigramLmScore expression; the form
+    * that gates an unaggregated document STREAM). Same oracle as the
+    * join form: the two are bit-identical by construction and by
+    * differential spec.
+    */
+  private def textPerplexityInline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val model = NgramLmCache.getOrElseUpdate(s, dir)(
+      graft.operators.NgramLm.train(docs.filter(col("doc_id") % 50 =!= 7), "doc_id", "text"))
+    val collected = graft.operators.NgramLm.collectModel(model)
+    graft.operators.NgramLm
+      .perplexityInline(docs.filter(col("doc_id") % 50 === 7), collected, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"), col("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 top-20 retrieval over the documents corpus (the lookup side
     * of decontamination audits / corpus inspection). Oracle-gated
     * end-to-end: tf/df/dl/N are exact counts, idf and the length
@@ -1684,6 +1702,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_perplexity" -> (textPerplexity _),
+    "text_perplexity_inline" -> (textPerplexityInline _),
     "bm25_search" -> (bm25Search _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1707,7 +1726,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "dedup_incremental_minhash_persisted" -> oracleSqlBase("dedup_incremental_minhash"),
-    "dedup_incremental_spans_persisted" -> oracleSqlBase("dedup_incremental_spans"))
+    "dedup_incremental_spans_persisted" -> oracleSqlBase("dedup_incremental_spans"),
+    // the inline (task-closure model) twin is bit-identical to the
+    // join form by construction; it shares the oracle verbatim
+    "text_perplexity_inline" -> oracleSqlBase("text_perplexity"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model perplexity scoring — the CCNet/RedPajama-class
@@ -117,6 +117,57 @@ object NgramLm {
         col("avg_logp"), col("perplexity"))
     TextDedup.materialized(out, Seq(toks))
   }
+
+  /** A driver-collected model for the stateless serving path — bounded
+    * by construction ([[collectModel]] refuses above `maxRows`).
+    */
+  final case class CollectedModel(
+      bigrams: Map[(String, String), Long],
+      contexts: Map[String, Long],
+      vocabSize: Long)
+
+  /** Collect a trained model's tables for closure shipping. The
+    * collect is guarded: a model past `maxRows` distinct grams should
+    * score through the distributed join form ([[perplexity]]), not a
+    * task closure.
+    */
+  def collectModel(model: Model, maxRows: Long = 2000000L): CollectedModel = {
+    val nBi = model.bigrams.count()
+    val nCtx = model.contexts.count()
+    require(nBi + nCtx <= maxRows,
+      s"model has ${nBi + nCtx} gram rows > $maxRows; use the join-based perplexity " +
+        "(or raise maxRows if the closure size is acceptable)")
+    CollectedModel(
+      model.bigrams.collect()
+        .map(r => (r.getAs[String]("ctx"), r.getAs[String]("w")) -> r.getAs[Long]("c")).toMap,
+      model.contexts.collect()
+        .map(r => r.getAs[String]("ctx") -> r.getAs[Long]("c_ctx")).toMap,
+      model.vocabSize)
+  }
+
+  /** One-pass per-row score of a token array against a collected
+    * model: a struct (n_bigrams, avg_logp, perplexity) —
+    * [[graft.functions.BigramLmScore]], the stateless projection that
+    * makes the perplexity gate streamable.
+    */
+  def scoreColumn(toks: org.apache.spark.sql.Column, model: CollectedModel): org.apache.spark.sql.Column =
+    GraftColumnShim.column(graft.functions.BigramLmScore(
+      GraftColumnShim.expression(toks), model.bigrams, model.contexts, model.vocabSize))
+
+  /** Stateless-projection twin of [[perplexity]]: same output schema
+    * and (proven by differential spec) identical values, works on
+    * streaming DataFrames because nothing aggregates across rows.
+    */
+  def perplexityInline(
+      docs: DataFrame,
+      model: CollectedModel,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+        col(idCol).as("id"),
+        scoreColumn(TextFunctions.tokens(col(textCol)), model).as("s"))
+      .select(col("id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.avg_logp").as("avg_logp"), col("s.perplexity").as("perplexity"))
 
   /** Persist a trained model: gram tables partitioned by a hash prefix
     * of the context (same directory-pruning layout as the dedup

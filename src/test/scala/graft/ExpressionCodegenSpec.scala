@@ -188,6 +188,24 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("bigram_lm_score: codegen'd stage, bit-identical to interpreted eval") {
+    val bi = Map(("the", "quick") -> 2L, ("quick", "fox") -> 1L)
+    val ctxC = Map("the" -> 3L, "quick" -> 1L)
+    val tok = (s: String) => when(col("id") >= 0, lit(s)).otherwise(lit("x"))
+    val df = spark.range(1)
+      .select(array(tok("the"), tok("quick"), tok("fox"), tok("unseen")).as("toks"))
+      .select(asCol(BigramLmScore(GraftColumnShim.expression(col("toks")), bi, ctxC, 5L)).as("s"))
+    fused(df)
+    val fromCodegen = df.collect().head.getStruct(0)
+    val interpreted = BigramLmScore(
+        Literal.create(Seq("the", "quick", "fox", "unseen"), ArrayType(StringType)), bi, ctxC, 5L)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(fromCodegen.getLong(0) == interpreted.getLong(0))
+    assert(fromCodegen.getDouble(1) == interpreted.getDouble(1))
+    assert(fromCodegen.getDouble(2) == interpreted.getDouble(2))
+    assert(fromCodegen.getLong(0) == 3L)
+  }
+
   test("null inputs stay null through the codegen path") {
     val df = spark.range(1)
       .select(
