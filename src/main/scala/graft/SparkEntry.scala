@@ -1073,6 +1073,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution drift between the even- and odd-doc_id halves
+    * of the corpus (the between-epochs monitoring op). Oracle-gated:
+    * counts and the union vocab are exact, the smoothed probabilities
+    * are IEEE rationals of them, and each token's KL contribution is
+    * FLOOR-quantized to a 1e-12-scaled LONG — mover selection (by
+    * absolute contribution, token tie-break) and the reported round(6)
+    * values replay in SQL.
+    */
+  private def corpusDriftMovers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.operators.CorpusDrift.topMovers(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text", k = 20)
+  }
+
+  /** Scalar KL drift (both directions) for the same split — the exact
+    * quantized sums make the one-row report engine-portable.
+    */
+  private def corpusDriftKl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.operators.CorpusDrift.summary(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text")
+  }
+
   /** BM25 top-20 retrieval over the documents corpus (the lookup side
     * of decontamination audits / corpus inspection). Oracle-gated
     * end-to-end: tf/df/dl/N are exact counts, idf and the length
@@ -1704,6 +1731,8 @@ object SparkEntry {
     "text_perplexity" -> (textPerplexity _),
     "text_perplexity_inline" -> (textPerplexityInline _),
     "bm25_search" -> (bm25Search _),
+    "corpus_drift_movers" -> (corpusDriftMovers _),
+    "corpus_drift_kl" -> (corpusDriftKl _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
@@ -2731,6 +2760,71 @@ object SparkEntry {
         |  FROM contrib GROUP BY doc_id)
         |SELECT doc_id, n_terms, round(CAST(s AS DOUBLE) / 1000000.0, 4) AS score
         |FROM agg ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+    // KL drift between corpus halves: per-token contributions
+    // floor-quantized to 1e-12-scaled BIGINTs; movers selected on the
+    // exact quantized value with a token tie-break
+    "corpus_drift_movers" ->
+      """WITH ta AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |va AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS c_a
+        |       FROM (SELECT unnest(t) AS tok FROM ta) GROUP BY tok),
+        |vb AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS c_b
+        |       FROM (SELECT unnest(t) AS tok FROM tb) GROUP BY tok),
+        |u AS (SELECT coalesce(va.token, vb.token) AS token,
+        |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |      FROM va FULL OUTER JOIN vb ON va.token = vb.token),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |        CAST(sum(c_a) AS BIGINT) AS n_a,
+        |        CAST(sum(c_b) AS BIGINT) AS n_b FROM u),
+        |d AS (SELECT token, c_a, c_b,
+        |  CAST(floor(
+        |    (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE)) *
+        |    ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE)) /
+        |       (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))) *
+        |    1000000000000.0) AS BIGINT) AS lp_ab
+        |  FROM u CROSS JOIN m)
+        |SELECT token, c_a, c_b,
+        |  round(CAST(lp_ab AS DOUBLE) / 1000000000000.0, 6) AS kl_contrib
+        |FROM d ORDER BY abs(lp_ab) DESC, token LIMIT 20""".stripMargin,
+    "corpus_drift_kl" ->
+      """WITH ta AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |va AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS c_a
+        |       FROM (SELECT unnest(t) AS tok FROM ta) GROUP BY tok),
+        |vb AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS c_b
+        |       FROM (SELECT unnest(t) AS tok FROM tb) GROUP BY tok),
+        |u AS (SELECT coalesce(va.token, vb.token) AS token,
+        |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |      FROM va FULL OUTER JOIN vb ON va.token = vb.token),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |        CAST(sum(c_a) AS BIGINT) AS n_a,
+        |        CAST(sum(c_b) AS BIGINT) AS n_b FROM u),
+        |d AS (SELECT token, c_a, c_b,
+        |  CAST(floor(
+        |    (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE)) *
+        |    ln((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE)) /
+        |       (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE))) *
+        |    1000000000000.0) AS BIGINT) AS lp_ab,
+        |  CAST(floor(
+        |    (CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE)) *
+        |    ln((CAST(c_b + 1 AS DOUBLE) / CAST(n_b + v AS DOUBLE)) /
+        |       (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + v AS DOUBLE))) *
+        |    1000000000000.0) AS BIGINT) AS lp_ba
+        |  FROM u CROSS JOIN m)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c_a) AS BIGINT) AS total_a,
+        |  CAST(sum(c_b) AS BIGINT) AS total_b,
+        |  round(CAST(sum(lp_ab) AS DOUBLE) / 1000000000000.0, 6) AS kl_ab,
+        |  round(CAST(sum(lp_ba) AS DOUBLE) / 1000000000000.0, 6) AS kl_ba
+        |FROM d""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-distribution drift between two corpus snapshots — the
+  * monitoring step a training-data pipeline runs between ingest
+  * epochs ("did this crawl round shift the language?"): add-one
+  * smoothed unigram distributions over the UNION vocabulary, per-token
+  * KL contributions, top movers, and the scalar KL in both directions.
+  *
+  *   p_a(t) = (c_a(t) + 1) / (N_a + V)        (V = |union vocab|)
+  *   KL(A||B) = SUM_t p_a(t) * ln(p_a(t) / p_b(t))
+  *
+  * Scale shape: each side is ONE explode + map-combinable count whose
+  * output cardinality is the DISTINCT token count, far below corpus
+  * size; the sides meet in a single full-outer join keyed by token
+  * (the minimal movement for a vocabulary-aligned compare), and the
+  * totals ride a broadcast one-row cross join — nothing downstream of
+  * the counts is proportional to either corpus. Top movers go through
+  * ORDER+LIMIT (TakeOrderedAndProject, never a global sort).
+  *
+  * Numeric contract: per-token contributions are floor-quantized to
+  * 1e-12-scaled LONGs, so the scalar KL is an EXACT sum in any
+  * partition order and the whole thing replays bit-for-bit in SQL
+  * (probabilities are IEEE rationals of exact counts; `ln` is
+  * StrictMath on Spark's side and libm's correctly-rounded ln on the
+  * oracle's — equal on every input the gates exercise).
+  */
+object CorpusDrift {
+
+  /** Scale factor of the quantized per-token KL contribution. */
+  val ContribScale: Double = 1e12
+
+  /** Per-token drift table: (token, c_a, c_b, lp_ab, lp_ba) where
+    * lp_xy is the quantized contribution of the token to KL(X||Y).
+    * Input column names are fixed by [[tokenCounts]].
+    */
+  def drift(corpusA: DataFrame, corpusB: DataFrame, textCol: String): DataFrame = {
+    val ca = tokenCounts(corpusA, textCol).withColumnRenamed("c", "c_a")
+    val cb = tokenCounts(corpusB, textCol).withColumnRenamed("c", "c_b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(
+      count(lit(1)).as("v"),
+      sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
+    val pA = (col("c_a") + 1L).cast("double") / (col("n_a") + col("v")).cast("double")
+    val pB = (col("c_b") + 1L).cast("double") / (col("n_b") + col("v")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_a"), col("c_b"),
+        floor(pA * log(pA / pB) * ContribScale).cast("long").as("lp_ab"),
+        floor(pB * log(pB / pA) * ContribScale).cast("long").as("lp_ba"))
+  }
+
+  /** Top-k drift movers by absolute KL(A||B) contribution (ties by
+    * token — fully deterministic), with the rounded contribution.
+    */
+  def topMovers(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    drift(corpusA, corpusB, textCol)
+      .orderBy(abs(col("lp_ab")).desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("c_a"), col("c_b"),
+        round(col("lp_ab").cast("double") / lit(ContribScale), 6).as("kl_contrib"))
+  }
+
+  /** One-row drift summary: union vocabulary size, token totals, and
+    * the scalar KL in both directions (exact quantized sums, rounded
+    * for reporting).
+    */
+  def summary(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String): DataFrame =
+    drift(corpusA, corpusB, textCol)
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c_a")).as("total_a"),
+        sum(col("c_b")).as("total_b"),
+        round(sum(col("lp_ab")).cast("double") / lit(ContribScale), 6).as("kl_ab"),
+        round(sum(col("lp_ba")).cast("double") / lit(ContribScale), 6).as("kl_ba"))
+
+  /** (token, c) unigram counts — one explode, map-side combinable. */
+  private def tokenCounts(corpus: DataFrame, textCol: String): DataFrame =
+    TextDedup.spreadToCores(corpus)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+}
