@@ -39,22 +39,39 @@ object CorpusDrift {
     * Input column names are fixed by [[tokenCounts]].
     */
   def drift(corpusA: DataFrame, corpusB: DataFrame, textCol: String): DataFrame = {
+    val (out, staged) = driftStaged(corpusA, corpusB, textCol)
+    TextDedup.materialized(out, Seq(staged))
+  }
+
+  /** The drift table plus the persisted (token, c_a, c_b) stage it
+    * derives from. The stage is vocabulary-sized (tiny next to either
+    * corpus) and feeds BOTH the totals row and the contribution
+    * projection — without it the totals cross join would recompute the
+    * two corpus-wide tokenize+count passes a second time (measured
+    * ~2x CPU at sf0.1; a second full corpus scan at 100 TB).
+    */
+  private def driftStaged(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
     val ca = tokenCounts(corpusA, textCol).withColumnRenamed("c", "c_a")
     val cb = tokenCounts(corpusB, textCol).withColumnRenamed("c", "c_b")
     val joined = ca.join(cb, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist()
     val totals = joined.agg(
       count(lit(1)).as("v"),
       sum(col("c_a")).as("n_a"),
       sum(col("c_b")).as("n_b"))
     val pA = (col("c_a") + 1L).cast("double") / (col("n_a") + col("v")).cast("double")
     val pB = (col("c_b") + 1L).cast("double") / (col("n_b") + col("v")).cast("double")
-    joined.crossJoin(broadcast(totals))
+    val out = joined.crossJoin(broadcast(totals))
       .select(col("token"), col("c_a"), col("c_b"),
         floor(pA * log(pA / pB) * ContribScale).cast("long").as("lp_ab"),
         floor(pB * log(pB / pA) * ContribScale).cast("long").as("lp_ba"))
+    (out, joined)
   }
 
   /** Top-k drift movers by absolute KL(A||B) contribution (ties by
@@ -66,11 +83,13 @@ object CorpusDrift {
       textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    drift(corpusA, corpusB, textCol)
-      .orderBy(abs(col("lp_ab")).desc, col("token"))
-      .limit(k)
-      .select(col("token"), col("c_a"), col("c_b"),
-        round(col("lp_ab").cast("double") / lit(ContribScale), 6).as("kl_contrib"))
+    val (d, staged) = driftStaged(corpusA, corpusB, textCol)
+    TextDedup.materialized(
+      d.orderBy(abs(col("lp_ab")).desc, col("token"))
+        .limit(k)
+        .select(col("token"), col("c_a"), col("c_b"),
+          round(col("lp_ab").cast("double") / lit(ContribScale), 6).as("kl_contrib")),
+      Seq(staged))
   }
 
   /** One-row drift summary: union vocabulary size, token totals, and
@@ -80,14 +99,17 @@ object CorpusDrift {
   def summary(
       corpusA: DataFrame,
       corpusB: DataFrame,
-      textCol: String): DataFrame =
-    drift(corpusA, corpusB, textCol)
-      .agg(
+      textCol: String): DataFrame = {
+    val (d, staged) = driftStaged(corpusA, corpusB, textCol)
+    TextDedup.materialized(
+      d.agg(
         count(lit(1)).as("vocab"),
         sum(col("c_a")).as("total_a"),
         sum(col("c_b")).as("total_b"),
         round(sum(col("lp_ab")).cast("double") / lit(ContribScale), 6).as("kl_ab"),
-        round(sum(col("lp_ba")).cast("double") / lit(ContribScale), 6).as("kl_ba"))
+        round(sum(col("lp_ba")).cast("double") / lit(ContribScale), 6).as("kl_ba")),
+      Seq(staged))
+  }
 
   /** (token, c) unigram counts — one explode, map-side combinable. */
   private def tokenCounts(corpus: DataFrame, textCol: String): DataFrame =
