@@ -110,7 +110,10 @@ object Bm25 {
         index.postings.filter(col("__tp").isin(prefixes: _*)).drop("__tp")
       case None => index.postings
     }
-    val matched = matchedAll.filter(col("term").isin(terms: _*))
+    // The matched postings feed BOTH the df aggregation and the
+    // contribution join — staged once so the postings scan (the only
+    // corpus-proportional cost in a search) doesn't run twice.
+    val matched = matchedAll.filter(col("term").isin(terms: _*)).persist()
     // df per searched term: |terms| rows — broadcast back onto postings.
     val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(
@@ -123,14 +126,16 @@ object Bm25 {
       .join(broadcast(dfreq), Seq("term"))
       .join(index.docs, Seq("id"))
       .select(col("id"), floor(idf * norm * ScoreScale).cast("long").as("lp"))
-    contrib.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("lp")).as("lp_sum"))
-      .orderBy(col("lp_sum").desc, col("id"))
-      .limit(k)
-      .select(
-        col("id"),
-        col("n_terms"),
-        round(col("lp_sum").cast("double") / lit(ScoreScale), 4).as("score"))
+    TextDedup.materialized(
+      contrib.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("lp")).as("lp_sum"))
+        .orderBy(col("lp_sum").desc, col("id"))
+        .limit(k)
+        .select(
+          col("id"),
+          col("n_terms"),
+          round(col("lp_sum").cast("double") / lit(ScoreScale), 4).as("score")),
+      Seq(matched))
   }
 
   /** Persist the index: postings partitioned by a term hash prefix
