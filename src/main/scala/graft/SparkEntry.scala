@@ -633,6 +633,25 @@ object SparkEntry {
         TF.gopherKeep(col("ws")).as("keep"))
       .orderBy(col("doc_id"))
 
+  /** Intra-document repetition metrics (the Gopher/C4 repetition
+    * family beyond the gate): longest identical-token run, top
+    * trigram multiplicity, duplicate-trigram fraction — all exact
+    * integer folds per row (no explode, no shuffle), the rational
+    * division rounded(4). Oracle replays the runs via a
+    * row_number-gap grouping and the trigrams via list
+    * comprehension + group-by.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        TF.maxEqualRun(col("ws")).as("max_run"),
+        TF.topNgramCount(col("ws"), 3).as("top_trigram_n"),
+        round(TF.dupNgramFraction(col("ws"), 3), 4).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+
   /** Brute-force cosine similarity of every vector against a query
     * vector (vec_id=0) — the exact baseline for ANN.
     */
@@ -1734,6 +1753,7 @@ object SparkEntry {
     "corpus_drift_movers" -> (corpusDriftMovers _),
     "corpus_drift_kl" -> (corpusDriftKl _),
     "text_gopher_quality" -> (textGopherQuality _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "simsearch_cosine" -> (simsearchCosine _),
@@ -2853,6 +2873,39 @@ object SparkEntry {
         |  (mwl BETWEEN 3.0 AND 10.0) AND twf <= 0.2 AND dbf <= 0.2 AS keep
         |FROM sig
         |ORDER BY doc_id""".stripMargin,
+    // repetition metrics: runs via the row_number-gap trick, trigram
+    // multiplicities via list comprehension + group-by; the Spark side
+    // computes both as per-row folds (sorted-array max-run)
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 3
+        |         THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |         ELSE [array_to_string(ws, ' ')]
+        |    END AS tg
+        |  FROM t),
+        |pos AS (
+        |  SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws) + 1)) AS p FROM t),
+        |grp AS (
+        |  SELECT doc_id, tok,
+        |    p - row_number() OVER (PARTITION BY doc_id, tok ORDER BY p) AS rg
+        |  FROM pos),
+        |runs AS (SELECT doc_id, count(*) AS rl FROM grp GROUP BY doc_id, tok, rg),
+        |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY doc_id),
+        |gc AS (SELECT doc_id, gram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(tg) AS gram FROM g) GROUP BY doc_id, gram),
+        |tp AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_trigram_n FROM gc GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  mr.max_run,
+        |  tp.top_trigram_n,
+        |  round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE), 4)
+        |    AS dup_trigram_frac
+        |FROM g JOIN mr ON g.doc_id = mr.doc_id JOIN tp ON g.doc_id = tp.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents

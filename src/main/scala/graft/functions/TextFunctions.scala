@@ -176,6 +176,29 @@ object TextFunctions {
     (size(gs) - size(array_distinct(gs))).cast("double") / size(gs)
   }
 
+  /** Longest run of identical consecutive tokens (the stutter /
+    * boilerplate-spam signal: "buy buy buy buy ..."). One linear fold
+    * per row — no explode, no shuffle; streams for free.
+    */
+  def maxEqualRun(toks: Column): Column =
+    aggregate(
+      toks,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x <=> acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Multiplicity of the single most frequent word n-gram (the Gopher
+    * "top n-gram" repetition signal): sort the shingle array, then the
+    * longest equal run IS the top multiplicity — O(len log len) per
+    * row instead of the O(distinct x len) filter-count shape.
+    */
+  def topNgramCount(toks: Column, n: Int): Column =
+    maxEqualRun(array_sort(ngramsFromTokens(toks, n)))
+
   /** Mean word length in characters (Gopher keeps 3-10). */
   def meanWordLength(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks)

@@ -111,6 +111,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2).getBoolean(5), "clean doc must be kept")
   }
 
+  test("text: max equal run and top n-gram multiplicity") {
+    val df = Seq(
+      (1, "buy buy buy now now one"),      // run: buy x3; top bigram "buy buy" x2
+      (2, "a b a b a b"),                  // no adjacent repeats; "a b" x3
+      (3, "solo"),                         // single token
+      (4, "")).toDF("id", "text")          // empty -> [""] -> run 1
+    val r = df.select(
+      col("id"),
+      TF.maxEqualRun(TF.tokens(col("text"))).as("run"),
+      TF.topNgramCount(TF.tokens(col("text")), 2).as("top2"))
+      .collect().map(row => row.getInt(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    assert(r(1) == ((3L, 2L)), s"got ${r(1)}")
+    assert(r(2) == ((1L, 3L)), s"got ${r(2)}")
+    // < n tokens: ngramsFromTokens falls back to one whole-text shingle
+    assert(r(3) == ((1L, 1L)) && r(4) == ((1L, 1L)), s"got ${r(3)} ${r(4)}")
+  }
+
   test("text: langId picks the dominant stopword profile") {
     val df = Seq(
       (1, "the cat sat on the mat and it is happy"),
