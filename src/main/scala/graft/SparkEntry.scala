@@ -652,6 +652,42 @@ object SparkEntry {
         round(TF.dupNgramFraction(col("ws"), 3), 4).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Per-document OOV rate against the corpus top-25 vocabulary — the
+    * tokenizer-fit signal. The vocab is a bounded TakeOrdered collect;
+    * the probe is a stateless ArrayHitCount fold (no shuffle, no
+    * join). Oracle rebuilds the same top-25 (count desc, token asc)
+    * and replays the membership filter as a list comprehension.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val vocab = graft.operators.Lexicon.buildVocab(docs, "text", vocabSize = 25)
+    graft.operators.Lexicon
+      .oovStats(docs, "doc_id", "text", vocab)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top-3 TF-IDF terms, scored on the µ-nat integer grid
+    * (floor(ln((N+1)/(df+1))*1e6)+1e6) so ranking and score replay
+    * bit-identically in SQL. df table broadcast; top-k is a
+    * WindowGroupLimit rank filter.
+    */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .tfIdfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", topK = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+
+  /** Sqrt-temperature mixture plan over sources under a 1M-token
+    * budget: share, tempered weight, token target, epoch factor. The
+    * weight normalizer sums integer-quantized sqrts, so no
+    * float-summation-order hazard reaches the oracle hash.
+    */
+  private def mixturePlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .mixturePlan(Tables(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
+      .orderBy(col("source"))
+
   /** Brute-force cosine similarity of every vector against a query
     * vector (vec_id=0) — the exact baseline for ANN.
     */
@@ -1754,6 +1790,9 @@ object SparkEntry {
     "corpus_drift_kl" -> (corpusDriftKl _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_repetition" -> (textRepetition _),
+    "vocab_coverage" -> (vocabCoverage _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "mixture_plan" -> (mixturePlan _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "simsearch_cosine" -> (simsearchCosine _),
@@ -2906,6 +2945,71 @@ object SparkEntry {
         |    AS dup_trigram_frac
         |FROM g JOIN mr ON g.doc_id = mr.doc_id JOIN tp ON g.doc_id = tp.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // OOV vs the corpus top-25 vocab: rebuild the vocab (count desc,
+    // token asc), replay the per-occurrence membership filter
+    "vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(ws) AS tok FROM t) GROUP BY tok),
+        |v AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 25),
+        |vl AS (SELECT list(tok) AS vs FROM v)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(ws) - len(list_filter(ws, w -> list_contains(vs, w))) AS BIGINT)
+        |    AS oov_tokens,
+        |  round(CAST(len(ws) - len(list_filter(ws, w -> list_contains(vs, w))) AS DOUBLE)
+        |    / len(ws), 4) AS oov_frac
+        |FROM t, vl
+        |ORDER BY doc_id""".stripMargin,
+    // smoothed tf-idf on the integer mu-nat grid (same quantization as
+    // the KL drift / bigram LM oracles), top-3 per doc by row_number
+    "tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM t) GROUP BY doc_id, tok),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (CAST(floor(ln((nd.n + 1.0) / (df.df + 1.0)) * 1000000) AS BIGINT)
+        |             + 1000000) AS sq
+        |  FROM tf JOIN df USING (term), nd),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sq DESC, term) AS rn
+        |  FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(CAST(sq AS DOUBLE) / 1000000, 4) AS score
+        |FROM top WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+    // sqrt-temperature mixture plan: integer-quantized sqrt weights so
+    // the normalizer is an exact integer sum; budget 1M tokens
+    "mixture_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS tokens
+        |  FROM t GROUP BY source),
+        |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens,
+        |               CAST(sum(sq) AS BIGINT) AS all_sq FROM q)
+        |SELECT source, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / all_tokens, 4) AS share,
+        |  round(CAST(sq AS DOUBLE) / all_sq, 4) AS weight,
+        |  CAST(floor(CAST(sq AS DOUBLE) / all_sq * 1000000) AS BIGINT) AS target_tokens,
+        |  round(CAST(floor(CAST(sq AS DOUBLE) / all_sq * 1000000) AS DOUBLE) / tokens, 4)
+        |    AS epochs
+        |FROM q, tot
+        |ORDER BY source""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents

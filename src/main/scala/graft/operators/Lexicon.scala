@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-vocabulary operators for a training-data pipeline: build a
+  * bounded top-V vocabulary, measure per-document out-of-vocabulary
+  * rates against it (the tokenizer-fit signal that decides whether a
+  * corpus needs a retrained vocab), and extract per-document top
+  * TF-IDF terms (the cheap keyword/topic signal used for corpus
+  * exploration and mixture design).
+  *
+  * Scale shape: the vocabulary and the document-frequency table are
+  * VOCABULARY-sized (post-aggregation), never corpus-sized — the only
+  * corpus-sized exchanges are the map-combinable token-count
+  * aggregations. The OOV probe is a per-row fold against a set that
+  * ships once per executor (same [[graft.functions.ArrayHitCount]]
+  * path as streaming decontamination), so it also runs on an
+  * unaggregated stream.
+  */
+object Lexicon {
+
+  /** Integer idf grid (µ-nats): `floor(ln(x) * IdfScale)` — the same
+    * engine-portable quantization as [[CorpusDrift]]/[[NgramLm]], so
+    * TF-IDF scores order and replay identically across engines.
+    */
+  val IdfScale: Long = 1000000L
+
+  /** Top-`vocabSize` tokens by corpus frequency, ties broken by token
+    * ascending. The collect is bounded by construction (`vocabSize`
+    * rows survive the TakeOrdered); the corpus pass is one
+    * map-combinable count aggregation whose output is
+    * vocabulary-sized.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): Seq[String] = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+  }
+
+  /** Per-document OOV accounting against a fixed vocabulary: token
+    * count, OOV token count, OOV fraction (rounded 4). One stateless
+    * projection — the vocab set rides the task closure and is hashed
+    * once per executor inside [[graft.functions.ArrayHitCount]]; no
+    * shuffle, no join, streaming-safe. `tokens("")` yields `[""]`, so
+    * the divisor is never zero.
+    */
+  def oovStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    val staged = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("__ws"))
+    val hits = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.ArrayHitCount(
+        org.apache.spark.sql.GraftColumnShim.expression(col("__ws")),
+        vocab.distinct.sorted))
+    staged
+      .select(
+        col("id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")).cast("long") - hits).as("oov_tokens"))
+      .withColumn(
+        "oov_frac",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Per-document top-`topK` terms by smoothed TF-IDF
+    * (`idf = ln((N+1)/(df+1)) + 1`), scored on the integer µ-nat grid
+    * so ranking and the reported score replay bit-identically in SQL.
+    *
+    * Plan shape and why it scales:
+    *   1. `tf`: one (id, term) count — map-side combined, the only
+    *      corpus-sized shuffle.
+    *   2. `df`: term-count over the cached `tf` — output is
+    *      vocabulary-sized.
+    *   3. idf join: `df` is BROADCAST (vocabulary-sized by
+    *      construction; a web-scale vocab at ~10^7 terms × ~24 B is
+    *      broadcast-safe). `tf` keeps its partitioning.
+    *   4. top-k: `row_number <= k` over (id) — Spark's
+    *      WindowGroupLimit pushes a per-map-partition top-k BEFORE the
+    *      exchange, so the window shuffle carries ≤ k rows per (id,
+    *      map partition), not the full tf table.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfQ =
+      floor(log(lit(nDocs + 1.0) / (col("df").cast("double") + 1.0)) * IdfScale)
+        .cast("long") + IdfScale
+    val scored = tf
+      .join(broadcast(dfTable.withColumn("__idf_q", idfQ)), "term")
+      .select(
+        col("id"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("__idf_q")).as("__sq"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__sq").desc, col("term").asc)
+    val top = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(
+        col("id"), col("term"), col("tf"), col("df"),
+        round(col("__sq").cast("double") / IdfScale, 4).as("score"))
+    TextDedup.materialized(top, Seq(tf))
+  }
+}

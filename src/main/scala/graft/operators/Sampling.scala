@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Deterministic sampling for training-data pipelines.
   *
   * Both operators use hash-ordering rather than RNG state: the sample
@@ -192,5 +194,50 @@ object Sampling {
       .withColumn("cum_tokens", col("prefix_toks") + sum(col("n_tokens")).over(wWithin))
       .filter(col("cum_tokens") <= budget)
       .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Square-root-temperature mixture plan: per-source token totals →
+    * natural share, sqrt-tempered weight, token target under a global
+    * budget, and the implied epoch/repeat factor (>1 means the source
+    * is upsampled). The standard mixture-design step before
+    * [[mixtureSample]] picks per-source rates.
+    *
+    * One map-combinable corpus pass produces the source-sized totals
+    * table (persisted — the grand-total agg and the final projection
+    * both read it); the totals row is broadcast back over it. All
+    * arithmetic is engine-portable: sqrt is correctly rounded IEEE,
+    * quantized to an integer grid (`floor(sqrt(tokens) * 10^6)`) so
+    * the weight normalizer is an exact integer sum with no
+    * float-summation-order hazard; everything after is single
+    * divisions/multiplies of identical doubles.
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val per = docs
+      .select(col(sourceCol).as("source"), TextFunctions.tokenCount(col(textCol)).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .withColumn("sq", floor(sqrt(col("tokens").cast("double")) * lit(1000000.0)).cast("long"))
+      .persist()
+    val totals = per.agg(
+      sum(col("tokens")).as("all_tokens"),
+      sum(col("sq")).as("all_sq"))
+    val weight = col("sq").cast("double") / col("all_sq")
+    val target = floor(weight * budgetTokens).cast("long")
+    val out = per
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("tokens"),
+        round(col("tokens").cast("double") / col("all_tokens"), 4).as("share"),
+        round(weight, 4).as("weight"),
+        target.as("target_tokens"),
+        round(target.cast("double") / col("tokens"), 4).as("epochs"))
+    TextDedup.materialized(out, Seq(per))
   }
 }

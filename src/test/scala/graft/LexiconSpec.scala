@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Lexicon
+
+class LexiconSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus counts: apple 3, banana 3, cherry 2, durian 1, fig 1
+  private lazy val docs = Seq(
+    (1L, "apple banana cherry cherry"),
+    (2L, "apple banana banana durian"),
+    (3L, "apple fig")).toDF("doc_id", "text")
+
+  test("buildVocab: frequency order with token tie-break, bounded size") {
+    assert(Lexicon.buildVocab(docs, "text", 2) == Seq("apple", "banana"))
+    assert(Lexicon.buildVocab(docs, "text", 4) ==
+      Seq("apple", "banana", "cherry", "durian"))
+  }
+
+  test("oovStats: per-occurrence OOV counts against the vocab set") {
+    val r = Lexicon.oovStats(docs, "doc_id", "text", Seq("apple", "banana"))
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 4L, 2L, 0.5)), s"got ${r(1L)}") // cherry x2
+    assert(r(2L) == ((2L, 4L, 1L, 0.25)), s"got ${r(2L)}") // durian
+    assert(r(3L) == ((3L, 2L, 1L, 0.5)), s"got ${r(3L)}") // fig
+    // empty text tokenizes to [""], which is OOV — never a zero divisor
+    val empty = Lexicon.oovStats(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("apple")).as[(Long, Long, Long, Double)].head()
+    assert(empty == ((9L, 1L, 1L, 1.0)), s"got $empty")
+  }
+
+  test("tfIdfTopTerms: distinctive terms outrank ubiquitous ones; grid score exact") {
+    val top1 = Lexicon.tfIdfTopTerms(docs, "doc_id", "text", topK = 1)
+      .as[(Long, String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // apple is in every doc (idf floor 1.0); the doc-heavy rare term wins
+    assert(top1(1L)._2 == "cherry" && top1(2L)._2 == "banana" && top1(3L)._2 == "fig")
+    // cherry: tf=2, df=1, idfQ = floor(ln(4/2)*1e6)+1e6 = 1693147
+    assert(top1(1L) == ((1L, "cherry", 2L, 1L, 3.3863)), s"got ${top1(1L)}")
+    // every doc yields exactly topK rows when it has >= topK terms
+    val all = Lexicon.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
+    assert(all.groupBy("id").count().as[(Long, Long)].collect().forall(_._2 == 2L))
+  }
+}

@@ -74,4 +74,24 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.toSet == again.toSet)
   }
+
+  test("mixturePlan: weights normalize, targets respect the budget, upsampled small source") {
+    // big source: 8 docs x 10 tokens; small source: 2 docs x 10 tokens
+    val docs = ((1 to 8).map(i => ("big", s"${"w " * 9}w"))
+      ++ (1 to 2).map(i => ("small", s"${"w " * 9}w")))
+      .toDF("source", "text")
+    val plan = Sampling.mixturePlan(docs, "source", "text", budgetTokens = 100L)
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nBig, tBig, shareBig, wBig, targetBig, epochsBig) = plan("big")
+    val (_, nSmall, tSmall, shareSmall, wSmall, targetSmall, epochsSmall) = plan("small")
+    assert(nBig == 8L && tBig == 80L && nSmall == 2L && tSmall == 20L)
+    assert(shareBig == 0.8 && shareSmall == 0.2)
+    // sqrt temper: 80/20 natural -> sqrt(80):sqrt(20) = 2:1
+    assert(math.abs(wBig - 2.0 / 3) < 1e-4 && math.abs(wSmall - 1.0 / 3) < 1e-4)
+    assert(targetBig + targetSmall <= 100L)
+    // tempering upsamples the small source relative to the big one
+    assert(epochsSmall > epochsBig)
+    assert(math.abs(epochsSmall - targetSmall.toDouble / tSmall) < 1e-4)
+  }
 }
