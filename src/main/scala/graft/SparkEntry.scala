@@ -688,6 +688,22 @@ object SparkEntry {
       .mixturePlan(Tables(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
       .orderBy(col("source"))
 
+  /** Supervised semantic bucketing: per-label µ-grid centroids, then
+    * every vector assigned to its nearest centroid by exact integer
+    * squared distance (native codegen'd NearestCentroidL2; ties to the
+    * lower label). Everything is integer arithmetic, so the oracle
+    * replays the centroids AND the argmin bit-identically.
+    */
+  private def topicAssign(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables(s, dir, "embeddings")
+    val cents = graft.operators.TopicAssign.collectCentroids(
+      graft.operators.TopicAssign.labelCentroids(embs, "label", "embedding"))
+    graft.operators.TopicAssign
+      .assign(embs, "vec_id", "label", "embedding", cents)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Brute-force cosine similarity of every vector against a query
     * vector (vec_id=0) — the exact baseline for ANN.
     */
@@ -1795,6 +1811,7 @@ object SparkEntry {
     "mixture_plan" -> (mixturePlan _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
+    "topic_assign" -> (topicAssign _),
     "simsearch_cosine" -> (simsearchCosine _),
     "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -3198,6 +3215,37 @@ object SparkEntry {
         |       CAST(sum(frames) AS BIGINT) AS total_frames,
         |       true AS decode_ok, true AS features_ok
         |FROM b GROUP BY media_type ORDER BY media_type""".stripMargin,
+    // supervised bucketing on the integer mu-grid: centroid sums and
+    // squared distances are exact integers, so the argmin replays;
+    // parallel unnest zips component with 1-based position
+    "topic_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT label,
+        |    unnest(range(1, len(q) + 1)) AS pos,
+        |    unnest(q) AS val
+        |  FROM e),
+        |cell AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM comp GROUP BY label, pos),
+        |cent AS (SELECT clabel, list(cv ORDER BY pos) AS c FROM cell GROUP BY clabel),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cent.clabel,
+        |    list_sum([(e.q[i] - cent.c[i]) * (e.q[i] - cent.c[i])
+        |              for i in range(1, len(e.q) + 1)]) AS dist
+        |  FROM e, cent),
+        |a AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |  FROM d)
+        |SELECT vec_id, CAST(label AS INT) AS label, CAST(clabel AS INT) AS assigned,
+        |  (clabel = label) AS correct
+        |FROM a WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (

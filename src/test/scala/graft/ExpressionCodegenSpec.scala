@@ -143,6 +143,20 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(fromCodegen == interpreted)
   }
 
+  test("nearest_centroid_l2: codegen'd stage, identical to interpreted eval") {
+    val centroids = Seq(Seq(0L, 0L, 0L), Seq(1000000L, 0L, 0L), Seq(0L, 1000000L, 0L))
+    val idL = col("id") // 0 at runtime, not foldable
+    val df = spark.range(1)
+      .select(array(idL + lit(900000L), idL + lit(100000L), idL - lit(50000L)).as("v"))
+      .select(asCol(NearestCentroidL2(GraftColumnShim.expression(col("v")), centroids)).as("c"))
+    fused(df)
+    val fromCodegen = df.collect().head.getInt(0)
+    val interpreted = NearestCentroidL2(
+      Literal.create(Seq(900000L, 100000L, -50000L), ArrayType(LongType)), centroids)
+      .eval(null).asInstanceOf[Int]
+    assert(fromCodegen == interpreted && fromCodegen == 1)
+  }
+
   test("avro_encode/avro_decode: codegen'd stage, bit-identical to interpreted eval") {
     import graft.avro.{AvroDecode, AvroEncode}
     import org.apache.spark.sql.catalyst.InternalRow
