@@ -688,6 +688,27 @@ object SparkEntry {
       .mixturePlan(Tables(s, dir, "documents"), "source", "text", budgetTokens = 1000000L)
       .orderBy(col("source"))
 
+  /** Materialized mixture plan: per-source epochs from mixturePlan
+    * (budget 50k tokens) quantized to sixteenths, then every document
+    * repeated floor(e) times plus an md5-selected extra for the
+    * fraction — the deterministic upsampling pass that turns a plan
+    * into training rows. No shuffle, no RNG; the oracle replays the
+    * plan, the sixteenth quantization, and every copy.
+    */
+  private def mixtureUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val plan = graft.operators.Sampling
+      .mixturePlan(docs, "source", "text", budgetTokens = 50000L)
+    val s16 = plan.select(col("source"), col("epochs")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 16 + 0.5).toInt)
+      .toMap
+    plan.unpersist()
+    graft.operators.Sampling
+      .upsampleSixteenths(docs, "source", "doc_id", s16)
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
   /** Supervised semantic bucketing: per-label µ-grid centroids, then
     * every vector assigned to its nearest centroid by exact integer
     * squared distance (native codegen'd NearestCentroidL2; ties to the
@@ -1809,6 +1830,7 @@ object SparkEntry {
     "vocab_coverage" -> (vocabCoverage _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "mixture_plan" -> (mixturePlan _),
+    "mixture_upsample" -> (mixtureUpsample _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "topic_assign" -> (topicAssign _),
@@ -3027,6 +3049,34 @@ object SparkEntry {
         |    AS epochs
         |FROM q, tot
         |ORDER BY source""".stripMargin,
+    // plan -> rows: replay the 50k-budget epochs, quantize to
+    // sixteenths, emit floor copies + the md5-fraction extra copy
+    "mixture_upsample" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(sum(toks) AS BIGINT) AS tokens
+        |  FROM t GROUP BY source),
+        |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(sq) AS BIGINT) AS all_sq FROM q),
+        |ep AS (
+        |  SELECT source,
+        |    CAST(floor(round(CAST(floor(CAST(sq AS DOUBLE) / all_sq * 50000) AS DOUBLE)
+        |                     / tokens, 4) * 16 + 0.5) AS BIGINT) AS s16
+        |  FROM q, tot),
+        |c AS (
+        |  SELECT d.doc_id, d.source,
+        |    ep.s16 // 16
+        |      + CASE WHEN md5(CAST(d.doc_id AS VARCHAR))
+        |                  < substr('0123456789abcdef', CAST(ep.s16 % 16 AS INT) + 1, 1)
+        |             THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN ep USING (source))
+        |SELECT doc_id, source, CAST(u.i AS INT) AS copy_idx
+        |FROM c, unnest(range(0, CAST(copies AS BIGINT))) AS u(i)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents

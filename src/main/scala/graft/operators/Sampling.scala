@@ -240,4 +240,48 @@ object Sampling {
         round(target.cast("double") / col("tokens"), 4).as("epochs"))
     TextDedup.materialized(out, Seq(per))
   }
+
+  /** Materialize a mixture plan: repeat each row `sixteenths/16`
+    * epochs — `sixteenths / 16` guaranteed copies for everyone plus
+    * one extra for the deterministic md5 fraction `(sixteenths % 16)
+    * / 16` of ids (same portable primitive as [[mixtureSampleMd5]]).
+    * Emits `copy_idx` (0-based) per copy; rows whose source resolves
+    * to 0 copies disappear, >16 sixteenths upsample (epochs > 1).
+    *
+    * No shuffle and no RNG: one generate/explode over the scan, the
+    * layout a 100 TB repeat pass wants (downstream shuffles, if any,
+    * belong to the consumer). Fractional-epoch granularity is 1/16 by
+    * contract — the md5-hexdigit threshold is what makes the
+    * selection replayable in any engine.
+    */
+  def upsampleSixteenths(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      sixteenths: Map[String, Int],
+      defaultSixteenths: Int = 16): DataFrame = {
+    require((sixteenths.values ++ Seq(defaultSixteenths)).forall(_ >= 0),
+      "sixteenths must be non-negative")
+    val hexDigits = "0123456789abcdef"
+    def resolve(f: Int => Int): Column =
+      sixteenths.toSeq.sortBy(_._1).foldLeft(lit(f(defaultSixteenths))) {
+        case (acc, (s, v)) => when(col(sourceCol) === s, lit(f(v))).otherwise(acc)
+      }
+    // the fractional threshold compares as a single-hex-digit STRING
+    val thr = sixteenths.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexDigits.charAt(defaultSixteenths % 16).toString)) {
+        case (acc, (s, v)) =>
+          when(col(sourceCol) === s, lit(hexDigits.charAt(v % 16).toString)).otherwise(acc)
+      }
+    val copies =
+      (resolve(_ / 16) + when(md5(col(idCol).cast("string")) < thr, 1).otherwise(0))
+        .as("__copies")
+    df.withColumn("__copies", copies)
+      .withColumn(
+        "copy_idx",
+        explode(
+          when(col("__copies") > 0, sequence(lit(0), col("__copies") - 1))
+            .otherwise(array().cast("array<int>"))))
+      .drop("__copies")
+  }
 }

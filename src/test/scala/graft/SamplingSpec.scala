@@ -94,4 +94,30 @@ class SamplingSpec extends SparkSpec {
     assert(epochsSmall > epochsBig)
     assert(math.abs(epochsSmall - targetSmall.toDouble / tSmall) < 1e-4)
   }
+
+  test("upsampleSixteenths: floor copies for all, md5 fraction gets one extra, zero drops") {
+    val docs = (1 to 200).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "id")
+    val out = Sampling.upsampleSixteenths(
+      docs, "g", "id", Map("g0" -> 36, "g1" -> 0), defaultSixteenths = 16)
+      .select(col("g"), col("id"), col("copy_idx"))
+      .as[(String, Long, Int)].collect()
+    assert(out.forall(_._1 == "g0"), "g1 (0 sixteenths) must vanish")
+    val copies = out.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // 36/16 = 2 guaranteed copies; fraction 4/16 adds a third for ~1/4 of ids
+    assert(copies.values.forall(c => c == Seq(0, 1) || c == Seq(0, 1, 2)),
+      "copy_idx must be gapless from 0")
+    val extra = copies.values.count(_.size == 3)
+    assert(extra > 10 && extra < 40, s"~25 of 100 expected an extra copy, got $extra")
+    // default: exactly one copy per row for an unlisted group
+    val deflt = Sampling.upsampleSixteenths(
+      docs.filter(col("g") === "g1"), "g", "id", Map.empty)
+    assert(deflt.count() == 100 &&
+      deflt.select(max(col("copy_idx"))).head().getInt(0) == 0)
+    // determinism
+    val again = Sampling.upsampleSixteenths(
+      docs, "g", "id", Map("g0" -> 36, "g1" -> 0), defaultSixteenths = 16)
+      .select(col("g"), col("id"), col("copy_idx"))
+      .as[(String, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
