@@ -725,6 +725,24 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Unsupervised corpus clustering: 3 Lloyd iterations of k=8
+    * k-means from md5-seeded starts, everything on the integer
+    * µ-grid ([[graft.operators.KMeansTrain]]) — seeds, argmin
+    * assignment (ties to lower cluster) and floor-mean centroid
+    * updates are all exact, so the oracle unrolls the SAME three
+    * iterations as CTEs and the final assignment + integer loss
+    * hash-match bit-for-bit.
+    */
+  private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables(s, dir, "embeddings")
+    val cents = graft.operators.KMeansTrain
+      .train(embs, "vec_id", "embedding", k = 8, iters = 3)
+    graft.operators.KMeansTrain
+      .assign(embs, "vec_id", "embedding", cents)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Brute-force cosine similarity of every vector against a query
     * vector (vec_id=0) — the exact baseline for ANN.
     */
@@ -1834,6 +1852,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangid _),
     "topic_assign" -> (topicAssign _),
+    "kmeans_train" -> (kmeansTrainQ _),
     "simsearch_cosine" -> (simsearchCosine _),
     "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -1857,6 +1876,60 @@ object SparkEntry {
     // the inline (task-closure model) twin is bit-identical to the
     // join form by construction; it shares the oracle verbatim
     "text_perplexity_inline" -> oracleSqlBase("text_perplexity"))
+
+  /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
+    * assignment CTE `a$i` (exact integer distances vs centroid table
+    * `$centIn`, ties to lower cluster), floor-mean update `n$i`, and
+    * the empty-cluster fallback `c$i` (clusters that captured nothing
+    * keep their previous centroid) — the same step
+    * [[graft.operators.KMeansTrain.lloydStep]] runs.
+    */
+  private def kmeansIterSql(i: Int, centIn: String): String =
+    s"""a$i AS (
+       |  SELECT vec_id, q, cl, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, e.q, c.cl,
+       |      list_sum([(e.q[j] - c.c[j]) * (e.q[j] - c.c[j])
+       |                for j in range(1, len(e.q) + 1)]) AS dist
+       |    FROM e, $centIn c)),
+       |n$i AS (
+       |  SELECT cl, list(cv ORDER BY pos) AS c
+       |  FROM (
+       |    SELECT cl, pos,
+       |      CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |    FROM (
+       |      SELECT cl, unnest(range(1, len(q) + 1)) AS pos, unnest(q) AS val
+       |      FROM a$i WHERE rn = 1)
+       |    GROUP BY cl, pos)
+       |  GROUP BY cl),
+       |c$i AS (SELECT s.cl, coalesce(n.c, s.c) AS c
+       |        FROM $centIn s LEFT JOIN n$i n ON n.cl = s.cl),""".stripMargin
+
+  private lazy val kmeansTrainOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |         q AS c
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |${kmeansIterSql(1, "seeds")}
+       |${kmeansIterSql(2, "c1")}
+       |${kmeansIterSql(3, "c2")}
+       |final AS (
+       |  SELECT vec_id, cl, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      list_sum([(e.q[j] - c.c[j]) * (e.q[j] - c.c[j])
+       |                for j in range(1, len(e.q) + 1)]) AS dist
+       |    FROM e, c3 c))
+       |SELECT vec_id, CAST(cl AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
+       |FROM final WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3296,6 +3369,9 @@ object SparkEntry {
         |  (clabel = label) AS correct
         |FROM a WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // unsupervised k-means: md5 seeds + 3 unrolled Lloyd CTE
+    // iterations, all integer-grid exact (see kmeansIterSql)
+    "kmeans_train" -> kmeansTrainOracleSql,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (
