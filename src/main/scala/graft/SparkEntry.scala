@@ -652,6 +652,31 @@ object SparkEntry {
         round(TF.dupNgramFraction(col("ws"), 3), 4).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Sliding-window document chunking (window 64 tokens, stride 48 —
+    * 16-token overlap): one stateless tokenize→posexplode→slice
+    * projection per row ([[graft.operators.Chunking.chunk]]); the
+    * oracle replays the same windows with range()+inclusive list
+    * slices.
+    */
+  private def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking
+      .chunk(Tables(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 64, strideTokens = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Exact chunk-level dedup with provenance over the same windows:
+    * md5-fingerprint groupBy keeping the (doc_id, chunk_id)-lowest
+    * occurrence plus its corpus-wide multiplicity
+    * ([[graft.operators.Chunking.dedupChunks]]).
+    */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking
+      .dedupChunks(
+        graft.operators.Chunking.chunk(Tables(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 64, strideTokens = 48),
+        "doc_id")
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Per-document OOV rate against the corpus top-25 vocabulary — the
     * tokenizer-fit signal. The vocab is a bounded TakeOrdered collect;
     * the probe is a stateless ArrayHitCount fold (no shuffle, no
@@ -1853,6 +1878,8 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "topic_assign" -> (topicAssign _),
     "kmeans_train" -> (kmeansTrainQ _),
+    "chunk_documents" -> (chunkDocuments _),
+    "chunk_dedup" -> (chunkDedup _),
     "simsearch_cosine" -> (simsearchCosine _),
     "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -3372,6 +3399,49 @@ object SparkEntry {
     // unsupervised k-means: md5 seeds + 3 unrolled Lloyd CTE
     // iterations, all integer-grid exact (see kmeansIterSql)
     "kmeans_train" -> kmeansTrainOracleSql,
+    // sliding-window chunking: same starts (0,48,96,… until a window
+    // reaches the end), inclusive list slices clamp like Spark slice()
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT), 0) + 1))
+        |      AS cid
+        |  FROM t)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |  CAST(cid * 48 AS BIGINT) AS chunk_start,
+        |  CAST(len(ws[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT), 0) + 1))
+        |      AS cid
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |    array_to_string(ws[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+        |  FROM c),
+        |d AS (
+        |  SELECT doc_id, chunk_id,
+        |    count(*) OVER (PARTITION BY md5(chunk_text)) AS occurrences,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, CAST(occurrences AS BIGINT) AS occurrences
+        |FROM d WHERE rn = 1
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "simsearch_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |exploded AS (
