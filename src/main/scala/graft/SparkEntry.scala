@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, Clustering, CorpusDiff, Decontamination, IvfAnn, MergeEngine, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, CdcDedup, Clustering, CorpusDiff, Decontamination, IvfAnn, MergeEngine, ProductQuantizer => PQ, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -49,6 +49,14 @@ private[graft] object LshStageCache
   */
 private[graft] object IvfStageCache
     extends graft.util.SessionScopedCache[IvfAnn.Index]
+
+/** Session-scoped cache of the trained PQ codebooks: `pq_encode` and
+  * `pq_topk` train once per (application, dir); encoding and ADC
+  * scans reuse the books — the train-once/encode-forever lifecycle PQ
+  * exists for.
+  */
+private[graft] object PqStageCache
+    extends graft.util.SessionScopedCache[PQ.Codebooks]
 
 /** Session-scoped cache of the incremental-dedup signature store: built
   * once per (application, dir) and probed by every later increment —
@@ -1431,6 +1439,53 @@ object SparkEntry {
       .select(col("vec_id"), col("cos"))
   }
 
+  /** PQ codebook training + corpus encoding, BIT-EXACT oracle-gated:
+    * m=4 subspaces of 16 dims, ksub=16 codes, 2 fused Lloyd
+    * iterations on the integer µ-grid
+    * ([[graft.operators.ProductQuantizer]]) — md5 seeds, exact
+    * integer argmin (ties to lower code), floor-mean updates. The
+    * oracle unrolls all four subspace trainings as CTEs
+    * ([[pqSubspaceSql]]) and hash-matches every code and the exact
+    * integer reconstruction distance.
+    */
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cb = PqStageCache.getOrElseUpdate(s, dir)(
+      PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
+    PQ.encode(emb, "vec_id", "embedding", cb, keep = Seq("embedding"))
+      .withColumn("recon_dist", PQ.reconDist(col("embedding"), cb))
+      .select(
+        col("vec_id"),
+        element_at(col("codes"), 1).as("code0"),
+        element_at(col("codes"), 2).as("code1"),
+        element_at(col("codes"), 3).as("code2"),
+        element_at(col("codes"), 4).as("code3"),
+        col("recon_dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ ADC top-20 around vec_id=0 over the planted-neighbor corpus,
+    * oracle-gated via the in-plan recall verdict (the
+    * [[annLshTopk]] pattern, sharing its oracle): codebooks train on
+    * the base corpus, the planted copies are encoded with the SAME
+    * books (encode-only ingest — PQ's incremental path), and the
+    * asymmetric-distance scan over the m-byte codes must recover
+    * >= 18 of the exact decimal-cosine top-20.
+    */
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val cb = PqStageCache.getOrElseUpdate(s, dir)(
+      PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
+    val qQ = query.select(col("embedding")).head().getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 1e6).toLong).toSeq
+    val approx = PQ.adcTopK(
+      PQ.encode(corpus, "vec_id", "embedding", cb),
+      "vec_id", PQ.distTable(qQ, cb), cb, k = 20)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
+  }
+
   /** Embedding near-duplicate pairs over planted perturbed copies,
     * oracle-gated by the recall argument (same as dedup_ngram_jaccard):
     * the exact all-pairs cosine >= 0.98 truth set is SQL-expressible,
@@ -1884,6 +1939,8 @@ object SparkEntry {
     "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "pq_encode" -> (pqEncode _),
+    "pq_topk" -> (pqTopk _),
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "cdc_wire_decode" -> (cdcWireDecode _),
@@ -1902,7 +1959,10 @@ object SparkEntry {
     "dedup_incremental_spans_persisted" -> oracleSqlBase("dedup_incremental_spans"),
     // the inline (task-closure model) twin is bit-identical to the
     // join form by construction; it shares the oracle verbatim
-    "text_perplexity_inline" -> oracleSqlBase("text_perplexity"))
+    "text_perplexity_inline" -> oracleSqlBase("text_perplexity"),
+    // PQ ADC top-k emits the same exact-top-20 + recall-verdict rows
+    // as the LSH gate; the oracle is shared (ann gate pattern)
+    "pq_topk" -> oracleSqlBase("ann_lsh_topk"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table
@@ -1958,7 +2018,93 @@ object SparkEntry {
        |FROM final WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** One unrolled Lloyd iteration of subspace `s` for the `pq_encode`
+    * oracle — the [[kmeansIterSql]] pattern over the sliced table
+    * `pe{s}`: assignment `pa{s}_{i}` (ties to lower code), floor-mean
+    * update `pn{s}_{i}`, empty-code fallback `pc{s}_{i}`.
+    */
+  private def pqIterSql(s: Int, i: Int, centIn: String): String =
+    s"""pa${s}_$i AS (
+       |  SELECT vec_id, q, cl, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM (
+       |    SELECT t.vec_id, t.q, c.cl,
+       |      list_sum([(t.q[j] - c.c[j]) * (t.q[j] - c.c[j])
+       |                for j in range(1, len(t.q) + 1)]) AS dist
+       |    FROM pe$s t, $centIn c)),
+       |pn${s}_$i AS (
+       |  SELECT cl, list(cv ORDER BY pos) AS c
+       |  FROM (
+       |    SELECT cl, pos,
+       |      CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |    FROM (
+       |      SELECT cl, unnest(range(1, len(q) + 1)) AS pos, unnest(q) AS val
+       |      FROM pa${s}_$i WHERE rn = 1)
+       |    GROUP BY cl, pos)
+       |  GROUP BY cl),
+       |pc${s}_$i AS (SELECT s.cl, coalesce(n.c, s.c) AS c
+       |        FROM $centIn s LEFT JOIN pn${s}_$i n ON n.cl = s.cl)""".stripMargin
+
+  /** Full training + final-assignment CTE chain for one PQ subspace:
+    * sliced corpus `pe{s}`, sliced seeds `ps{s}`, `iters` unrolled
+    * Lloyd iterations, and the final per-row argmin `pf{s}` carrying
+    * (code, exact integer distance).
+    */
+  private def pqSubspaceSql(s: Int, dsub: Int, iters: Int): String = {
+    val lo = s * dsub + 1
+    val hi = (s + 1) * dsub
+    val head =
+      s"""pe$s AS (SELECT vec_id, q[$lo:$hi] AS q FROM e),
+         |ps$s AS (SELECT cl, c[$lo:$hi] AS c FROM sd)""".stripMargin
+    val its = (1 to iters)
+      .map(i => pqIterSql(s, i, if (i == 1) s"ps$s" else s"pc${s}_${i - 1}"))
+      .mkString(",\n")
+    val fin =
+      s"""pf$s AS (
+         |  SELECT vec_id, cl, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |  FROM (
+         |    SELECT t.vec_id, c.cl,
+         |      list_sum([(t.q[j] - c.c[j]) * (t.q[j] - c.c[j])
+         |                for j in range(1, len(t.q) + 1)]) AS dist
+         |    FROM pe$s t, pc${s}_$iters c))""".stripMargin
+    Seq(head, its, fin).mkString(",\n")
+  }
+
+  /** `pq_encode` oracle: quantize, pick the 16 md5-order seed rows,
+    * train each of the 4 subspace codebooks with 2 unrolled Lloyd
+    * iterations, then emit each vector's 4 argmin codes and the exact
+    * integer reconstruction distance — the bit-identical replay of
+    * [[graft.operators.ProductQuantizer.train]]+`encode`.
+    */
+  private lazy val pqEncodeOracleSql: String = {
+    val subs = (0 until 4).map(pqSubspaceSql(_, dsub = 16, iters = 2)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sd AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |         q AS c
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$subs
+       |SELECT pf0.vec_id AS vec_id,
+       |  CAST(pf0.cl AS INT) AS code0, CAST(pf1.cl AS INT) AS code1,
+       |  CAST(pf2.cl AS INT) AS code2, CAST(pf3.cl AS INT) AS code3,
+       |  CAST(pf0.dist + pf1.dist + pf2.dist + pf3.dist AS BIGINT) AS recon_dist
+       |FROM pf0
+       |JOIN pf1 ON pf1.vec_id = pf0.vec_id
+       |JOIN pf2 ON pf2.vec_id = pf0.vec_id
+       |JOIN pf3 ON pf3.vec_id = pf0.vec_id
+       |WHERE pf0.rn = 1 AND pf1.rn = 1 AND pf2.rn = 1 AND pf3.rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
+    // PQ training + encoding: 4 subspace k-means unrolled as CTEs,
+    // all integer-grid exact (see pqSubspaceSql)
+    "pq_encode" -> pqEncodeOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
