@@ -105,6 +105,22 @@ private[graft] object ExactTopCache
 private[graft] object ClassifierStageCache
     extends graft.util.SessionScopedCache[DataFrame]
 
+/** Session-scoped cache of the SemDeDup quantizer centroids: trained
+  * once per (application, dir) on the planted corpus; the removal
+  * scan reuses them (train-once/assign-forever, the [[IvfStageCache]]
+  * lifecycle).
+  */
+private[graft] object SemDedupCache
+    extends graft.util.SessionScopedCache[Seq[(Int, Seq[Long])]]
+
+/** Session-scoped cache of the DSIR hashed-bucket log-ratio table
+  * (the trained importance model): built by one corpus scan per
+  * (application, dir), shipped in the closure of every later scoring
+  * pass.
+  */
+private[graft] object DsirStageCache
+    extends graft.util.SessionScopedCache[Array[Long]]
+
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1547,6 +1563,140 @@ object SparkEntry {
       .orderBy(col("media_type"))
   }
 
+  /** SemDeDup semantic dedup removal list over the planted-perturbed
+    * corpus ([[dedupEmbedding]]'s construction): k-means clusters the
+    * embedding space (md5 seeds, 2 Lloyd iterations on the µ-grid),
+    * then near-dup pairs are searched ONLY within clusters and every
+    * document with a lower-id same-cluster duplicate at decimal-cos
+    * >= 0.98 lands on the removal list. Oracle-gated END-TO-END: the
+    * DuckDB side unrolls the same two Lloyd iterations as CTEs
+    * ([[kmeansIterSql]]), replays the exact integer assignment, the
+    * cluster-size guard, the in-cluster pair join, and the decimal
+    * cosine threshold bit-for-bit.
+    */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val perturbed = emb
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
+    val cents = SemDedupCache.getOrElseUpdate(s, dir)(
+      graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+    graft.operators.SemanticDedup
+      .removalList(corpus, "vec_id", "embedding", cents, minCosine = 0.98,
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
+      .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("dup_of"), col("n_dups"), col("cos_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[pqEncode]] through a codebook save/load cycle: the books are
+    * trained once, persisted, reloaded, and the encode runs on the
+    * LOADED books — persistence must be invisible to results, so the
+    * oracle is shared verbatim with `pq_encode` (the
+    * `dedup_incremental_*_persisted` convention).
+    */
+  private def pqEncodePersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cb = PqStageCache.getOrElseUpdate(s, dir + "#persisted") {
+      val live = PqStageCache.getOrElseUpdate(s, dir)(
+        PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
+      val path = java.nio.file.Files.createTempDirectory("graft-pq-books").toString
+      PQ.save(live, s, path)
+      PQ.load(s, path)
+    }
+    PQ.encode(emb, "vec_id", "embedding", cb, keep = Seq("embedding"))
+      .withColumn("recon_dist", PQ.reconDist(col("embedding"), cb))
+      .select(
+        col("vec_id"),
+        element_at(col("codes"), 1).as("code0"),
+        element_at(col("codes"), 2).as("code1"),
+        element_at(col("codes"), 3).as("code2"),
+        element_at(col("codes"), 4).as("code3"),
+        col("recon_dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[semanticDedup]] through a centroid save/load cycle (same
+    * persistence-invisibility contract; shares the oracle verbatim).
+    */
+  private def semanticDedupPersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val perturbed = emb
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
+    val cents = SemDedupCache.getOrElseUpdate(s, dir + "#persisted") {
+      val live = SemDedupCache.getOrElseUpdate(s, dir)(
+        graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+      val path = java.nio.file.Files.createTempDirectory("graft-kmeans-cents").toString
+      graft.operators.KMeansTrain.saveCentroids(live, s, path)
+      graft.operators.KMeansTrain.loadCentroids(s, path)
+    }
+    graft.operators.SemanticDedup
+      .removalList(corpus, "vec_id", "embedding", cents, minCosine = 0.98,
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
+      .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("dup_of"), col("n_dups"), col("cos_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Winnowing fingerprint overlap pairs (MOSS) over the
+    * [[docsWithNearDups]] corpus: char-8-gram portable md5 hashes,
+    * window-8 minima, distinct per doc, bucket-guarded fingerprint
+    * join, pairs sharing >= 10 fingerprints. Oracle-gated end-to-end
+    * (grams, hashes, window minima, guard, counts all replayed).
+    */
+  private def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow
+      .overlapPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        k = 8, w = 8, minShared = 10, maxBucketSize = 50,
+        hashFn = graft.operators.Winnow.PortableMd5Hash)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** DSIR importance selection: hashed unigram+bigram bucket
+    * log-ratios of the English-labeled target slice vs the whole
+    * corpus, exact integer per-doc weights, top 50. Oracle-gated
+    * end-to-end (the 128-cell model and every weight replay in SQL).
+    */
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ratios = DsirStageCache.getOrElseUpdate(s, dir)(
+      graft.operators.Dsir.bucketLogRatios(docs, "text", col("lang") === "en", buckets = 128))
+    graft.operators.Dsir.select(docs, "doc_id", "text", ratios, n = 50)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Hybrid retrieval: BM25 top-100 (terms "vector merge stream") and
+    * dense decimal-cosine top-100 around vec_id=0 fused by
+    * reciprocal-rank fusion (c=60, quantized contributions), top 20.
+    * Ranks are assigned over each list's ROUNDED emitted score with
+    * an id tie-break — the same ordering the oracle replays — so the
+    * fused integer scores hash-match exactly.
+    */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val idx = Bm25IndexCache.getOrElseUpdate(s, dir)(
+      graft.operators.Bm25.build(Tables(s, dir, "documents"), "doc_id", "text"))
+    val sparse = graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 100)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long").as("rank"))
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    val dense = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        round(VF.cosineDecimal(col("embedding"), col("__qv")), 3).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(100)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast("long").as("rank"))
+    graft.operators.RankFusion.rrf(Seq(sparse, dense), k = 20)
+      .select(col("id").as("doc_id"), col("n_lists"), col("score"))
+  }
+
   /** Expected decoded means for the synthetic media table, recomputed
     * from the raw document text bytes with the generator's formulas —
     * mean Rec.601 luminance for image rows, RMS amplitude for audio
@@ -1945,7 +2095,13 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "cdc_wire_decode" -> (cdcWireDecode _),
     "sample_sketch" -> (sampleSketch _),
-    "pipeline_training_data" -> (pipelineTrainingData _))
+    "pipeline_training_data" -> (pipelineTrainingData _),
+    "semantic_dedup" -> (semanticDedup _),
+    "semantic_dedup_persisted" -> (semanticDedupPersisted _),
+    "winnow_overlap" -> (winnowOverlap _),
+    "dsir_select" -> (dsirSelect _),
+    "rrf_fusion" -> (rrfFusion _),
+    "pq_encode_persisted" -> (pqEncodePersisted _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -1962,7 +2118,11 @@ object SparkEntry {
     "text_perplexity_inline" -> oracleSqlBase("text_perplexity"),
     // PQ ADC top-k emits the same exact-top-20 + recall-verdict rows
     // as the LSH gate; the oracle is shared (ann gate pattern)
-    "pq_topk" -> oracleSqlBase("ann_lsh_topk"))
+    "pq_topk" -> oracleSqlBase("ann_lsh_topk"),
+    // persistence must be invisible to results: the save/load twins
+    // share their live query's oracle verbatim
+    "pq_encode_persisted" -> oracleSqlBase("pq_encode"),
+    "semantic_dedup_persisted" -> oracleSqlBase("semantic_dedup"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table
@@ -2017,6 +2177,75 @@ object SparkEntry {
        |SELECT vec_id, CAST(cl AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
        |FROM final WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** `semantic_dedup` oracle: the planted-perturbed corpus, two
+    * unrolled Lloyd iterations ([[kmeansIterSql]] over the corpus CTE
+    * `e`), exact integer assignment, the 10k cluster-size guard, the
+    * in-cluster pair join, and the decimal-cosine >= 0.98 verify —
+    * the `dedup_embedding` cosine formulation with a cheap
+    * double-cosine prefilter (> 0.97 strictly contains the rounded
+    * >= 0.98 set) so the decimal explode only runs on candidates.
+    */
+  private lazy val semanticDedupOracleSql: String =
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         list_transform(embedding, x -> x + CAST(0.0005 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM allv),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |         q AS c
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |${kmeansIterSql(1, "seeds")}
+       |${kmeansIterSql(2, "c1")}
+       |fin AS (
+       |  SELECT vec_id, cl,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      list_sum([(e.q[j] - c.c[j]) * (e.q[j] - c.c[j])
+       |                for j in range(1, len(e.q) + 1)]) AS dist
+       |    FROM e, c2 c)),
+       |asg AS (SELECT vec_id, cl FROM fin WHERE rn = 1),
+       |ok AS (SELECT cl FROM asg GROUP BY cl HAVING count(*) <= 10000),
+       |bnd AS (SELECT a.vec_id, a.cl FROM asg a JOIN ok USING (cl)),
+       |cand AS (
+       |  SELECT x.cl AS cluster, x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bnd x JOIN bnd y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+       |pre AS (
+       |  SELECT p.cluster, p.id_a, p.id_b, va.embedding AS va, vb.embedding AS vb
+       |  FROM cand p
+       |  JOIN allv va ON va.vec_id = p.id_a
+       |  JOIN allv vb ON vb.vec_id = p.id_b
+       |  WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+       |                               CAST(vb.embedding AS DOUBLE[])) > 0.97),
+       |exploded AS (
+       |  SELECT cluster, id_a, id_b,
+       |         unnest(CAST(va AS DOUBLE[])) AS x,
+       |         unnest(CAST(vb AS DOUBLE[])) AS y
+       |  FROM pre),
+       |sums AS (
+       |  SELECT cluster, id_a, id_b,
+       |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+       |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+       |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+       |  FROM exploded GROUP BY cluster, id_a, id_b),
+       |hits AS (
+       |  SELECT cluster, id_a, id_b,
+       |         round(CAST(dotd AS DOUBLE) /
+       |               (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+       |  FROM sums
+       |  WHERE round(CAST(dotd AS DOUBLE) /
+       |              (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) >= 0.98)
+       |SELECT id_b AS vec_id, CAST(min(cluster) AS INT) AS cluster, min(id_a) AS dup_of,
+       |       CAST(count(*) AS BIGINT) AS n_dups, max(cos) AS cos_max
+       |FROM hits GROUP BY id_b ORDER BY vec_id""".stripMargin
 
   /** One unrolled Lloyd iteration of subspace `s` for the `pq_encode`
     * oracle — the [[kmeansIterSql]] pattern over the sliced table
@@ -3620,5 +3849,134 @@ object SparkEntry {
         |  round(list_dot_product(z.q, qv.qb)
         |        / (sqrt(list_dot_product(z.q, z.q)) * sqrt(list_dot_product(qv.qb, qv.qb))), 3)
         |    + 0.0 AS cos_q
-        |FROM s z, qv ORDER BY z.vec_id""".stripMargin)
+        |FROM s z, qv ORDER BY z.vec_id""".stripMargin,
+    "semantic_dedup" -> semanticDedupOracleSql,
+    // winnowing: char-8-gram md5 hashes, window-8 minima (DuckDB
+    // slices are INCLUSIVE: h[i:i+7] is 8 elements), distinct per
+    // doc, 50-doc bucket guard, pairs sharing >= 10 fingerprints
+    "winnow_overlap" ->
+      """WITH alld AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |canon AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c
+        |  FROM alld),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(c) < 8 THEN [c]
+        |         ELSE [substr(c, i, 8) for i in range(1, length(c) - 6)] END AS g
+        |  FROM canon),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_transform(g, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS h
+        |  FROM grams),
+        |fps AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(h) < 8 THEN [list_min(h)]
+        |         ELSE [list_min(h[i:i+7]) for i in range(1, len(h) - 6)] END) AS f
+        |  FROM hashes),
+        |inv AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+        |ok AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 50),
+        |bnd AS (SELECT i.doc_id, i.fp FROM inv i JOIN ok USING (fp)),
+        |agg AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM bnd x JOIN bnd y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b, n_shared FROM agg
+        |WHERE n_shared >= 10 ORDER BY id_a, id_b""".stripMargin,
+    // DSIR: 128 hashed unigram+bigram buckets, add-1 smoothed
+    // target (lang='en') vs raw log-ratios floor-quantized at 1e-6,
+    // exact integer per-doc sums, top 50 by weight
+    "dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t,
+        |    list_concat(tk, [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS g
+        |  FROM toks),
+        |eg AS (SELECT doc_id, t, unnest(g) AS gram FROM grams),
+        |bu AS (SELECT doc_id, t,
+        |         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 128 AS b
+        |       FROM eg),
+        |cells AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+        |         CAST(count(*) FILTER (WHERE t) AS BIGINT) AS c_t
+        |  FROM bu GROUP BY b),
+        |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+        |               CAST(sum(c_t) AS BIGINT) AS n_t FROM cells),
+        |allb AS (SELECT CAST(range AS BIGINT) AS b FROM range(128)),
+        |lr AS (
+        |  SELECT allb.b,
+        |    CAST(floor(ln(
+        |      (CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / CAST(n_t + 128 AS DOUBLE)) /
+        |      (CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / CAST(n_r + 128 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS lr
+        |  FROM allb LEFT JOIN cells USING (b) CROSS JOIN tot),
+        |score AS (
+        |  SELECT bu.doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(lr.lr) AS w
+        |  FROM bu JOIN lr USING (b) GROUP BY bu.doc_id)
+        |SELECT doc_id, n_grams, round(CAST(w AS DOUBLE) / 1000000.0, 4) AS weight
+        |FROM score ORDER BY w DESC, doc_id LIMIT 50""".stripMargin,
+    // RRF: BM25 top-100 (exact-sum cut, rank over the rounded score)
+    // + dense decimal-cosine top-100, quantized reciprocal ranks
+    "rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM docs),
+        |post AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('vector', 'merge', 'stream')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |         (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS lp
+        |  FROM post p JOIN dfreq USING (term) JOIN docs USING (doc_id) CROSS JOIN meta),
+        |bagg AS (
+        |  SELECT doc_id, sum(lp) AS s
+        |  FROM contrib GROUP BY doc_id),
+        |sparse AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY round(CAST(s AS DOUBLE) / 1000000.0, 4) DESC, doc_id) AS rank
+        |  FROM (SELECT doc_id, s FROM bagg ORDER BY s DESC, doc_id LIMIT 100)),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |exploded AS (
+        |  SELECT e.vec_id,
+        |         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(q.qv AS DOUBLE[])) AS y
+        |  FROM embeddings e, q),
+        |sums AS (
+        |  SELECT vec_id,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY vec_id),
+        |cosd AS (
+        |  SELECT vec_id,
+        |         round(CAST(dotd AS DOUBLE) /
+        |               (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+        |  FROM sums),
+        |dense AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+        |  FROM (SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id LIMIT 100)),
+        |fused AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+        |         sum(CAST(floor(1000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT)) AS sq
+        |  FROM (SELECT id, rank FROM sparse UNION ALL SELECT id, rank FROM dense)
+        |  GROUP BY id)
+        |SELECT id AS doc_id, n_lists, round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS score
+        |FROM fused ORDER BY sq DESC, id LIMIT 20""".stripMargin)
 }

@@ -126,6 +126,32 @@ object KMeansTrain {
     } finally quantized.unpersist()
   }
 
+  /** Persist a trained centroid table (k rows of d longs) — the
+    * train-once/assign-forever artifact [[assign]] and
+    * [[SemanticDedup]] consume; a few KB, one parquet.
+    */
+  def saveCentroids(
+      centroids: Seq[(Int, Seq[Long])],
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("cl", "c")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted centroid table, cluster-id ascending.
+    * Assignment with it is bit-identical to the live [[train]] result
+    * (exact integer argmin either way).
+    */
+  def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Long])] =
+    spark.read.parquet(path)
+      .collect() // bounded: k rows
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+
   /** Final clustering projection: (id, cluster, dist) — each row's
     * trained cluster and its exact integer squared grid-distance to
     * that centroid. One stateless pass; `dist` doubles as the

@@ -194,4 +194,42 @@ object ProductQuantizer {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Persist trained codebooks: one row per (subspace, code) with its
+    * grid centroid, plus a one-row meta parquet — the train-once /
+    * encode-on-every-ingest lifecycle needs the books to outlive the
+    * session ([[IvfAnn.save]] is the sibling for the assigned-corpus
+    * index; the books are a few KB, so layout is trivial).
+    */
+  def save(cb: Codebooks, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex
+      .flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, code) => (s, code, c) }
+      }
+      .toDF("sub", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    Seq((cb.m, cb.dsub)).toDF("m", "dsub")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load persisted codebooks; encoding with them is bit-identical to
+    * encoding with the live [[train]] result (ProductQuantizerSpec
+    * proves the round trip).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getAs[Int]("m")
+    val dsub = meta.getAs[Int]("dsub")
+    val rows = spark.read.parquet(s"$path/books")
+      .collect() // bounded: m * ksub rows of dsub longs
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val bySub = rows.groupBy(_._1)
+    Codebooks(m, dsub, (0 until m).map { s =>
+      val book = bySub.getOrElse(s, Array.empty).sortBy(_._2)
+      require(book.nonEmpty && book.map(_._2).toSeq == book.indices.toSeq,
+        s"persisted codebook for subspace $s is not dense")
+      book.map(_._3).toSeq
+    })
+  }
 }

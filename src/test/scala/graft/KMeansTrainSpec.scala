@@ -93,4 +93,17 @@ class KMeansTrainSpec extends SparkSpec {
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
+
+  test("centroid save/load round trip is exact and assigns identically") {
+    val cents = KMeansTrain.train(planted, "vec_id", "embedding", k = 3, iters = 3)
+    val path = tmpDir("kmeans-cents") + "/centroids"
+    KMeansTrain.saveCentroids(cents, spark, path)
+    val loaded = KMeansTrain.loadCentroids(spark, path)
+    assert(loaded == cents)
+    val live = KMeansTrain.assign(planted, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val replayed = KMeansTrain.assign(planted, "vec_id", "embedding", loaded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(live == replayed)
+  }
 }

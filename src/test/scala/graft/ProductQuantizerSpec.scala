@@ -93,4 +93,17 @@ class ProductQuantizerSpec extends SparkSpec {
       .select(col("grp")).as[Int].collect()
     assert(top.forall(_ == 2), s"all top-10 must be corner 2, got ${top.toSeq}")
   }
+
+  test("codebook save/load round trip is exact and encodes identically") {
+    val cb = PQ.train(planted, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    val path = tmpDir("pq-books")
+    PQ.save(cb, spark, path)
+    val loaded = PQ.load(spark, path)
+    assert(loaded == cb, "books, m and dsub must survive the round trip")
+    val live = PQ.encode(planted, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val replayed = PQ.encode(planted, "vec_id", "embedding", loaded)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(live == replayed)
+  }
 }
