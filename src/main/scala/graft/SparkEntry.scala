@@ -1697,6 +1697,38 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_lists"), col("score"))
   }
 
+  /** Count-Min token-frequency sketch over the corpus, oracle-gated
+    * via the q34 tolerance-verdict pattern: the sketch estimate for
+    * each probe term must be >= the exact count (count-min never
+    * underestimates) and within the 10*N/width collision bound; the
+    * emitted rows are the exact counts the DuckDB oracle recomputes,
+    * plus the asserted `cm_ok` verdict — the engine-specific
+    * estimates never reach the cross-engine hash.
+    */
+  private def countminTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val CM = graft.functions.CountMinSketch
+    val terms = Seq("vector", "merge", "stream", "the", "data")
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("term"))
+    val sk = toks.agg(
+      CM.sketch(col("term")).as("sk"),
+      count(lit(1)).as("n"))
+    val exact = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+    val bound = ceil(lit(10.0) * col("n") / lit(CM.DefaultWidth))
+    terms.toDF("term")
+      .join(exact, Seq("term"), "left")
+      .na.fill(0L, Seq("exact_n"))
+      .crossJoin(broadcast(sk))
+      .select(
+        col("term"),
+        col("exact_n"),
+        (CM.estimate(col("sk"), col("term")) >= col("exact_n") &&
+          CM.estimate(col("sk"), col("term")) <= col("exact_n") + bound).as("cm_ok"))
+      .orderBy(col("term"))
+  }
+
   /** Expected decoded means for the synthetic media table, recomputed
     * from the raw document text bytes with the generator's formulas —
     * mean Rec.601 luminance for image rows, RMS amplitude for audio
@@ -2101,7 +2133,8 @@ object SparkEntry {
     "winnow_overlap" -> (winnowOverlap _),
     "dsir_select" -> (dsirSelect _),
     "rrf_fusion" -> (rrfFusion _),
-    "pq_encode_persisted" -> (pqEncodePersisted _))
+    "pq_encode_persisted" -> (pqEncodePersisted _),
+    "countmin_tokens" -> (countminTokens _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3978,5 +4011,16 @@ object SparkEntry {
         |  FROM (SELECT id, rank FROM sparse UNION ALL SELECT id, rank FROM dense)
         |  GROUP BY id)
         |SELECT id AS doc_id, n_lists, round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS score
-        |FROM fused ORDER BY sq DESC, id LIMIT 20""".stripMargin)
+        |FROM fused ORDER BY sq DESC, id LIMIT 20""".stripMargin,
+    // count-min verdict gate: exact counts replayed, cm_ok asserted
+    // true (the sketch's own estimates are engine-specific)
+    "countmin_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |probes AS (SELECT unnest(['vector','merge','stream','the','data']) AS term),
+        |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY term)
+        |SELECT p.term, coalesce(ex.exact_n, 0) AS exact_n, true AS cm_ok
+        |FROM probes p LEFT JOIN ex USING (term)
+        |ORDER BY p.term""".stripMargin)
 }
