@@ -121,6 +121,13 @@ private[graft] object SemDedupCache
 private[graft] object DsirStageCache
     extends graft.util.SessionScopedCache[Array[Long]]
 
+/** Session-scoped cache of the composed IVF-PQ index: built once per
+  * (application, dir) from the ALREADY-CACHED coarse index and
+  * codebooks (one encode projection), probed by every later query.
+  */
+private[graft] object IvfPqStageCache
+    extends graft.util.SessionScopedCache[graft.operators.IvfPq.Index]
+
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1697,6 +1704,34 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_lists"), col("score"))
   }
 
+  /** IVF-PQ ANN top-20 over the planted-neighbor corpus — the faiss
+    * composition of the triad: the coarse quantizer prunes the scan
+    * to nprobe=4 of 16 lists AND every scanned row is m=4 PQ codes
+    * scored by ADC lookups (no float vector read at query time).
+    * Reuses the SAME trained coarse index as [[annIvfTopk]] and the
+    * SAME codebooks as [[pqTopk]] (train-once artifacts, composed by
+    * one encode projection). Oracle-gated via the in-plan recall
+    * verdict, sharing the `ann_lsh_topk` oracle.
+    */
+  private def annIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val index = IvfPqStageCache.getOrElseUpdate(s, dir + "#planted") {
+      val ivf = IvfStageCache.getOrElseUpdate(s, dir + "#planted") {
+        val base = IvfStageCache.getOrElseUpdate(s, dir)(
+          IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
+        IvfAnn.append(base, corpus.filter(col("vec_id") >= 1000000L))
+      }
+      val cb = PqStageCache.getOrElseUpdate(s, dir)(
+        PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
+      graft.operators.IvfPq.fromParts(ivf, cb)
+    }
+    val approx = graft.operators.IvfPq
+      .topK(index, query, "embedding", k = 20, nprobe = 4)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
+  }
+
   /** Count-Min token-frequency sketch over the corpus, oracle-gated
     * via the q34 tolerance-verdict pattern: the sketch estimate for
     * each probe term must be >= the exact count (count-min never
@@ -2134,7 +2169,8 @@ object SparkEntry {
     "dsir_select" -> (dsirSelect _),
     "rrf_fusion" -> (rrfFusion _),
     "pq_encode_persisted" -> (pqEncodePersisted _),
-    "countmin_tokens" -> (countminTokens _))
+    "countmin_tokens" -> (countminTokens _),
+    "ann_ivfpq_topk" -> (annIvfpqTopk _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -2155,7 +2191,10 @@ object SparkEntry {
     // persistence must be invisible to results: the save/load twins
     // share their live query's oracle verbatim
     "pq_encode_persisted" -> oracleSqlBase("pq_encode"),
-    "semantic_dedup_persisted" -> oracleSqlBase("semantic_dedup"))
+    "semantic_dedup_persisted" -> oracleSqlBase("semantic_dedup"),
+    // IVF-PQ emits the same exact-top-20 + recall-verdict rows as the
+    // other ANN gates; the oracle is shared (ann gate pattern)
+    "ann_ivfpq_topk" -> oracleSqlBase("ann_lsh_topk"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the faiss-style composition of the engine's ANN triad —
+  * [[IvfAnn]]'s coarse quantizer prunes WHICH vectors are scanned
+  * (probe `nprobe` of `nlist` inverted lists; directory-level pruning
+  * when the encoded table is stored partitioned by list), and
+  * [[ProductQuantizer]] compresses WHAT is scanned (each vector is
+  * `m` small codes, scored by ADC table lookups — no float vector is
+  * ever read at query time). Cost per query is
+  * `~(nprobe/nlist) * corpus * m` integer lookups against a scan of
+  * m-byte rows: both the byte volume and the row count shrink, which
+  * is exactly the regime a 100 TB embedding corpus needs.
+  *
+  * The composition reuses the triad's trained artifacts as-is (the
+  * coarse centroid matrix and the PQ codebooks train independently,
+  * each once), so an IVF-Flat deployment upgrades to IVF-PQ by
+  * encoding its assigned table — one stateless projection, no
+  * retraining. Same determinism story as the parts: list assignment
+  * and codes are exact argmins, ADC sums are exact 64-bit integers,
+  * ties break to the lower id.
+  */
+object IvfPq {
+
+  /** An IVF-PQ index: the coarse centroids (probe selection), the PQ
+    * codebooks (ADC tables), and the encoded corpus
+    * (__id, __list, codes) — note NO vector column: the compression
+    * is the point. `encoded` is persisted; release with
+    * `encoded.unpersist()`.
+    */
+  final case class Index(
+      centroids: Array[Array[Double]],
+      cb: ProductQuantizer.Codebooks,
+      encoded: DataFrame,
+      idCol: String)
+
+  /** Compose a trained IVF index and trained PQ codebooks: one
+    * stateless projection PQ-encodes the assigned table and drops the
+    * raw vectors.
+    */
+  def fromParts(ivf: IvfAnn.Index, cb: ProductQuantizer.Codebooks): Index = {
+    val encoded = ProductQuantizer
+      .encode(ivf.assigned, "__id", "__vec", cb, keep = Seq("__list"))
+      .persist()
+    encoded.count()
+    Index(ivf.centroids, cb, encoded, ivf.idCol)
+  }
+
+  /** ADC top-k over the probed lists: probe selection is driver-side
+    * arithmetic on the centroid matrix ([[IvfAnn.probeLists]] — the
+    * SAME rule as IVF-Flat), the scan is an `isin` filter (partition
+    * pruning on a saved layout) over id+codes only, and scoring is
+    * [[ProductQuantizer.adcTopK]]'s integer fold. Returns
+    * (idCol, adc_dist) ascending, k rows.
+    */
+  def topK(index: Index, query: DataFrame, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val qVec = query.select(col(vecCol)).head().getSeq[Float](0)
+    val probes = IvfAnn.probeLists(
+      index.centroids, qVec.map(_.toDouble).toArray, nprobe)
+    val qQ = qVec.map(x => math.floor(x.toDouble * 1e6).toLong).toSeq
+    ProductQuantizer.adcTopK(
+      index.encoded.filter(col("__list").isin(probes: _*)),
+      "__id",
+      ProductQuantizer.distTable(qQ, index.cb),
+      index.cb,
+      k)
+      .withColumnRenamed("__id", index.idCol)
+  }
+}

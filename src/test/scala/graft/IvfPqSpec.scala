@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{IvfAnn, IvfPq, ProductQuantizer => PQ}
+
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four planted corners in 4-dim space (the ProductQuantizerSpec
+  // construction): coarse lists and PQ codes both separate them
+  private lazy val planted = (0 until 40).map { i =>
+    val g = i % 4
+    val j = (i / 4).toFloat / 100f
+    val base = g match {
+      case 0 => Seq(1f, 1f, 1f, 1f)
+      case 1 => Seq(1f, 1f, -1f, -1f)
+      case 2 => Seq(-1f, -1f, 1f, 1f)
+      case _ => Seq(-1f, -1f, -1f, -1f)
+    }
+    (i.toLong, g, base.map(_ + j))
+  }.toDF("vec_id", "grp", "embedding")
+
+  private lazy val index = {
+    val ivf = IvfAnn.build(planted, "vec_id", "embedding", nlist = 4, iters = 3)
+    val cb = PQ.train(planted, "vec_id", "embedding", m = 2, ksub = 4, iters = 3)
+    IvfPq.fromParts(ivf, cb)
+  }
+
+  test("the encoded table carries codes only — no vector column") {
+    assert(index.encoded.columns.toSet == Set("__id", "__list", "codes"))
+  }
+
+  test("full-probe IVF-PQ equals a full-scan ADC (composition identity)") {
+    val query = planted.filter(col("vec_id") === 2)
+    val composed = IvfPq.topK(index, query, "embedding", k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qQ = query.select(col("embedding")).head().getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 1e6).toLong).toSeq
+    val full = PQ.adcTopK(
+      PQ.encode(planted, "vec_id", "embedding", index.cb),
+      "vec_id", PQ.distTable(qQ, index.cb), index.cb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(composed == full,
+      "probing every list must degenerate to the full ADC scan")
+  }
+
+  test("pruned probe retrieves the query's corner") {
+    val query = planted.filter(col("vec_id") === 3) // corner 3
+    val top = IvfPq.topK(index, query, "embedding", k = 10, nprobe = 1)
+      .join(planted.select(col("vec_id").as("__join_id"), col("grp")),
+        col("vec_id") === col("__join_id"))
+      .select(col("grp")).as[Int].collect()
+    assert(top.length == 10)
+    assert(top.forall(_ == 3), s"nprobe=1 must stay inside corner 3, got ${top.toSeq}")
+  }
+
+  test("pruned scan reads fewer rows than the corpus") {
+    val query = planted.filter(col("vec_id") === 0)
+    val probed = index.encoded.filter(col("__list").isin(
+      IvfAnn.probeLists(index.centroids,
+        query.select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray,
+        1): _*))
+    assert(probed.count() < planted.count(),
+      "one probed list must be a strict subset of the corpus")
+  }
+}
