@@ -81,6 +81,15 @@ object GraftFunctions {
         exprs.head,
         constantStringArray(exprs(1), "array_hit_count(_, array('a','b',...))")),
       "scala_udf")
+    // named cm_sketch: count_min_sketch is taken by Spark's built-in
+    // (eps/confidence/seed geometry, non-deterministic layout)
+    registry.createOrReplaceTempFunction(
+      "cm_sketch",
+      exprs => graft.functions.CountMinSketchAgg(
+        exprs.head,
+        constantInt(exprs(1), "cm_sketch(_, depth, width)"),
+        constantInt(exprs(2), "cm_sketch(_, depth, width)")),
+      "scala_udf")
     ()
   }
 

@@ -1732,6 +1732,17 @@ object SparkEntry {
     exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
+  /** BPE merge-candidate pair statistics (Sennrich et al. 2016,
+    * iteration-1 form): corpus-wide adjacent character-pair counts
+    * with the `</w>` boundary symbol, weighted by word frequency —
+    * the statistic a BPE trainer ranks to pick each merge. Top 30,
+    * count desc / pair asc. Oracle-gated end-to-end (string ops +
+    * integer sums replay verbatim).
+    */
+  private def bpePairStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .bpePairStats(Tables(s, dir, "documents"), "text", topK = 30)
+
   /** Count-Min token-frequency sketch over the corpus, oracle-gated
     * via the q34 tolerance-verdict pattern: the sketch estimate for
     * each probe term must be >= the exact count (count-min never
@@ -2170,7 +2181,8 @@ object SparkEntry {
     "rrf_fusion" -> (rrfFusion _),
     "pq_encode_persisted" -> (pqEncodePersisted _),
     "countmin_tokens" -> (countminTokens _),
-    "ann_ivfpq_topk" -> (annIvfpqTopk _))
+    "ann_ivfpq_topk" -> (annIvfpqTopk _),
+    "bpe_pair_stats" -> (bpePairStatsQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4061,5 +4073,24 @@ object SparkEntry {
         |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY term)
         |SELECT p.term, coalesce(ex.exact_n, 0) AS exact_n, true AS cm_ok
         |FROM probes p LEFT JOIN ex USING (term)
-        |ORDER BY p.term""".stripMargin)
+        |ORDER BY p.term""".stripMargin,
+    // BPE iteration-1 pair counts: vocabulary-collapsed words, char
+    // bigrams + (last char, </w>) boundary pair, frequency-weighted
+    "bpe_pair_stats" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS wn
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok
+        |  HAVING length(tok) >= 1),
+        |pairs AS (
+        |  SELECT wn, unnest(list_concat(
+        |    CASE WHEN length(w) >= 2
+        |         THEN [substr(w, i, 2) for i in range(1, length(w))]
+        |         ELSE []::VARCHAR[] END,
+        |    [substr(w, length(w), 1) || '</w>'])) AS pair
+        |  FROM words)
+        |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin)
 }

@@ -68,4 +68,39 @@ object IvfPq {
       k)
       .withColumnRenamed("__id", index.idCol)
   }
+
+  /** Persist the composed index: the encoded corpus partitioned BY
+    * list id — so a loaded index's probe prunes at the directory
+    * level AND each directory holds only m-byte code rows (the two
+    * savings multiply: `nprobe/nlist` of the corpus read as codes,
+    * not vectors) — plus the centroid matrix and codebooks via their
+    * owners' formats.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.encoded.select(col("__id"), col("codes"), col("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$path/encoded")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ProductQuantizer.save(index.cb, spark, s"$path/pq")
+  }
+
+  /** Load a persisted composed index. The encoded table is NOT
+    * eagerly cached: probes read only their list directories.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    Index(
+      centroids,
+      ProductQuantizer.load(spark, s"$path/pq"),
+      spark.read.parquet(s"$path/encoded").select(col("__id"), col("__list"), col("codes")),
+      idCol)
+  }
 }

@@ -124,4 +124,49 @@ object Lexicon {
         round(col("__sq").cast("double") / IdfScale, 4).as("score"))
     TextDedup.materialized(top, Seq(tf))
   }
+
+  /** End-of-word marker for [[bpePairStats]] (the standard BPE word
+    * boundary symbol).
+    */
+  val EowMarker = "</w>"
+
+  /** BPE merge-candidate statistics: corpus-wide frequencies of
+    * adjacent symbol pairs at the character stage of BPE training —
+    * each word contributes its in-word character bigrams plus a
+    * (last-char, `</w>`) boundary pair, weighted by the word's corpus
+    * frequency. The top pair IS iteration 1's merge; the ranked list
+    * is the statistic every BPE trainer recomputes per iteration
+    * (Sennrich et al. 2016). Returns the `topK` (pair, n) rows, count
+    * descending, pair ascending.
+    *
+    * Scale shape: one tokenize+count aggregation collapses the corpus
+    * to its vocabulary FIRST (map-combinable, vocabulary-sized
+    * output), then pairs explode from the vocabulary — corpus size
+    * only enters through the word-count weights, so the pair
+    * aggregation is bounded by distinct-word count, not corpus
+    * length. Fully engine-portable (string ops + integer sums): the
+    * oracle replays it verbatim.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wn"))
+      .filter(length(col("w")) >= 1)
+    val pairs = words.select(
+      col("wn"),
+      explode(concat(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")),
+        array(concat(col("w").substr(length(col("w")), lit(1)), lit(EowMarker)))))
+        .as("pair"))
+    pairs
+      .groupBy(col("pair"))
+      .agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

@@ -60,6 +60,15 @@ class CountMinSketchSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: cm_sketch aggregates identically to the Column API") {
+    GraftFunctions.registerAll(spark)
+    stream.createOrReplaceTempView("cm_input")
+    val viaSql = spark.sql(s"SELECT cm_sketch(v, $d, $w) FROM cm_input")
+      .head().getSeq[Long](0)
+    assert(viaSql == sketchOf(stream))
+    spark.catalog.dropTempView("cm_input")
+  }
+
   test("wide sketch on few distincts is exact") {
     val few = Seq("a", "a", "b", "c", "c", "c").toDF("v")
     val sk = few.agg(CountMinSketch.sketch(col("v"), d, 4096).as("sk"))

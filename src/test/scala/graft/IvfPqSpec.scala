@@ -55,6 +55,24 @@ class IvfPqSpec extends SparkSpec {
     assert(top.forall(_ == 3), s"nprobe=1 must stay inside corner 3, got ${top.toSeq}")
   }
 
+  test("save/load round trip: identical results, directory-pruned probe") {
+    val path = tmpDir("ivfpq")
+    IvfPq.save(index, path)
+    val loaded = IvfPq.load(spark, path, "vec_id")
+    assert(loaded.cb == index.cb)
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    val query = planted.filter(col("vec_id") === 1)
+    def results(ix: IvfPq.Index) =
+      IvfPq.topK(ix, query, "embedding", k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(results(loaded) == results(index))
+    // the probe must prune at the directory level, not post-filter
+    val plan = IvfPq.topK(loaded, query, "embedding", k = 10, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"),
+      s"expected __list partition pruning in:\n$plan")
+  }
+
   test("pruned scan reads fewer rows than the corpus") {
     val query = planted.filter(col("vec_id") === 0)
     val probed = index.encoded.filter(col("__list").isin(

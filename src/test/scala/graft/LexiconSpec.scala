@@ -40,4 +40,21 @@ class LexiconSpec extends SparkSpec {
     val all = Lexicon.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
     assert(all.groupBy("id").count().as[(Long, Long)].collect().forall(_._2 == 2L))
   }
+
+  test("bpePairStats: hand-computed pair counts, weighted by word frequency") {
+    // "aa ab aa" + "b": pairs from aa(x2): "aa","a</w>"x2; ab: "ab","b</w>"; b: "b</w>"
+    val tiny = Seq((1L, "aa ab aa"), (2L, "b")).toDF("doc_id", "text")
+    val stats = Lexicon.bpePairStats(tiny, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(stats.toMap == Map("aa" -> 2L, "a</w>" -> 2L, "ab" -> 1L, "b</w>" -> 2L))
+    // ranking: count desc, pair asc
+    assert(stats.map(_._1) == Seq("a</w>", "aa", "b</w>", "ab"))
+  }
+
+  test("bpePairStats: single-char words contribute only their boundary pair") {
+    val tiny = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val stats = Lexicon.bpePairStats(tiny, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("x</w>" -> 2L, "y</w>" -> 1L))
+  }
 }
