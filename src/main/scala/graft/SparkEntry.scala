@@ -128,6 +128,14 @@ private[graft] object DsirStageCache
 private[graft] object IvfPqStageCache
     extends graft.util.SessionScopedCache[graft.operators.IvfPq.Index]
 
+/** Session-scoped cache of the trained BPE merge table: trained once
+  * per (application, dir), served by both the training query and the
+  * segmentation query (train-once/serve-forever, the tokenizer
+  * lifecycle).
+  */
+private[graft] object BpeStageCache
+    extends graft.util.SessionScopedCache[Seq[(Int, String, String, Long)]]
+
 object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1743,6 +1751,47 @@ object SparkEntry {
     graft.operators.Lexicon
       .bpePairStats(Tables(s, dir, "documents"), "text", topK = 30)
 
+  /** Trained BPE merge table for this (session, dir) — 6 iterations
+    * over the corpus vocabulary; see [[graft.operators.Lexicon
+    * .bpeTrain]].
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    BpeStageCache.getOrElseUpdate(s, dir)(
+      graft.operators.Lexicon.bpeTrain(Tables(s, dir, "documents"), "text", nMerges = 6)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
+  /** Full iterative BPE training, BIT-EXACT oracle-gated: 6 merges
+    * over the corpus vocabulary — per iteration, frequency-weighted
+    * adjacent-symbol-pair counts, top-pair selection (count desc,
+    * x/y asc), and the literal bracketed-string replace that IS
+    * greedy BPE merge application. The DuckDB oracle unrolls the
+    * same 6 iterations as CTEs ([[bpeIterSql]]) and hash-matches
+    * every merge and count.
+    */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF("iter", "x", "y", "n").orderBy(col("iter"))
+  }
+
+  /** BPE segmentation serving: the first 10 documents tokenized and
+    * segmented with the trained merge table (a pure per-row
+    * projection — the merges ride the plan as literal replaces).
+    * Oracle-gated end-to-end: the oracle re-trains the merges in SQL
+    * and applies the same 6 replaces to every token.
+    */
+  private def bpeSegmentQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(
+        col("doc_id"),
+        array_join(
+          flatten(graft.operators.Lexicon.bpeSegment(
+            col("text"), bpeMerges(s, dir).map(m => (m._2, m._3)))),
+          " ").as("segmented"))
+      .orderBy(col("doc_id"))
+
   /** Count-Min token-frequency sketch over the corpus, oracle-gated
     * via the q34 tolerance-verdict pattern: the sketch estimate for
     * each probe term must be >= the exact count (count-min never
@@ -2182,7 +2231,9 @@ object SparkEntry {
     "pq_encode_persisted" -> (pqEncodePersisted _),
     "countmin_tokens" -> (countminTokens _),
     "ann_ivfpq_topk" -> (annIvfpqTopk _),
-    "bpe_pair_stats" -> (bpePairStatsQ _))
+    "bpe_pair_stats" -> (bpePairStatsQ _),
+    "bpe_train" -> (bpeTrainQ _),
+    "bpe_segment" -> (bpeSegmentQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -2330,6 +2381,72 @@ object SparkEntry {
        |SELECT id_b AS vec_id, CAST(min(cluster) AS INT) AS cluster, min(id_a) AS dup_of,
        |       CAST(count(*) AS BIGINT) AS n_dups, max(cos) AS cos_max
        |FROM hits GROUP BY id_b ORDER BY vec_id""".stripMargin
+
+  /** One unrolled BPE iteration for the `bpe_train`/`bpe_segment`
+    * oracles: pair counts `p$i` from the symbol split of `w${i-1}`,
+    * top-pair selection `m$i` (count desc, x/y asc), and the literal
+    * bracketed replace producing `w$i` — the same step
+    * [[graft.operators.Lexicon.bpeTrain]] runs.
+    */
+  private def bpeIterSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT p.x AS x, p.y AS y, CAST(sum(wn) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT wn, unnest([{'x': s[j], 'y': s[j+1]} for j in range(1, len(s))]) AS p
+       |    FROM (SELECT wn,
+       |            string_split(regexp_replace(symstr, '^⟨|⟩$$', '', 'g'), '⟩⟨') AS s
+       |          FROM w${i - 1}))
+       |  GROUP BY p.x, p.y),
+       |m$i AS (SELECT x, y, n FROM p$i ORDER BY n DESC, x, y LIMIT 1),
+       |w$i AS (
+       |  SELECT replace(symstr, '⟨' || m.x || '⟩⟨' || m.y || '⟩',
+       |                 '⟨' || m.x || m.y || '⟩') AS symstr, wn
+       |  FROM w${i - 1}, m$i m)""".stripMargin
+
+  /** Shared head of the BPE oracles: the vocabulary-collapsed word
+    * table in bracketed-symbol form plus 6 unrolled iterations.
+    */
+  private lazy val bpeChainSql: String =
+    s"""w0 AS (
+       |  SELECT regexp_replace(tok, '(.)', '⟨\\1⟩', 'g') || '⟨</w>⟩' AS symstr,
+       |         CAST(count(*) AS BIGINT) AS wn
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) >= 1 AND tok NOT LIKE '%⟨%' AND tok NOT LIKE '%⟩%'
+       |  GROUP BY tok),
+       |${(1 to 6).map(bpeIterSql).mkString(",\n")}""".stripMargin
+
+  private lazy val bpeTrainOracleSql: String =
+    s"""WITH $bpeChainSql
+       |SELECT * FROM (
+       |${(1 to 6).map(i =>
+          s"  SELECT CAST($i AS INT) AS iter, x, y, n FROM m$i").mkString("\n  UNION ALL\n")}
+       |) ORDER BY iter""".stripMargin
+
+  private lazy val bpeSegmentOracleSql: String =
+    s"""WITH $bpeChainSql,
+       |pr AS (
+       |  SELECT ${(1 to 6).map(i =>
+            s"'⟨' || m$i.x || '⟩⟨' || m$i.y || '⟩' AS p$i, '⟨' || m$i.x || m$i.y || '⟩' AS r$i")
+            .mkString(",\n  ")}
+       |  FROM ${(1 to 6).map(i => s"m$i").mkString(", ")}),
+       |seg AS (
+       |  SELECT doc_id,
+       |    [regexp_replace(tok, '(.)', '⟨\\1⟩', 'g') || '⟨</w>⟩'
+       |     for tok in regexp_split_to_array(lower(trim(text)), '\\s+')] AS symstrs
+       |  FROM documents WHERE doc_id < 10),
+       |applied AS (
+       |  SELECT doc_id,
+       |    list_transform(symstrs, t ->
+       |      replace(replace(replace(replace(replace(replace(t,
+       |        p1, r1), p2, r2), p3, r3), p4, r4), p5, r5), p6, r6)) AS merged
+       |  FROM seg, pr)
+       |SELECT doc_id,
+       |  array_to_string(
+       |    flatten(list_transform(merged, t ->
+       |      string_split(regexp_replace(t, '^⟨|⟩$$', '', 'g'), '⟩⟨'))),
+       |    ' ') AS segmented
+       |FROM applied ORDER BY doc_id""".stripMargin
 
   /** One unrolled Lloyd iteration of subspace `s` for the `pq_encode`
     * oracle — the [[kmeansIterSql]] pattern over the sliced table
@@ -4092,5 +4209,7 @@ object SparkEntry {
         |  FROM words)
         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
-        |ORDER BY n DESC, pair LIMIT 30""".stripMargin)
+        |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "bpe_train" -> bpeTrainOracleSql,
+    "bpe_segment" -> bpeSegmentOracleSql)
 }

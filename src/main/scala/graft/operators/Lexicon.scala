@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,5 +168,117 @@ object Lexicon {
       .agg(sum(col("wn")).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
+  }
+
+  // --------------------------------------------------------------------
+  // Iterative BPE training (Sennrich, Haddow & Birch 2016). Symbol
+  // sequences are represented as BRACKETED STRINGS — '⟨h⟩⟨i⟩⟨</w>⟩' —
+  // because applying one merge is then a LITERAL string replace
+  // ('⟨x⟩⟨y⟩' -> '⟨xy⟩'), and literal replace is left-to-right
+  // non-overlapping in every engine: exactly BPE's greedy merge
+  // semantics ('⟨a⟩⟨a⟩⟨a⟩⟨a⟩' -> '⟨aa⟩⟨aa⟩'), replayed verbatim by
+  // the DuckDB oracle. The bracket codepoints (U+27E8/27E9) never
+  // appear in real tokens; words containing them are filtered (the
+  // same WHERE runs in the oracle).
+  // --------------------------------------------------------------------
+
+  /** Bracketed symbol string of a word: every character becomes one
+    * symbol, plus the `</w>` boundary symbol.
+    */
+  private[operators] def bpeSymInit(w: Column): Column =
+    concat(regexp_replace(w, "(.)", "⟨$1⟩"), lit("⟨" + EowMarker + "⟩"))
+
+  /** Symbol array from a bracketed string (strip the outer brackets,
+    * split on the inner boundaries).
+    */
+  private[operators] def bpeSyms(symstr: Column): Column =
+    split(regexp_replace(symstr, "^⟨|⟩$", ""), "⟩⟨")
+
+  /** Train `nMerges` BPE merges over the corpus: per iteration, count
+    * adjacent symbol pairs (weighted by word frequency), take the most
+    * frequent (ties: x then y ascending), and apply it everywhere via
+    * the literal replace. Returns (iter, x, y, n) — the ordered merge
+    * table a tokenizer serves — fully deterministic and SQL-replayable
+    * (the `bpe_train` oracle unrolls the same iterations).
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (one
+    * map-combinable count), so each iteration is two vocabulary-sized
+    * jobs — a pair-count aggregation (output bounded by distinct
+    * adjacent pairs) and a one-row TakeOrdered — plus a stateless
+    * column rewrite. Corpus size enters only through the initial
+    * count's weights; 50k merges would iterate the same shape.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 &&
+        !col("w").contains("⟨") && !col("w").contains("⟩"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wn"))
+      .select(bpeSymInit(col("w")).as("symstr"), col("wn"))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var iter = 1
+    var exhausted = false
+    try {
+      while (iter <= nMerges && !exhausted) {
+        val s = bpeSyms(col("symstr"))
+        val top = words
+          .select(col("wn"), s.as("s"))
+          .select(col("wn"),
+            explode(when(size(col("s")) >= 2,
+              transform(sequence(lit(1), size(col("s")) - 1),
+                i => struct(
+                  element_at(col("s"), i).as("x"),
+                  element_at(col("s"), i + 1).as("y"))))
+              .otherwise(array().cast("array<struct<x:string,y:string>>")))
+              .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("x").asc, col("y").asc)
+          .limit(1)
+          .collect() // bounded: one row
+        if (top.isEmpty) exhausted = true
+        else {
+          val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((iter, x, y, n))
+          val replaced = org.apache.spark.sql.GraftColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.StringReplace(
+              org.apache.spark.sql.GraftColumnShim.expression(col("symstr")),
+              org.apache.spark.sql.GraftColumnShim.expression(lit(s"⟨$x⟩⟨$y⟩")),
+              org.apache.spark.sql.GraftColumnShim.expression(lit(s"⟨$x$y⟩"))))
+          val next = words.select(replaced.as("symstr"), col("wn")).persist()
+          next.count()
+          words.unpersist()
+          words = next
+          iter += 1
+        }
+      }
+    } finally words.unpersist()
+    merges.toSeq.toDF("iter", "x", "y", "n").orderBy(col("iter"))
+  }
+
+  /** Apply an ordered merge table to segment text: every token becomes
+    * its symbol array after all merges — the SERVING side of
+    * [[bpeTrain]] (a pure per-row projection: the merge list rides the
+    * plan as literal replaces, so it runs on streams too).
+    */
+  def bpeSegment(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    transform(toks, w => {
+      val init = bpeSymInit(w)
+      val merged = merges.foldLeft(init) { case (acc, (x, y)) =>
+        org.apache.spark.sql.GraftColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.StringReplace(
+            org.apache.spark.sql.GraftColumnShim.expression(acc),
+            org.apache.spark.sql.GraftColumnShim.expression(lit(s"⟨$x⟩⟨$y⟩")),
+            org.apache.spark.sql.GraftColumnShim.expression(lit(s"⟨$x$y⟩"))))
+      }
+      bpeSyms(merged)
+    })
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import graft.operators.Lexicon
 
+import org.apache.spark.sql.functions.col
+
 class LexiconSpec extends SparkSpec {
   import spark.implicits._
 
@@ -56,5 +58,37 @@ class LexiconSpec extends SparkSpec {
     val stats = Lexicon.bpePairStats(tiny, "text", topK = 10)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats == Map("x</w>" -> 2L, "y</w>" -> 1L))
+  }
+
+  test("bpeTrain: hand-traced merges with the </w>-before-letters tie rule") {
+    // "aa"x2 + "ab": iter1 pairs (a,a)=2, (a,</w>)=2, (a,b)=1, (b,</w>)=1;
+    // tie at 2 breaks on y: '</w>' < 'a' byte-wise -> merge (a, </w>)
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Lexicon.bpeTrain(tiny, "text", nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges(0) == ((1, "a", "</w>", 2L)))
+    // after merge 1: 'aa' is (a)(a</w>), so (a, a</w>) leads with 2
+    assert(merges(1) == ((2, "a", "a</w>", 2L)))
+  }
+
+  test("bpeTrain + bpeSegment: greedy left-to-right merge on runs") {
+    // "aaaa": (a,a) appears 3 times overlapping; greedy BPE merges
+    // non-overlapping left-to-right -> (aa)(aa)
+    val tiny = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = Lexicon.bpeTrain(tiny, "text", nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges(0) == ((1, "a", "a", 3L)), s"got $merges")
+    assert(merges(1) == ((2, "aa", "</w>", 1L)), s"got $merges")
+    val seg = tiny
+      .select(Lexicon.bpeSegment(col("text"), merges.map(m => (m._2, m._3))).as("s"))
+      .head().getSeq[Seq[String]](0)
+    assert(seg == Seq(Seq("aa", "aa</w>")), s"got $seg")
+  }
+
+  test("bpeSegment with no merges yields bracketless character symbols") {
+    val seg = Seq((1L, "hi")).toDF("doc_id", "text")
+      .select(Lexicon.bpeSegment(col("text"), Nil).as("s"))
+      .head().getSeq[Seq[String]](0)
+    assert(seg == Seq(Seq("h", "i", "</w>")))
   }
 }
