@@ -1751,6 +1751,28 @@ object SparkEntry {
     graft.operators.Lexicon
       .bpePairStats(Tables(s, dir, "documents"), "text", topK = 30)
 
+  /** Chunk-level retrieval — the RAG-corpus composition: documents
+    * chunked into 64-token/48-stride windows, a BM25 index built over
+    * the CHUNKS (composite id doc_id*100+chunk_id), and the top-20
+    * chunks for the query terms returned with their provenance.
+    * Oracle-gated end-to-end: the chunking replay (range + inclusive
+    * slices) feeds the same integer-grid BM25 formula.
+    */
+  private def chunkSearch(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunking
+      .chunk(Tables(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 64, strideTokens = 48)
+      .select((col("doc_id") * 100 + col("chunk_id")).as("cid"), col("chunk_text"))
+    val idx = Bm25IndexCache.getOrElseUpdate(s, dir + "#chunks")(
+      graft.operators.Bm25.build(chunks, "cid", "chunk_text"))
+    graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 20)
+      .select(
+        expr("CAST(id DIV 100 AS BIGINT)").as("doc_id"),
+        pmod(col("id"), lit(100L)).cast("int").as("chunk_id"),
+        col("n_terms"),
+        col("score"))
+  }
+
   /** Trained BPE merge table for this (session, dir) — 6 iterations
     * over the corpus vocabulary; see [[graft.operators.Lexicon
     * .bpeTrain]].
@@ -2233,7 +2255,8 @@ object SparkEntry {
     "ann_ivfpq_topk" -> (annIvfpqTopk _),
     "bpe_pair_stats" -> (bpePairStatsQ _),
     "bpe_train" -> (bpeTrainQ _),
-    "bpe_segment" -> (bpeSegmentQ _))
+    "bpe_segment" -> (bpeSegmentQ _),
+    "chunk_search" -> (chunkSearch _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4211,5 +4234,48 @@ object SparkEntry {
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "bpe_train" -> bpeTrainOracleSql,
-    "bpe_segment" -> bpeSegmentOracleSql)
+    "bpe_segment" -> bpeSegmentOracleSql,
+    // chunk-level BM25: the chunk_documents replay feeding the
+    // bm25_search integer-grid formula over composite chunk ids
+    "chunk_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0,
+        |      greatest(CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT), 0) + 1))
+        |      AS cid
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id * 100 + cid AS cid,
+        |    array_to_string(ws[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+        |  FROM c),
+        |toks AS (
+        |  SELECT cid, regexp_split_to_array(lower(trim(chunk_text)), '\s+') AS t
+        |  FROM ch),
+        |lens AS (SELECT cid, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM lens),
+        |post AS (
+        |  SELECT cid, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT cid, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('vector', 'merge', 'stream')
+        |  GROUP BY cid, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |contrib AS (
+        |  SELECT p.cid,
+        |    CAST(floor(
+        |      ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |         (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))) *
+        |      1000000.0) AS BIGINT) AS lp
+        |  FROM post p JOIN dfreq USING (term) JOIN lens USING (cid) CROSS JOIN meta),
+        |agg2 AS (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_terms, sum(lp) AS s
+        |  FROM contrib GROUP BY cid)
+        |SELECT CAST(cid // 100 AS BIGINT) AS doc_id, CAST(cid % 100 AS INT) AS chunk_id,
+        |       n_terms, round(CAST(s AS DOUBLE) / 1000000.0, 4) AS score
+        |FROM agg2 ORDER BY s DESC, cid LIMIT 20""".stripMargin)
 }
