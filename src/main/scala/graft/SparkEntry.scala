@@ -1751,6 +1751,36 @@ object SparkEntry {
     graft.operators.Lexicon
       .bpePairStats(Tables(s, dir, "documents"), "text", topK = 30)
 
+  /** Count-Min heavy hitters — the sketch's canonical selection use:
+    * every token whose SKETCH estimate clears the threshold
+    * `floor(N/64)` is a candidate; because count-min never
+    * underestimates, the candidates are a GUARANTEED superset of the
+    * true heavy hitters, and the collision bound caps how far a
+    * false positive can sit below the threshold. The emitted rows
+    * are the exact hitters (SQL-replayable) plus the two-sided
+    * verdict the oracle asserts: no true hitter missed, no candidate
+    * further than `10N/w` below the threshold.
+    */
+  private def countminHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val CM = graft.functions.CountMinSketch
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("term"))
+    val sk = toks.agg(CM.sketch(col("term")).as("sk"), count(lit(1)).as("n"))
+    val est = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(sk))
+      .select(col("term"), col("exact_n"),
+        CM.estimate(col("sk"), col("term")).as("est"),
+        floor(col("n") / lit(64.0)).cast("long").as("t"),
+        ceil(lit(10.0) * col("n") / lit(CM.DefaultWidth)).cast("long").as("bound"))
+    val verdict = est.agg(
+      bool_and(col("exact_n") < col("t") || col("est") >= col("t")).as("v1"),
+      bool_and(col("est") < col("t") || col("exact_n") >= col("t") - col("bound")).as("v2"))
+    est.filter(col("exact_n") >= col("t"))
+      .crossJoin(broadcast(verdict))
+      .select(col("term"), col("exact_n"), (col("v1") && col("v2")).as("hh_ok"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   /** Chunk-level retrieval — the RAG-corpus composition: documents
     * chunked into 64-token/48-stride windows, a BM25 index built over
     * the CHUNKS (composite id doc_id*100+chunk_id), and the top-20
@@ -2256,7 +2286,8 @@ object SparkEntry {
     "bpe_pair_stats" -> (bpePairStatsQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_segment" -> (bpeSegmentQ _),
-    "chunk_search" -> (chunkSearch _))
+    "chunk_search" -> (chunkSearch _),
+    "countmin_heavyhitters" -> (countminHeavyHitters _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4277,5 +4308,17 @@ object SparkEntry {
         |  FROM contrib GROUP BY cid)
         |SELECT CAST(cid // 100 AS BIGINT) AS doc_id, CAST(cid % 100 AS INT) AS chunk_id,
         |       n_terms, round(CAST(s AS DOUBLE) / 1000000.0, 4) AS score
-        |FROM agg2 ORDER BY s DESC, cid LIMIT 20""".stripMargin)
+        |FROM agg2 ORDER BY s DESC, cid LIMIT 20""".stripMargin,
+    // heavy hitters: exact counts above floor(N/64) replayed, hh_ok
+    // verdict asserted (superset + collision-bound guarantees)
+    "countmin_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        |SELECT term, exact_n, true AS hh_ok
+        |FROM ex, tot
+        |WHERE exact_n >= CAST(floor(n / 64.0) AS BIGINT)
+        |ORDER BY exact_n DESC, term""".stripMargin)
 }

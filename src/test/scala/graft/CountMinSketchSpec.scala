@@ -69,6 +69,25 @@ class CountMinSketchSpec extends SparkSpec {
     spark.catalog.dropTempView("cm_input")
   }
 
+  test("heavy-hitter selection by estimate is a superset of the exact hitters") {
+    val t = 10L
+    val sk = stream.agg(CountMinSketch.sketch(col("v"), d, w).as("sk"))
+    val selected = stream.groupBy(col("v")).agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(sk))
+      .select(col("v"), col("exact_n"),
+        CountMinSketch.estimate(col("sk"), col("v"), d, w).as("est"))
+      .collect()
+    val exactHitters = selected.filter(_.getLong(1) >= t).map(_.getString(0)).toSet
+    val candidates = selected.filter(_.getLong(2) >= t).map(_.getString(0)).toSet
+    assert(exactHitters.subsetOf(candidates),
+      "never-underestimate implies every true hitter is selected")
+    val n = stream.count()
+    selected.filter(_.getLong(2) >= t).foreach { r =>
+      assert(r.getLong(1) >= t - (10L * n / w + 1),
+        s"candidate ${r.getString(0)} too far below the threshold")
+    }
+  }
+
   test("wide sketch on few distincts is exact") {
     val few = Seq("a", "a", "b", "c", "c", "c").toDF("v")
     val sk = few.agg(CountMinSketch.sketch(col("v"), d, 4096).as("sk"))
