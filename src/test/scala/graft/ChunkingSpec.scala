@@ -83,4 +83,23 @@ class ChunkingSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"expected exactly one shuffle:\n$plan")
   }
+
+  test("chunking is stateless: stream output equals batch row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, doc(1L, 20)._2), (2L, doc(2L, 3)._2))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = s"schunk_${System.nanoTime()}"
+    val q = Chunking.chunk(in.toDF().toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table(name)
+        .as[(Long, Int, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = Chunking.chunk(rows.toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+        .as[(Long, Int, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(stream == batch)
+      assert(stream.nonEmpty)
+    } finally q.stop()
+  }
 }
