@@ -128,6 +128,13 @@ private[graft] object DsirStageCache
 private[graft] object IvfPqStageCache
     extends graft.util.SessionScopedCache[graft.operators.IvfPq.Index]
 
+/** Session-scoped cache of the RESIDUAL IVF-PQ index (the faiss IVFPQ
+  * form: codebooks over list-relative residuals) — same train-once
+  * lifecycle as [[IvfPqStageCache]].
+  */
+private[graft] object IvfPqResidualCache
+    extends graft.util.SessionScopedCache[graft.operators.IvfPq.ResidualIndex]
+
 /** Session-scoped cache of the trained BPE merge table: trained once
   * per (application, dir), served by both the training query and the
   * segmentation query (train-once/serve-forever, the tokenizer
@@ -1751,6 +1758,30 @@ object SparkEntry {
     graft.operators.Lexicon
       .bpePairStats(Tables(s, dir, "documents"), "text", topK = 30)
 
+  /** RESIDUAL IVF-PQ ANN top-20 (the full faiss IVFPQ form): same
+    * probed-list pruning and m-byte ADC scan as [[annIvfpqTopk]],
+    * but the codes quantize each vector's RESIDUAL to its list
+    * centroid and every probed list scores against its own query
+    * table — tighter distances at identical code size. Same planted
+    * recall gate, shared ann oracle.
+    */
+  private def annIvfpqResidualTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val index = IvfPqResidualCache.getOrElseUpdate(s, dir + "#planted") {
+      val ivf = IvfStageCache.getOrElseUpdate(s, dir + "#planted") {
+        val base = IvfStageCache.getOrElseUpdate(s, dir)(
+          IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
+        IvfAnn.append(base, corpus.filter(col("vec_id") >= 1000000L))
+      }
+      graft.operators.IvfPq.fromPartsResidual(ivf, m = 4, ksub = 16, iters = 2)
+    }
+    val approx = graft.operators.IvfPq
+      .topKResidual(index, query, "embedding", k = 20, nprobe = 4)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
+  }
+
   /** Count-Min heavy hitters — the sketch's canonical selection use:
     * every token whose SKETCH estimate clears the threshold
     * `floor(N/64)` is a candidate; because count-min never
@@ -2287,7 +2318,8 @@ object SparkEntry {
     "bpe_train" -> (bpeTrainQ _),
     "bpe_segment" -> (bpeSegmentQ _),
     "chunk_search" -> (chunkSearch _),
-    "countmin_heavyhitters" -> (countminHeavyHitters _))
+    "countmin_heavyhitters" -> (countminHeavyHitters _),
+    "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -2311,7 +2343,8 @@ object SparkEntry {
     "semantic_dedup_persisted" -> oracleSqlBase("semantic_dedup"),
     // IVF-PQ emits the same exact-top-20 + recall-verdict rows as the
     // other ANN gates; the oracle is shared (ann gate pattern)
-    "ann_ivfpq_topk" -> oracleSqlBase("ann_lsh_topk"))
+    "ann_ivfpq_topk" -> oracleSqlBase("ann_lsh_topk"),
+    "ann_ivfpq_residual_topk" -> oracleSqlBase("ann_lsh_topk"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table

@@ -69,6 +69,83 @@ object IvfPq {
       .withColumnRenamed("__id", index.idCol)
   }
 
+  /** Residual projection of an assigned corpus: each vector minus its
+    * own inverted list's centroid (the list id picks the centroid row
+    * from the closure-shipped matrix — no join). Residuals concentrate
+    * near the origin, which is why residual codebooks quantize tighter
+    * than raw-vector codebooks for the same (m, ksub).
+    */
+  private def residuals(ivf: IvfAnn.Index): DataFrame = {
+    val cents = typedLit(ivf.centroids.map(_.toSeq).toSeq)
+    ivf.assigned.select(
+      col("__id"), col("__list"),
+      zip_with(col("__vec"), element_at(cents, col("__list") + 1),
+        (a, b) => a.cast("double") - b).as("__res"))
+  }
+
+  /** A residual IVF-PQ index (the full faiss IVFPQ form): codes are
+    * PQ codes of each vector's RESIDUAL to its list centroid, so the
+    * codebooks model the within-list distribution instead of the
+    * whole space — tighter ADC distances at identical code size.
+    */
+  final case class ResidualIndex(
+      centroids: Array[Array[Double]],
+      cb: ProductQuantizer.Codebooks,
+      encoded: DataFrame,
+      idCol: String)
+
+  /** Train residual codebooks over the assigned corpus and encode it:
+    * one residual projection feeds [[ProductQuantizer.train]] and the
+    * encode — same train-once lifecycle as [[fromParts]], same
+    * determinism (the residual arithmetic is fixed-order IEEE, the
+    * argmins exact).
+    */
+  def fromPartsResidual(
+      ivf: IvfAnn.Index,
+      m: Int,
+      ksub: Int,
+      iters: Int): ResidualIndex = {
+    val res = residuals(ivf).persist()
+    try {
+      val cb = ProductQuantizer.train(res, "__id", "__res", m, ksub, iters)
+      val encoded = ProductQuantizer
+        .encode(res, "__id", "__res", cb, keep = Seq("__list"))
+        .persist()
+      encoded.count()
+      ResidualIndex(ivf.centroids, cb, encoded, ivf.idCol)
+    } finally res.unpersist()
+  }
+
+  /** Residual ADC top-k: each probed list scans with its OWN distance
+    * table (built from the query's residual to THAT list's centroid —
+    * the same floor-quantization the encode used), per-list top-k via
+    * TakeOrderedAndProject, and a bounded nprobe-way union merges to
+    * the global k. Scan cost identical to [[topK]]; only the driver
+    * builds nprobe tables instead of one.
+    */
+  def topKResidual(
+      index: ResidualIndex,
+      query: DataFrame,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble)
+    val probes = IvfAnn.probeLists(index.centroids, qVec.toArray, nprobe)
+    val branches = probes.map { l =>
+      val c = index.centroids(l)
+      val qQ = qVec.zip(c).map { case (a, b) =>
+        math.floor((a - b) * TopicAssign.GridScale).toLong
+      }.toSeq
+      ProductQuantizer.adcTopK(
+        index.encoded.filter(col("__list") === l),
+        "__id", ProductQuantizer.distTable(qQ, index.cb), index.cb, k)
+    }
+    branches.reduce(_.unionAll(_))
+      .orderBy(col("adc_dist").asc, col("__id").asc)
+      .limit(k)
+      .withColumnRenamed("__id", index.idCol)
+  }
+
   /** Persist the composed index: the encoded corpus partitioned BY
     * list id — so a loaded index's probe prunes at the directory
     * level AND each directory holds only m-byte code rows (the two
