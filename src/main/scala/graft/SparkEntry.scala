@@ -145,6 +145,28 @@ private[graft] object BpeStageCache
 
 object SparkEntry {
 
+  /** Composite chunk-id stride for chunk-level retrieval: supports up
+    * to 100000 chunks per document (~4.8 M tokens at window 64 /
+    * stride 48); an in-plan assert_true fails the query rather than
+    * aliasing ids when exceeded.
+    */
+  private val ChunkIdMultiplier = 100000L
+
+  /** Temp directory for persisted-store gated queries, registered for
+    * recursive deletion at JVM exit so repeated (session, dir) runs
+    * don't leak parquet trees.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     pricingSummary(spark, "/root/testdata/sf0.001")
@@ -1078,7 +1100,7 @@ object SparkEntry {
     val store = MinhashStoreCache.getOrElseUpdate(s, dir + "#minhash-persisted") {
       val live = TextDedup.buildMinhashStore(docs, "doc_id", "text",
         scheme = TextDedup.PortableMd5Scheme)
-      val path = java.nio.file.Files.createTempDirectory("graft-minhash-store").toString
+      val path = scratchDir("graft-minhash-store")
       TextDedup.saveMinhashStore(live, path, prefixBuckets = 32)
       live.unpersist()
       TextDedup.loadMinhashStore(s, path)
@@ -1205,7 +1227,7 @@ object SparkEntry {
     val store = SpanStoreCache.getOrElseUpdate(s, dir + "#spans-persisted") {
       val live = TextDedup.buildSpanStore(seeded.filter(col("doc_id") % 50 =!= 7),
         "doc_id", "text", k = 8, hashedGramKeys = false)
-      val path = java.nio.file.Files.createTempDirectory("graft-span-store").toString
+      val path = scratchDir("graft-span-store")
       TextDedup.saveSpanStore(live, path, prefixBuckets = 32)
       live.unpersist()
       TextDedup.loadSpanStore(s, path)
@@ -1625,7 +1647,7 @@ object SparkEntry {
     val cb = PqStageCache.getOrElseUpdate(s, dir + "#persisted") {
       val live = PqStageCache.getOrElseUpdate(s, dir)(
         PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
-      val path = java.nio.file.Files.createTempDirectory("graft-pq-books").toString
+      val path = scratchDir("graft-pq-books")
       PQ.save(live, s, path)
       PQ.load(s, path)
     }
@@ -1655,7 +1677,7 @@ object SparkEntry {
     val cents = SemDedupCache.getOrElseUpdate(s, dir + "#persisted") {
       val live = SemDedupCache.getOrElseUpdate(s, dir)(
         graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
-      val path = java.nio.file.Files.createTempDirectory("graft-kmeans-cents").toString
+      val path = scratchDir("graft-kmeans-cents")
       graft.operators.KMeansTrain.saveCentroids(live, s, path)
       graft.operators.KMeansTrain.loadCentroids(s, path)
     }
@@ -1814,7 +1836,9 @@ object SparkEntry {
 
   /** Chunk-level retrieval — the RAG-corpus composition: documents
     * chunked into 64-token/48-stride windows, a BM25 index built over
-    * the CHUNKS (composite id doc_id*100+chunk_id), and the top-20
+    * the CHUNKS (composite id doc_id*100000+chunk_id; an in-plan
+    * assert_true fails loudly if any document ever yields >=100000
+    * chunks rather than silently aliasing ids), and the top-20
     * chunks for the query terms returned with their provenance.
     * Oracle-gated end-to-end: the chunking replay (range + inclusive
     * slices) feeds the same integer-grid BM25 formula.
@@ -1823,13 +1847,16 @@ object SparkEntry {
     val chunks = graft.operators.Chunking
       .chunk(Tables(s, dir, "documents"), "doc_id", "text",
         windowTokens = 64, strideTokens = 48)
-      .select((col("doc_id") * 100 + col("chunk_id")).as("cid"), col("chunk_text"))
+      .select(
+        (col("doc_id") * ChunkIdMultiplier + col("chunk_id") +
+          coalesce(assert_true(col("chunk_id") < ChunkIdMultiplier), lit(0L))).as("cid"),
+        col("chunk_text"))
     val idx = Bm25IndexCache.getOrElseUpdate(s, dir + "#chunks")(
       graft.operators.Bm25.build(chunks, "cid", "chunk_text"))
     graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 20)
       .select(
-        expr("CAST(id DIV 100 AS BIGINT)").as("doc_id"),
-        pmod(col("id"), lit(100L)).cast("int").as("chunk_id"),
+        expr(s"CAST(id DIV $ChunkIdMultiplier AS BIGINT)").as("doc_id"),
+        pmod(col("id"), lit(ChunkIdMultiplier)).cast("int").as("chunk_id"),
         col("n_terms"),
         col("score"))
   }
@@ -4313,7 +4340,7 @@ object SparkEntry {
         |      AS cid
         |  FROM t),
         |ch AS (
-        |  SELECT doc_id * 100 + cid AS cid,
+        |  SELECT doc_id * 100000 + cid AS cid,
         |    array_to_string(ws[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |  FROM c),
         |toks AS (
@@ -4339,7 +4366,7 @@ object SparkEntry {
         |agg2 AS (
         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_terms, sum(lp) AS s
         |  FROM contrib GROUP BY cid)
-        |SELECT CAST(cid // 100 AS BIGINT) AS doc_id, CAST(cid % 100 AS INT) AS chunk_id,
+        |SELECT CAST(cid // 100000 AS BIGINT) AS doc_id, CAST(cid % 100000 AS INT) AS chunk_id,
         |       n_terms, round(CAST(s AS DOUBLE) / 1000000.0, 4) AS score
         |FROM agg2 ORDER BY s DESC, cid LIMIT 20""".stripMargin,
     // heavy hitters: exact counts above floor(N/64) replayed, hh_ok

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -45,8 +45,17 @@ case class CountMinSketchAgg(
 
   require(depth > 0 && width > 0, "depth and width must be positive")
 
+  // The child is evaluated ONCE per row into a reusable one-field row;
+  // the per-seed hash expressions rebind to that pre-evaluated value so
+  // an expensive child costs one evaluation, not depth+1. Hash values
+  // are identical to XxHash64-over-child (same type, same seed), which
+  // [[CountMinSketch.estimate]]'s probe relies on.
+  @transient private lazy val valueRow = new GenericInternalRow(1)
   @transient private lazy val hashExprs: Array[Expression] =
-    Array.tabulate(depth)(i => XxHash64(Seq(child), CountMinSketch.seed(i)))
+    Array.tabulate(depth)(i =>
+      XxHash64(
+        Seq(BoundReference(0, child.dataType, nullable = false)),
+        CountMinSketch.seed(i)))
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -62,10 +71,12 @@ case class CountMinSketchAgg(
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    if (child.eval(input) != null) {
+    val v = child.eval(input)
+    if (v != null) {
+      valueRow.update(0, v)
       var i = 0
       while (i < depth) {
-        val h = hashExprs(i).eval(input).asInstanceOf[Long]
+        val h = hashExprs(i).eval(valueRow).asInstanceOf[Long]
         buf(i * width + java.lang.Math.floorMod(h, width.toLong).toInt) += 1L
         i += 1
       }

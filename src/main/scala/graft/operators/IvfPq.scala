@@ -59,7 +59,7 @@ object IvfPq {
     val qVec = query.select(col(vecCol)).head().getSeq[Float](0)
     val probes = IvfAnn.probeLists(
       index.centroids, qVec.map(_.toDouble).toArray, nprobe)
-    val qQ = qVec.map(x => math.floor(x.toDouble * 1e6).toLong).toSeq
+    val qQ = qVec.map(x => math.floor(x.toDouble * TopicAssign.GridScale).toLong).toSeq
     ProductQuantizer.adcTopK(
       index.encoded.filter(col("__list").isin(probes: _*)),
       "__id",
