@@ -62,10 +62,17 @@ object TextDedup {
     * nobody asked for (flagged in round 6). Parallelism stays
     * caller-owned in the common case.
     */
-  private[operators] def spreadToCores(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
+  // Streaming DataFrames have no .rdd — and micro-batch planning
+  // already spreads each batch across cores — so the spread is a
+  // batch-only optimization and a no-op on streams. Keeps every
+  // stateless caller (Winnow.fingerprints in particular) legal as a
+  // readStream transform.
+  private[operators] def spreadToCores(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    }
 
   /** Exact duplicate clusters by canonical-form fingerprint: one row per
     * duplicated fingerprint with the surviving (minimum) id and the ids
