@@ -43,6 +43,56 @@ object WindowedAggs {
     base.select(outCols: _*)
   }
 
+  /** Per-window count-min sketch: the bounded-state streaming
+    * frequency summary. State per window is the fixed depth*width
+    * counter matrix (256 KB at defaults) regardless of how many
+    * events the window sees — the textbook answer to "top terms per
+    * hour" on a stream too large to count exactly. The aggregate is
+    * [[graft.functions.CountMinSketchAgg]]: partial buffers merge
+    * associatively, so the micro-batch partials combine map-side and
+    * the state-store value is the running matrix. Deterministic: the
+    * finalized window's sketch is a pure function of the window's
+    * events, so a stream run equals the batch groupBy over the same
+    * data (StreamHeavyHittersSpec's differential).
+    */
+  def windowedSketch(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermark: String,
+      depth: Int = graft.functions.CountMinSketch.DefaultDepth,
+      width: Int = graft.functions.CountMinSketch.DefaultWidth): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.functions.CountMinSketch.sketch(col(valueCol), depth, width).as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("sketch"))
+
+  /** Heavy-hitter probe of per-window sketches: for each candidate
+    * (window_start, term) row, the sketch estimate — never an
+    * underestimate — filtered to `threshold`. Stateless projection
+    * over the (small) windowed-sketch side; works identically on the
+    * batch twin, which is how the differential spec gates it.
+    */
+  def heavyHitters(
+      windowedSketches: DataFrame,
+      candidates: DataFrame,
+      termCol: String,
+      threshold: Long,
+      depth: Int = graft.functions.CountMinSketch.DefaultDepth,
+      width: Int = graft.functions.CountMinSketch.DefaultWidth): DataFrame =
+    windowedSketches
+      .join(candidates, Seq("window_start"))
+      .select(
+        col("window_start"),
+        col(termCol).as("term"),
+        graft.functions.CountMinSketch
+          .estimate(col("sketch"), col(termCol), depth, width).as("est"))
+      .filter(col("est") >= threshold)
+
   /** Sliding-window variant. */
   def slidingCounts(
       df: DataFrame,
