@@ -138,6 +138,61 @@ object Bm25 {
       Seq(matched))
   }
 
+  /** Fold new documents into an index without rebuilding — the
+    * [[TextDedup.absorbIntoMinhashStore]] shape: only the INCREMENT is
+    * tokenized (one staged pass — postings explode+count and the
+    * map-only length projection over the new docs alone; no corpus
+    * rescan, no corpus shuffle), then unioned in with the exact totals
+    * added. Increment ids must be new to the index (the ingest
+    * contract every absorb in this repo shares); postings rows can
+    * then never collide, so the result is row-identical to [[build]]
+    * over the union corpus and searches score bit-for-bit the same
+    * (Bm25Spec's absorb==rebuild differential).
+    */
+  def absorb(index: Index, increment: DataFrame, idCol: String, textCol: String): Index = {
+    val inc = build(increment, idCol, textCol)
+    val incPostings = index.prefixBuckets match {
+      case Some(nb) => inc.postings.withColumn("__tp", hashPrefix(col("term"), nb))
+      case None => inc.postings
+    }
+    val mergedPostings = index.postings.unionByName(incPostings).persist()
+    val mergedDocs = index.docs.unionByName(inc.docs).persist()
+    mergedPostings.count()
+    mergedDocs.count()
+    inc.unpersist()
+    Index(mergedPostings, mergedDocs,
+      index.nDocs + inc.nDocs, index.totalDl + inc.totalDl, index.prefixBuckets)
+  }
+
+  /** [[absorb]] for a PERSISTED index: tokenize the increment, then
+    * dynamic-partition-APPEND its postings into the saved term-prefix
+    * layout — only the prefixes that receive rows gain files, existing
+    * directories are untouched — append the new doc lengths, and
+    * rewrite the one-row meta with the summed exact totals. Cost is
+    * O(increment); a subsequent [[load]] serves searches over the
+    * merged corpus with the same partition-pruned reads.
+    */
+  def absorbIntoSaved(
+      spark: SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nb = meta.getAs[Int]("prefixBuckets")
+    val inc = build(increment, idCol, textCol)
+    inc.postings
+      .withColumn("__tp", hashPrefix(col("term"), nb))
+      .write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
+    inc.docs.select(col("id"), col("dl"))
+      .write.mode("append").parquet(s"$path/docs")
+    Seq((meta.getAs[Long]("nDocs") + inc.nDocs, meta.getAs[Long]("totalDl") + inc.totalDl, nb))
+      .toDF("nDocs", "totalDl", "prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    inc.unpersist()
+  }
+
   /** Persist the index: postings partitioned by a term hash prefix
     * (searches read only the query terms' directories), doc lengths
     * plain, exact totals in a one-row meta parquet.

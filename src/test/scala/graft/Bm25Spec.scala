@@ -76,4 +76,47 @@ class Bm25Spec extends SparkSpec {
       s"expected __tp partition pruning in:\n$plan")
     idx.unpersist()
   }
+
+  test("absorb-then-search equals rebuild-then-search (in-memory)") {
+    val first = Seq(
+      (1L, "cat dog cat fish"),
+      (2L, "dog bird")).toDF("doc_id", "text")
+    val second = Seq(
+      (3L, "fish fish fish"),
+      (4L, "cat bird bird dog")).toDF("doc_id", "text")
+    val absorbed = Bm25.absorb(Bm25.build(first, "doc_id", "text"), second, "doc_id", "text")
+    val rebuilt = Bm25.build(first.unionByName(second), "doc_id", "text")
+    assert(absorbed.nDocs == rebuilt.nDocs && absorbed.totalDl == rebuilt.totalDl)
+    val a = Bm25.search(absorbed, Seq("cat", "fish", "bird"), k = 10).collect().toSeq
+    val r = Bm25.search(rebuilt, Seq("cat", "fish", "bird"), k = 10).collect().toSeq
+    assert(a == r, s"absorbed=$a rebuilt=$r")
+    assert(a.nonEmpty)
+    absorbed.unpersist(); rebuilt.unpersist()
+  }
+
+  test("persisted absorb appends O(increment) and searches like a full rebuild") {
+    val first = (0L until 30L).map { i =>
+      (i, if (i % 3 == 0) s"needle common$i filler" else s"common$i filler hay")
+    }.toDF("doc_id", "text")
+    val second = (100L until 110L).map { i =>
+      (i, if (i % 2 == 0) s"needle fresh$i" else s"hay fresh$i stack")
+    }.toDF("doc_id", "text")
+
+    val path = tmpDir("bm25-absorb")
+    Bm25.save(Bm25.build(first, "doc_id", "text"), path, prefixBuckets = 16)
+    val before = new java.io.File(s"$path/docs").listFiles().count(_.getName.endsWith(".parquet"))
+    Bm25.absorbIntoSaved(spark, path, second, "doc_id", "text")
+    val after = new java.io.File(s"$path/docs").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after > before, "absorb must append new doc-length files, not rewrite")
+
+    val loaded = Bm25.load(spark, path)
+    val rebuilt = Bm25.build(first.unionByName(second), "doc_id", "text")
+    assert(loaded.nDocs == rebuilt.nDocs && loaded.totalDl == rebuilt.totalDl)
+    val a = Bm25.search(loaded, Seq("needle", "hay"), k = 15).collect().toSeq
+    val r = Bm25.search(rebuilt, Seq("needle", "hay"), k = 15).collect().toSeq
+    assert(a == r, s"absorbed=$a rebuilt=$r")
+    // increment docs must be reachable
+    assert(a.exists { row => row.getAs[Long]("id") >= 100L })
+    rebuilt.unpersist()
+  }
 }
