@@ -1750,11 +1750,10 @@ object SparkEntry {
     * one encode projection). Oracle-gated via the in-plan recall
     * verdict, sharing the `ann_lsh_topk` oracle.
     */
-  private def annIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-    val corpus = embWithPlantedNeighbors(emb)
-    val query = emb.filter(col("vec_id") === 0)
-    val index = IvfPqStageCache.getOrElseUpdate(s, dir + "#planted") {
+  private def ivfpqPlantedIndex(s: SparkSession, dir: String): graft.operators.IvfPq.Index =
+    IvfPqStageCache.getOrElseUpdate(s, dir + "#planted") {
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = embWithPlantedNeighbors(emb)
       val ivf = IvfStageCache.getOrElseUpdate(s, dir + "#planted") {
         val base = IvfStageCache.getOrElseUpdate(s, dir)(
           IvfAnn.build(emb, "vec_id", "embedding", nlist = 16, iters = 3))
@@ -1763,6 +1762,34 @@ object SparkEntry {
       val cb = PqStageCache.getOrElseUpdate(s, dir)(
         PQ.train(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2))
       graft.operators.IvfPq.fromParts(ivf, cb)
+    }
+
+  private def annIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val approx = graft.operators.IvfPq
+      .topK(ivfpqPlantedIndex(s, dir), query, "embedding", k = 20, nprobe = 4)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
+  }
+
+  /** [[annIvfpqTopk]] through a full index save/load cycle: the
+    * composed index is persisted (encoded corpus partitioned BY list
+    * id, centroid matrix, codebooks), reloaded, and the probe runs
+    * against the SAVED layout — so the query exercises the
+    * directory-pruned m-byte-row scan a 100 TB deployment would
+    * serve from (IvfPqSpec asserts the `__list` PartitionFilters;
+    * this gates the results through disk). Persistence must be
+    * invisible: shares the ann oracle verbatim.
+    */
+  private def annIvfpqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val index = IvfPqStageCache.getOrElseUpdate(s, dir + "#planted-persisted") {
+      val path = scratchDir("graft-ivfpq-index")
+      graft.operators.IvfPq.save(ivfpqPlantedIndex(s, dir), path)
+      graft.operators.IvfPq.load(s, path, "vec_id")
     }
     val approx = graft.operators.IvfPq
       .topK(index, query, "embedding", k = 20, nprobe = 4)
@@ -2341,6 +2368,7 @@ object SparkEntry {
     "pq_encode_persisted" -> (pqEncodePersisted _),
     "countmin_tokens" -> (countminTokens _),
     "ann_ivfpq_topk" -> (annIvfpqTopk _),
+    "ann_ivfpq_persisted" -> (annIvfpqPersisted _),
     "bpe_pair_stats" -> (bpePairStatsQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_segment" -> (bpeSegmentQ _),
@@ -2371,6 +2399,7 @@ object SparkEntry {
     // IVF-PQ emits the same exact-top-20 + recall-verdict rows as the
     // other ANN gates; the oracle is shared (ann gate pattern)
     "ann_ivfpq_topk" -> oracleSqlBase("ann_lsh_topk"),
+    "ann_ivfpq_persisted" -> oracleSqlBase("ann_lsh_topk"),
     "ann_ivfpq_residual_topk" -> oracleSqlBase("ann_lsh_topk"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
