@@ -37,6 +37,19 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
+  /** k sized to the corpus: one cluster per `targetMeanClusterSize`
+    * vectors, clamped to [8, 65536]. SemDeDup's pair search is
+    * quadratic WITHIN a cluster, so the mean cluster size — not k
+    * itself — is the cost knob; the sf1 rehearsal measured the knee
+    * at ~300 vectors/cluster (k=64 over 20k vectors: 8.8 s, vs
+    * 42.6 s at k=8 — NOTES.md round 8). Callers that pick k by hand
+    * below `sizedK(n)` get the [[nearDupPairs]] oversize warning.
+    */
+  def sizedK(n: Long, targetMeanClusterSize: Int = 300): Int = {
+    require(targetMeanClusterSize > 0, "targetMeanClusterSize must be positive")
+    math.max(8L, math.min(65536L, n / targetMeanClusterSize)).toInt
+  }
+
   /** Within-cluster near-duplicate candidate pairs:
     * (cluster, id_a, id_b, cos) with id_a < id_b and
     * `cos >= minCosine`. Eagerly materialized (the
@@ -59,8 +72,21 @@ object SemanticDedup {
         KMeansTrain.assignedQ(TopicAssign.quantize(col(vecCol)), centroids).as("cluster"))
       .persist()
     val ids = assigned.select(col("cluster"), col("id"))
-    val boundedClusters = ids
-      .groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    // One k-row aggregation feeds the size guard AND the oversize
+    // check: if vectors-per-cluster averages above maxClusterSize/2
+    // the quantizer is undersized for this corpus (k should be
+    // ~sizedK(n)) and the quadratic in-cluster search is about to do
+    // avoidable work — warn loudly rather than melt silently.
+    val sizes = ids.groupBy(col("cluster")).agg(count(lit(1)).as("__n")).persist()
+    val stats = sizes.agg(sum(col("__n")).as("t"), count(lit(1)).as("k")).head()
+    val (total, k) = (stats.getAs[Long]("t"), stats.getAs[Long]("k"))
+    if (k > 0 && total / k > maxClusterSize / 2)
+      Console.err.println(
+        s"[graft] SemanticDedup: mean cluster size ${total / k} exceeds " +
+          s"maxClusterSize/2 (${maxClusterSize / 2}) — k=$k is undersized for " +
+          s"$total vectors; size it ~SemanticDedup.sizedK(n)=${sizedK(total)} " +
+          "or oversized clusters will be dropped by the guard")
+    val boundedClusters = sizes
       .filter(col("__n") <= maxClusterSize)
       .drop("__n")
     val bounded = ids.join(boundedClusters, Seq("cluster"))
@@ -73,7 +99,7 @@ object SemanticDedup {
       .select(col("cluster"), col("id_a"), col("id_b"),
         cosineFn(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= minCosine)
-    TextDedup.materialized(scored, Seq(assigned))
+    TextDedup.materialized(scored, Seq(assigned, sizes))
   }
 
   /** SemDeDup removal list: one row per document that has at least one
