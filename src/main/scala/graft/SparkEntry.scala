@@ -143,6 +143,12 @@ private[graft] object IvfPqResidualCache
 private[graft] object BpeStageCache
     extends graft.util.SessionScopedCache[Seq[(Int, String, String, Long)]]
 
+/** Trained unigram-LM vocabulary for this (session, dir) — the same
+  * train-once/serve-forever lifecycle as [[BpeStageCache]].
+  */
+private[graft] object UlmStageCache
+    extends graft.util.SessionScopedCache[graft.operators.UnigramLm.Vocab]
+
 object SparkEntry {
 
   /** Composite chunk-id stride for chunk-level retrieval: supports up
@@ -1929,6 +1935,50 @@ object SparkEntry {
           " ").as("segmented"))
       .orderBy(col("doc_id"))
 
+  /** Unigram-LM training geometry shared by the queries and the
+    * generated oracle: piece length <= 4, 25 multi-char seed pieces,
+    * 2 hard-EM rounds, word-length bound 12 (the DP-unroll depth; a
+    * no-op on this corpus, whose longest token is 8 chars).
+    */
+  private val UlmMaxPieceLen = 4
+  private val UlmTopMulti = 25
+  private val UlmEmIters = 2
+  private val UlmMaxWordLen = 12
+
+  private def ulmVocab(s: SparkSession, dir: String): graft.operators.UnigramLm.Vocab =
+    UlmStageCache.getOrElseUpdate(s, dir)(
+      graft.operators.UnigramLm.train(Tables(s, dir, "documents"), "text",
+        maxPieceLen = UlmMaxPieceLen, topMulti = UlmTopMulti,
+        emIters = UlmEmIters, maxWordLen = UlmMaxWordLen))
+
+  /** Trained unigram-LM vocabulary (Kudo 2018; SentencePiece's model):
+    * substring-seeded, 2 hard-EM rounds over the distinct-word table —
+    * (piece, n, lp) with the floor-quantized log-prob, count desc.
+    * Oracle-gated END-TO-END: the DuckDB replay re-runs the seed
+    * counts, both EM rounds (per-position Viterbi DP unrolled as CTEs,
+    * backpointer walk as a recursive CTE, count + re-quantize), and
+    * emits the same final table — see [[ulmChainSql]].
+    */
+  private def ulmTrainQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm
+      .vocabTable(Tables(s, dir, "documents"), "text", ulmVocab(s, dir))
+
+  /** Unigram-LM Viterbi segmentation of the first 10 documents under
+    * the trained vocabulary — the serving side, a pure per-row fold
+    * (the vocab rides as one map literal). Same output convention as
+    * `bpe_segment`; the oracle replays the DP at the final log-probs.
+    */
+  private def ulmSegmentQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(
+        col("doc_id"),
+        array_join(
+          flatten(graft.operators.UnigramLm.segment(
+            col("text"), ulmVocab(s, dir), UlmMaxWordLen)),
+          " ").as("segmented"))
+      .orderBy(col("doc_id"))
+
   /** Count-Min token-frequency sketch over the corpus, oracle-gated
     * via the q34 tolerance-verdict pattern: the sketch estimate for
     * each probe term must be >= the exact count (count-min never
@@ -2372,6 +2422,8 @@ object SparkEntry {
     "bpe_pair_stats" -> (bpePairStatsQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_segment" -> (bpeSegmentQ _),
+    "ulm_train" -> (ulmTrainQ _),
+    "ulm_segment" -> (ulmSegmentQ _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
     "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _))
@@ -2590,6 +2642,125 @@ object SparkEntry {
        |      string_split(regexp_replace(t, '^⟨|⟩$$', '', 'g'), '⟩⟨'))),
        |    ' ') AS segmented
        |FROM applied ORDER BY doc_id""".stripMargin
+
+  /** Viterbi DP block for the unigram-LM oracles, unrolled per word
+    * position (the [[graft.operators.UnigramLm]] fold, replayed):
+    * `b{it}_{i}` holds each word's best (cost, start) for a prefix of
+    * length i under log-prob table `l{lpIdx}` — cost minimized, ties
+    * to the lower start (the longest piece) via `ORDER BY cost, j` —
+    * `bb{it}` stacks the backpointers, and the recursive `wk{it}`
+    * walks them back into the piece list `sg{it}`.
+    */
+  private def ulmDpSql(it: Int, lpIdx: Int): String = {
+    val bs = (1 to UlmMaxWordLen).map { i =>
+      val branches = (math.max(0, i - UlmMaxPieceLen) until i).map { j =>
+        s"""      SELECT t.w AS w, b.cost - l.lp AS cost, $j AS j
+           |      FROM wt t
+           |      JOIN b${it}_$j b ON b.w = t.w
+           |      JOIN l$lpIdx l ON l.piece = substr(t.w, ${j + 1}, ${i - j})
+           |      WHERE t.len >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""b${it}_$i AS MATERIALIZED (
+         |  SELECT w, cost, j FROM (
+         |    SELECT w, cost, j, row_number() OVER (PARTITION BY w ORDER BY cost, j) AS rn
+         |    FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bb = (1 to UlmMaxWordLen)
+      .map(i => s"  SELECT w, $i AS i, j FROM b${it}_$i")
+      .mkString("\n  UNION ALL\n")
+    s"""b${it}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS j FROM wt),
+       |$bs,
+       |bb$it AS MATERIALIZED (
+       |$bb),
+       |wk$it AS (
+       |  SELECT w, wn, len AS pos, []::VARCHAR[] AS ps FROM wt
+       |  UNION ALL
+       |  SELECT k.w, k.wn, bb.j AS pos,
+       |         list_prepend(substr(k.w, bb.j + 1, k.pos - bb.j), k.ps) AS ps
+       |  FROM wk$it k JOIN bb$it bb ON bb.w = k.w AND bb.i = k.pos
+       |  WHERE k.pos > 0),
+       |sg$it AS MATERIALIZED (SELECT w, wn, ps FROM wk$it WHERE pos = 0)""".stripMargin
+  }
+
+  /** One EM round for the `ulm_train` oracle: Viterbi-segment under
+    * `l{it-1}` (the DP block above), count pieces weighted by word
+    * frequency, rebuild the vocabulary (used multi pieces + all seed
+    * chars floored at 1), and re-quantize log-probs.
+    */
+  private def ulmEmSql(it: Int): String =
+    s"""${ulmDpSql(it, it - 1)},
+       |c$it AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(wn) AS BIGINT) AS n
+       |  FROM (SELECT wn, unnest(ps) AS piece FROM sg$it)
+       |  GROUP BY piece),
+       |v$it AS MATERIALIZED (
+       |  SELECT piece, n FROM c$it WHERE length(piece) >= 2
+       |  UNION ALL
+       |  SELECT ch.piece, greatest(coalesce(c.n, 0), CAST(1 AS BIGINT)) AS n
+       |  FROM ch LEFT JOIN c$it c ON c.piece = ch.piece),
+       |l$it AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) /
+       |      (SELECT CAST(sum(n) AS DOUBLE) FROM v$it))) AS BIGINT) AS lp
+       |  FROM v$it)""".stripMargin
+
+  /** Shared head of the unigram-LM oracles: the bounded distinct-word
+    * table, seed substring counts (top-25 multi pieces + all chars),
+    * quantized seed log-probs, and both unrolled EM rounds.
+    */
+  private lazy val ulmChainSql: String =
+    s"""wt AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS wn, length(tok) AS len
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) BETWEEN 1 AND $UlmMaxWordLen
+       |  GROUP BY tok),
+       |ss AS MATERIALIZED (
+       |  SELECT wn, substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+       |  FROM (SELECT wn, w, i, unnest(range(1, least($UlmMaxPieceLen, len - i + 1) + 1)) AS l
+       |        FROM (SELECT wn, w, len, unnest(range(1, len + 1)) AS i FROM wt))),
+       |sub AS MATERIALIZED (SELECT piece, CAST(sum(wn) AS BIGINT) AS n FROM ss GROUP BY piece),
+       |ch AS MATERIALIZED (SELECT piece, n FROM sub WHERE length(piece) = 1),
+       |mu AS MATERIALIZED (SELECT piece, n FROM sub WHERE length(piece) >= 2
+       |       ORDER BY n DESC, piece LIMIT $UlmTopMulti),
+       |v0 AS MATERIALIZED (SELECT piece, n FROM ch UNION ALL SELECT piece, n FROM mu),
+       |l0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) /
+       |      (SELECT CAST(sum(n) AS DOUBLE) FROM v0))) AS BIGINT) AS lp
+       |  FROM v0),
+       |${(1 to UlmEmIters).map(ulmEmSql).mkString(",\n")}""".stripMargin
+
+  private lazy val ulmTrainOracleSql: String =
+    s"""WITH RECURSIVE $ulmChainSql
+       |SELECT v.piece AS piece, v.n AS n, l.lp AS lp
+       |FROM v$UlmEmIters v JOIN l$UlmEmIters l USING (piece)
+       |ORDER BY n DESC, piece""".stripMargin
+
+  /** `ulm_segment` oracle: one more Viterbi DP over the word table at
+    * the FINAL log-probs, then each of the first 10 documents re-emits
+    * its tokens' piece lists in order (tokens join the segmented word
+    * table; the length bound drops none on this corpus).
+    */
+  private lazy val ulmSegmentOracleSql: String = {
+    val segIt = UlmEmIters + 1
+    s"""WITH RECURSIVE $ulmChainSql,
+       |${ulmDpSql(segIt, UlmEmIters)},
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, p.tok AS tok, p.ord AS ord
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest([{'tok': ws[k], 'ord': k} for k in range(1, len(ws) + 1)]) AS p
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |          FROM documents WHERE doc_id < 10))),
+       |st AS MATERIALIZED (
+       |  SELECT d.doc_id, d.ord, array_to_string(s.ps, ' ') AS pstr
+       |  FROM dt d JOIN sg$segIt s ON s.w = d.tok)
+       |SELECT doc_id, string_agg(pstr, ' ' ORDER BY ord) AS segmented
+       |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** One unrolled Lloyd iteration of subspace `s` for the `pq_encode`
     * oracle — the [[kmeansIterSql]] pattern over the sliced table
@@ -4355,6 +4526,10 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "bpe_train" -> bpeTrainOracleSql,
     "bpe_segment" -> bpeSegmentOracleSql,
+    // unigram-LM: substring seed + 2 unrolled hard-EM rounds, Viterbi
+    // DP per position as CTEs, backpointer walk as a recursive CTE
+    "ulm_train" -> ulmTrainOracleSql,
+    "ulm_segment" -> ulmSegmentOracleSql,
     // chunk-level BM25: the chunk_documents replay feeding the
     // bm25_search integer-grid formula over composite chunk ids
     "chunk_search" ->
