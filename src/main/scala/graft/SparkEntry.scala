@@ -1979,6 +1979,46 @@ object SparkEntry {
           " ").as("segmented"))
       .orderBy(col("doc_id"))
 
+  /** [[ulmSegmentQ]] through a vocabulary save/load cycle: the
+    * trained artifact is persisted, reloaded, and segmentation runs
+    * on the LOADED vocab — persistence must be invisible to results
+    * (the `pq_encode_persisted` convention; shares the oracle
+    * verbatim).
+    */
+  private def ulmSegmentPersisted(s: SparkSession, dir: String): DataFrame = {
+    val v = UlmStageCache.getOrElseUpdate(s, dir + "#persisted") {
+      val path = scratchDir("graft-ulm-vocab")
+      graft.operators.UnigramLm.save(ulmVocab(s, dir), s, path)
+      graft.operators.UnigramLm.load(s, path)
+    }
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(
+        col("doc_id"),
+        array_join(
+          flatten(graft.operators.UnigramLm.segment(col("text"), v, UlmMaxWordLen)),
+          " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 search over an index built from HALF the corpus and
+    * [[graft.operators.Bm25.absorb]]-ed with the other half — gated
+    * against the oracle's full-corpus replay, so the absorb==rebuild
+    * invariant (O(increment) ingest folds into exactly the index a
+    * full rebuild yields) is itself oracle-checked, not just spec'd.
+    */
+  private def bm25AbsorbSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Bm25IndexCache.getOrElseUpdate(s, dir + "#absorb") {
+      val docs = Tables(s, dir, "documents")
+      val first = graft.operators.Bm25.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.Bm25.absorb(
+        first, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }
+    graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Count-Min token-frequency sketch over the corpus, oracle-gated
     * via the q34 tolerance-verdict pattern: the sketch estimate for
     * each probe term must be >= the exact count (count-min never
@@ -2424,6 +2464,8 @@ object SparkEntry {
     "bpe_segment" -> (bpeSegmentQ _),
     "ulm_train" -> (ulmTrainQ _),
     "ulm_segment" -> (ulmSegmentQ _),
+    "ulm_segment_persisted" -> (ulmSegmentPersisted _),
+    "bm25_absorb_search" -> (bm25AbsorbSearch _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
     "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _))
@@ -2452,7 +2494,11 @@ object SparkEntry {
     // other ANN gates; the oracle is shared (ann gate pattern)
     "ann_ivfpq_topk" -> oracleSqlBase("ann_lsh_topk"),
     "ann_ivfpq_persisted" -> oracleSqlBase("ann_lsh_topk"),
-    "ann_ivfpq_residual_topk" -> oracleSqlBase("ann_lsh_topk"))
+    "ann_ivfpq_residual_topk" -> oracleSqlBase("ann_lsh_topk"),
+    "ulm_segment_persisted" -> oracleSqlBase("ulm_segment"),
+    // absorb==rebuild is the invariant: the half-built + absorbed
+    // index must score exactly like the oracle's full-corpus replay
+    "bm25_absorb_search" -> oracleSqlBase("bm25_search"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table

@@ -209,6 +209,31 @@ object UnigramLm {
       .orderBy(col("n").desc, col("piece").asc)
   }
 
+  /** Persist a trained vocabulary: one small parquet of
+    * (piece, n, lp) plus the piece-length bound — the tokenizer
+    * artifact a training pipeline trains once and ships everywhere
+    * (the [[ProductQuantizer.save]] lifecycle).
+    */
+  def save(vocab: Vocab, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    vocab.pieces.toDF("piece", "n", "lp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pieces")
+    Seq(Tuple1(vocab.maxPieceLen)).toDF("maxPieceLen")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted vocabulary; piece order is canonicalized so the
+    * round trip is value-identical to the trained artifact.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Vocab = {
+    val maxPieceLen = spark.read.parquet(s"$path/meta").head().getAs[Int]("maxPieceLen")
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n"), r.getAs[Long]("lp")))
+      .sortBy(_._1)
+    Vocab(pieces.toSeq, maxPieceLen)
+  }
+
   /** Segment a text column under a trained vocab: tokens above
     * `maxWordLen` are dropped (the oracle's DP bound — a corpus-
     * dependent no-op here), each surviving token becomes its Viterbi

@@ -68,6 +68,20 @@ class UnigramLmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vocab save/load round-trips value-identically") {
+    val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 2)
+    val path = tmpDir("ulm-vocab")
+    UnigramLm.save(v, spark, path)
+    val loaded = UnigramLm.load(spark, path)
+    assert(loaded.maxPieceLen == v.maxPieceLen)
+    assert(loaded.pieces.sortBy(_._1) == v.pieces.sortBy(_._1))
+    val a = corpus.select(UnigramLm.segment(col("text"), loaded).as("ps"))
+      .as[Seq[Seq[String]]].collect().toSeq
+    val b = corpus.select(UnigramLm.segment(col("text"), v).as("ps"))
+      .as[Seq[Seq[String]]].collect().toSeq
+    assert(a == b)
+  }
+
   test("emIters=0 serves the raw seed vocabulary") {
     val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 0)
     // seed multi pieces by (count desc, piece asc): ab:8(pos counts:
