@@ -1944,6 +1944,7 @@ object SparkEntry {
   private val UlmTopMulti = 25
   private val UlmEmIters = 2
   private val UlmMaxWordLen = 12
+  private val UlmPruneTo = 8
 
   private def ulmVocab(s: SparkSession, dir: String): graft.operators.UnigramLm.Vocab =
     UlmStageCache.getOrElseUpdate(s, dir)(
@@ -1978,6 +1979,21 @@ object SparkEntry {
             col("text"), ulmVocab(s, dir), UlmMaxWordLen)),
           " ").as("segmented"))
       .orderBy(col("doc_id"))
+
+  /** [[ulmTrainQ]] with the SentencePiece prune: every EM round keeps
+    * only the top-8 multi-char pieces by EM count (the pieces EM
+    * stopped using are cut first), so the served vocabulary shrinks
+    * toward alphabet + 8. Oracle-gated end-to-end — the replay adds
+    * the same LIMIT to each round's vocabulary rebuild.
+    */
+  private def ulmTrainPruned(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.vocabTable(
+      Tables(s, dir, "documents"), "text",
+      UlmStageCache.getOrElseUpdate(s, dir + "#pruned")(
+        graft.operators.UnigramLm.train(Tables(s, dir, "documents"), "text",
+          maxPieceLen = UlmMaxPieceLen, topMulti = UlmTopMulti,
+          emIters = UlmEmIters, maxWordLen = UlmMaxWordLen,
+          pruneMultiTo = Some(UlmPruneTo))))
 
   /** [[ulmSegmentQ]] through a vocabulary save/load cycle: the
     * trained artifact is persisted, reloaded, and segmentation runs
@@ -2465,6 +2481,7 @@ object SparkEntry {
     "ulm_train" -> (ulmTrainQ _),
     "ulm_segment" -> (ulmSegmentQ _),
     "ulm_segment_persisted" -> (ulmSegmentPersisted _),
+    "ulm_train_pruned" -> (ulmTrainPruned _),
     "bm25_absorb_search" -> (bm25AbsorbSearch _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
@@ -2735,14 +2752,21 @@ object SparkEntry {
     * frequency, rebuild the vocabulary (used multi pieces + all seed
     * chars floored at 1), and re-quantize log-probs.
     */
-  private def ulmEmSql(it: Int): String =
+  private def ulmEmSql(it: Int, prune: Option[Int]): String = {
+    val multiSel = prune match {
+      case Some(k) =>
+        s"""SELECT piece, n FROM (
+           |    SELECT piece, n FROM c$it WHERE length(piece) >= 2
+           |    ORDER BY n DESC, piece LIMIT $k)""".stripMargin
+      case None => s"SELECT piece, n FROM c$it WHERE length(piece) >= 2"
+    }
     s"""${ulmDpSql(it, it - 1)},
        |c$it AS MATERIALIZED (
        |  SELECT piece, CAST(sum(wn) AS BIGINT) AS n
        |  FROM (SELECT wn, unnest(ps) AS piece FROM sg$it)
        |  GROUP BY piece),
        |v$it AS MATERIALIZED (
-       |  SELECT piece, n FROM c$it WHERE length(piece) >= 2
+       |  $multiSel
        |  UNION ALL
        |  SELECT ch.piece, greatest(coalesce(c.n, 0), CAST(1 AS BIGINT)) AS n
        |  FROM ch LEFT JOIN c$it c ON c.piece = ch.piece),
@@ -2751,12 +2775,13 @@ object SparkEntry {
        |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) /
        |      (SELECT CAST(sum(n) AS DOUBLE) FROM v$it))) AS BIGINT) AS lp
        |  FROM v$it)""".stripMargin
+  }
 
   /** Shared head of the unigram-LM oracles: the bounded distinct-word
     * table, seed substring counts (top-25 multi pieces + all chars),
     * quantized seed log-probs, and both unrolled EM rounds.
     */
-  private lazy val ulmChainSql: String =
+  private def ulmChainSql(prune: Option[Int]): String =
     s"""wt AS MATERIALIZED (
        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS wn, length(tok) AS len
        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -2777,13 +2802,17 @@ object SparkEntry {
        |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) /
        |      (SELECT CAST(sum(n) AS DOUBLE) FROM v0))) AS BIGINT) AS lp
        |  FROM v0),
-       |${(1 to UlmEmIters).map(ulmEmSql).mkString(",\n")}""".stripMargin
+       |${(1 to UlmEmIters).map(ulmEmSql(_, prune)).mkString(",\n")}""".stripMargin
 
-  private lazy val ulmTrainOracleSql: String =
-    s"""WITH RECURSIVE $ulmChainSql
+  private def ulmTrainOracle(prune: Option[Int]): String =
+    s"""WITH RECURSIVE ${ulmChainSql(prune)}
        |SELECT v.piece AS piece, v.n AS n, l.lp AS lp
        |FROM v$UlmEmIters v JOIN l$UlmEmIters l USING (piece)
        |ORDER BY n DESC, piece""".stripMargin
+
+  private lazy val ulmTrainOracleSql: String = ulmTrainOracle(None)
+
+  private lazy val ulmTrainPrunedOracleSql: String = ulmTrainOracle(Some(UlmPruneTo))
 
   /** `ulm_segment` oracle: one more Viterbi DP over the word table at
     * the FINAL log-probs, then each of the first 10 documents re-emits
@@ -2792,7 +2821,7 @@ object SparkEntry {
     */
   private lazy val ulmSegmentOracleSql: String = {
     val segIt = UlmEmIters + 1
-    s"""WITH RECURSIVE $ulmChainSql,
+    s"""WITH RECURSIVE ${ulmChainSql(None)},
        |${ulmDpSql(segIt, UlmEmIters)},
        |dt AS MATERIALIZED (
        |  SELECT doc_id, p.tok AS tok, p.ord AS ord
@@ -4575,6 +4604,7 @@ object SparkEntry {
     // unigram-LM: substring seed + 2 unrolled hard-EM rounds, Viterbi
     // DP per position as CTEs, backpointer walk as a recursive CTE
     "ulm_train" -> ulmTrainOracleSql,
+    "ulm_train_pruned" -> ulmTrainPrunedOracleSql,
     "ulm_segment" -> ulmSegmentOracleSql,
     // chunk-level BM25: the chunk_documents replay feeding the
     // bm25_search integer-grid formula over composite chunk ids

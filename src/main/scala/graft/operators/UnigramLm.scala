@@ -159,15 +159,28 @@ object UnigramLm {
   /** One E+M round: Viterbi-segment the distinct words under `vocab`,
     * count pieces weighted by word frequency (multi pieces with zero
     * count drop; single chars floor at 1), and re-quantize log-probs.
-    * The piece-count collect is vocabulary-bounded.
+    * With `pruneMultiTo` set, only the top-k multi pieces by
+    * (count desc, piece asc) survive the round — the SentencePiece
+    * prune that shrinks an over-complete seed toward a target
+    * vocabulary, applied on the EM counts (the pieces EM stopped
+    * using are exactly the ones cut first). The piece-count collect
+    * is vocabulary-bounded.
     */
-  private def emRound(words: DataFrame, vocab: Vocab, charSet: Seq[String]): Vocab = {
+  private def emRound(
+      words: DataFrame,
+      vocab: Vocab,
+      charSet: Seq[String],
+      pruneMultiTo: Option[Int]): Vocab = {
     val counts = segmentWords(words, "w", vocab)
       .select(col("wn"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece"))
       .agg(sum(col("wn")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val multi = counts.filter { case (p, n) => p.length >= 2 && n > 0 }.toSeq
+    val used = counts.filter { case (p, n) => p.length >= 2 && n > 0 }.toSeq
+    val multi = pruneMultiTo match {
+      case Some(k) => used.sortBy { case (p, n) => (-n, p) }.take(k)
+      case None => used
+    }
     val chars = charSet.map(c => (c, math.max(counts.getOrElse(c, 0L), 1L)))
     Vocab(lpOf((chars ++ multi).sortBy(_._1)), vocab.maxPieceLen)
   }
@@ -181,7 +194,8 @@ object UnigramLm {
       maxPieceLen: Int = 4,
       topMulti: Int = 25,
       emIters: Int = 2,
-      maxWordLen: Int = 12): Vocab = {
+      maxWordLen: Int = 12,
+      pruneMultiTo: Option[Int] = None): Vocab = {
     require(maxPieceLen >= 1 && topMulti >= 0 && emIters >= 0, "bad unigram-LM params")
     val words = wordTable(docs, textCol, maxWordLen).persist()
     words.count()
@@ -191,11 +205,39 @@ object UnigramLm {
       var vocab = Vocab(lpOf(seed), maxPieceLen)
       var it = 0
       while (it < emIters) {
-        vocab = emRound(words, vocab, charSet)
+        vocab = emRound(words, vocab, charSet, pruneMultiTo)
         it += 1
       }
       vocab
     } finally { words.unpersist(); () }
+  }
+
+  /** Train to a TARGET vocabulary size (SentencePiece's outer loop,
+    * hard-EM form): seed over-complete (4x the multi-piece budget),
+    * then let every EM round prune to `targetVocab - |alphabet|`
+    * multi pieces — EM redistributes mass, the prune cuts the pieces
+    * it stopped using. The alphabet always survives, so the result
+    * has exactly `targetVocab` pieces whenever the corpus offers
+    * enough used multi pieces (fewer only if it doesn't).
+    */
+  def trainToSize(
+      docs: DataFrame,
+      textCol: String,
+      targetVocab: Int,
+      maxPieceLen: Int = 4,
+      emIters: Int = 2,
+      maxWordLen: Int = 12): Vocab = {
+    require(targetVocab >= 1, "targetVocab must be positive")
+    val words = wordTable(docs, textCol, maxWordLen).persist()
+    words.count()
+    val nChars =
+      try words.select(explode(split(col("w"), "")).as("c")).filter(length(col("c")) === 1)
+        .distinct().count().toInt
+      finally ()
+    val budget = math.max(targetVocab - nChars, 0)
+    try train(docs, textCol, maxPieceLen, topMulti = math.max(budget * 4, 4),
+      emIters = emIters, maxWordLen = maxWordLen, pruneMultiTo = Some(budget))
+    finally { words.unpersist(); () }
   }
 
   /** Trained-vocab table as a DataFrame: (piece, n, lp), count

@@ -68,6 +68,28 @@ class UnigramLmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pruned training cuts the pieces EM stopped using; chars always survive") {
+    val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4,
+      emIters = 2, pruneMultiTo = Some(1))
+    val (chars, multi) = v.pieces.partition(_._1.length == 1)
+    assert(chars.map(_._1).sorted == Seq("a", "b", "c", "d"))
+    assert(multi.map(_._1) == Seq("ab"), s"expected only 'ab' to survive: $multi")
+  }
+
+  test("trainToSize reaches the target vocabulary size") {
+    val v = UnigramLm.trainToSize(corpus, "text", targetVocab = 6, maxPieceLen = 3)
+    assert(v.pieces.size == 6, s"got ${v.pieces}")
+    assert(v.pieces.count(_._1.length == 1) == 4) // alphabet a,b,c,d
+    // lossless segmentation still holds under the shrunk vocab
+    val segs = corpus.select(UnigramLm.segment(col("text"), v).as("ps"))
+      .as[Seq[Seq[String]]].collect()
+    val toks = corpus.select(split(lower(trim(col("text"))), "\\s+").as("t"))
+      .as[Seq[String]].collect()
+    segs.zip(toks).foreach { case (ps, ts) =>
+      assert(ps.map(_.mkString) == ts, s"$ps vs $ts")
+    }
+  }
+
   test("vocab save/load round-trips value-identically") {
     val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 2)
     val path = tmpDir("ulm-vocab")
