@@ -1995,6 +1995,30 @@ object SparkEntry {
           emIters = UlmEmIters, maxWordLen = UlmMaxWordLen,
           pruneMultiTo = Some(UlmPruneTo))))
 
+  /** WordPiece-style greedy longest-match segmentation of the first
+    * 10 documents under the PRUNED unigram-LM vocabulary (membership
+    * only — no probabilities), the tokenizer family's third serving
+    * mode. Oracle-gated end-to-end: the replay rebuilds the pruned
+    * vocab (same EM chain), tabulates each position's greedy piece,
+    * and walks it with a recursive CTE.
+    */
+  private def wordpieceSegment(s: SparkSession, dir: String): DataFrame = {
+    val v = UlmStageCache.getOrElseUpdate(s, dir + "#pruned")(
+      graft.operators.UnigramLm.train(Tables(s, dir, "documents"), "text",
+        maxPieceLen = UlmMaxPieceLen, topMulti = UlmTopMulti,
+        emIters = UlmEmIters, maxWordLen = UlmMaxWordLen,
+        pruneMultiTo = Some(UlmPruneTo)))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(
+        col("doc_id"),
+        array_join(
+          flatten(graft.operators.UnigramLm.maxMatchSegment(
+            col("text"), v, UlmMaxWordLen)),
+          " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[ulmSegmentQ]] through a vocabulary save/load cycle: the
     * trained artifact is persisted, reloaded, and segmentation runs
     * on the LOADED vocab — persistence must be invisible to results
@@ -2482,6 +2506,7 @@ object SparkEntry {
     "ulm_segment" -> (ulmSegmentQ _),
     "ulm_segment_persisted" -> (ulmSegmentPersisted _),
     "ulm_train_pruned" -> (ulmTrainPruned _),
+    "wordpiece_segment" -> (wordpieceSegment _),
     "bm25_absorb_search" -> (bm25AbsorbSearch _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
@@ -2833,6 +2858,47 @@ object SparkEntry {
        |st AS MATERIALIZED (
        |  SELECT d.doc_id, d.ord, array_to_string(s.ps, ' ') AS pstr
        |  FROM dt d JOIN sg$segIt s ON s.w = d.tok)
+       |SELECT doc_id, string_agg(pstr, ' ' ORDER BY ord) AS segmented
+       |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** `wordpiece_segment` oracle: the pruned-vocab EM chain, a greedy
+    * table `gm` (each word position's longest full-length vocab
+    * match, single-char fallback), a recursive max-match walk, and
+    * the per-document token re-emit.
+    */
+  private lazy val wordpieceSegmentOracleSql: String = {
+    val vFinal = s"v$UlmEmIters"
+    val candJoins = (UlmMaxPieceLen to 2 by -1).map { l =>
+      s"""  LEFT JOIN $vFinal c$l ON s.len - s.i + 1 >= $l
+         |    AND c$l.piece = substr(s.w, CAST(s.i AS INT), $l)""".stripMargin
+    }.mkString("\n")
+    val coalesceArgs =
+      ((UlmMaxPieceLen to 2 by -1).map(l => s"c$l.piece") :+
+        "substr(s.w, CAST(s.i AS INT), 1)").mkString(", ")
+    s"""WITH RECURSIVE ${ulmChainSql(Some(UlmPruneTo))},
+       |gm AS MATERIALIZED (
+       |  SELECT s.w, s.i, coalesce($coalesceArgs) AS piece
+       |  FROM (SELECT w, len, unnest(range(1, len + 1)) AS i FROM wt) s
+       |$candJoins),
+       |wm AS (
+       |  SELECT w, len, CAST(1 AS BIGINT) AS pos, []::VARCHAR[] AS ps FROM wt
+       |  UNION ALL
+       |  SELECT k.w, k.len, k.pos + length(g.piece) AS pos,
+       |         list_append(k.ps, g.piece) AS ps
+       |  FROM wm k JOIN gm g ON g.w = k.w AND g.i = k.pos
+       |  WHERE k.pos <= k.len),
+       |sgm AS MATERIALIZED (SELECT w, ps FROM wm WHERE pos = len + 1),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, p.tok AS tok, p.ord AS ord
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest([{'tok': ws[k], 'ord': k} for k in range(1, len(ws) + 1)]) AS p
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |          FROM documents WHERE doc_id < 10))),
+       |st AS MATERIALIZED (
+       |  SELECT d.doc_id, d.ord, array_to_string(s.ps, ' ') AS pstr
+       |  FROM dt d JOIN sgm s ON s.w = d.tok)
        |SELECT doc_id, string_agg(pstr, ' ' ORDER BY ord) AS segmented
        |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
@@ -4606,6 +4672,7 @@ object SparkEntry {
     "ulm_train" -> ulmTrainOracleSql,
     "ulm_train_pruned" -> ulmTrainPrunedOracleSql,
     "ulm_segment" -> ulmSegmentOracleSql,
+    "wordpiece_segment" -> wordpieceSegmentOracleSql,
     // chunk-level BM25: the chunk_documents replay feeding the
     // bm25_search integer-grid formula over composite chunk ids
     "chunk_search" ->

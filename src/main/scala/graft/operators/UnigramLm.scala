@@ -251,6 +251,46 @@ object UnigramLm {
       .orderBy(col("n").desc, col("piece").asc)
   }
 
+  /** WordPiece-style greedy longest-match segmentation under a
+    * trained vocabulary (the third serving mode of the tokenizer
+    * family: BPE applies ordered merges, unigram-LM maximizes path
+    * probability, max-match takes the longest vocab piece at every
+    * position). No probabilities consulted — only membership — so it
+    * serves from the same [[Vocab]] artifact. Unknown characters pass
+    * through as single-char pieces (the identity fallback; every
+    * corpus character is in a trained vocab by construction). Pure
+    * per-row fold like [[segment]]; stream-legal; replayed in SQL by
+    * a greedy-piece table + recursive walk (`wordpiece_segment`).
+    */
+  def maxMatchSegment(textCol: Column, vocab: Vocab, maxWordLen: Int = 12): Column = {
+    val lpLit = typedLit(vocab.lpMap)
+    transform(
+      filter(TextFunctions.tokens(textCol),
+        t => length(t).between(1, maxWordLen)),
+      w => maxMatchPieces(w, lpLit, vocab.maxPieceLen))
+  }
+
+  /** Greedy fold: one iteration per character position (no-ops once
+    * past the end); at each step the longest full-length vocab match
+    * wins, falling back to the single character.
+    */
+  private def maxMatchPieces(w: Column, lpLit: Column, maxPieceLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val piece = coalesce(
+          (maxPieceLen to 2 by -1).map { l =>
+            val cand = w.substr(pos, lit(l))
+            when(length(cand) === l && element_at(lpLit, cand).isNotNull, cand)
+          } :+ w.substr(pos, lit(1)): _*)
+        when(pos > length(w), acc).otherwise(struct(
+          (pos + length(piece)).as("pos"),
+          concat(acc.getField("ps"), array(piece)).as("ps")))
+      },
+      acc => acc.getField("ps"))
+
   /** Persist a trained vocabulary: one small parquet of
     * (piece, n, lp) plus the piece-length bound — the tokenizer
     * artifact a training pipeline trains once and ships everywhere

@@ -90,6 +90,27 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("max-match takes the longest piece greedily, unlike Viterbi") {
+    // vocab: chars + "ab" + "abc" is absent but "bc" present: on "abc",
+    // greedy takes "ab"+"c"; with skewed probs Viterbi could prefer
+    // "a"+"bc" — max-match must ignore probabilities entirely.
+    val pieces = Seq(
+      ("a", 1L, -5000000L), ("b", 1L, -5000000L), ("c", 1L, -5000000L),
+      ("d", 1L, -5000000L),
+      ("ab", 1L, -6000000L), ("bc", 1L, -100000L))
+    val v = UnigramLm.Vocab(pieces, maxPieceLen = 3)
+    val docs = Seq((1L, "abc abcd dcba")).toDF("doc_id", "text")
+    val got = docs.select(UnigramLm.maxMatchSegment(col("text"), v).as("ps"))
+      .as[Seq[Seq[String]]].head()
+    assert(got == Seq(
+      Seq("ab", "c"),            // greedy: ab wins over a+bc despite lp
+      Seq("ab", "c", "d"),
+      Seq("d", "c", "b", "a")))  // unknown combos fall back to chars
+    val viterbi = docs.select(UnigramLm.segment(col("text"), v).as("ps"))
+      .as[Seq[Seq[String]]].head()
+    assert(viterbi.head == Seq("a", "bc"), s"viterbi should prefer a+bc: $viterbi")
+  }
+
   test("vocab save/load round-trips value-identically") {
     val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 2)
     val path = tmpDir("ulm-vocab")
