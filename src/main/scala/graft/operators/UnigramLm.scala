@@ -72,6 +72,8 @@ object UnigramLm {
     * Spark's `ln` resolves to.
     */
   private def lpOf(counts: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    require(counts.nonEmpty,
+      "unigram-LM vocabulary is empty — the corpus yielded no words within maxWordLen")
     val total = counts.map(_._2).sum.toDouble
     counts.map { case (p, n) =>
       (p, n, math.floor(LpScale * math.log(n.toDouble / total)).toLong)

@@ -125,6 +125,14 @@ class UnigramLmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("empty corpus fails loudly, not with NaN log-probs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.train(empty, "text", maxPieceLen = 3, topMulti = 4, emIters = 1)
+    }
+    assert(e.getMessage.contains("vocabulary is empty"))
+  }
+
   test("emIters=0 serves the raw seed vocabulary") {
     val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 0)
     // seed multi pieces by (count desc, piece asc): ab:8(pos counts:
