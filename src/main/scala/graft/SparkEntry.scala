@@ -3,7 +3,7 @@ package graft
 import graft.avro.{AvroDecode, AvroEncode}
 import graft.functions.{ConfluentWire, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcDedup, Clustering, CorpusDiff, Decontamination, IvfAnn, MergeEngine, ProductQuantizer => PQ, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
+import graft.operators.{AsOfJoin, BinaryAnn, CdcDedup, Clustering, CorpusDiff, Decontamination, IvfAnn, MergeEngine, ProductQuantizer => PQ, QualityClassifier, RangeJoin, SimilaritySearch, TextDedup}
 import graft.plans.PhysicalAsOf
 import graft.sources.Tables
 
@@ -1464,6 +1464,32 @@ object SparkEntry {
     exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
+  /** Binary sign-bit ANN top-20 around vec_id=0 over the planted
+    * corpus, BIT-EXACT oracle-gated end to end (unlike the LSH/IVF
+    * recall gates): sign-bit packing, the Hamming-64 candidate pool
+    * (ties by vec_id), and the decimal-cosine rerank are all
+    * deterministic and ANSI-replayable — the oracle computes Hamming
+    * as the count of differing strict-positive signs (provably equal
+    * to popcount-of-XOR over the packed words, see BinaryAnnSpec) and
+    * replays pool -> rerank row for row. The recall verdict vs the
+    * exact top-20 is ALSO recomputed by the oracle, not asserted as a
+    * literal.
+    */
+  private def annHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val top = BinaryAnn.topK(corpus, query, "vec_id", "embedding",
+      k = 20, poolSize = 64,
+      cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3) + lit(0.0))
+    val verdict = exactTop20(s, dir, corpus, query)
+      .join(top.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) >= lit(18)).as("recall_ok"))
+    top.crossJoin(broadcast(verdict))
+      .select(col("vec_id"), col("ham"), col("cos"), col("recall_ok"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** IVF-Flat ANN top-20 around vec_id=0 over the planted-neighbor
     * corpus (nprobe=4 of nlist=16 — a 4x scan reduction), oracle-gated
     * via the in-plan recall verdict (k-means training itself is not
@@ -2510,7 +2536,8 @@ object SparkEntry {
     "bm25_absorb_search" -> (bm25AbsorbSearch _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
-    "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _))
+    "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _),
+    "ann_hamming_topk" -> (annHammingTopk _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4325,6 +4352,65 @@ object SparkEntry {
         |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos,
         |       true AS recall_ok
         |FROM sums ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // binary sign-bit ANN: Hamming replayed as the count of differing
+    // strict-positive signs (== popcount of XOR over packed words);
+    // pool (ham, vec_id LIMIT 64) -> decimal-cosine rerank -> top-20,
+    // with the recall@20 verdict vs the exact top-20 also recomputed
+    "ann_hamming_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |planted AS (
+        |  SELECT 1000000 + t.i AS vec_id,
+        |         list_transform(q.qv,
+        |           x -> x + CAST(t.i AS FLOAT) * CAST(0.0005 AS FLOAT)) AS embedding
+        |  FROM q, generate_series(1, 24) AS t(i)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |ham AS (
+        |  SELECT e.vec_id, e.embedding, q.qv,
+        |         CAST(list_sum([CASE WHEN (e.embedding[i] > 0) <> (q.qv[i] > 0)
+        |                             THEN 1 ELSE 0 END
+        |                        for i in range(1, len(e.embedding) + 1)]) AS BIGINT) AS ham
+        |  FROM corpus e, q),
+        |pool AS (
+        |  SELECT vec_id, embedding, qv, ham FROM ham
+        |  ORDER BY ham, vec_id LIMIT 64),
+        |exploded AS (
+        |  SELECT vec_id, ham,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(qv AS DOUBLE[])) AS y
+        |  FROM pool),
+        |sums AS (
+        |  SELECT vec_id, any_value(ham) AS ham,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY vec_id),
+        |topk AS (
+        |  SELECT vec_id, ham,
+        |         round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
+        |  FROM sums ORDER BY cos DESC, vec_id LIMIT 20),
+        |exact_exploded AS (
+        |  SELECT e.vec_id,
+        |         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(q.qv AS DOUBLE[])) AS y
+        |  FROM corpus e, q),
+        |exact_sums AS (
+        |  SELECT vec_id,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exact_exploded GROUP BY vec_id),
+        |exact_top AS (
+        |  SELECT vec_id,
+        |         round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos
+        |  FROM exact_sums ORDER BY cos DESC, vec_id LIMIT 20),
+        |verdict AS (
+        |  SELECT count(*) >= 18 AS recall_ok
+        |  FROM exact_top WHERE vec_id IN (SELECT vec_id FROM topk))
+        |SELECT t.vec_id, t.ham, t.cos, v.recall_ok
+        |FROM topk t, verdict v
+        |ORDER BY t.cos DESC, t.vec_id""".stripMargin,
     "ann_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |planted AS (
