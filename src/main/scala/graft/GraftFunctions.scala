@@ -90,6 +90,12 @@ object GraftFunctions {
         constantInt(exprs(1), "cm_sketch(_, depth, width)"),
         constantInt(exprs(2), "cm_sketch(_, depth, width)")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "hll_sketch",
+      exprs => graft.functions.HyperLogLogAgg(
+        exprs.head,
+        constantInt(exprs(1), "hll_sketch(_, p)")),
+      "scala_udf")
     ()
   }
 

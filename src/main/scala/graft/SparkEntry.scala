@@ -2117,6 +2117,36 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Per-language distinct (doc, token) cardinality: exact
+    * `count(distinct ...)` (SQL-replayable) plus an in-plan
+    * HyperLogLog relative-error verdict (the q34/countmin tolerance
+    * pattern — the registers themselves are xxhash64-derived and
+    * never reach the cross-engine hash). p=10 -> 1 KB of state and
+    * ~3.3% standard error per group; the 15% gate is ~4.6 sigma.
+    * HllSketchSpec proves the structural properties (order/partition
+    * invariance, union-of-groups == whole-corpus, linear-counting
+    * exactness at tiny cardinality) that make the sketch trustworthy
+    * at the scales where the exact count is the thing you CAN'T have.
+    */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val HLL = graft.functions.HyperLogLog
+    val pairs = Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .select(col("lang"),
+        concat(col("doc_id").cast("string"), lit(":"), col("term")).as("pair"))
+    pairs
+      .groupBy(col("lang"))
+      .agg(
+        HLL.sketch(col("pair")).as("sk"),
+        countDistinct(col("pair")).as("exact_distinct"))
+      .select(
+        col("lang"),
+        col("exact_distinct").cast("long").as("exact_distinct"),
+        (abs(HLL.estimate(col("sk")) / col("exact_distinct").cast("double") - lit(1.0))
+          <= lit(0.15)).as("hll_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Expected decoded means for the synthetic media table, recomputed
     * from the raw document text bytes with the generator's formulas —
     * mean Rec.601 luminance for image rows, RMS amplitude for audio
@@ -2537,7 +2567,8 @@ object SparkEntry {
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
     "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _),
-    "ann_hamming_topk" -> (annHammingTopk _))
+    "ann_hamming_topk" -> (annHammingTopk _),
+    "hll_distinct" -> (hllDistinct _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4352,6 +4383,17 @@ object SparkEntry {
         |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos,
         |       true AS recall_ok
         |FROM sums ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // HLL distinct: exact per-lang count(distinct doc:token) replayed;
+    // the register-based estimate gates via the in-plan 15% verdict
+    "hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         doc_id || ':' ||
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS pair
+        |  FROM documents)
+        |SELECT lang, CAST(count(DISTINCT pair) AS BIGINT) AS exact_distinct,
+        |       true AS hll_ok
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
     // binary sign-bit ANN: Hamming replayed as the count of differing
     // strict-positive signs (== popcount of XOR over packed words);
     // pool (ham, vec_id LIMIT 64) -> decimal-cosine rerank -> top-20,
