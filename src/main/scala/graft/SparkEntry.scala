@@ -2117,6 +2117,48 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** Documents wrapped in deterministic boilerplate chrome — a
+    * per-source header line and one of two footer variants — giving
+    * the line-level dedup pass guaranteed frequent lines at every
+    * scale factor (same fixture philosophy as [[docsWithNearDups]]:
+    * the raw corpus has no newlines, so the operator's work is
+    * synthesized in-plan and the oracle replays the synthesis).
+    */
+  private def docsWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(lit("=== "), col("source"), lit(" header ===")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+          .otherwise(concat(lit("contact us at "), col("source"), lit(".example"))))
+        .as("text"))
+
+  /** Line-frequency statistics over the boilerplate fixture: the
+    * chrome lines dominate the distinct-document counts; body lines
+    * trail at 1. Top-20 by (n_docs desc, line).
+    */
+  private def lineStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup
+      .lineStats(docsWithBoilerplate(s, dir))
+      .select(col("line"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_occ").cast("long").as("n_occ"))
+      .orderBy(col("n_docs").desc, col("line"))
+      .limit(20)
+
+  /** CCNet-style line-level boilerplate removal, fully oracle-gated:
+    * lines in >= 10 distinct documents are deleted, survivors rejoin
+    * in order, emptied documents survive with empty text. String line
+    * keys here so DuckDB replays the join; `hashedKeys` (the operator
+    * default) is the 8-byte-shuffle scale path (the `dedup_spans`
+    * convention).
+    */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup
+      .removeFrequentLines(docsWithBoilerplate(s, dir), minDocs = 10L, hashedKeys = false)
+      .orderBy(col("doc_id"))
+
   /** Per-language distinct (doc, token) cardinality: exact
     * `count(distinct ...)` (SQL-replayable) plus an in-plan
     * HyperLogLog relative-error verdict (the q34/countmin tolerance
@@ -2568,7 +2610,9 @@ object SparkEntry {
     "countmin_heavyhitters" -> (countminHeavyHitters _),
     "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _),
     "ann_hamming_topk" -> (annHammingTopk _),
-    "hll_distinct" -> (hllDistinct _))
+    "hll_distinct" -> (hllDistinct _),
+    "line_stats" -> (lineStats _),
+    "line_dedup" -> (lineDedup _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4383,6 +4427,53 @@ object SparkEntry {
         |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) + 0.0 AS cos,
         |       true AS recall_ok
         |FROM sums ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // line-level dedup family: the boilerplate fixture (header + body
+    // + footer joined by chr(10)) is synthesized identically in both
+    // engines; frequency, removal, and in-order reconstruction replay
+    "line_stats" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |         '=== ' || source || ' header ===' || chr(10) ||
+        |         text || chr(10) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |              ELSE 'contact us at ' || source || '.example' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM docs2)
+        |SELECT line,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM lines GROUP BY line
+        |ORDER BY n_docs DESC, line LIMIT 20""".stripMargin,
+    "line_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |         '=== ' || source || ' header ===' || chr(10) ||
+        |         text || chr(10) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |              ELSE 'contact us at ' || source || '.example' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(str_split(text, chr(10))) AS line,
+        |         unnest(range(1, len(str_split(text, chr(10))) + 1)) AS pos
+        |  FROM docs2),
+        |freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+        |  WHERE nd >= 10),
+        |flagged AS (
+        |  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS hit
+        |  FROM lines l LEFT JOIN freq f USING (line)),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |                    FILTER (WHERE NOT hit), '') AS text,
+        |         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+        |         CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT doc_id, text, removed_lines, kept_lines
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
     // HLL distinct: exact per-lang count(distinct doc:token) replayed;
     // the register-based estimate gates via the in-plan 15% verdict
     "hll_distinct" ->
