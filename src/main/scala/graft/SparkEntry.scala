@@ -990,6 +990,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination over the same eval fixture as
+    * `decontaminate`, gated on exact columns plus two in-plan sketch
+    * verdicts: `bloom_no_fn` (per doc: the bloom caught at least the
+    * exact hits — false negatives are structurally impossible and the
+    * gate proves it end-to-end) and `fp_ok` (global: false-positive
+    * gram rate <= 1%; at 2^22 bits over the fixture's gram count the
+    * true rate is ~1e-4, so the bound has 100x slack while still
+    * failing a degenerate all-ones filter).
+    */
+  private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 50 === 7).select(col("text"))
+    val flagged = Decontamination
+      .flagContaminatedBloom(docs, evalSet, "doc_id", "text", n = 4)
+    val fp = flagged.agg(
+      ((sum(col("bloom_hits") - col("eval_hits")).cast("double") /
+        greatest(sum(col("n_grams") - col("eval_hits")).cast("double"), lit(1.0)))
+        <= lit(0.01)).as("fp_ok"))
+    flagged.crossJoin(broadcast(fp))
+      .select(
+        col("id").as("doc_id"), col("n_grams"), col("eval_hits"), col("contaminated"),
+        (col("bloom_hits") >= col("eval_hits")).as("bloom_no_fn"),
+        col("fp_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed-feature linear quality score per document, oracle-gated via
     * the portable md5 hash scheme: bucket, LCG weight, exact integer
     * feature sum, mean-weight score, and the integer-compare keep gate
@@ -2612,7 +2638,8 @@ object SparkEntry {
     "ann_hamming_topk" -> (annHammingTopk _),
     "hll_distinct" -> (hllDistinct _),
     "line_stats" -> (lineStats _),
-    "line_dedup" -> (lineDedup _))
+    "line_dedup" -> (lineDedup _),
+    "bloom_decontaminate" -> (bloomDecontaminate _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3637,6 +3664,34 @@ object SparkEntry {
         |  CAST(len(g.gs) AS BIGINT) AS n_grams,
         |  CAST(coalesce(h.eval_hits, 0) AS BIGINT) AS eval_hits,
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    // bloom decontamination: exact columns replay the decontaminate
+    // oracle; the sketch gates via the in-plan no-false-negative and
+    // false-positive-bound verdicts
+    "bloom_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 4
+        |           THEN [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) - 2)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS gs
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |ev AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 7),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS eval_hits
+        |  FROM e JOIN ev USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(g.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.eval_hits, 0) AS BIGINT) AS eval_hits,
+        |  coalesce(h.eval_hits, 0) > 0 AS contaminated,
+        |  true AS bloom_no_fn,
+        |  true AS fp_ok
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
     // incremental exact dedup replay: md5 fingerprints, keep-first

@@ -116,6 +116,94 @@ object Decontamination {
         (col("eval_hits") > 0L).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the fixed-memory form for eval
+    * sets too large to broadcast/ship exactly: the eval grams collapse
+    * to a bloom bit-set (512 KB at the default 2^22 bits — a 10-50x
+    * cut vs the gram strings) and the corpus probes it in-plan with
+    * ZERO false negatives (no contaminated document ever survives) and
+    * a bounded false-positive rate (a few clean documents over-dropped,
+    * the cheap direction at training scale).
+    *
+    * Diagnostic form: ALSO computes the exact hits (one extra
+    * broadcast join) so callers — and the gated query's verdicts — can
+    * measure the bloom against ground truth. The production path at
+    * the scale bloom exists for drops the exact join and keeps only
+    * `bloom_hits`/`bloom_contaminated`; the streaming twin
+    * ([[flagContaminatedBloomStream]]) IS that path, closure-shipped.
+    *
+    * @return (id, n_grams, eval_hits, bloom_hits, contaminated,
+    *         bloom_contaminated)
+    */
+  def flagContaminatedBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Int = graft.functions.BloomFilter.DefaultNumBits,
+      numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes): DataFrame = {
+    val BF = graft.functions.BloomFilter
+    val evalGrams = evalSet
+      .select(explode(distinctGrams(evalSet, textCol, n)).as("gram"))
+      .distinct()
+    val bloom = evalGrams.agg(BF.sketch(col("gram"), numBits, numHashes).as("__bloom"))
+    val grams = corpus
+      .select(col(idCol).as("id"), distinctGrams(corpus, textCol, n).as("gs"))
+      .persist()
+    val counts = grams.select(col("id"), explode(col("gs")).as("gram"))
+      .join(broadcast(evalGrams.withColumn("__ex", lit(true))), Seq("gram"), "left")
+      .crossJoin(broadcast(bloom))
+      .select(
+        col("id"),
+        col("__ex"),
+        BF.contains(col("__bloom"), col("gram"), numBits, numHashes).as("__bh"))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("__ex").isNotNull, 1L).otherwise(0L)).as("eval_hits"),
+        sum(when(col("__bh"), 1L).otherwise(0L)).as("bloom_hits"))
+    val out = grams.select(col("id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(counts, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        coalesce(col("eval_hits"), lit(0L)).as("eval_hits"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"))
+      .withColumn("contaminated", col("eval_hits") > 0L)
+      .withColumn("bloom_contaminated", col("bloom_hits") > 0L)
+    TextDedup.materialized(out, Seq(grams))
+  }
+
+  /** Streaming/production bloom probe: the eval bloom words are
+    * computed once (batch) and ship in the task closure via the native
+    * [[graft.functions.BloomHitCount]] expression — a stateless
+    * projection serving unaggregated streams at fixed memory, the
+    * bloom sibling of [[flagContaminatedStream]]'s exact set.
+    */
+  def flagContaminatedBloomStream(
+      stream: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Int = graft.functions.BloomFilter.DefaultNumBits,
+      numHashes: Int = graft.functions.BloomFilter.DefaultNumHashes): DataFrame = {
+    val BF = graft.functions.BloomFilter
+    val words = evalSet
+      .select(explode(distinctGrams(evalSet, textCol, n)).as("gram"))
+      .distinct()
+      .agg(BF.sketch(col("gram"), numBits, numHashes).as("__bloom"))
+      .collect().head.getSeq[Long](0)
+    val staged = stream.select(
+      col(idCol).as("id"),
+      distinctGrams(stream, textCol, n).as("__gs"))
+    staged
+      .select(
+        col("id"),
+        size(col("__gs")).cast("long").as("n_grams"),
+        BF.hitCount(col("__gs"), words, numHashes).as("bloom_hits"))
+      .withColumn("bloom_contaminated", col("bloom_hits") > 0L)
+  }
+
   private def distinctGrams(df: DataFrame, textCol: String, n: Int) =
     array_distinct(TextFunctions.ngramsFromTokens(TextFunctions.tokens(col(textCol)), n))
 }
