@@ -990,6 +990,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer-grid PageRank over a deterministic synthetic link graph
+    * (3 out-edges per document, `dst = (src*7 + j) mod N`, self-loops
+    * dropped), BIT-EXACT oracle-gated: ranks are BIGINT micro-units
+    * and every update a floor division, so DuckDB unrolls the 3 power
+    * iterations as CTEs and hash-matches every rank (the
+    * `kmeans_train` convention for iterative numerics). The one
+    * driver-side action is the node-universe size — a single long.
+    */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L
+    val edges = docs
+      .select(col("doc_id").as("src"), explode(sequence(lit(1L), lit(3L))).as("j"))
+      .select(col("src"), ((col("src") * 7L + col("j")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.PageRank.rank(edges, docs, "src", "dst", iters = 3)
+      .select(col("node").as("doc_id"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Bloom-filter decontamination over the same eval fixture as
     * `decontaminate`, gated on exact columns plus two in-plan sketch
     * verdicts: `bloom_no_fn` (per doc: the bloom caught at least the
@@ -2639,7 +2660,8 @@ object SparkEntry {
     "hll_distinct" -> (hllDistinct _),
     "line_stats" -> (lineStats _),
     "line_dedup" -> (lineDedup _),
-    "bloom_decontaminate" -> (bloomDecontaminate _))
+    "bloom_decontaminate" -> (bloomDecontaminate _),
+    "page_rank" -> (pageRankQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3666,6 +3688,40 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // PageRank: 3 power iterations unrolled as CTEs on the integer
+    // micro-grid — floor divisions replay exactly, no float anywhere
+    "page_rank" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + j.i) % nn.n AS dst
+        |  FROM documents, nn, generate_series(1, 3) AS j(i)
+        |  WHERE (doc_id * 7 + j.i) % nn.n <> doc_id),
+        |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT doc_id AS node FROM documents),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, sum(r0.r // o.d) AS c
+        |  FROM edges e JOIN r0 ON e.src = r0.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.node, CAST(150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (
+        |  SELECT e.dst AS node, sum(r1.r // o.d) AS c
+        |  FROM edges e JOIN r1 ON e.src = r1.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.node, CAST(150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (
+        |  SELECT e.dst AS node, sum(r2.r // o.d) AS c
+        |  FROM edges e JOIN r2 ON e.src = r2.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.node, CAST(150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node AS doc_id, r AS rank_micro
+        |FROM r3 ORDER BY rank_micro DESC, doc_id LIMIT 50""".stripMargin,
     // bloom decontamination: exact columns replay the decontaminate
     // oracle; the sketch gates via the in-plan no-false-negative and
     // false-positive-bound verdicts

@@ -93,6 +93,33 @@ object WindowedAggs {
           .estimate(col("sketch"), col(termCol), depth, width).as("est"))
       .filter(col("est") >= threshold)
 
+  /** Per-window HyperLogLog registers + estimate: the bounded-state
+    * streaming distinct count ("unique users per hour" on a stream too
+    * large to hold the distinct set). State per window is the fixed
+    * 2^p register array (1 KB at the default p=10) regardless of event
+    * volume; [[graft.functions.HyperLogLogAgg]]'s max-merge makes the
+    * micro-batch partials combine map-side and the finalized window a
+    * pure function of the window's events, so a stream run equals the
+    * batch groupBy over the same data register for register
+    * (StreamHllSpec's differential).
+    */
+  def windowedDistinct(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermark: String,
+      p: Int = graft.functions.HyperLogLog.DefaultP): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.functions.HyperLogLog.sketch(col(valueCol), p).as("registers"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("registers"),
+        round(graft.functions.HyperLogLog.estimate(col("registers"), p), 6)
+          .as("approx_distinct"))
+
   /** Sliding-window variant. */
   def slidingCounts(
       df: DataFrame,
