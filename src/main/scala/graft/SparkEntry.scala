@@ -1011,6 +1011,37 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Histogram-sketch quantiles of document length: exact interpolated
+    * percentiles (SQL-replayable — the q28 convention) plus in-plan
+    * verdicts that the 256-bucket fixed-range sketch reads each
+    * quantile within two bucket widths (true error is <= half a
+    * width; the slack covers interpolation straddling a boundary).
+    * The deterministic quantile summary for metrics with a known
+    * range — see [[graft.functions.HistogramSketchAgg]] for why not
+    * KLL/t-digest at this engine's determinism bar.
+    */
+  private def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val H = graft.functions.HistogramSketch
+    val (nb, lo, hi) = (256, 0.0, 1024.0)
+    val width = (hi - lo) / nb
+    Tables(s, dir, "documents")
+      .agg(
+        H.sketch(col("n_chars"), nb, lo, hi).as("sk"),
+        expr("percentile(n_chars, 0.25)").as("e25"),
+        expr("percentile(n_chars, 0.5)").as("e50"),
+        expr("percentile(n_chars, 0.75)").as("e75"),
+        expr("percentile(n_chars, 0.95)").as("e95"))
+      .select(
+        round(col("e25"), 2).as("p25"),
+        round(col("e50"), 2).as("p50"),
+        round(col("e75"), 2).as("p75"),
+        round(col("e95"), 2).as("p95"),
+        (abs(H.quantile(col("sk"), 0.25, nb, lo, hi) - col("e25")) <= 2 * width).as("ok25"),
+        (abs(H.quantile(col("sk"), 0.50, nb, lo, hi) - col("e50")) <= 2 * width).as("ok50"),
+        (abs(H.quantile(col("sk"), 0.75, nb, lo, hi) - col("e75")) <= 2 * width).as("ok75"),
+        (abs(H.quantile(col("sk"), 0.95, nb, lo, hi) - col("e95")) <= 2 * width).as("ok95"))
+  }
+
   /** Bloom-filter decontamination over the same eval fixture as
     * `decontaminate`, gated on exact columns plus two in-plan sketch
     * verdicts: `bloom_no_fn` (per doc: the bloom caught at least the
@@ -2661,7 +2692,8 @@ object SparkEntry {
     "line_stats" -> (lineStats _),
     "line_dedup" -> (lineDedup _),
     "bloom_decontaminate" -> (bloomDecontaminate _),
-    "page_rank" -> (pageRankQ _))
+    "page_rank" -> (pageRankQ _),
+    "hist_quantiles" -> (histQuantiles _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3688,6 +3720,15 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // histogram quantiles: exact interpolated percentiles replay; the
+    // sketch reads gate via the two-bucket-width verdicts
+    "hist_quantiles" ->
+      """SELECT round(quantile_cont(n_chars, 0.25), 2) AS p25,
+        |       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |       round(quantile_cont(n_chars, 0.75), 2) AS p75,
+        |       round(quantile_cont(n_chars, 0.95), 2) AS p95,
+        |       true AS ok25, true AS ok50, true AS ok75, true AS ok95
+        |FROM documents""".stripMargin,
     // PageRank: 3 power iterations unrolled as CTEs on the integer
     // micro-grid — floor divisions replay exactly, no float anywhere
     "page_rank" ->
