@@ -1011,6 +1011,64 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Persisted-sketch absorb for the whole sketch family: the
+    * even-doc half of the corpus is sketched (HLL registers, bloom
+    * words, count-min counters, length histogram), SAVED to parquet,
+    * LOADED, and absorbed with a fresh sketch of the odd-doc half
+    * using each aggregate's own merge IN-PLAN (max / OR / add). The
+    * verdicts assert element-for-element equality with the
+    * whole-corpus sketches — exact, not approximate, because these
+    * merges ARE the aggregates' partial-combine folds; what the gate
+    * proves end-to-end is that the parquet round trip preserves every
+    * element and the column-level merge matches the internal one. The
+    * exact metrics are SQL-replayable; O(increment) absorb is the
+    * same store contract as the dedup/BM25/IVF stores.
+    */
+  private def sketchAbsorb(s: SparkSession, dir: String): DataFrame = {
+    val HLL = graft.functions.HyperLogLog
+    val BF = graft.functions.BloomFilter
+    val CM = graft.functions.CountMinSketch
+    val H = graft.functions.HistogramSketch
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("n_chars"), explode(TF.tokens(col("text"))).as("term"))
+    val base = toks.filter(col("doc_id") % 2 === 0)
+    val inc = toks.filter(col("doc_id") % 2 =!= 0)
+    val (nb, lo, hi) = (256, 0.0, 1024.0)
+    def sketches(df: DataFrame, suffix: String) = df.agg(
+      HLL.sketch(col("term")).as("hll" + suffix),
+      BF.sketch(col("term")).as("bloom" + suffix),
+      CM.sketch(col("term")).as("cms" + suffix),
+      H.sketch(col("n_chars"), nb, lo, hi).as("hist" + suffix))
+    val path = scratchDir("graft-sketch-store")
+    graft.operators.SketchStore.save(sketches(base, ""), path)
+    val loaded = graft.operators.SketchStore.load(s, path)
+    val allSk = toks.agg(
+      HLL.sketch(col("term")).as("hll_a"),
+      BF.sketch(col("term")).as("bloom_a"),
+      CM.sketch(col("term")).as("cms_a"),
+      H.sketch(col("n_chars"), nb, lo, hi).as("hist_a"),
+      countDistinct(col("term")).as("n_distinct"),
+      count(lit(1)).as("n_tokens"))
+    def eq(a: Column, b: Column): Column =
+      forall(zip_with(a, b, (x, y) => x === y), x => x)
+    loaded
+      .crossJoin(broadcast(sketches(inc, "_i")))
+      .crossJoin(broadcast(allSk))
+      .select(explode(array(
+        struct(lit("bloom").as("kind"), col("n_distinct").cast("long").as("exact_metric"),
+          eq(BF.union(col("bloom"), col("bloom_i")), col("bloom_a")).as("absorb_ok")),
+        struct(lit("cms").as("kind"), col("n_tokens").cast("long").as("exact_metric"),
+          eq(CM.merge(col("cms"), col("cms_i")), col("cms_a")).as("absorb_ok")),
+        struct(lit("hist").as("kind"), col("n_tokens").cast("long").as("exact_metric"),
+          eq(H.merge(col("hist"), col("hist_i")), col("hist_a")).as("absorb_ok")),
+        struct(lit("hll").as("kind"), col("n_distinct").cast("long").as("exact_metric"),
+          eq(HLL.union(col("hll"), col("hll_i")), col("hll_a")).as("absorb_ok"))))
+        .as("r"))
+      .select(col("r.kind").as("kind"), col("r.exact_metric").as("exact_metric"),
+        col("r.absorb_ok").as("absorb_ok"))
+      .orderBy(col("kind"))
+  }
+
   /** Histogram-sketch quantiles of document length: exact interpolated
     * percentiles (SQL-replayable — the q28 convention) plus in-plan
     * verdicts that the 256-bucket fixed-range sketch reads each
@@ -2693,7 +2751,8 @@ object SparkEntry {
     "line_dedup" -> (lineDedup _),
     "bloom_decontaminate" -> (bloomDecontaminate _),
     "page_rank" -> (pageRankQ _),
-    "hist_quantiles" -> (histQuantiles _))
+    "hist_quantiles" -> (histQuantiles _),
+    "sketch_absorb" -> (sketchAbsorb _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3720,6 +3779,21 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // sketch-store absorb: exact corpus metrics replay; the four
+    // element-equality verdicts gate the parquet round trip + in-plan
+    // merge (exact by construction — see sketchAbsorb's scaladoc)
+    "sketch_absorb" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |m AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS nd,
+        |             CAST(count(*) AS BIGINT) AS nt FROM toks)
+        |SELECT kind, exact_metric, true AS absorb_ok FROM (
+        |  SELECT 'bloom' AS kind, nd AS exact_metric FROM m
+        |  UNION ALL SELECT 'cms', nt FROM m
+        |  UNION ALL SELECT 'hist', nt FROM m
+        |  UNION ALL SELECT 'hll', nd FROM m)
+        |ORDER BY kind""".stripMargin,
     // histogram quantiles: exact interpolated percentiles replay; the
     // sketch reads gate via the two-bucket-width verdicts
     "hist_quantiles" ->

@@ -273,6 +273,13 @@ object BloomFilter {
         GraftColumnShim.expression(value),
         numBits, numHashes))
 
+  /** Elementwise OR of two word columns: the bloom of the union of the
+    * underlying sets — the aggregate's own merge, in-plan, for
+    * persisted-store absorption ([[graft.operators.SketchStore]]).
+    */
+  def union(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.zip_with(a, b, (x, y) => x.bitwiseOR(y))
+
   /** Closure-shipped array probe (see [[BloomHitCount]]). */
   def hitCount(arr: Column, words: Seq[Long], numHashes: Int = DefaultNumHashes): Column =
     GraftColumnShim.column(

@@ -129,6 +129,14 @@ object CountMinSketch {
     GraftColumnShim.column(
       CountMinSketchAgg(GraftColumnShim.expression(c), depth, width).toAggregateExpression())
 
+  /** Elementwise sum of two counter columns: the sketch of the
+    * concatenation of the underlying streams — the aggregate's own
+    * merge, in-plan, for persisted-store absorption
+    * ([[graft.operators.SketchStore]]).
+    */
+  def merge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
+
   /** In-plan frequency estimate of `value` against a sketch column:
     * the minimum of the value's `depth` counters, built from the SAME
     * seeded hash expressions the aggregate updates with. Stateless —

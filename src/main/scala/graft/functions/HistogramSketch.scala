@@ -111,6 +111,12 @@ object HistogramSketch {
       HistogramSketchAgg(GraftColumnShim.expression(c), numBuckets, lo, hi)
         .toAggregateExpression())
 
+  /** Elementwise sum of two counter columns (the aggregate's own
+    * merge, in-plan — see [[graft.operators.SketchStore]]).
+    */
+  def merge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
+
   /** Quantile read from a counter column (stateless fold — runs once
     * per sketch row): the MIDPOINT of the bucket holding the
     * `ceil(q * total)`-th ranked value. Underflow clamps to `lo`,
