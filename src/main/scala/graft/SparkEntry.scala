@@ -1011,6 +1011,18 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Sorted-neighborhood near-dup pairs over the planted-near-dup
+    * fixture, BIT-EXACT oracle-gated: key construction, the bucketed
+    * sliding window (no global single-partition sort), and the exact
+    * integer-rational Jaccard gate all replay in SQL — the sort-based
+    * member of the dedup-blocking taxonomy (hash = exact dedup,
+    * bands = MinHash-LSH, clusters = SemDeDup, sort = this).
+    */
+  private def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedNeighborhood
+      .nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Persisted-sketch absorb for the whole sketch family: the
     * even-doc half of the corpus is sketched (HLL registers, bloom
     * words, count-min counters, length histogram), SAVED to parquet,
@@ -2752,7 +2764,8 @@ object SparkEntry {
     "bloom_decontaminate" -> (bloomDecontaminate _),
     "page_rank" -> (pageRankQ _),
     "hist_quantiles" -> (histQuantiles _),
-    "sketch_absorb" -> (sketchAbsorb _))
+    "sketch_absorb" -> (sketchAbsorb _),
+    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3779,6 +3792,41 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // sorted-neighborhood: bucketed window lags + exact integer
+    // Jaccard replay candidate-for-candidate
+    "dedup_sorted_neighborhood" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM corpus),
+        |k AS (
+        |  SELECT doc_id, list_distinct(ws) AS toks, ws[1] AS bucket,
+        |         array_to_string(ws[1:6], ' ') AS key
+        |  FROM t),
+        |lagged AS (
+        |  SELECT doc_id, toks,
+        |         lag(doc_id, 1) OVER w AS id1, lag(toks, 1) OVER w AS tk1,
+        |         lag(doc_id, 2) OVER w AS id2, lag(toks, 2) OVER w AS tk2
+        |  FROM k WINDOW w AS (PARTITION BY bucket ORDER BY key, doc_id)),
+        |cand AS (
+        |  SELECT doc_id AS b_id, id1 AS a_id, toks, tk1 AS atoks
+        |  FROM lagged WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id2, toks, tk2 FROM lagged WHERE id2 IS NOT NULL),
+        |sims AS (
+        |  SELECT LEAST(a_id, b_id) AS id_a, GREATEST(a_id, b_id) AS id_b,
+        |         len(list_intersect(toks, atoks)) AS inter,
+        |         len(list_distinct(list_concat(toks, atoks))) AS uni
+        |  FROM cand)
+        |SELECT DISTINCT id_a, id_b,
+        |       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+        |FROM sims WHERE inter * 5 >= uni * 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // sketch-store absorb: exact corpus metrics replay; the four
     // element-equality verdicts gate the parquet round trip + in-plan
     // merge (exact by construction — see sketchAbsorb's scaladoc)

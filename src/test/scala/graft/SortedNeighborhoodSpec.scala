@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.SortedNeighborhood
+
+import org.apache.spark.sql.functions._
+
+class SortedNeighborhoodSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("prefix-sharing near-dups land adjacent and clear the exact Jaccard gate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi tail"),
+      (3L, "alpha different words entirely here nothing shared beyond the bucket token"),
+      (4L, "omega psi chi phi upsilon tau sigma rho pi omicron")
+    ).toDF("doc_id", "text")
+    val pairs = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val (_, _, inter, uni) = pairs.head
+    assert(inter == 14L && uni == 15L) // 14 shared tokens, "tail" extra
+  }
+
+  test("window distance limits comparisons: 3 same-key docs, window 2") {
+    // identical keys -> sort by id; window 2 compares only adjacent
+    val base = "common prefix tokens here for sorting purposes only"
+    val docs = Seq(
+      (1L, base + " one"), (2L, base + " one"), (3L, base + " one")
+    ).toDF("doc_id", "text")
+    val w2 = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text", windowSize = 2)
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2)).sorted.toSeq
+    assert(w2 == Seq((1L, 2L), (2L, 3L))) // 1-3 is 2 apart: missed at w=2
+    val w3 = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text", windowSize = 3)
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2)).sorted.toSeq
+    assert(w3 == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bucket partitioning: different first tokens never compare") {
+    val docs = Seq(
+      (1L, "aaa shared rest of text here exactly the same"),
+      (2L, "bbb shared rest of text here exactly the same")
+    ).toDF("doc_id", "text")
+    val pairs = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text")
+    assert(pairs.count() == 0L)
+  }
+
+  test("threshold is an exact integer rational: 4/5 boundary included") {
+    // 4 shared of 5 union = exactly 0.8 -> kept; 3 of 5 -> dropped
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e"),   // inter 4, uni 5 -> keep
+      (3L, "a b c x y")    // vs 2: inter 3, uni 7 -> drop; vs 1: inter 3, uni 6 -> drop
+    ).toDF("doc_id", "text")
+    val pairs = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text", windowSize = 3)
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2)).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("no global single-partition window: plan partitions by bucket") {
+    val docs = Seq((1L, "x y z"), (2L, "q r s")).toDF("doc_id", "text")
+    val plan = SortedNeighborhood.nearDupPairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bucket"), plan)
+  }
+}
