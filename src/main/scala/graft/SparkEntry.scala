@@ -1011,6 +1011,30 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Unicode NFC normalization, bit-exact oracle-gated: the corpus is
+    * decorated with deterministic DECOMPOSED sequences (combining
+    * accents), normalized by the native [[graft.functions
+    * .NormalizeText]] expression, and compared to DuckDB's
+    * `nfc_normalize` via byte lengths + md5 of the normalized text —
+    * both engines implement Unicode canonical composition, so the
+    * hashes must agree on every row. The pass that must run before
+    * any hash-based dedup on multilingual corpora.
+    */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        // DECOMPOSED decorations (combining accents), matching the
+        // oracle's chr(769)/chr(776) construction byte for byte
+        concat(col("text"), lit(" cafe\u0301 u\u0308ber no\u0308el")).as("t"))
+      .select(col("doc_id"), col("t"),
+        graft.functions.NormalizeText.nfc(col("t")).as("nt"))
+      .select(
+        col("doc_id"),
+        octet_length(col("t")).cast("long").as("raw_bytes"),
+        octet_length(col("nt")).cast("long").as("norm_bytes"),
+        md5(col("nt").cast("binary")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   /** Sorted-neighborhood near-dup pairs over the planted-near-dup
     * fixture, BIT-EXACT oracle-gated: key construction, the bucketed
     * sliding window (no global single-partition sort), and the exact
@@ -2765,7 +2789,8 @@ object SparkEntry {
     "page_rank" -> (pageRankQ _),
     "hist_quantiles" -> (histQuantiles _),
     "sketch_absorb" -> (sketchAbsorb _),
-    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _))
+    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
+    "text_normalize" -> (textNormalize _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3792,6 +3817,20 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // NFC normalization: decomposed decorations composed identically
+    // by both engines; md5 of the normalized bytes gates every row
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no' ||
+        |           chr(776) || 'el' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM d)
+        |SELECT doc_id,
+        |       CAST(strlen(t) AS BIGINT) AS raw_bytes,
+        |       CAST(strlen(nt) AS BIGINT) AS norm_bytes,
+        |       md5(nt) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     // sorted-neighborhood: bucketed window lags + exact integer
     // Jaccard replay candidate-for-candidate
     "dedup_sorted_neighborhood" ->

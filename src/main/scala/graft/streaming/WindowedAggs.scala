@@ -120,6 +120,34 @@ object WindowedAggs {
         round(graft.functions.HyperLogLog.estimate(col("registers"), p), 6)
           .as("approx_distinct"))
 
+  /** Per-window histogram sketch + quantile reads: streaming latency/
+    * size percentiles at `numBuckets + 2` longs of state per active
+    * window ([[graft.functions.HistogramSketchAgg]]; vector-add merge
+    * keeps micro-batch partials map-combinable and a finalized window
+    * equal to its batch twin counter for counter —
+    * StreamHistogramSpec's differential).
+    */
+  def windowedHistogram(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermark: String,
+      numBuckets: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val H = graft.functions.HistogramSketch
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(H.sketch(col(valueCol), numBuckets, lo, hi).as("counters"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("counters"),
+        H.quantile(col("counters"), 0.5, numBuckets, lo, hi).as("p50"),
+        H.quantile(col("counters"), 0.95, numBuckets, lo, hi).as("p95"))
+  }
+
   /** Sliding-window variant. */
   def slidingCounts(
       df: DataFrame,
