@@ -1011,6 +1011,53 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Distinct-n diversity per language (Li et al. 2016): total vs
+    * distinct bigram counts and their ratio — the template-spam /
+    * mode-collapse signal. Fully SQL-replayable.
+    */
+  private def textDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .diversityStats(Tables(s, dir, "documents"), "text", "lang", n = 2)
+      .orderBy(col("lang"))
+
+  /** Length-bucketed batching plan: power-of-two buckets by explicit
+    * boundary comparison (no libm log2), per-bucket padding-waste
+    * ledger. Fully SQL-replayable — every count and ratio.
+    */
+  private def lengthBucketsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing
+      .lengthBuckets(Tables(s, dir, "documents"), size(TF.tokens(col("text"))))
+
+  /** Cross-corpus overlap via HLL set algebra: the exact distinct
+    * bigram counts of the even/odd document halves and their exact
+    * intersection replay in SQL; the sketch-side inclusion-exclusion
+    * estimate (three register reads, no join between the corpora)
+    * gates via a 25% relative-error verdict — generous because
+    * subtraction amplifies the per-sketch ~3% error, and exactly the
+    * point: at 100 TB the exact intersection is a cross-corpus join
+    * you cannot afford, the three sketches you already have.
+    */
+  private def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val HLL = graft.functions.HyperLogLog
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TF.ngramsFromTokens(TF.tokens(col("text")), 2)).as("g"))
+    val a = grams.filter(col("doc_id") % 2 === 0).select(col("g"))
+    val b = grams.filter(col("doc_id") % 2 =!= 0).select(col("g"))
+    val skA = a.agg(HLL.sketch(col("g")).as("ska"), countDistinct(col("g")).as("n_a"))
+    val skB = b.agg(HLL.sketch(col("g")).as("skb"), countDistinct(col("g")).as("n_b"))
+    val exact = a.distinct()
+      .join(b.distinct(), Seq("g"), "left_semi")
+      .agg(count(lit(1)).as("exact_overlap"))
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("exact_overlap").cast("long").as("exact_overlap"),
+        (abs(HLL.intersectionEstimate(col("ska"), col("skb")) /
+          col("exact_overlap").cast("double") - lit(1.0)) <= lit(0.25)).as("overlap_ok"))
+  }
+
   /** Unicode NFC normalization, bit-exact oracle-gated: the corpus is
     * decorated with deterministic DECOMPOSED sequences (combining
     * accents), normalized by the native [[graft.functions
@@ -2798,7 +2845,10 @@ object SparkEntry {
     "hist_quantiles" -> (histQuantiles _),
     "sketch_absorb" -> (sketchAbsorb _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
-    "text_normalize" -> (textNormalize _))
+    "text_normalize" -> (textNormalize _),
+    "text_diversity" -> (textDiversity _),
+    "length_buckets" -> (lengthBucketsQ _),
+    "corpus_overlap" -> (corpusOverlap _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3825,6 +3875,60 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // distinct-n diversity: bigram totals/distincts/ratio replay
+    "text_diversity" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT lang,
+        |         unnest(CASE WHEN len(ws) >= 2
+        |                     THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |                     ELSE [array_to_string(ws, ' ')] END) AS g
+        |  FROM t)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS distinct_ratio
+        |FROM gr GROUP BY lang ORDER BY lang""".stripMargin,
+    // length buckets: explicit power-of-two boundary ladder + exact
+    // padding ledger replay
+    "length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n,
+        |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |              WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |              ELSE 1024 END AS bucket_size
+        |  FROM t)
+        |SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+        |       CAST(count(*) AS BIGINT) AS n_seqs,
+        |       CAST(sum(LEAST(n, bucket_size)) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) * bucket_size AS BIGINT) AS padded_tokens,
+        |       round(CAST(count(*) * bucket_size - sum(LEAST(n, bucket_size)) AS DOUBLE) /
+        |             (count(*) * bucket_size), 4) AS waste_pct
+        |FROM b GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
+    // corpus overlap: exact halves + intersection replay; the HLL
+    // inclusion-exclusion estimate gates via the 25% verdict
+    "corpus_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(ws) >= 2
+        |                     THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |                     ELSE [array_to_string(ws, ' ')] END) AS g
+        |  FROM t),
+        |a AS (SELECT DISTINCT g FROM gr WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT g FROM gr WHERE doc_id % 2 = 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (g)) AS exact_overlap,
+        |       true AS overlap_ok""".stripMargin,
     // NFC normalization: decomposed decorations composed identically
     // by both engines; md5 of the normalized bytes gates every row
     "text_normalize" ->

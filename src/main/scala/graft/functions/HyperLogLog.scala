@@ -144,4 +144,16 @@ object HyperLogLog {
     */
   def union(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Inclusion-exclusion intersection estimate,
+    * `|A ∩ B| ~ est(A) + est(B) - est(A ∪ B)` — cross-corpus overlap
+    * (shared vocabulary, shared URLs, contamination surface area)
+    * WITHOUT joining the corpora: three register reads off sketches
+    * each side already maintains. Relative error grows as the true
+    * intersection shrinks versus the unions (the subtraction
+    * amplifies); gate use to overlaps that are a material fraction of
+    * either side, or bound with the 3-sigma union error.
+    */
+  def intersectionEstimate(a: Column, b: Column, p: Int = DefaultP): Column =
+    estimate(a, p) + estimate(b, p) - estimate(union(a, b), p)
 }

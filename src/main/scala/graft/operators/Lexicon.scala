@@ -23,6 +23,34 @@ import graft.functions.TextFunctions
   */
 object Lexicon {
 
+  /** N-gram diversity statistics per group (distinct-n, Li et al.
+    * 2016): total vs distinct n-gram counts and their ratio — the
+    * standard corpus-diversity signal (a collapsing ratio flags
+    * template spam / mode-collapsed synthetic data before training).
+    * One explode + one aggregation (the distinct count is the only
+    * shuffle-heavy part; at 100 TB swap `countDistinct` for
+    * [[graft.functions.HyperLogLog.sketch]] — same query shape,
+    * fixed-state distinct).
+    */
+  def diversityStats(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(graft.functions.TextFunctions
+          .ngramsFromTokens(graft.functions.TextFunctions.tokens(col(textCol)), n)).as("__g"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("__g")).as("n_distinct"))
+      .select(
+        col(groupCol),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 4).as("distinct_ratio"))
+
   /** Integer idf grid (µ-nats): `floor(ln(x) * IdfScale)` — the same
     * engine-portable quantization as [[CorpusDrift]]/[[NgramLm]], so
     * TF-IDF scores order and replay identically across engines.

@@ -21,6 +21,48 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Length-bucketed batching plan — the padding-waste ledger: each
+    * sequence rounds up to the smallest power-of-two bucket holding
+    * it, and per bucket the plan reports how many padded tokens a
+    * batch at that length costs versus the real tokens carried.
+    * Bucketing by explicit boundary comparison (a `when` ladder, no
+    * `log2` — libm rounding at exact powers of two differs across
+    * engines) keeps the assignment integer-exact and SQL-replayable.
+    * One projection + one aggregation; this is the planner step
+    * before dataloader sharding, where a 2x padding-waste bucket is
+    * the difference between feeding accelerators and feeding zeros.
+    *
+    * @return (bucket_size, n_seqs, total_tokens, padded_tokens,
+    *         waste_pct) ascending by bucket; sequences beyond
+    *         `maxBucket` clamp into it (truncation is tensorization
+    *         policy, not this planner's)
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      tokenCol: Column,
+      minBucket: Int = 16,
+      maxBucket: Int = 1024): DataFrame = {
+    require(Integer.bitCount(minBucket) == 1 && Integer.bitCount(maxBucket) == 1 &&
+      minBucket < maxBucket, "buckets must be powers of two, min < max")
+    val sizes = Iterator.iterate(minBucket)(_ * 2).takeWhile(_ <= maxBucket).toSeq
+    val bucket = sizes.init.foldRight(lit(maxBucket.toLong)) {
+      case (b, rest) => when(tokenCol <= b, lit(b.toLong)).otherwise(rest)
+    }
+    df.select(tokenCol.cast("long").as("__n"), bucket.as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(least(col("__n"), col("bucket_size"))).as("total_tokens"))
+      .select(
+        col("bucket_size"),
+        col("n_seqs").cast("long").as("n_seqs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        (col("n_seqs") * col("bucket_size")).cast("long").as("padded_tokens"),
+        round((col("n_seqs") * col("bucket_size") - col("total_tokens")).cast("double") /
+          (col("n_seqs") * col("bucket_size")), 4).as("waste_pct"))
+      .orderBy(col("bucket_size"))
+  }
+
   /** Assign every row a (shard, pack_id) plus its token offset within
     * the pack stream.
     *
