@@ -1011,6 +1011,26 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Aho-Corasick blocklist scan, bit-exact oracle-gated: one
+    * automaton pass per document counts every overlapping occurrence
+    * of every pattern (O(len), pattern-count-independent — the
+    * blocklist-filtering shape a naive contains-OR cannot afford at
+    * thousands of entries); the oracle recounts by position
+    * enumeration, which defines the same overlapping-occurrence
+    * semantics.
+    */
+  private def textBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq("fast table", "slow", "value table", "a row")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.MultiPatternCount(lower(trim(col("text"))), pats).as("m"))
+      .select(col("doc_id"),
+        col("m.hits").cast("long").as("hits"),
+        col("m.patterns_hit").cast("long").as("patterns_hit"),
+        (col("m.hits") > 0L).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct-n diversity per language (Li et al. 2016): total vs
     * distinct bigram counts and their ratio — the template-spam /
     * mode-collapse signal. Fully SQL-replayable.
@@ -2848,7 +2868,8 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "text_diversity" -> (textDiversity _),
     "length_buckets" -> (lengthBucketsQ _),
-    "corpus_overlap" -> (corpusOverlap _))
+    "corpus_overlap" -> (corpusOverlap _),
+    "text_blocklist" -> (textBlocklist _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3875,6 +3896,23 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // blocklist: overlapping-occurrence counts replayed by position
+    // enumeration per (doc, pattern)
+    "text_blocklist" ->
+      """WITH pats AS (
+        |  SELECT unnest(['fast table','slow','value table','a row']) AS p),
+        |t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(len([i for i in range(1, length(t) - length(p) + 2)
+        |                   if substr(t, i, length(p)) = p]) AS BIGINT) AS c
+        |  FROM t, pats),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS hits,
+        |         CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS patterns_hit
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, hits, patterns_hit, hits > 0 AS blocked
+        |FROM a ORDER BY doc_id""".stripMargin,
     // distinct-n diversity: bigram totals/distincts/ratio replay
     "text_diversity" ->
       """WITH t AS (
