@@ -1011,6 +1011,17 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** JL random projection 64 -> 8 dims, BIT-EXACT oracle-gated: the
+    * md5-derived integer matrix and decimal-accumulated coordinates
+    * replay in SQL, so every projected value hash-matches (the
+    * `kmeans_train` determinism convention applied to dimensionality
+    * reduction — the cheapener that runs before PQ/ANN at scale).
+    */
+  private def embedProject(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection
+      .project(Tables(s, dir, "embeddings"), "vec_id", "embedding", d = 64, k = 8)
+      .orderBy(col("vec_id"))
+
   /** Aho-Corasick blocklist scan, bit-exact oracle-gated: one
     * automaton pass per document counts every overlapping occurrence
     * of every pattern (O(len), pattern-count-independent — the
@@ -2869,7 +2880,8 @@ object SparkEntry {
     "text_diversity" -> (textDiversity _),
     "length_buckets" -> (lengthBucketsQ _),
     "corpus_overlap" -> (corpusOverlap _),
-    "text_blocklist" -> (textBlocklist _))
+    "text_blocklist" -> (textBlocklist _),
+    "embed_project" -> (embedProject _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3896,6 +3908,32 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // JL projection: md5 integer matrix + decimal sums replay every
+    // coordinate
+    "embed_project" ->
+      """WITH r AS (
+        |  SELECT i.i, j.j,
+        |         CAST('0x' || substr(md5(i.i || '_' || j.j), 1, 15) AS BIGINT)
+        |           % 2001 - 1000 AS r
+        |  FROM generate_series(0, 7) AS i(i), generate_series(0, 63) AS j(j)),
+        |x AS (
+        |  SELECT vec_id,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS xj,
+        |         unnest(range(0, 64)) AS j
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, r.i, sum(CAST(x.xj * r.r AS DECIMAL(28,14))) AS y
+        |  FROM x JOIN r ON x.j = r.j GROUP BY vec_id, r.i)
+        |SELECT vec_id,
+        |       round(CAST(max(CASE WHEN i = 0 THEN y END) AS DOUBLE), 6) AS p0,
+        |       round(CAST(max(CASE WHEN i = 1 THEN y END) AS DOUBLE), 6) AS p1,
+        |       round(CAST(max(CASE WHEN i = 2 THEN y END) AS DOUBLE), 6) AS p2,
+        |       round(CAST(max(CASE WHEN i = 3 THEN y END) AS DOUBLE), 6) AS p3,
+        |       round(CAST(max(CASE WHEN i = 4 THEN y END) AS DOUBLE), 6) AS p4,
+        |       round(CAST(max(CASE WHEN i = 5 THEN y END) AS DOUBLE), 6) AS p5,
+        |       round(CAST(max(CASE WHEN i = 6 THEN y END) AS DOUBLE), 6) AS p6,
+        |       round(CAST(max(CASE WHEN i = 7 THEN y END) AS DOUBLE), 6) AS p7
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // blocklist: overlapping-occurrence counts replayed by position
     // enumeration per (doc, pattern)
     "text_blocklist" ->
