@@ -1011,6 +1011,16 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Token-distribution entropy per document on the µ-nat integer
+    * grid — exact integers, fully SQL-replayable (the corpus-drift
+    * convention); the distribution-shape quality signal beside the
+    * Gopher repetition fractions.
+    */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** JL random projection 64 -> 8 dims, BIT-EXACT oracle-gated: the
     * md5-derived integer matrix and decimal-accumulated coordinates
     * replay in SQL, so every projected value hash-matches (the
@@ -2881,7 +2891,8 @@ object SparkEntry {
     "length_buckets" -> (lengthBucketsQ _),
     "corpus_overlap" -> (corpusOverlap _),
     "text_blocklist" -> (textBlocklist _),
-    "embed_project" -> (embedProject _))
+    "embed_project" -> (embedProject _),
+    "text_entropy" -> (textEntropy _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3908,6 +3919,22 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // token entropy: µ-nat grid sums replay exactly
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, w, count(*) AS k FROM toks GROUP BY doc_id, w),
+        |withn AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM counts)
+        |SELECT doc_id,
+        |       CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |       CAST(-sum(k * CAST(floor(ln(CAST(k AS DOUBLE) / n) * 1e6) AS BIGINT))
+        |            AS BIGINT) AS entropy_micro
+        |FROM withn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // JL projection: md5 integer matrix + decimal sums replay every
     // coordinate
     "embed_project" ->

@@ -23,6 +23,38 @@ import graft.functions.TextFunctions
   */
 object Lexicon {
 
+  /** Per-document token-distribution Shannon entropy on the µ-nat
+    * integer grid (`-sum k_t * floor(1e6 * ln(k_t/n))` — the
+    * CorpusDrift replay trick, so the score is an exact integer both
+    * engines agree on): near-zero entropy flags single-token spam /
+    * template repetition, abnormally high entropy flags encoded blobs
+    * — the distribution-shape complement of the Gopher repetition
+    * fractions. One explode + a per-doc window sum + one aggregation;
+    * everything shuffles on (doc, token) pairs, never raw text.
+    */
+  def tokenEntropy(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__doc"), col("__w"))
+      .agg(count(lit(1)).as("__k"))
+    val withN = counts.withColumn("__n",
+      sum(col("__k")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__doc"))))
+    withN
+      .groupBy(col("__doc"))
+      .agg(
+        max(col("__n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        (-sum(col("__k") *
+          floor(log(col("__k").cast("double") / col("__n")) * lit(1e6)).cast("long")))
+          .cast("long").as("entropy_micro"))
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        col("distinct_tokens").cast("long").as("distinct_tokens"), col("entropy_micro"))
+  }
+
   /** N-gram diversity statistics per group (distinct-n, Li et al.
     * 2016): total vs distinct n-gram counts and their ratio — the
     * standard corpus-diversity signal (a collapsing ratio flags

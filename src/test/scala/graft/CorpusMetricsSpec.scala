@@ -43,4 +43,20 @@ class CorpusMetricsSpec extends SparkSpec {
     // true intersection: ids 2000..2999 -> 1000
     assert(math.abs(est / 1000.0 - 1.0) < 0.35, s"est=$est")
   }
+
+  test("tokenEntropy: hand-computed micro-nat values") {
+    val docs = Seq(
+      (1L, "a a a a"),          // single token: entropy 0
+      (2L, "a b"),              // uniform over 2: -2*floor(ln(0.5)*1e6)
+      (3L, "a a b")             // k=2 n=3 and k=1 n=3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Lexicon.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 4L, 1L, 0L)))
+    val ln05 = math.floor(StrictMath.log(0.5) * 1e6).toLong // -693148
+    assert(out(1) == ((2L, 2L, 2L, -2L * ln05)))
+    val e3 = -(2L * math.floor(StrictMath.log(2.0 / 3.0) * 1e6).toLong +
+      1L * math.floor(StrictMath.log(1.0 / 3.0) * 1e6).toLong)
+    assert(out(2) == ((3L, 3L, 2L, e3)))
+  }
 }
