@@ -96,6 +96,51 @@ object GraftFunctions {
         exprs.head,
         constantInt(exprs(1), "hll_sketch(_, p)")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "sign_bits", exprs => graft.functions.SignBits(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "hamming_words",
+      exprs => graft.functions.HammingWords(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "normalize_text",
+      exprs => graft.functions.NormalizeText(
+        exprs.head, constantString(exprs(1), "normalize_text(_, form)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => graft.functions.BloomFilterAgg(
+        exprs.head,
+        constantInt(exprs(1), "bloom_agg(_, numBits, numHashes)"),
+        constantInt(exprs(2), "bloom_agg(_, numBits, numHashes)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bloom_contains",
+      exprs => graft.functions.BloomContains(
+        exprs.head, exprs(1),
+        constantInt(exprs(2), "bloom_contains(words, v, numBits, numHashes)"),
+        constantInt(exprs(3), "bloom_contains(words, v, numBits, numHashes)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "multi_pattern_count",
+      exprs => graft.functions.MultiPatternCount(
+        exprs.head,
+        constantStringArray(exprs(1), "multi_pattern_count(_, array('a','b'))")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "scrub_lines",
+      exprs => graft.functions.ScrubLines(
+        exprs.head,
+        constantStringArray(exprs(1), "scrub_lines(_, array('l1'), sep)"),
+        constantString(exprs(2), "scrub_lines(_, lines, sep)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "hist_sketch",
+      exprs => graft.functions.HistogramSketchAgg(
+        exprs.head,
+        constantInt(exprs(1), "hist_sketch(_, numBuckets, lo, hi)"),
+        constantDouble(exprs(2), "hist_sketch(_, numBuckets, lo, hi)"),
+        constantDouble(exprs(3), "hist_sketch(_, numBuckets, lo, hi)")),
+      "scala_udf")
     ()
   }
 
@@ -117,6 +162,17 @@ object GraftFunctions {
   private def constantInt(e: Expression, ctx: String): Int = e match {
     case other if other.foldable => other.eval(null).asInstanceOf[Number].intValue()
     case _ => throw new IllegalArgumentException(s"$ctx requires a constant integer argument")
+  }
+
+  private def constantDouble(e: Expression, ctx: String): Double = e match {
+    // SQL decimal literals (e.g. `0.0`) fold to Catalyst Decimal, not
+    // a java.lang.Number
+    case other if other.foldable => other.eval(null) match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case v => throw new IllegalArgumentException(s"$ctx requires a constant numeric argument, got $v")
+    }
+    case _ => throw new IllegalArgumentException(s"$ctx requires a constant numeric argument")
   }
 
   private def constantString(e: Expression, ctx: String): String = e match {

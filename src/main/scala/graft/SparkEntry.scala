@@ -1011,6 +1011,18 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Deterministic weighted sampling (Efraimidis-Spirakis exponential
+    * keys on md5 uniforms, µ-grid-quantized): the 25 length-weighted
+    * winners replay bit-exactly — quality-weighted subsampling with
+    * zero RNG state.
+    */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .weightedSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 25)
+      .select(col("doc_id"), col("n_chars"), col("__wkey").as("key_micro"))
+
   /** Token-distribution entropy per document on the µ-nat integer
     * grid — exact integers, fully SQL-replayable (the corpus-drift
     * convention); the distribution-shape quality signal beside the
@@ -2892,7 +2904,8 @@ object SparkEntry {
     "corpus_overlap" -> (corpusOverlap _),
     "text_blocklist" -> (textBlocklist _),
     "embed_project" -> (embedProject _),
-    "text_entropy" -> (textEntropy _))
+    "text_entropy" -> (textEntropy _),
+    "weighted_sample" -> (weightedSampleQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3919,6 +3932,16 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // weighted sample: md5 uniforms + exponential keys replay exactly
+    "weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |            % 1000000 + 1) / 1000000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(floor(ln(u) / n_chars * 1e6) AS BIGINT) AS key_micro
+        |FROM t ORDER BY key_micro DESC, doc_id LIMIT 25""".stripMargin,
     // token entropy: µ-nat grid sums replay exactly
     "text_entropy" ->
       """WITH toks AS (

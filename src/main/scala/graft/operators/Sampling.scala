@@ -20,6 +20,34 @@ object Sampling {
     * (WindowGroupLimit), so each map task ships at most `k` rows per
     * group.
     */
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006), deterministic: each row draws a hash-derived uniform
+    * `u = (hex60(md5(id)) mod 1e6 + 1) / 1e6` and the k rows with the
+    * largest exponential key `ln(u) / w` win — quality-weighted
+    * subsampling (w = a quality/importance score) with inclusion
+    * probability proportional to weight, no RNG state (the repo's
+    * sampling discipline), and one TakeOrderedAndProject (no global
+    * sort). The key is floor-quantized to the integer µ-grid so the
+    * ranking — and therefore the sample — replays exactly in an ANSI
+    * oracle (ties break by id).
+    *
+    * @param weight strictly-positive weight column; zero/negative
+    *               weights fail loud in ANSI mode via 1/w
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+      % 1000000L + 1L).cast("double") / 1000000.0
+    val keyMicro = floor(log(u) / weight.cast("double") * 1e6).cast("long")
+    df.withColumn("__wkey", keyMicro)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+  }
+
   def samplePerGroup(
       df: DataFrame,
       groupCols: Seq[String],

@@ -120,4 +120,28 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Int)].collect()
     assert(out.toSet == again.toSet)
   }
+
+  test("weightedSample: deterministic, weight-monotone inclusion, exact keys") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200).select(
+      col("id").as("doc_id"), (col("id") % 10 + 1).cast("long").as("w"))
+    val a = graft.operators.Sampling.weightedSample(df, "doc_id", col("w"), 30)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = graft.operators.Sampling.weightedSample(df.repartition(7), "doc_id", col("w"), 30)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b) // partition-invariant AND deterministic
+    // heavier weights should be overrepresented: mean weight of the
+    // sample must exceed the population mean (5.5)
+    val meanW = graft.operators.Sampling.weightedSample(df, "doc_id", col("w"), 30)
+      .agg(avg(col("w"))).collect().head.getDouble(0)
+    assert(meanW > 5.5, s"meanW=$meanW")
+    // key formula replays the closed form for one row
+    val row = graft.operators.Sampling.weightedSample(
+      df.filter(col("doc_id") === 7), "doc_id", col("w"), 1)
+      .select(col("__wkey")).collect().head.getLong(0)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 1L).toDouble / 1000000.0
+    assert(row == math.floor(StrictMath.log(u) / 8.0 * 1e6).toLong)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-9 natives resolve through the SQL registry and agree
+  * with their Column-API forms (the U3 registration contract).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sign_bits / hamming_words / normalize_text / multi_pattern_count via SQL") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, Seq(0.5f, -1.0f, 2.0f), "café", "slow slow fast"))
+      .toDF("id", "vec", "txt", "body")
+      .createOrReplaceTempView("sql_surface_in")
+    val row = spark.sql(
+      """SELECT sign_bits(vec) AS sb,
+        |       hamming_words(sign_bits(vec), array(0L)) AS hw,
+        |       normalize_text(txt, 'NFC') AS nt,
+        |       multi_pattern_count(body, array('slow', 'fast')).hits AS hits
+        |FROM sql_surface_in""".stripMargin).collect().head
+    assert(row.getSeq[Long](0) == Seq(5L)) // bits 0 and 2 set
+    assert(row.getLong(1) == 2L)
+    assert(row.getString(2) == "café")
+    assert(row.getLong(3) == 3L)
+    spark.catalog.dropTempView("sql_surface_in")
+  }
+
+  test("bloom_agg + bloom_contains and hist_sketch via SQL") {
+    GraftFunctions.registerAll(spark)
+    spark.range(100).select(concat(lit("v"), col("id")).as("v"),
+        (col("id") % 10).cast("double").as("x"))
+      .createOrReplaceTempView("sql_sketch_in")
+    val bloomHits = spark.sql(
+      """WITH b AS (SELECT bloom_agg(v, 4096, 5) AS words FROM sql_sketch_in)
+        |SELECT count(*) FROM sql_sketch_in, b
+        |WHERE bloom_contains(b.words, v, 4096, 5)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(bloomHits == 100L) // zero false negatives
+    val counters = spark.sql(
+      "SELECT hist_sketch(x, 10, 0.0, 10.0) FROM sql_sketch_in")
+      .collect().head.getSeq[Long](0)
+    assert(counters.sum == 100L && counters(1) == 10L)
+    spark.catalog.dropTempView("sql_sketch_in")
+  }
+
+  test("scrub_lines via SQL") {
+    GraftFunctions.registerAll(spark)
+    Seq(Tuple1("keep\nBOILER\nalso keep")).toDF("t")
+      .createOrReplaceTempView("sql_scrub_in")
+    val r = spark.sql(
+      """SELECT scrub_lines(t, array('BOILER'), '\n').text AS clean,
+        |       scrub_lines(t, array('BOILER'), '\n').removed_lines AS rem
+        |FROM sql_scrub_in""".stripMargin).collect().head
+    assert(r.getString(0) == "keep\nalso keep")
+    assert(r.getLong(1) == 1L)
+    spark.catalog.dropTempView("sql_scrub_in")
+  }
+}
