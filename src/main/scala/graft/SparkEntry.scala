@@ -1092,15 +1092,21 @@ object SparkEntry {
     */
   private def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
     val HLL = graft.functions.HyperLogLog
+    // staged DISTINCT (half, gram) pairs: one explode scan feeds both
+    // sketch aggregations AND the exact intersection (without it the
+    // tokenize+explode runs four times — measured 80 CPU-s at the sf1
+    // fixture, ~4x this form)
     val grams = Tables(s, dir, "documents")
-      .select(col("doc_id"),
+      .select((col("doc_id") % 2 === 0).as("even"),
         explode(TF.ngramsFromTokens(TF.tokens(col("text")), 2)).as("g"))
-    val a = grams.filter(col("doc_id") % 2 === 0).select(col("g"))
-    val b = grams.filter(col("doc_id") % 2 =!= 0).select(col("g"))
-    val skA = a.agg(HLL.sketch(col("g")).as("ska"), countDistinct(col("g")).as("n_a"))
-    val skB = b.agg(HLL.sketch(col("g")).as("skb"), countDistinct(col("g")).as("n_b"))
-    val exact = a.distinct()
-      .join(b.distinct(), Seq("g"), "left_semi")
+      .distinct()
+      .persist()
+    val a = grams.filter(col("even")).select(col("g"))
+    val b = grams.filter(!col("even")).select(col("g"))
+    val skA = a.agg(HLL.sketch(col("g")).as("ska"), count(lit(1)).as("n_a"))
+    val skB = b.agg(HLL.sketch(col("g")).as("skb"), count(lit(1)).as("n_b"))
+    val exact = a
+      .join(b, Seq("g"), "left_semi")
       .agg(count(lit(1)).as("exact_overlap"))
     skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
       .select(
