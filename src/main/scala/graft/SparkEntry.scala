@@ -916,6 +916,34 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** b-bit minhash estimates over the LSH candidate pairs, BIT-EXACT
+    * oracle-gated: the 4-bit sketches are the last hex character of
+    * each md5 signature position (16x smaller than the signatures —
+    * the store/shuffle compression lever at corpus scale), and the
+    * unbiased estimate inverts the collision rate on the integer
+    * µ-grid. Signatures recompute from the STAGED shingle table
+    * restricted to pair ids (broadcast — pairs are few), never from
+    * raw text.
+    */
+  private def dedupMinhashBbit(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, shingled) = minhashCandidates(s, dir)
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val bb = shingled.join(broadcast(ids), "id")
+      .select(col("id"),
+        TextDedup.minhashSignatureFromShingles(col("sh"), 32, TextDedup.PortableMd5Scheme)
+          .as("sig"))
+      .select(col("id"), TextDedup.bbitSignatureMd5(col("sig"), 4).as("bb"))
+    pairs
+      .join(bb.select(col("id").as("id_a"), col("bb").as("bb_a")), "id_a")
+      .join(bb.select(col("id").as("id_b"), col("bb").as("bb_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        TextDedup.bbitAgreement(col("bb_a"), col("bb_b")).cast("long").as("agree_bbit"))
+      .withColumn("est_bbit_micro",
+        TextDedup.bbitEstimateMicro(col("agree_bbit"), 32, 4))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact word-3-gram Jaccard verification of the LSH candidates.
     *
     * Verifies against the STAGED shingle arrays the signatures were
@@ -2911,7 +2939,8 @@ object SparkEntry {
     "text_blocklist" -> (textBlocklist _),
     "embed_project" -> (embedProject _),
     "text_entropy" -> (textEntropy _),
-    "weighted_sample" -> (weightedSampleQ _))
+    "weighted_sample" -> (weightedSampleQ _),
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3890,6 +3919,55 @@ object SparkEntry {
         |SELECT id_a, id_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // b-bit minhash: last-hex-char sketches + the integer-grid
+    // unbiased estimate over the same replayed candidate pairs
+    "dedup_minhash_bbit" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t FROM base),
+        |grams AS (
+        |  SELECT id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [array_to_string(t, ' ')] END AS g
+        |  FROM toks),
+        |shing AS (SELECT DISTINCT id, unnest(g) AS sh FROM grams),
+        |minh AS (
+        |  SELECT id, s.seed, min(md5(s.seed::varchar || ':' || sh)) AS mh
+        |  FROM shing CROSS JOIN generate_series(0, 31) s(seed)
+        |  GROUP BY id, s.seed),
+        |sigs AS (SELECT id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bh
+        |  FROM sigs CROSS JOIN generate_series(0, 7) b(band)),
+        |buck AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 2000),
+        |bounded AS (SELECT banded.id, banded.band, banded.bh FROM banded JOIN buck USING (band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bounded a JOIN bounded b USING (band, bh)
+        |  WHERE a.id < b.id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.id = c.id_a
+        |  JOIN sigs sb ON sb.id = c.id_b
+        |  WHERE len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
+        |bb AS (SELECT id, list_transform(sig, h -> substr(h, 32, 1)) AS bb FROM sigs),
+        |bbp AS (
+        |  SELECT e.id_a, e.id_b, e.est_jaccard,
+        |         len(list_filter(generate_series(1, 32), i -> ba.bb[i] = bz.bb[i])) AS k
+        |  FROM est e JOIN bb ba ON ba.id = e.id_a JOIN bb bz ON bz.id = e.id_b)
+        |SELECT id_a, id_b, est_jaccard,
+        |       CAST(k AS BIGINT) AS agree_bbit,
+        |       CAST(greatest(0, floor((k * 16 - 32) * 1000000.0 / 480)) AS BIGINT)
+        |         AS est_bbit_micro
+        |FROM bbp ORDER BY id_a, id_b""".stripMargin,
     "dedup_global_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -129,6 +129,45 @@ object TextDedup {
         zip_with(acc, array((0 until numHashes).map(i => scheme.shingleHash(i, s)): _*),
           (a, h) => least(a, h)))
 
+  /** b-bit minhash (Li & König 2010): keep only the LOW `bits` bits
+    * of each signature position. At m=32 hashes, b=4 collapses a
+    * 256-byte (or 32x32-char md5) signature to 16 bytes — the store/
+    * shuffle compression that makes a corpus-wide signature table
+    * ~16x smaller at 100 TB — while the similarity estimate stays
+    * unbiased: matching b-bit positions occur at rate
+    * `J + (1 - J)/2^b`, so [[bbitEstimateMicro]] inverts that
+    * exactly on the integer µ-grid. md5-scheme form (last hex chars —
+    * SQL-replayable, the `dedup_minhash_bbit` gate); xxhash64 twin
+    * below for production signatures.
+    */
+  def bbitSignatureMd5(sig: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 32, "md5 b-bit wants a multiple of 4 bits")
+    transform(sig, h => substring(h, 33 - bits / 4, bits / 4))
+  }
+
+  /** xxhash64-scheme b-bit truncation (low `bits` bits of each long). */
+  def bbitSignatureXx(sig: Column, bits: Int): Column = {
+    require(bits > 0 && bits < 63, "bits must be in [1, 62]")
+    transform(sig, h => pmod(h, lit(1L << bits)))
+  }
+
+  /** Positions where two b-bit sketches agree. */
+  def bbitAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+
+  /** Unbiased Jaccard estimate from b-bit agreement, floor-quantized
+    * to the integer µ-grid (clamped at 0):
+    * `Ĵ = (A - 2^-b) / (1 - 2^-b)` with `A = agree/m`, computed as
+    * `floor((agree*2^b - m) * 1e6 / (m*(2^b - 1)))` — exact integer
+    * numerators, one correctly-rounded IEEE division, replayable.
+    */
+  def bbitEstimateMicro(agree: Column, m: Int, bits: Int): Column = {
+    val pow = 1L << bits
+    greatest(lit(0L),
+      floor((agree.cast("long") * pow - m).cast("double") * 1000000.0 /
+        (m.toDouble * (pow - 1))).cast("long"))
+  }
+
   /** MinHash signature column: `numHashes` minimums over seeded
     * xxhash64 of the document's character shingles. Entirely per-row —
     * one `aggregate` pass, no explode, no shuffle.

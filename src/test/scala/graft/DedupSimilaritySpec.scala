@@ -277,4 +277,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(row.getLong(2) == Long.MinValue) // monotone(0) flips the sign bit
     ()
   }
+
+  test("b-bit minhash: agreement, estimator inversion, xx twin shape") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this one here now"))
+      .toDF("id", "text")
+    val sigs = docs.select(col("id"),
+      TextDedup.minhashSignatureFromShingles(
+        array_distinct(graft.functions.TextFunctions.ngramsFromTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 3)),
+        32, TextDedup.PortableMd5Scheme).as("sig"))
+    val bb = sigs.select(col("id"), TextDedup.bbitSignatureMd5(col("sig"), 4).as("bb"))
+    val rows = bb.select(col("id").as("ia"), col("bb").as("ba"))
+      .crossJoin(bb.select(col("id").as("ib"), col("bb").as("bbx")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        TextDedup.bbitAgreement(col("ba"), col("bbx")).as("k"))
+      .withColumn("est", TextDedup.bbitEstimateMicro(col("k"), 32, 4))
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical docs agree everywhere -> exactly 1.0 (1e6 micro)
+    assert(rows((1L, 2L)) == ((32, 1000000L)))
+    // unrelated docs: low agreement clamps at >= 0
+    val (k13, est13) = rows((1L, 3L))
+    assert(k13 < 32 && est13 >= 0L && est13 < 500000L)
+    // xxhash64 twin has the same shape on longs (values differ)
+    val sigsXx = docs.select(col("id"),
+      TextDedup.minhashSignatureFromShingles(
+        array_distinct(graft.functions.TextFunctions.ngramsFromTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 3)), 32).as("sig"))
+    val bbXx = sigsXx.select(TextDedup.bbitSignatureXx(col("sig"), 4).as("bb"))
+      .as[Seq[Long]].collect()
+    assert(bbXx.forall(s => s.length == 32 && s.forall(v => v >= 0 && v < 16)))
+  }
 }
