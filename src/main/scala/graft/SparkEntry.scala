@@ -2797,6 +2797,34 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** End-to-end composition of the round-9 cleaning tier, BIT-EXACT
+    * oracle-gated: boilerplate-line removal -> Aho-Corasick blocklist
+    * gate -> token-entropy floor -> deterministic weighted sample.
+    * Every stage is individually gated; this query proves they
+    * COMPOSE — the ordering a real pipeline uses (clean before
+    * measuring, measure before filtering, filter before sampling),
+    * with the sample keys drawn over the cleaned corpus.
+    */
+  private def pipelineCleanSample(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.operators.LineDedup
+      .removeFrequentLines(docsWithBoilerplate(s, dir), minDocs = 10L, hashedKeys = false)
+    val unblocked = cleaned
+      .withColumn("m",
+        graft.functions.MultiPatternCount(
+          lower(col("text")), Seq("fast table", "merge batch")))
+      .filter(col("m.hits") === 0L)
+      .select(col("doc_id"), col("text"), col("kept_lines"))
+    val entropy = graft.operators.Lexicon
+      .tokenEntropy(unblocked.select(col("doc_id"), col("text")), "doc_id", "text")
+    val gated = unblocked.select(col("doc_id"), col("kept_lines"))
+      .join(entropy, "doc_id")
+      .filter(col("entropy_micro") >= 2000000L)
+    graft.operators.Sampling
+      .weightedSample(gated, "doc_id", col("n_tokens"), k = 20)
+      .select(col("doc_id"), col("kept_lines"), col("n_tokens"),
+        col("entropy_micro"), col("__wkey").as("key_micro"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -2940,7 +2968,8 @@ object SparkEntry {
     "embed_project" -> (embedProject _),
     "text_entropy" -> (textEntropy _),
     "weighted_sample" -> (weightedSampleQ _),
-    "dedup_minhash_bbit" -> (dedupMinhashBbit _))
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _),
+    "pipeline_clean_sample" -> (pipelineCleanSample _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -4016,6 +4045,68 @@ object SparkEntry {
         |  coalesce(h.eval_hits, 0) > 0 AS contaminated
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // clean->gate->floor->sample composition: every stage's replay
+    // chained in one oracle
+    "pipeline_clean_sample" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |         '=== ' || source || ' header ===' || chr(10) ||
+        |         text || chr(10) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |              ELSE 'contact us at ' || source || '.example' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(str_split(text, chr(10))) AS line,
+        |         unnest(range(1, len(str_split(text, chr(10))) + 1)) AS pos
+        |  FROM docs2),
+        |freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+        |  WHERE nd >= 10),
+        |flagged AS (
+        |  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS hit
+        |  FROM lines l LEFT JOIN freq f USING (line)),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |                    FILTER (WHERE NOT hit), '') AS text,
+        |         CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
+        |  FROM flagged GROUP BY doc_id),
+        |blkc AS (
+        |  SELECT doc_id, text, kept_lines,
+        |    len([i for i in range(1, length(lower(text)) - 8)
+        |         if substr(lower(text), i, 10) = 'fast table']) +
+        |    len([i for i in range(1, length(lower(text)) - 9)
+        |         if substr(lower(text), i, 11) = 'merge batch']) AS hits
+        |  FROM rebuilt),
+        |keep1 AS (SELECT doc_id, text, kept_lines FROM blkc WHERE hits = 0),
+        |toksp AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM keep1),
+        |counts AS (
+        |  SELECT doc_id, w, count(*) AS k FROM toksp GROUP BY doc_id, w),
+        |withn AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM counts),
+        |ent AS (
+        |  SELECT doc_id,
+        |         CAST(max(n) AS BIGINT) AS n_tokens,
+        |         CAST(-sum(k * CAST(floor(ln(CAST(k AS DOUBLE) / n) * 1e6) AS BIGINT))
+        |              AS BIGINT) AS entropy_micro
+        |  FROM withn GROUP BY doc_id),
+        |gated AS (
+        |  SELECT k.doc_id, k.kept_lines, e.n_tokens, e.entropy_micro
+        |  FROM keep1 k JOIN ent e USING (doc_id)
+        |  WHERE e.entropy_micro >= 2000000),
+        |keyed AS (
+        |  SELECT doc_id, kept_lines, n_tokens, entropy_micro,
+        |    CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |                     % 1000000 + 1) / 1000000.0) / n_tokens * 1e6) AS BIGINT)
+        |      AS key_micro
+        |  FROM gated)
+        |SELECT doc_id, kept_lines, n_tokens, entropy_micro, key_micro
+        |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 20""".stripMargin,
     // weighted sample: md5 uniforms + exponential keys replay exactly
     "weighted_sample" ->
       """WITH t AS (
