@@ -149,6 +149,12 @@ private[graft] object BpeStageCache
 private[graft] object UlmStageCache
     extends graft.util.SessionScopedCache[graft.operators.UnigramLm.Vocab]
 
+/** Trained stupid-backoff trigram counts (same train-once lifecycle
+  * as [[NgramLmCache]], its smoothed-bigram sibling).
+  */
+private[graft] object BackoffLmCache
+    extends graft.util.SessionScopedCache[graft.operators.BackoffLm.Model]
+
 object SparkEntry {
 
   /** Composite chunk-id stride for chunk-level retrieval: supports up
@@ -2825,6 +2831,61 @@ object SparkEntry {
         col("entropy_micro"), col("__wkey").as("key_micro"))
   }
 
+  /** SCD Type-2 history over the events change log (user_id = entity
+    * key, event_id = version, `error` events = tombstones): every
+    * surviving version with its validity interval and currency flag.
+    * One key-shuffle + linear lead pass — see [[graft.operators.Scd2]].
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2
+      .history(
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+        Seq("user_id"), "event_id",
+        deletedWhen = Some(col("event_type") === "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** Point-in-time (time-travel) read of the SCD2 history at the
+    * mid-log version: the row in effect per live user — users whose
+    * latest change at that point was a tombstone are absent. A
+    * stateless filter over the history (no recompute from the log).
+    */
+  private def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    // bounded collect: one max() row fixes the snapshot version
+    val ver = ev.agg(max(col("event_id"))).first().getLong(0) / 2
+    graft.operators.Scd2
+      .snapshotAsOf(
+        graft.operators.Scd2.history(ev, Seq("user_id"), "event_id",
+          deletedWhen = Some(col("event_type") === "error")),
+        lit(ver))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007) of the 2%
+    * held-out slice against counts from the other 98% — the
+    * unnormalized web-scale sibling of `text_perplexity`; per-doc
+    * order mix (n_tri/n_big/n_uni) shows how much context the model
+    * actually had. Micro-nat floor quantization makes the doc sums
+    * exact — see [[graft.operators.BackoffLm]].
+    */
+  private def textBackoffScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val model = BackoffLmCache.getOrElseUpdate(s, dir)(
+      graft.operators.BackoffLm.train(docs.filter(col("doc_id") % 50 =!= 7), "doc_id", "text"))
+    graft.operators.BackoffLm
+      .score(docs.filter(col("doc_id") % 50 === 7), model, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_tri"),
+        col("n_big"), col("n_uni"), col("avg_logs"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -2969,7 +3030,10 @@ object SparkEntry {
     "text_entropy" -> (textEntropy _),
     "weighted_sample" -> (weightedSampleQ _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
-    "pipeline_clean_sample" -> (pipelineCleanSample _))
+    "pipeline_clean_sample" -> (pipelineCleanSample _),
+    "scd2_history" -> (scd2History _),
+    "scd2_asof" -> (scd2Asof _),
+    "text_backoff_score" -> (textBackoffScore _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -5672,5 +5736,102 @@ object SparkEntry {
         |SELECT term, exact_n, true AS hh_ok
         |FROM ex, tot
         |WHERE exact_n >= CAST(floor(n / 64.0) AS BIGINT)
-        |ORDER BY exact_n DESC, term""".stripMargin)
+        |ORDER BY exact_n DESC, term""".stripMargin,
+    // SCD2: lead over ALL changes (tombstones close predecessors),
+    // tombstone rows themselves filtered after the window
+    "scd2_history" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         event_id AS valid_from,
+        |         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, round(value, 2) AS value,
+        |       valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM h WHERE event_type <> 'error'
+        |ORDER BY user_id, valid_from""".stripMargin,
+    // point-in-time read at version max(event_id)//2: interval
+    // containment over the same history CTE
+    "scd2_asof" ->
+      """WITH v AS (SELECT max(event_id) // 2 AS ver FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         event_id AS valid_from,
+        |         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM h, v
+        |WHERE event_type <> 'error'
+        |  AND valid_from <= v.ver AND (valid_to IS NULL OR valid_to > v.ver)
+        |ORDER BY user_id""".stripMargin,
+    // stupid backoff: three count CTEs from the train split, held-out
+    // positions left-joined on their gram keys, CASE cascade with one
+    // 0.4 penalty per skipped order, micro-nat floor per position
+    "text_backoff_score" ->
+      """WITH tr AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 50 <> 7),
+        |trt AS (
+        |  SELECT unnest(ws) AS w,
+        |         unnest(list_transform(range(1, len(ws)+1),
+        |           i -> CASE WHEN i >= 2 THEN ws[i-1] END)) AS w1,
+        |         unnest(list_transform(range(1, len(ws)+1),
+        |           i -> CASE WHEN i >= 3 THEN ws[i-2] END)) AS w2
+        |  FROM tr),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM trt),
+        |uni AS (SELECT w, count(*) AS c1 FROM trt GROUP BY w),
+        |big AS (SELECT w1, w, count(*) AS c2 FROM trt
+        |        WHERE w1 IS NOT NULL GROUP BY w1, w),
+        |tri AS (SELECT w2, w1, w, count(*) AS c3 FROM trt
+        |        WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+        |sc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 50 = 7),
+        |sct AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |         unnest(list_transform(range(1, len(ws)+1),
+        |           i -> CASE WHEN i >= 2 THEN ws[i-1] END)) AS w1,
+        |         unnest(list_transform(range(1, len(ws)+1),
+        |           i -> CASE WHEN i >= 3 THEN ws[i-2] END)) AS w2
+        |  FROM sc),
+        |j AS (
+        |  SELECT s.doc_id, s.w, s.w1, s.w2, t.c3, b.c2, bc.c2 AS c2ctx,
+        |         u.c1, uc.c1 AS c1ctx
+        |  FROM sct s
+        |  LEFT JOIN tri t ON s.w2 = t.w2 AND s.w1 = t.w1 AND s.w = t.w
+        |  LEFT JOIN big b ON s.w1 = b.w1 AND s.w = b.w
+        |  LEFT JOIN big bc ON s.w2 = bc.w1 AND s.w1 = bc.w
+        |  LEFT JOIN uni u ON s.w = u.w
+        |  LEFT JOIN uni uc ON s.w1 = uc.w),
+        |pos AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN w2 IS NOT NULL AND c3 IS NOT NULL
+        |        THEN CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE)
+        |      WHEN w1 IS NOT NULL AND c2 IS NOT NULL THEN
+        |        CASE WHEN w2 IS NOT NULL
+        |          THEN 0.4 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+        |          ELSE CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE) END
+        |      WHEN w2 IS NOT NULL
+        |        THEN 0.4 * 0.4 *
+        |             (CAST(greatest(coalesce(c1, 0), 1) AS DOUBLE) / nn)
+        |      WHEN w1 IS NOT NULL
+        |        THEN 0.4 * (CAST(greatest(coalesce(c1, 0), 1) AS DOUBLE) / nn)
+        |      ELSE CAST(greatest(coalesce(c1, 0), 1) AS DOUBLE) / nn
+        |    END AS sval,
+        |    CASE WHEN w2 IS NOT NULL AND c3 IS NOT NULL THEN 3
+        |         WHEN w1 IS NOT NULL AND c2 IS NOT NULL THEN 2
+        |         ELSE 1 END AS ord
+        |  FROM j, n),
+        |q AS (SELECT doc_id,
+        |             CAST(floor(ln(sval) * 1000000.0) AS BIGINT) AS ls, ord
+        |      FROM pos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |  round(CAST(sum(ls) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
+        |    AS avg_logs
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
