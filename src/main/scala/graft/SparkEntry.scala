@@ -2886,6 +2886,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level near-dup pairs on the planted corpus: sorted-
+    * neighborhood blocking + thresholded-Levenshtein verify (the
+    * planted tails are 20-char insertions, inside maxDist 24). The
+    * band-limited `levenshtein(a, b, threshold)` and the length
+    * pre-filter are what keep the verify O(n·maxDist) — see
+    * [[graft.operators.SortedNeighborhood.nearDupPairsByEdit]].
+    */
+  private def dedupEditDistance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedNeighborhood
+      .nearDupPairsByEdit(docsWithNearDups(s, dir), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Incremental exact-aggregate store, gated THROUGH the saved
+    * layout: the even-event half is aggregated per (user, type) and
+    * persisted, the odd half absorbed at O(increment) (only touched
+    * partitions read or written), and the read-back table must equal a
+    * full-corpus rebuild element for element (in-plan `absorb_ok`
+    * verdict via full-outer join — missing or extra groups surface as
+    * nulls, not silent passes). Monoid folds make the equality exact —
+    * see [[graft.operators.AggStore]].
+    */
+  private def aggStoreAbsorb(s: SparkSession, dir: String): DataFrame = {
+    val A = graft.operators.AggStore
+    val keys = Seq("user_id", "event_type")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val path = scratchDir("graft-agg-store")
+    A.save(A.build(ev.filter(col("event_id") % 2 === 0), keys, col("value")), keys, path)
+    A.absorbIntoSaved(s, path, ev.filter(col("event_id") % 2 =!= 0), col("value"))
+    val loaded = A.load(s, path).groups.drop("__kp")
+    val rebuilt = A.build(ev, keys, col("value"))
+      .withColumnsRenamed(Map("cnt" -> "__c", "sum_micro" -> "__s",
+        "min_micro" -> "__mn", "max_micro" -> "__mx"))
+    loaded.join(rebuilt, keys, "full_outer")
+      .select(
+        col("user_id"), col("event_type"),
+        coalesce(col("cnt"), lit(-1L)).as("cnt"),
+        round(col("sum_micro").cast("double") / lit(A.ValueScale), 4).as("sum_value"),
+        round(col("min_micro").cast("double") / lit(A.ValueScale), 4).as("min_value"),
+        round(col("max_micro").cast("double") / lit(A.ValueScale), 4).as("max_value"),
+        (col("cnt") === col("__c") && col("sum_micro") === col("__s") &&
+          col("min_micro") === col("__mn") && col("max_micro") === col("__mx"))
+          .as("absorb_ok"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -3033,7 +3079,9 @@ object SparkEntry {
     "pipeline_clean_sample" -> (pipelineCleanSample _),
     "scd2_history" -> (scd2History _),
     "scd2_asof" -> (scd2Asof _),
-    "text_backoff_score" -> (textBackoffScore _))
+    "text_backoff_score" -> (textBackoffScore _),
+    "agg_store_absorb" -> (aggStoreAbsorb _),
+    "dedup_edit_distance" -> (dedupEditDistance _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -5833,5 +5881,53 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
         |  round(CAST(sum(ls) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
         |    AS avg_logs
-        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // agg store absorb: the exact metrics replay as one full-corpus
+    // groupBy on the micro-grid; absorb==rebuild gates via the verdict
+    "agg_store_absorb" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0, 4) AS sum_value,
+        |  round(CAST(min(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0, 4) AS min_value,
+        |  round(CAST(max(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0, 4) AS max_value,
+        |  true AS absorb_ok
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    // edit-distance dedup: same window blocking as the sorted-
+    // neighborhood oracle, verify replayed with full levenshtein
+    // (the thresholded Spark form returns the SAME distance for every
+    // pair it keeps)
+    "dedup_edit_distance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |k AS (
+        |  SELECT doc_id, lower(trim(text)) AS txt,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM corpus),
+        |k2 AS (
+        |  SELECT doc_id, txt, ws[1] AS bucket,
+        |         array_to_string(ws[1:6], ' ') AS key
+        |  FROM k),
+        |lagged AS (
+        |  SELECT doc_id, txt,
+        |         lag(doc_id, 1) OVER w AS id1, lag(txt, 1) OVER w AS tx1,
+        |         lag(doc_id, 2) OVER w AS id2, lag(txt, 2) OVER w AS tx2
+        |  FROM k2 WINDOW w AS (PARTITION BY bucket ORDER BY key, doc_id)),
+        |cand AS (
+        |  SELECT doc_id AS b_id, id1 AS a_id, txt, tx1 AS atxt
+        |  FROM lagged WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id2, txt, tx2 FROM lagged WHERE id2 IS NOT NULL),
+        |sims AS (
+        |  SELECT LEAST(a_id, b_id) AS id_a, GREATEST(a_id, b_id) AS id_b,
+        |         levenshtein(txt, atxt) AS dist
+        |  FROM cand WHERE abs(len(txt) - len(atxt)) <= 24)
+        |SELECT DISTINCT id_a, id_b, CAST(dist AS BIGINT) AS dist
+        |FROM sims WHERE dist <= 24
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -71,4 +71,52 @@ object SortedNeighborhood {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
       .distinct()
   }
+
+  /** CHARACTER-level near-duplicate pairs among window neighbors —
+    * the record-linkage verify (typos, small insertions) that token
+    * Jaccard is blind to. Same sort-based blocking as
+    * [[nearDupPairs]]; the verify is exact Levenshtein distance,
+    * guarded twice for scale: a length-difference pre-filter (edit
+    * distance is at least |len(a) − len(b)|, so those pairs skip the
+    * O(n·m) DP entirely) and Spark's THRESHOLDED
+    * `levenshtein(a, b, maxDist)`, whose band-limited DP early-exits
+    * at O(n·maxDist) instead of O(n·m) — the difference between
+    * feasible and not on kilobyte documents.
+    *
+    * @return (id_a, id_b, dist), id_a < id_b, distinct, dist <= maxDist
+    */
+  def nearDupPairsByEdit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowSize: Int = 3,
+      keyTokens: Int = 6,
+      maxDist: Int = 24): DataFrame = {
+    require(windowSize >= 2, "windowSize must be >= 2")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val ws = TextFunctions.tokens(col(textCol))
+    val keyed = docs.select(
+      col(idCol).as("__id"),
+      lower(trim(col(textCol))).as("__txt"),
+      element_at(ws, 1).as("__bucket"),
+      concat_ws(" ", slice(ws, 1, keyTokens)).as("__key"))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__key"), col("__id"))
+    val lagCols = (1 until windowSize).flatMap(i => Seq(
+      lag(col("__id"), i).over(w).as(s"__lid$i"),
+      lag(col("__txt"), i).over(w).as(s"__ltx$i")))
+    val lagged = keyed.select(col("__id") +: col("__txt") +: lagCols: _*)
+    val candidates = (1 until windowSize).map { i =>
+      lagged
+        .filter(col(s"__lid$i").isNotNull &&
+          abs(length(col("__txt")) - length(col(s"__ltx$i"))) <= maxDist)
+        .select(
+          least(col("__id"), col(s"__lid$i")).as("id_a"),
+          greatest(col("__id"), col(s"__lid$i")).as("id_b"),
+          levenshtein(col("__txt"), col(s"__ltx$i"), maxDist).as("dist"))
+    }.reduce(_.unionByName(_))
+    candidates
+      .filter(col("dist") >= 0) // thresholded form returns -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .distinct()
+  }
 }

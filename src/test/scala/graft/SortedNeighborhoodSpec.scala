@@ -63,4 +63,52 @@ class SortedNeighborhoodSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("__bucket"), plan)
   }
+
+  test("edit verify: exact distance within threshold, -1 band excluded") {
+    val docs = Seq(
+      (1L, "shared prefix tokens keep these adjacent in the sort order"),
+      (2L, "shared prefix tokens keep these adjacent in the sort ordEr"), // 1 edit
+      (3L, "shared prefix tokens keep these adjacent in the sort order plus a very long unrelated tail far beyond any threshold")
+    ).toDF("doc_id", "text")
+    val pairs = SortedNeighborhood
+      .nearDupPairsByEdit(docs, "doc_id", "text", windowSize = 3, maxDist = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // 1-2: distance 1 (case folded e vs E? normalization lowercases both -> 0)
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
+  test("edit verify: real edits measured, length pre-filter prunes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta common tail words here"),
+      (2L, "alpha beta gamma delta epsilon zeta common tail words therx"), // subst+subst
+      (4L, "alpha beta gamma delta epsilon zeta " + ("pad " * 20) + "end")
+    ).toDF("doc_id", "text")
+    val pairs = SortedNeighborhood
+      .nearDupPairsByEdit(docs, "doc_id", "text", windowSize = 3, maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // "here" -> "therx": insert leading t, substitute final e->x = 2
+    assert(pairs == Seq((1L, 2L, 2L)))
+  }
+
+  test("edit verify agrees with unthresholded levenshtein on kept pairs") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eightx")
+    ).toDF("doc_id", "text")
+    val got = SortedNeighborhood
+      .nearDupPairsByEdit(docs, "doc_id", "text", maxDist = 24)
+      .as[(Long, Long, Long)].collect().head
+    val full = docs.as[(Long, String)].collect().sortBy(_._1).map(_._2.toLowerCase.trim)
+    val expected = {
+      val (a, b) = (full(0), full(1))
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    assert(got == ((1L, 2L, expected)))
+  }
 }
