@@ -2886,6 +2886,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The stateless-projection twin of [[textBackoffScore]]
+    * ([[graft.operators.BackoffLm.scoreInline]] — collected counts
+    * ride the task closure via the codegen'd BackoffLmScore
+    * expression; the form that gates an unaggregated document
+    * STREAM). Same oracle as the join form: bit-identical by
+    * construction and by differential spec (StreamBackoffSpec).
+    */
+  private def textBackoffInline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val model = BackoffLmCache.getOrElseUpdate(s, dir)(
+      graft.operators.BackoffLm.train(docs.filter(col("doc_id") % 50 =!= 7), "doc_id", "text"))
+    // 4M-row ceiling: the sf0.1 corpus sits under it; past that the
+    // join form is the right shape anyway
+    val collected = graft.operators.BackoffLm.collectModel(model, maxRows = 4000000L)
+    graft.operators.BackoffLm
+      .scoreInline(docs.filter(col("doc_id") % 50 === 7), collected, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_tri"),
+        col("n_big"), col("n_uni"), col("avg_logs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-level near-dup pairs on the planted corpus: sorted-
     * neighborhood blocking + thresholded-Levenshtein verify (the
     * planted tails are 20-char insertions, inside maxDist 24). The
@@ -3081,7 +3102,8 @@ object SparkEntry {
     "scd2_asof" -> (scd2Asof _),
     "text_backoff_score" -> (textBackoffScore _),
     "agg_store_absorb" -> (aggStoreAbsorb _),
-    "dedup_edit_distance" -> (dedupEditDistance _))
+    "dedup_edit_distance" -> (dedupEditDistance _),
+    "text_backoff_inline" -> (textBackoffInline _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -3109,6 +3131,9 @@ object SparkEntry {
     "ann_ivfpq_persisted" -> oracleSqlBase("ann_lsh_topk"),
     "ann_ivfpq_residual_topk" -> oracleSqlBase("ann_lsh_topk"),
     "ulm_segment_persisted" -> oracleSqlBase("ulm_segment"),
+    // the inline (task-closure counts) twin is bit-identical to the
+    // join form by construction; it shares the oracle verbatim
+    "text_backoff_inline" -> oracleSqlBase("text_backoff_score"),
     // absorb==rebuild is the invariant: the half-built + absorbed
     // index must score exactly like the oracle's full-corpus replay
     "bm25_absorb_search" -> oracleSqlBase("bm25_search"))

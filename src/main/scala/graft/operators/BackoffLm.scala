@@ -135,4 +135,59 @@ object BackoffLm {
         round(col("ls_sum").cast("double") / lit(LogProbScale) / col("n_tokens").cast("double"), 4)
           .as("avg_logs"))
   }
+
+  /** A driver-collected model for the stateless serving path —
+    * bounded by construction ([[collectModel]] refuses above
+    * `maxRows`).
+    */
+  final case class CollectedModel(
+      trigrams: Map[(String, String, String), Long],
+      bigrams: Map[(String, String), Long],
+      unigrams: Map[String, Long],
+      totalTokens: Long)
+
+  /** Collect a trained model for closure shipping. Guarded: a model
+    * past `maxRows` gram rows should score through the distributed
+    * join form ([[score]]), not a task closure.
+    */
+  def collectModel(model: Model, maxRows: Long = 2000000L): CollectedModel = {
+    val rows = model.unigrams.count() + model.bigrams.count() + model.trigrams.count()
+    require(rows <= maxRows,
+      s"model has $rows gram rows > $maxRows; use the join-based score " +
+        "(or raise maxRows if the closure size is acceptable)")
+    CollectedModel(
+      model.trigrams.collect()
+        .map(r => (r.getAs[String]("w2"), r.getAs[String]("w1"), r.getAs[String]("w")) ->
+          r.getAs[Long]("c3")).toMap,
+      model.bigrams.collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w")) -> r.getAs[Long]("c2")).toMap,
+      model.unigrams.collect()
+        .map(r => r.getAs[String]("w") -> r.getAs[Long]("c1")).toMap,
+      model.totalTokens)
+  }
+
+  /** One-pass per-row score of a token array against a collected
+    * model — [[graft.functions.BackoffLmScore]], the stateless
+    * projection that makes the score stream-legal.
+    */
+  def scoreColumn(toks: Column, model: CollectedModel): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.BackoffLmScore(
+      org.apache.spark.sql.GraftColumnShim.expression(toks),
+      model.trigrams, model.bigrams, model.unigrams, model.totalTokens))
+
+  /** Stateless-projection twin of [[score]]: same output schema and
+    * (proven by differential spec) identical values; works on
+    * streaming DataFrames because nothing aggregates across rows.
+    */
+  def scoreInline(
+      docs: DataFrame,
+      model: CollectedModel,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+        col(idCol).as("id"),
+        scoreColumn(TextFunctions.tokens(col(textCol)), model).as("s"))
+      .select(col("id"), col("s.n_tokens").as("n_tokens"),
+        col("s.n_tri").as("n_tri"), col("s.n_big").as("n_big"),
+        col("s.n_uni").as("n_uni"), col("s.avg_logs").as("avg_logs"))
 }

@@ -220,6 +220,26 @@ class ExpressionCodegenSpec extends SparkSpec {
     assert(fromCodegen.getLong(0) == 3L)
   }
 
+  test("backoff_lm_score: codegen'd stage, bit-identical to interpreted eval") {
+    val tri = Map(("the", "quick", "fox") -> 1L)
+    val bi = Map(("the", "quick") -> 2L, ("quick", "fox") -> 1L)
+    val uni = Map("the" -> 3L, "quick" -> 2L, "fox" -> 1L)
+    val tok = (s: String) => when(col("id") >= 0, lit(s)).otherwise(lit("x"))
+    val df = spark.range(1)
+      .select(array(tok("the"), tok("quick"), tok("fox"), tok("unseen")).as("toks"))
+      .select(asCol(BackoffLmScore(GraftColumnShim.expression(col("toks")), tri, bi, uni, 6L)).as("s"))
+    fused(df)
+    val fromCodegen = df.collect().head.getStruct(0)
+    val interpreted = BackoffLmScore(
+        Literal.create(Seq("the", "quick", "fox", "unseen"), ArrayType(StringType)),
+        tri, bi, uni, 6L)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    (0 to 3).foreach(i => assert(fromCodegen.getLong(i) == interpreted.getLong(i)))
+    assert(fromCodegen.getDouble(4) == interpreted.getDouble(4))
+    // the/quick/fox: uni, big, tri; unseen: double back-off to unigram
+    assert((fromCodegen.getLong(1), fromCodegen.getLong(2), fromCodegen.getLong(3)) == ((1L, 1L, 2L)))
+  }
+
   test("null inputs stay null through the codegen path") {
     val df = spark.range(1)
       .select(
