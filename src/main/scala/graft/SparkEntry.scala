@@ -2907,6 +2907,84 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide hard-negative mining for queries vec_id 0..2: the
+    * top-10 most-cosine-similar vectors of a DIFFERENT label per
+    * query. Ranking runs on the decimal-exact cosine (ties by id),
+    * rounding only at the output boundary, so the oracle replays the
+    * ranking bit-for-bit — see
+    * [[graft.operators.SimilaritySearch.hardNegatives]].
+    */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.SimilaritySearch
+      .hardNegatives(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label",
+        k = 10, cosineFn = VF.cosineDecimal)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"),
+        (round(col("cos"), 3) + lit(0.0)).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Time-RANGE window frames: per user, the rolling 1-hour event
+    * count and value sum (`RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    * ROW` over epoch seconds — peers at the same second all included,
+    * the frame semantics ROWS frames can't express). Value sums ride
+    * the micro-grid so the rolling sums replay exactly.
+    */
+  private def timeRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("vmicro")).over(w).cast("double") / lit(1e6), 4).as("sum_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Per-type value anomalies: events beyond 2.5 population sigmas of
+    * their type, decided by the EXACT cross-multiplied inequality on
+    * milli-grid integers (no float sigma anywhere) — the same rows
+    * flag on any engine. See [[graft.operators.Outliers]].
+    */
+  private def eventOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers
+      .zScoreOutliers(
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        Seq("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("vmilli"))
+      .orderBy(col("event_id"))
+
+  /** Bloom-pre-filtered semi-join: lineitem against the high-value
+    * order subset, with the big side filtered by a broadcast bloom of
+    * the selected order keys BEFORE the join shuffle (the runtime-
+    * row-filter pattern, deterministic and always-on). The in-plan
+    * `join_ok` verdict proves the bloom path returns EXACTLY the
+    * plain semi-join's rows — see [[graft.operators.BloomJoin]].
+    */
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000.0)
+    val bloomed = graft.operators.BloomJoin.semiJoin(l, "l_orderkey", o, "o_orderkey")
+    val plainN = l
+      .join(o.select("o_orderkey").distinct(), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("__np"))
+    val bloomN = bloomed.agg(count(lit(1)).as("__nb"))
+    bloomed
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .crossJoin(broadcast(bloomN))
+      .crossJoin(broadcast(plainN))
+      .select(col("l_returnflag"), col("n_items"), col("sum_qty"),
+        (col("__nb") === col("__np")).as("join_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Character-level near-dup pairs on the planted corpus: sorted-
     * neighborhood blocking + thresholded-Levenshtein verify (the
     * planted tails are 20-char insertions, inside maxDist 24). The
@@ -3103,7 +3181,11 @@ object SparkEntry {
     "text_backoff_score" -> (textBackoffScore _),
     "agg_store_absorb" -> (aggStoreAbsorb _),
     "dedup_edit_distance" -> (dedupEditDistance _),
-    "text_backoff_inline" -> (textBackoffInline _))
+    "text_backoff_inline" -> (textBackoffInline _),
+    "hard_negatives" -> (hardNegativesQ _),
+    "bloom_semi_join" -> (bloomSemiJoin _),
+    "q48_time_range_window" -> (timeRangeWindow _),
+    "event_outliers" -> (eventOutliers _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -5954,5 +6036,80 @@ object SparkEntry {
         |  FROM cand WHERE abs(len(txt) - len(atxt)) <= 24)
         |SELECT DISTINCT id_a, id_b, CAST(dist AS BIGINT) AS dist
         |FROM sims WHERE dist <= 24
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // hard negatives: decimal-cosine replay (the simsearch_cosine
+    // formula) + label exclusion + per-query row_number ranking
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 3),
+        |exploded AS (
+        |  SELECT e.vec_id AS neg_id, e.label AS neg_label, q.query_id,
+        |         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |         unnest(CAST(q.qv AS DOUBLE[])) AS y
+        |  FROM embeddings e, q
+        |  WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id),
+        |sums AS (
+        |  SELECT query_id, neg_id, neg_label,
+        |         sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |         sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |  FROM exploded GROUP BY query_id, neg_id, neg_label),
+        |scored AS (
+        |  SELECT query_id, neg_id, neg_label,
+        |         CAST(dotd AS DOUBLE) /
+        |           (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))) AS cosd
+        |  FROM sums),
+        |ranked AS (
+        |  SELECT query_id, neg_id, neg_label, cosd,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosd DESC, neg_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neg_id, neg_label, round(cosd, 3) + 0.0 AS cos
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // bloom semi-join: result identical to the plain semi-join by
+    // construction (fp removed by the real join); plain replay + true
+    "bloom_semi_join" ->
+      """WITH sel AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000),
+        |j AS (
+        |  SELECT l.* FROM lineitem l
+        |  WHERE l.l_orderkey IN (SELECT o_orderkey FROM sel))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty, true AS join_ok
+        |FROM j GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // time-range frame: RANGE over epoch seconds, micro-grid sums
+    "q48_time_range_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(floor(value * 1000000.0) AS BIGINT) AS vmicro
+        |  FROM events WHERE user_id <= 20)
+        |SELECT user_id, event_id, ts_s,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  round(CAST(sum(vmicro) OVER w AS DOUBLE) / 1000000.0, 4) AS sum_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // z-score outliers: the cross-multiplied inequality in HUGEINT
+    // (den^2 * (n*v-S)^2 > num^2 * (n*Q-S^2), num/den = 5/2)
+    "event_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(vmilli) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(vmilli AS HUGEINT) * CAST(vmilli AS HUGEINT))
+        |           AS HUGEINT) AS q
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, user_id, e.event_type, round(value, 2) AS value, vmilli
+        |FROM ev e JOIN st USING (event_type)
+        |WHERE 4 * (n * CAST(vmilli AS HUGEINT) - s)
+        |        * (n * CAST(vmilli AS HUGEINT) - s)
+        |      > 25 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin)
 }

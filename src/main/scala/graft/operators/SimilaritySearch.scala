@@ -70,6 +70,53 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for EACH query
+    * vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's — the "looks alike, isn't" examples a
+    * triplet/InfoNCE trainer wants, mined corpus-wide instead of
+    * sampled in-batch.
+    *
+    * Scale shape: the query set broadcasts (it is the bounded side by
+    * construction — a training batch, not the corpus), ONE corpus
+    * scan scores every (query, candidate) pair with the codegen'd
+    * cosine, and the per-query top-k runs as a window partitioned by
+    * query id — nq · corpus scored rows shuffle on query id, the
+    * brute-force-per-query baseline exactly like [[bruteForceTopK]]
+    * repeated, amortized into one scan. For corpus-scale query sets,
+    * mine through the IVF/PQ index instead.
+    *
+    * @return (query_id, neg_id, neg_label, cos, rank), rank 1..k by
+    *         descending cosine (ties by candidate id)
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      col(labelCol).as("__qlabel"))
+    val scored = TextDedup.spreadToCores(corpus)
+      .crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("__qlabel") && col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"),
+        cosineFn(col(vecCol), col("__qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: vectors sharing the full `bits`-bit
     * hyperplane signature are candidates; exact cosine must clear
     * `minCosine`. Returns (id_a, id_b, cos), id_a < id_b.

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.SimilaritySearch
+
+import org.apache.spark.sql.functions._
+
+class HardNegativesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // label 0 along +x, label 1 rotated off-axis at varying angles
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f), 0),
+    (2L, Seq(0.8f, 0.6f), 1),  // cos vs +x = 0.8
+    (3L, Seq(0.6f, 0.8f), 1),  // cos vs +x = 0.6
+    (4L, Seq(0.0f, 1.0f), 1)   // cos vs +x = 0.0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("same-label vectors and self are excluded; ranking by cosine desc") {
+    val got = SimilaritySearch
+      .hardNegatives(corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding", "label", k = 2)
+      .select("query_id", "rank", "neg_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // query 0 (label 0): negatives are 2, 3, 4; top-2 by cosine = 2 then 3
+    assert(got == Seq((0L, 1, 2L), (0L, 2, 3L)))
+  }
+
+  test("each query ranks independently") {
+    val got = SimilaritySearch
+      .hardNegatives(corpus, corpus.filter(col("vec_id").isin(0L, 4L)), "vec_id", "embedding", "label", k = 1)
+      .select("query_id", "neg_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 2L) // nearest label-1 to +x
+    assert(got(4L) == 1L) // nearest label-0 to +y is (0.9, 0.1)? no: cos((0,1),(0.9,.1))=.1/.905 vs (1,0)=0
+    // (0.9,0.1): cos = 0.1/norm ~ 0.110; (1,0): cos = 0 -> 1 wins
+  }
+
+  test("k bounds the per-query output; queries broadcast in the plan") {
+    val hn = SimilaritySearch
+      .hardNegatives(corpus, corpus.limit(1), "vec_id", "embedding", "label", k = 10)
+    assert(hn.count() == 3L) // only 3 cross-label candidates exist
+    val plan = hn.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast of the query side:\n$plan")
+  }
+}
