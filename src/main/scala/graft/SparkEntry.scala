@@ -2960,6 +2960,84 @@ object SparkEntry {
         round(col("value"), 2).as("value"), col("vmilli"))
       .orderBy(col("event_id"))
 
+  /** Pivot: per-user event counts spread into one column per type.
+    * The pivot values are EXPLICIT (no driver-side distinct scan to
+    * discover them — the form that scales), so the plan is one
+    * groupBy with five conditional counts.
+    */
+  private def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Native session windows (`session_window`, 30-minute gap) over
+    * second-truncated event times — the built-in operator form of the
+    * q39 lag-flag sessionization; the truncation pins the gap
+    * boundary to whole seconds so the merge decisions replay exactly
+    * (merge iff gap < 1800 s — note the STRICT inequality, the
+    * session_window contract).
+    */
+  private def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(col("user_id") <= 30)
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).cast("long").as("start_s"),
+        (unix_timestamp(col("session_window.end")).cast("long")
+          - unix_timestamp(col("session_window.start")).cast("long") - lit(1800L))
+          .as("span_s"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_s"))
+
+  /** Ordered funnel: users who viewed, then clicked strictly after
+    * their first view, then purchased strictly after that first
+    * qualifying click. Three stage frames, each a filter + min-agg +
+    * key join of the previous — counts per stage.
+    */
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_s") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_s") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+    Seq("1_view" -> v, "2_click_after_view" -> c, "3_purchase_after_click" -> p)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("stage"))
+  }
+
+  /** Daily cohort retention: users grouped by first-active day, the
+    * (cohort_day, day_offset) activity matrix counted over distinct
+    * user-days. Two shuffles (per-user min, matrix count) regardless
+    * of corpus size.
+    */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).cast("long").as("ts_s"))
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Bloom-pre-filtered semi-join: lineitem against the high-value
     * order subset, with the big side filtered by a broadcast bloom of
     * the selected order keys BEFORE the join shuffle (the runtime-
@@ -3012,7 +3090,11 @@ object SparkEntry {
     val ev = Tables(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
     val path = scratchDir("graft-agg-store")
-    A.save(A.build(ev.filter(col("event_id") % 2 === 0), keys, col("value")), keys, path)
+    // 16 buckets: the 750-group fixture table needs directory COUNT
+    // for the pruning proof, not directory SIZE — the commit protocol
+    // cost per dir x 3 writes is the gate's whole budget
+    A.save(A.build(ev.filter(col("event_id") % 2 === 0), keys, col("value")), keys, path,
+      prefixBuckets = 16)
     A.absorbIntoSaved(s, path, ev.filter(col("event_id") % 2 =!= 0), col("value"))
     val loaded = A.load(s, path).groups.drop("__kp")
     val rebuilt = A.build(ev, keys, col("value"))
@@ -3185,7 +3267,11 @@ object SparkEntry {
     "hard_negatives" -> (hardNegativesQ _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "q48_time_range_window" -> (timeRangeWindow _),
-    "event_outliers" -> (eventOutliers _))
+    "event_outliers" -> (eventOutliers _),
+    "q50_pivot" -> (pivotEventCounts _),
+    "q49_session_window" -> (sessionWindowNative _),
+    "funnel_conversion" -> (funnelConversion _),
+    "cohort_retention" -> (cohortRetention _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6111,5 +6197,66 @@ object SparkEntry {
         |WHERE 4 * (n * CAST(vmilli AS HUGEINT) - s)
         |        * (n * CAST(vmilli AS HUGEINT) - s)
         |      > 25 * (n * q - s * s)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // pivot: five conditional counts
+    "q50_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // native session windows: gap-split replay with the session_window
+    // boundary contract (split at gap >= 1800, merge below)
+    "q49_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE user_id <= 30),
+        |flagged AS (
+        |  SELECT user_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s, 1) OVER w >= 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        |numbered AS (
+        |  SELECT user_id, ts_s,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts_s) AS BIGINT) AS start_s,
+        |       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, start_s""".stripMargin,
+    // ordered funnel: stage CTE chain with strict-after semantics
+    "funnel_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_s) AS t2 FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_s > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_s) AS t3 FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin,
+    // cohort retention: distinct user-days, first-day cohorts, the
+    // (cohort, offset) matrix
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin)
 }

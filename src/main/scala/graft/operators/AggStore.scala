@@ -76,7 +76,11 @@ object AggStore {
     require(prefixBuckets > 0, "prefixBuckets must be positive")
     val spark = groups.sparkSession
     import spark.implicits._
+    // repartition on the partition column: one file per __kp dir per
+    // write instead of one per (dir x upstream task) — the small-file
+    // guard every partitioned store write needs
     groups.withColumn("__kp", kp(keyCols, prefixBuckets))
+      .repartition(col("__kp"))
       .write.mode("overwrite").partitionBy("__kp").parquet(s"$path/groups")
     Seq((prefixBuckets, keyCols.mkString("\u0001")))
       .toDF("prefixBuckets", "keyCols")
@@ -117,6 +121,7 @@ object AggStore {
     // this store's contract is rebuild-from-corpus on corruption.)
     val staged = merge(slice, inc.drop("__kp"), st.keyCols)
       .withColumn("__kp", kp(st.keyCols, st.prefixBuckets))
+      .repartition(col("__kp"))
       .localCheckpoint(true)
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
