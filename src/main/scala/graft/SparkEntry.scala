@@ -3038,6 +3038,35 @@ object SparkEntry {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Winsorized value sums per event type: clip at the DISCRETE
+    * 5th/95th percentile (the value at rank ceil(q·n) — no
+    * interpolation, so the bound is an actual data point and the
+    * whole computation is integer-exact on the milli-grid; the
+    * interpolated form would hinge on cross-engine ulp agreement).
+    */
+  private def valueWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e3).cast("long").as("vmilli"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vmilli"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type"), col("n"))
+      .agg(
+        max(when(col("rn") === greatest(lit(1L), ceil(col("n") * 0.05)), col("vmilli")))
+          .as("lo_milli"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("vmilli"))).as("hi_milli"))
+    ev.join(bounds, "event_type")
+      .groupBy(col("event_type"), col("n"), col("lo_milli"), col("hi_milli"))
+      .agg(
+        sum(when(col("vmilli") < col("lo_milli"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("vmilli") > col("hi_milli"), 1L).otherwise(0L)).as("n_high"),
+        round(sum(least(greatest(col("vmilli"), col("lo_milli")), col("hi_milli")))
+          .cast("double") / lit(1e3), 3).as("sum_clipped"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bloom-pre-filtered semi-join: lineitem against the high-value
     * order subset, with the big side filtered by a broadcast bloom of
     * the selected order keys BEFORE the join shuffle (the runtime-
@@ -3271,7 +3300,8 @@ object SparkEntry {
     "q50_pivot" -> (pivotEventCounts _),
     "q49_session_window" -> (sessionWindowNative _),
     "funnel_conversion" -> (funnelConversion _),
-    "cohort_retention" -> (cohortRetention _))
+    "cohort_retention" -> (cohortRetention _),
+    "value_winsorize" -> (valueWinsorize _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6258,5 +6288,34 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // winsorize: discrete rank-ceil(q*n) bounds, milli-grid clipping
+    "value_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, vmilli,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY vmilli, event_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM ev),
+        |bounds AS (
+        |  SELECT event_type, n,
+        |         max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+        |               THEN vmilli END) AS lo_milli,
+        |         max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+        |               THEN vmilli END) AS hi_milli
+        |  FROM ranked GROUP BY event_type, n)
+        |SELECT e.event_type, n, lo_milli, hi_milli,
+        |  CAST(sum(CASE WHEN vmilli < lo_milli THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN vmilli > hi_milli THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  round(CAST(sum(least(greatest(vmilli, lo_milli), hi_milli)) AS DOUBLE)
+        |    / 1000.0, 3) AS sum_clipped
+        |FROM ev e JOIN bounds b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, n, lo_milli, hi_milli
+        |ORDER BY e.event_type""".stripMargin)
 }
