@@ -141,6 +141,16 @@ object GraftFunctions {
         constantDouble(exprs(2), "hist_sketch(_, numBuckets, lo, hi)"),
         constantDouble(exprs(3), "hist_sketch(_, numBuckets, lo, hi)")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "word_ngrams",
+      exprs => graft.functions.WordNgrams(
+        exprs.head, constantInt(exprs(1), "word_ngrams(toks, n)")),
+      "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "char_shingles",
+      exprs => graft.functions.CharShinglesExpr(
+        exprs.head, constantInt(exprs(1), "char_shingles(canon, n)")),
+      "scala_udf")
     ()
   }
 

@@ -56,4 +56,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(1) == 1L)
     spark.catalog.dropTempView("sql_scrub_in")
   }
+
+  test("word_ngrams / char_shingles via SQL match the Column forms") {
+    GraftFunctions.registerAll(spark)
+    Seq(Tuple1("the quick brown fox")).toDF("t")
+      .createOrReplaceTempView("sql_grams_in")
+    val r = spark.sql(
+      """SELECT word_ngrams(split(lower(trim(t)), '\\s+'), 2) AS wg,
+        |       char_shingles(regexp_replace(lower(trim(t)), '\\s+', ' '), 5) AS cs
+        |FROM sql_grams_in""".stripMargin).collect().head
+    val exp = Seq(Tuple1("the quick brown fox")).toDF("t")
+      .select(
+        graft.functions.TextFunctions.ngramsFromTokens(
+          graft.functions.TextFunctions.tokens(col("t")), 2).as("wg"),
+        graft.functions.TextFunctions.charShingles(col("t"), 5).as("cs"))
+      .collect().head
+    assert(r.getSeq[String](0) == exp.getSeq[String](0))
+    assert(r.getSeq[String](1) == exp.getSeq[String](1))
+    assert(r.getSeq[String](0).head == "the quick")
+    spark.catalog.dropTempView("sql_grams_in")
+  }
 }
