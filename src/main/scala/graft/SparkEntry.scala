@@ -3067,6 +3067,19 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Pairwise cosine between the per-label mean embeddings — the
+    * domain-similarity map mixture design reads. Exact decimal
+    * coordinate sums (the 1/n factors cancel in the cosine), one
+    * corpus scan — see
+    * [[graft.operators.SimilaritySearch.groupCentroidSimilarity]].
+    */
+  private def labelCentroidSimilarity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilaritySearch
+      .groupCentroidSimilarity(Tables(s, dir, "embeddings"), "label", "embedding")
+      .select(col("group_a"), col("group_b"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("group_a"), col("group_b"))
+
   /** Bloom-pre-filtered semi-join: lineitem against the high-value
     * order subset, with the big side filtered by a broadcast bloom of
     * the selected order keys BEFORE the join shuffle (the runtime-
@@ -3301,7 +3314,8 @@ object SparkEntry {
     "q49_session_window" -> (sessionWindowNative _),
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
-    "value_winsorize" -> (valueWinsorize _))
+    "value_winsorize" -> (valueWinsorize _),
+    "label_centroid_similarity" -> (labelCentroidSimilarity _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6317,5 +6331,25 @@ object SparkEntry {
         |    / 1000.0, 3) AS sum_clipped
         |FROM ev e JOIN bounds b ON e.event_type = b.event_type
         |GROUP BY e.event_type, n, lo_milli, hi_milli
-        |ORDER BY e.event_type""".stripMargin)
+        |ORDER BY e.event_type""".stripMargin,
+    // centroid similarity: decimal coordinate sums, sum-vector cosine
+    "label_centroid_similarity" ->
+      """WITH e AS (
+        |  SELECT label AS g, unnest(range(1, len(embedding)+1)) AS p,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |s AS (SELECT g, p, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx
+        |      FROM e GROUP BY g, p),
+        |pairs AS (
+        |  SELECT a.g AS group_a, b.g AS group_b,
+        |         sum(CAST(a.sx * b.sx AS DECIMAL(30,14))) AS dot,
+        |         sum(CAST(a.sx * a.sx AS DECIMAL(30,14))) AS na,
+        |         sum(CAST(b.sx * b.sx AS DECIMAL(30,14))) AS nb
+        |  FROM s a JOIN s b ON a.p = b.p AND a.g < b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT group_a, group_b,
+        |       round(CAST(dot AS DOUBLE) /
+        |         (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) + 0.0
+        |         AS cos
+        |FROM pairs ORDER BY group_a, group_b""".stripMargin)
 }

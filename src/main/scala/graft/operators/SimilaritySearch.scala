@@ -117,6 +117,45 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Group-centroid similarity map: the pairwise cosine between the
+    * MEAN embedding of every group (label, source, domain…) — the
+    * corpus-analysis table mixture design reads ("which domains are
+    * semantically close?"). Uses the identity cos(mean_a, mean_b) =
+    * cos(sum_a, sum_b) (the 1/n factors cancel), so only exact
+    * decimal coordinate SUMS are ever computed — no division until
+    * the final cosine, which keeps the whole thing SQL-replayable.
+    *
+    * Scale shape: one posexplode + map-combinable decimal sum whose
+    * output is (groups × dims) — tiny; the pairwise stage joins the
+    * centroid table to itself on position (groups², still tiny). The
+    * corpus is scanned exactly once.
+    *
+    * @return (group_a, group_b, cos), group_a < group_b, cosine of
+    *         the two group centroids (raw double; round at the edge)
+    */
+  def groupCentroidSimilarity(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val sums = df
+      .select(col(groupCol).as("__g"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("__g"), col("__p"))
+      .agg(sum(col("__x").cast("double").cast("decimal(28,14)")).as("__sx"))
+      .select(col("__g"), col("__p"), col("__sx").cast("double").as("__sx"))
+    val a = sums.select(col("__g").as("group_a"), col("__p"), col("__sx").as("__xa"))
+    val b = sums.select(col("__g").as("group_b"), col("__p"), col("__sx").as("__xb"))
+    a.join(b, Seq("__p"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(
+        sum((col("__xa") * col("__xb")).cast("decimal(30,14)")).as("__dot"),
+        sum((col("__xa") * col("__xa")).cast("decimal(30,14)")).as("__na"),
+        sum((col("__xb") * col("__xb")).cast("decimal(30,14)")).as("__nb"))
+      .select(col("group_a"), col("group_b"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double")))).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: vectors sharing the full `bits`-bit
     * hyperplane signature are candidates; exact cosine must clear
     * `minCosine`. Returns (id_a, id_b, cos), id_a < id_b.

@@ -36,6 +36,35 @@ class HardNegativesSpec extends SparkSpec {
     // (0.9,0.1): cos = 0.1/norm ~ 0.110; (1,0): cos = 0 -> 1 wins
   }
 
+  test("group centroids: cosine of mean vectors via sum vectors") {
+    // group 0 mean = (1, 0); group 1 mean = (0, 1) -> cos 0
+    // group 2 mean = (1, 1)/norm vs group 0 -> cos = 1/sqrt(2)
+    val df = Seq(
+      (0, Seq(2.0f, 0.0f)), (0, Seq(0.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f)),
+      (2, Seq(1.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val got = SimilaritySearch.groupCentroidSimilarity(df, "label", "embedding")
+      .select(col("group_a"), col("group_b"), round(col("cos"), 6))
+      .as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0, 1, 0.0),
+      (0, 2, BigDecimal(1.0 / math.sqrt(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1, 2, BigDecimal(1.0 / math.sqrt(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("group centroids: one corpus scan, no per-pair rescan") {
+    val df = (0 until 100).map(i => (i % 5, Seq(i.toFloat, (i * 2).toFloat)))
+      .toDF("label", "embedding")
+    val sim = SimilaritySearch.groupCentroidSimilarity(df, "label", "embedding")
+    assert(sim.count() == 10L) // C(5,2)
+    // centroid-table self-join only: the big input appears once in the plan
+    val scans = sim.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size <= 2, s"expected the corpus scanned once per side at most")
+  }
+
   test("k bounds the per-query output; queries broadcast in the plan") {
     val hn = SimilaritySearch
       .hardNegatives(corpus, corpus.limit(1), "vec_id", "embedding", "label", k = 10)
