@@ -1067,6 +1067,46 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Containment near-dup pairs over planted PREFIX-HALF documents
+    * (every doc_id % 50 == 0 contributes a copy holding its first
+    * max(len/2, 3) tokens): the asymmetric overlap signal symmetric
+    * Jaccard misses — a true prefix scores containment exactly 1.0
+    * while its Jaccard is ~0.5. Inverted-index pair generation with
+    * stop-gram + singleton pruning
+    * ([[graft.operators.TextDedup.containmentPairs]]); the integer
+    * ratio replays exactly (floor division on positive longs).
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = TF.tokens(col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), greatest((size(toks) / 2).cast("int"), lit(3))), " ")
+          .as("text"))
+    TextDedup
+      .containmentPairs(docs.unionByName(planted), "doc_id", "text",
+        shingleSize = 3, maxDf = 20, minContainMicro = 800000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Top-20 bigram collocations by PMI on the µ-nat integer grid
+    * ([[graft.operators.Lexicon.collocations]]): one staged tokenize
+    * pass feeds both count aggregations; ranking and score replay
+    * bit-for-bit in SQL.
+    */
+  private def collocationsPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .collocations(Tables(s, dir, "documents"), "text", minCount = 5L, topK = 20)
+
+  /** Zipf rank-frequency OLS slope over the top-100 tokens — exact
+    * integer OLS sums on µ-nat quantized logs, one double division at
+    * the edge ([[graft.operators.Lexicon.zipfSlope]]).
+    */
+  private def zipfSlopeQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexicon
+      .zipfSlope(Tables(s, dir, "documents"), "text", topR = 100)
+
   /** JL random projection 64 -> 8 dims, BIT-EXACT oracle-gated: the
     * md5-derived integer matrix and decimal-accumulated coordinates
     * replay in SQL, so every projected value hash-matches (the
@@ -3315,7 +3355,10 @@ object SparkEntry {
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
     "value_winsorize" -> (valueWinsorize _),
-    "label_centroid_similarity" -> (labelCentroidSimilarity _))
+    "label_centroid_similarity" -> (labelCentroidSimilarity _),
+    "collocations_pmi" -> (collocationsPmi _),
+    "zipf_slope" -> (zipfSlopeQ _),
+    "dedup_containment" -> (dedupContainment _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6351,5 +6394,87 @@ object SparkEntry {
         |       round(CAST(dot AS DOUBLE) /
         |         (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) + 0.0
         |         AS cos
-        |FROM pairs ORDER BY group_a, group_b""".stripMargin)
+        |FROM pairs ORDER BY group_a, group_b""".stripMargin,
+    // PMI collocations: µ-nat quantized ln terms over exact counts
+    "collocations_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok),
+        |bi AS (
+        |  SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM (SELECT unnest([array_to_string(t[i:i+1], ' ')
+        |                      for i in range(1, len(t))]) AS bg
+        |        FROM t WHERE len(t) >= 2)
+        |  GROUP BY bg),
+        |m AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+        |             (SELECT CAST(sum(c_pair) AS BIGINT) FROM bi) AS n_bi),
+        |j AS (
+        |  SELECT b.bigram, b.c_pair, u1.c AS c_left, u2.c AS c_right,
+        |         m.n_uni, m.n_bi
+        |  FROM bi b
+        |  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+        |  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]
+        |  CROSS JOIN m
+        |  WHERE b.c_pair >= 5)
+        |SELECT bigram, c_pair, c_left, c_right,
+        |  CAST(floor((ln(CAST(c_pair AS DOUBLE) / CAST(n_bi AS DOUBLE))
+        |    - ln(CAST(c_left AS DOUBLE) / CAST(n_uni AS DOUBLE))
+        |    - ln(CAST(c_right AS DOUBLE) / CAST(n_uni AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS pmi_micro
+        |FROM j
+        |ORDER BY pmi_micro DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+    // Zipf slope: integer OLS sums on µ-nat logs of (rank, count)
+    "zipf_slope" ->
+      """WITH c AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w ASC LIMIT 100),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM top),
+        |q AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |      FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |  round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+        |        CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS zipf_slope
+        |FROM q""".stripMargin,
+    // containment dedup: df-filtered distinct trigram sets, integer ratio
+    "dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string(t[1:greatest(len(t)//2, 3)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |        FROM documents WHERE doc_id % 50 = 0)),
+        |g0 AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM base),
+        |g1 AS (
+        |  SELECT id, CASE WHEN len(t) >= 3
+        |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END AS gs
+        |  FROM g0),
+        |grams AS (SELECT DISTINCT id, g
+        |          FROM (SELECT id, unnest(gs) AS g FROM g1)),
+        |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |         WHERE df BETWEEN 2 AND 20),
+        |kept AS (SELECT grams.id, grams.g FROM grams JOIN rare ON grams.g = rare.g),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS common
+        |          FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+        |          GROUP BY a.id, b.id),
+        |j AS (SELECT p.id_a, p.id_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+        |      FROM pairs p JOIN sizes sa ON p.id_a = sa.id
+        |                   JOIN sizes sb ON p.id_b = sb.id)
+        |SELECT id_a, id_b, common, sz_a, sz_b,
+        |       common * 1000000 // least(sz_a, sz_b) AS containment_micro
+        |FROM j
+        |WHERE common * 1000000 // least(sz_a, sz_b) >= 800000
+        |ORDER BY id_a, id_b""".stripMargin)
 }

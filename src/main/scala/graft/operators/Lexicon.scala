@@ -341,4 +341,111 @@ object Lexicon {
       bpeSyms(merged)
     })
   }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * the corpus-analysis staple ("which word pairs co-occur far more
+    * than chance?") that feeds phrase mining, tokenizer vocab seeding,
+    * and boilerplate detection.
+    *
+    *   PMI(x,y) = ln p(x,y) - ln p(x) - ln p(y)
+    *   with p(x,y) = c_xy / N_bi, p(x) = c_x / N_uni
+    *
+    * Scale shape: ONE tokenize pass staged and shared by the unigram
+    * and bigram count aggregations (both map-combinable, outputs
+    * vocabulary-sized); the bigram table joins the unigram table twice
+    * keyed by token (vocab-sized sides, never the corpus); totals ride
+    * a broadcast one-row cross join; the top-k is ORDER+LIMIT
+    * (TakeOrderedAndProject, never a global sort).
+    *
+    * Numeric contract: the three ln terms are evaluated on exact
+    * integer-count ratios in a fixed order and the sum is
+    * floor-quantized to µ-nats ([[IdfScale]]) — the [[CorpusDrift]]
+    * replay trick — so ranking AND score replay identically in SQL.
+    * Single-token documents contribute unigrams but no bigrams
+    * (the whole-text shingle a short doc would otherwise emit is not
+    * a real co-occurrence).
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val toks = TextDedup.spreadToCores(docs)
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .persist()
+    val uni = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    val bi = toks
+      .filter(size(col("__t")) >= 2)
+      .select(explode(TextFunctions.ngramsFromTokens(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_pair"))
+    val totals = uni.agg(sum(col("c")).as("__n_uni"))
+      .crossJoin(bi.agg(sum(col("c_pair")).as("__n_bi")))
+    val joined = bi
+      .filter(col("c_pair") >= minCount)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("__w1"), col("c").as("c_left")), Seq("__w1"))
+      .join(uni.select(col("w").as("__w2"), col("c").as("c_right")), Seq("__w2"))
+      .crossJoin(broadcast(totals))
+    val pmiMicro = floor(
+      (log(col("c_pair").cast("double") / col("__n_bi").cast("double")) -
+        log(col("c_left").cast("double") / col("__n_uni").cast("double")) -
+        log(col("c_right").cast("double") / col("__n_uni").cast("double"))) *
+        lit(IdfScale.toDouble)).cast("long")
+    val out = joined
+      .select(col("bigram"),
+        col("c_pair").cast("long").as("c_pair"),
+        col("c_left").cast("long").as("c_left"),
+        col("c_right").cast("long").as("c_right"),
+        pmiMicro.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(topK)
+    TextDedup.materialized(out, Seq(toks, uni))
+  }
+
+  /** Zipf rank-frequency fit over the top-`topR` tokens: the OLS slope
+    * of ln(count) on ln(rank) — the corpus-health scalar (natural text
+    * sits near -1; template spam and encoded blobs bend the curve).
+    *
+    * Scale shape: one map-combinable count aggregation (vocab-sized
+    * output), ORDER+LIMIT for the top ranks (TakeOrderedAndProject),
+    * then a row_number window over the <= topR survivors (tiny) and
+    * one single-row aggregation. Nothing after the count is corpus-
+    * sized.
+    *
+    * Numeric contract: per-rank ln(rank)/ln(count) are floor-quantized
+    * to µ-nats BEFORE summing, so all five OLS sums are exact integer
+    * sums in any partition order; the slope is one double division at
+    * the edge.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topR: Int): DataFrame = {
+    require(topR >= 2, "topR must be >= 2")
+    val counts = TextDedup.spreadToCores(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("w").asc).limit(topR)
+    val ranked = top
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .select(
+        floor(log(col("__r").cast("double")) * lit(IdfScale.toDouble))
+          .cast("long").as("__x"),
+        floor(log(col("c").cast("double")) * lit(IdfScale.toDouble))
+          .cast("long").as("__y"))
+    ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+      .select(
+        col("__n").cast("long").as("n_ranks"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"),
+          6).as("zipf_slope"))
+  }
 }

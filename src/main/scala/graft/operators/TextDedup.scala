@@ -1055,4 +1055,68 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
     materialized(result, Seq(hashed, sigs))
   }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) over the
+    * DF-FILTERED distinct word-n-gram sets — the asymmetric-overlap
+    * signal symmetric Jaccard misses (a document embedded whole inside
+    * a larger one has low Jaccard but containment ~1; quote farms,
+    * prefix crawls, and template expansions all look like this).
+    *
+    * Candidate generation is an inverted-index pair count: grams with
+    * document frequency above `maxDf` are dropped FIRST (the standard
+    * stop-gram prune — a gram appearing in thousands of documents
+    * carries no pairing signal but would emit df² candidate pairs), and
+    * so are df-1 singletons (they cannot pair and are the vast tail of
+    * any gram table), so per-gram join fan-out is bounded by maxDf² and
+    * the whole pair stage is O(sum over shared rare grams of df²),
+    * never all-pairs. Both
+    * sides of the containment ratio use the SAME filtered gram sets,
+    * so the planted-subset containment of a true prefix document stays
+    * exactly 1.0 (any surviving gram of the subset is a surviving gram
+    * of its superset).
+    *
+    * The ratio is an exact integer: `common * 1e6 div min(size)` —
+    * floor division on positive longs, identical in every engine.
+    *
+    * @return (id_a, id_b, common, sz_a, sz_b, containment_micro),
+    *         id_a < id_b, containment_micro >= minContainMicro
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxDf: Int = 20,
+      minContainMicro: Long = 800000L): DataFrame = {
+    require(maxDf >= 2, "maxDf must be >= 2 (a pair needs df 2)")
+    val grams = spreadToCores(df)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.ngramsFromTokens(
+          TextFunctions.tokens(col(textCol)), shingleSize)).as("g"))
+      .distinct()
+      .persist()
+    val rare = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf && col("__df") >= 2)
+      .select(col("g"))
+    val kept = grams.join(rare, Seq("g")).persist()
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.select(col("g"), col("id").as("id_a"))
+      .join(kept.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val out = pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("containment_micro",
+        expr("common * 1000000 div least(sz_a, sz_b)"))
+      .filter(col("containment_micro") >= minContainMicro)
+      .select(col("id_a"), col("id_b"),
+        col("common").cast("long").as("common"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"),
+        col("containment_micro"))
+    materialized(out, Seq(grams, kept))
+  }
 }

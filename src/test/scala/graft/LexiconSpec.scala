@@ -91,4 +91,44 @@ class LexiconSpec extends SparkSpec {
       .head().getSeq[Seq[String]](0)
     assert(seg == Seq(Seq("h", "i", "</w>")))
   }
+
+  test("collocations: PMI ranks the always-together pair above the frequent pair") {
+    // "x y" always co-occur (every occurrence of each is in the pair);
+    // "a b" co-occur but a and b also appear apart -> lower PMI
+    val corpus = Seq(
+      (1L, "x y a b"), (2L, "x y b a"), (3L, "x y a c"),
+      (4L, "a d"), (5L, "b d"), (6L, "x y")).toDF("doc_id", "text")
+    val got = Lexicon.collocations(corpus, "text", minCount = 2L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.head._1 == "x y", s"got $got")
+    assert(got.head._2 == 4L)
+    // every returned pair meets the count floor
+    assert(got.forall(_._2 >= 2L))
+  }
+
+  test("collocations: single-token docs contribute no bigrams") {
+    val corpus = Seq((1L, "solo"), (2L, "solo"), (3L, "p q"), (4L, "p q")).toDF("doc_id", "text")
+    val got = Lexicon.collocations(corpus, "text", minCount = 1L, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("p q"), s"got $got")
+  }
+
+  test("zipfSlope: an exact power law fits its own exponent") {
+    // counts c(r) = floor(1000 * r^-1) for ranks 1..8 -> slope ~ -1
+    val words = (1 to 8).flatMap { r =>
+      val c = (1000.0 / r).toInt
+      Seq.fill(c)(s"w$r")
+    }
+    val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = Lexicon.zipfSlope(corpus, "text", topR = 8).head()
+    assert(row.getLong(0) == 8L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.01 && slope < -0.99, s"slope $slope")
+  }
+
+  test("zipfSlope: uniform counts have slope 0") {
+    val corpus = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val row = Lexicon.zipfSlope(corpus, "text", topR = 4).head()
+    assert(row.getDouble(1) == 0.0)
+  }
 }
