@@ -1067,6 +1067,35 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Mutual k-NN graph over the first 100 embedding vectors, BIT-EXACT
+    * end-to-end: decimal-cosine similarities on the µ-grid, per-source
+    * top-5, and the mutuality intersection all replay in SQL
+    * ([[graft.operators.SimilaritySearch.mutualKnnGraph]]).
+    */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch
+      .mutualKnnGraph(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 5,
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+      .select(col("id_a"), col("id_b"), col("sim").as("sim_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Greedy MMR selection (k=5, λ=1/2) against vec_id 0's embedding,
+    * BIT-EXACT: every relevance/similarity is a µ-grid integer, so
+    * each greedy argmax replays as an unrolled CTE chain
+    * ([[graft.operators.SimilaritySearch.mmrSelect]]).
+    */
+  private def mmrSelectQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    SimilaritySearch.mmrSelect(emb, "vec_id", "embedding", q, k = 5)
+      .select(col("rank"), col("id").as("vec_id"),
+        col("rel_micro"), col("score_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** Containment near-dup pairs over planted PREFIX-HALF documents
     * (every doc_id % 50 == 0 contributes a copy holding its first
     * max(len/2, 3) tokens): the asymmetric overlap signal symmetric
@@ -3358,7 +3387,9 @@ object SparkEntry {
     "label_centroid_similarity" -> (labelCentroidSimilarity _),
     "collocations_pmi" -> (collocationsPmi _),
     "zipf_slope" -> (zipfSlopeQ _),
-    "dedup_containment" -> (dedupContainment _))
+    "dedup_containment" -> (dedupContainment _),
+    "knn_graph" -> (knnGraphQ _),
+    "mmr_select" -> (mmrSelectQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6476,5 +6507,149 @@ object SparkEntry {
         |       common * 1000000 // least(sz_a, sz_b) AS containment_micro
         |FROM j
         |WHERE common * 1000000 // least(sz_a, sz_b) >= 800000
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // mutual kNN graph: decimal cosine, per-source top-5, mutuality
+    "knn_graph" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT src, dst, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src, dst,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src, dst),
+        |sim AS (SELECT src, dst,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS sim_micro
+        |        FROM sums),
+        |r AS (SELECT src, dst, sim_micro,
+        |        row_number() OVER (PARTITION BY src
+        |                           ORDER BY sim_micro DESC, dst) AS rk
+        |      FROM sim),
+        |d AS (SELECT src, dst, sim_micro FROM r WHERE rk <= 5)
+        |SELECT d.src AS id_a, d.dst AS id_b, d.sim_micro
+        |FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
+        |WHERE d.src < d.dst
+        |ORDER BY id_a, id_b""".stripMargin,
+    // greedy MMR: 5 unrolled argmax rounds on the µ-grid (λ = 1/2)
+    "mmr_select" ->
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT v AS qv FROM v0 WHERE vec_id = 0),
+        |nrm AS MATERIALIZED (
+        |  SELECT vec_id, sum(CAST(x*x AS DECIMAL(28,14))) AS n2
+        |  FROM (SELECT vec_id, unnest(v) AS x FROM v0) GROUP BY vec_id),
+        |dq AS MATERIALIZED (
+        |  SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |  FROM (SELECT vec_id, unnest(v) AS x, unnest(qv) AS y
+        |        FROM v0 CROSS JOIN q)
+        |  GROUP BY vec_id),
+        |base AS MATERIALIZED (
+        |  SELECT v0.vec_id, v0.v,
+        |    CAST(floor(CAST(dq.d AS DOUBLE) /
+        |      (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS rel
+        |  FROM v0 JOIN dq ON v0.vec_id = dq.vec_id
+        |       JOIN nrm n ON v0.vec_id = n.vec_id
+        |       CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) qn),
+        |s1 AS MATERIALIZED (
+        |  SELECT vec_id, v, rel, 1 * rel AS score FROM base
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    CAST(floor(CAST(w.d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim
+        |  FROM (SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT b.vec_id AS vec_id, unnest(b.v) AS x,
+        |                     unnest(s.v) AS y
+        |              FROM base b CROSS JOIN s1 s)
+        |        GROUP BY vec_id) w
+        |  JOIN nrm na ON w.vec_id = na.vec_id
+        |  CROSS JOIN (SELECT n.n2 AS n2 FROM nrm n
+        |              JOIN s1 ON n.vec_id = s1.vec_id) ns),
+        |s2 AS MATERIALIZED (
+        |  SELECT b.vec_id, b.v, b.rel, 1 * b.rel - 1 * m1.sim AS score
+        |  FROM base b JOIN m1 ON b.vec_id = m1.vec_id
+        |  WHERE b.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  ORDER BY score DESC, b.vec_id LIMIT 1),
+        |m2 AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    CAST(floor(CAST(w.d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim
+        |  FROM (SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT b.vec_id AS vec_id, unnest(b.v) AS x,
+        |                     unnest(s.v) AS y
+        |              FROM base b CROSS JOIN s2 s)
+        |        GROUP BY vec_id) w
+        |  JOIN nrm na ON w.vec_id = na.vec_id
+        |  CROSS JOIN (SELECT n.n2 AS n2 FROM nrm n
+        |              JOIN s2 ON n.vec_id = s2.vec_id) ns),
+        |mx2 AS MATERIALIZED (
+        |  SELECT m1.vec_id, greatest(m1.sim, m2.sim) AS ms
+        |  FROM m1 JOIN m2 ON m1.vec_id = m2.vec_id),
+        |s3 AS MATERIALIZED (
+        |  SELECT b.vec_id, b.v, b.rel, 1 * b.rel - 1 * mx.ms AS score
+        |  FROM base b JOIN mx2 mx ON b.vec_id = mx.vec_id
+        |  WHERE b.vec_id NOT IN (SELECT vec_id FROM s1
+        |                         UNION SELECT vec_id FROM s2)
+        |  ORDER BY score DESC, b.vec_id LIMIT 1),
+        |m3 AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    CAST(floor(CAST(w.d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim
+        |  FROM (SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT b.vec_id AS vec_id, unnest(b.v) AS x,
+        |                     unnest(s.v) AS y
+        |              FROM base b CROSS JOIN s3 s)
+        |        GROUP BY vec_id) w
+        |  JOIN nrm na ON w.vec_id = na.vec_id
+        |  CROSS JOIN (SELECT n.n2 AS n2 FROM nrm n
+        |              JOIN s3 ON n.vec_id = s3.vec_id) ns),
+        |mx3 AS MATERIALIZED (
+        |  SELECT mx2.vec_id, greatest(mx2.ms, m3.sim) AS ms
+        |  FROM mx2 JOIN m3 ON mx2.vec_id = m3.vec_id),
+        |s4 AS MATERIALIZED (
+        |  SELECT b.vec_id, b.v, b.rel, 1 * b.rel - 1 * mx.ms AS score
+        |  FROM base b JOIN mx3 mx ON b.vec_id = mx.vec_id
+        |  WHERE b.vec_id NOT IN (SELECT vec_id FROM s1
+        |                         UNION SELECT vec_id FROM s2
+        |                         UNION SELECT vec_id FROM s3)
+        |  ORDER BY score DESC, b.vec_id LIMIT 1),
+        |m4 AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    CAST(floor(CAST(w.d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim
+        |  FROM (SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT b.vec_id AS vec_id, unnest(b.v) AS x,
+        |                     unnest(s.v) AS y
+        |              FROM base b CROSS JOIN s4 s)
+        |        GROUP BY vec_id) w
+        |  JOIN nrm na ON w.vec_id = na.vec_id
+        |  CROSS JOIN (SELECT n.n2 AS n2 FROM nrm n
+        |              JOIN s4 ON n.vec_id = s4.vec_id) ns),
+        |mx4 AS MATERIALIZED (
+        |  SELECT mx3.vec_id, greatest(mx3.ms, m4.sim) AS ms
+        |  FROM mx3 JOIN m4 ON mx3.vec_id = m4.vec_id),
+        |s5 AS MATERIALIZED (
+        |  SELECT b.vec_id, b.v, b.rel, 1 * b.rel - 1 * mx.ms AS score
+        |  FROM base b JOIN mx4 mx ON b.vec_id = mx.vec_id
+        |  WHERE b.vec_id NOT IN (SELECT vec_id FROM s1
+        |                         UNION SELECT vec_id FROM s2
+        |                         UNION SELECT vec_id FROM s3
+        |                         UNION SELECT vec_id FROM s4)
+        |  ORDER BY score DESC, b.vec_id LIMIT 1)
+        |SELECT 1 AS rank, vec_id, rel AS rel_micro, score AS score_micro FROM s1
+        |UNION ALL SELECT 2, vec_id, rel, score FROM s2
+        |UNION ALL SELECT 3, vec_id, rel, score FROM s3
+        |UNION ALL SELECT 4, vec_id, rel, score FROM s4
+        |UNION ALL SELECT 5, vec_id, rel, score FROM s5
+        |ORDER BY rank""".stripMargin)
 }

@@ -117,6 +117,132 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Per-source top-k from a directed scored candidate edge table
+    * (src, dst, sim): rank 1..k by sim descending, ties by dst — the
+    * ranking half of [[mutualKnnGraph]], factored out so bucketed
+    * candidate generators (LSH bands, IVF lists, [[IvfAnn]] probes)
+    * can feed it at corpus scale instead of the exact all-pairs table.
+    */
+  def knnFromCandidates(candidates: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    candidates
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Mutual k-nearest-neighbor graph: the edge (a, b) survives iff b
+    * is in a's top-k AND a is in b's top-k — the standard
+    * noise-robust neighborhood graph (one-directional nearness is
+    * usually a hub artifact; mutuality kills hub edges), the input
+    * representation for graph-based dedup clustering and diversity
+    * analysis.
+    *
+    * This form scores the exact all-pairs table with ONE corpus scan
+    * against a broadcast of the node set, so it is for BOUNDED node
+    * sets (a selection batch, a cluster's members — the `nodes` side
+    * must fit in a broadcast). At corpus scale generate candidate
+    * edges from LSH/IVF buckets and feed [[knnFromCandidates]] +
+    * [[mutualEdges]] directly — same semantics, bucketed cost.
+    *
+    * @return (id_a, id_b, sim), id_a < id_b, one row per mutual pair
+    */
+  def mutualKnnGraph(
+      nodes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    val a = nodes.select(col(idCol).as("src"), col(vecCol).as("__vs"))
+    val b = nodes.select(col(idCol).as("dst"), col(vecCol).as("__vd"))
+    val cand = TextDedup.spreadToCores(a)
+      .crossJoin(broadcast(b))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), simFn(col("__vs"), col("__vd")).as("sim"))
+    mutualEdges(knnFromCandidates(cand, k))
+  }
+
+  /** Undirected mutual edges of a directed (src, dst, sim) edge set:
+    * (a, b) with a < b survives iff both directions are present. One
+    * self-join keyed by the (reversed) pair — the directed edge table
+    * is k·|nodes| rows, never corpus-sized.
+    */
+  def mutualEdges(directed: DataFrame): DataFrame = {
+    val e = directed.select(col("src"), col("dst"), col("sim"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    e.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("sim"))
+  }
+
+  /** Greedy Maximal Marginal Relevance selection (Carbonell &
+    * Goldstein 1998) on an exact integer grid: pick `k` vectors
+    * maximizing `num·rel − (den−num)·maxSimToSelected` — the
+    * diversity-aware data-selection step (take the most
+    * query-relevant examples WITHOUT taking five copies of the same
+    * one). λ = num/den as an exact rational keeps every score an
+    * integer, so the argmax replays across engines.
+    *
+    * Scale shape: relevance is ONE corpus scan against the broadcast
+    * query vector, persisted; each of the `k` rounds is one scan of
+    * that small projection with the selected vectors riding the plan
+    * as literals (k · |candidates| work total — greedy MMR's floor);
+    * each round's collect is exactly ONE row. `k` is a selection-batch
+    * size by construction, not corpus-scaled; for corpus-scale
+    * selection run MMR per-partition on bucketed shards.
+    *
+    * @return (rank, id, rel_micro, score_micro) — rank 1..k in
+    *         selection order
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      lambdaNum: Long = 1L,
+      lambdaDen: Long = 2L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambdaNum > 0 && lambdaDen >= lambdaNum,
+      "lambda must be a rational in (0, 1]")
+    val spark = corpus.sparkSession
+    val simMicro: (Column, Column) => Column = (a, b) =>
+      floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+        simMicro(col(vecCol), typedLit(query)).as("rel_micro"))
+      .persist()
+    val penalty = lambdaDen - lambdaNum
+    var selected = Vector.empty[(Long, Seq[Float], Long, Long)]
+    for (_ <- 1 to k) {
+      val scoreCol =
+        if (selected.isEmpty) col("rel_micro") * lit(lambdaNum)
+        else {
+          val maxSim = selected
+            .map { case (_, v, _, _) => simMicro(col("__v"), typedLit(v)) }
+            .reduce(greatest(_, _))
+          col("rel_micro") * lit(lambdaNum) - maxSim * lit(penalty)
+        }
+      val taken = selected.map(_._1)
+      val best = cand
+        .filter(if (taken.isEmpty) lit(true) else !col("id").isin(taken: _*))
+        .select(col("id"), col("__v"), col("rel_micro"), scoreCol.as("__score"))
+        .orderBy(col("__score").desc, col("id").asc)
+        .limit(1)
+        .collect()(0)
+      selected :+= ((best.getLong(0), best.getSeq[Float](1).toSeq,
+        best.getLong(2), best.getLong(3)))
+    }
+    cand.unpersist()
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
+      .toDF("rank", "id", "rel_micro", "score_micro")
+  }
+
   /** Group-centroid similarity map: the pairwise cosine between the
     * MEAN embedding of every group (label, source, domain…) — the
     * corpus-analysis table mixture design reads ("which domains are

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import graft.functions.VectorFunctions
+
+import org.apache.spark.sql.functions._
+
+class KnnMmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutual kNN kills one-directional hub edges") {
+    // k=1: a<->b are each other's nn; c's nn is b, but b's nn is a,
+    // so (b, c) is one-directional and must not survive
+    val nodes = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.312f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "vec")
+    val edges = SimilaritySearch.mutualKnnGraph(nodes, "id", "vec", k = 1)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(edges == Seq((1L, 2L)), s"got $edges")
+  }
+
+  test("knnFromCandidates bounds per-source degree and breaks ties by dst") {
+    val cand = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 5L),
+      (2L, 1L, 9L)).toDF("src", "dst", "sim")
+    val got = SimilaritySearch.knnFromCandidates(cand, k = 2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // src 1 keeps the two sim-10 edges (dst tie-break), drops sim-5
+    assert(got == Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 1L, 9L)), s"got $got")
+  }
+
+  test("MMR second pick trades relevance for diversity") {
+    // all three are relevant; a and c sit on the same side of the
+    // query, b on the other. Pure top-2 relevance would take (c, a)
+    // (a wins the 0.95-tie by id); MMR takes the diverse b instead.
+    val corpus = Seq(
+      (1L, Seq(0.95f, 0.312f)),
+      (2L, Seq(0.95f, -0.312f)),
+      (3L, Seq(0.99f, 0.141f))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch
+      .mmrSelect(corpus, "vec_id", "embedding", Seq(1.0f, 0.0f), k = 2)
+      .select(col("rank"), col("id"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 3L), (2, 2L)), s"got $got")
+  }
+
+  test("MMR of an all-duplicates corpus scores later picks rel - 1e6") {
+    val corpus = (1L to 3L).map(i => (i, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val rows = SimilaritySearch
+      .mmrSelect(corpus, "vec_id", "embedding", Seq(0.6f, 0.8f), k = 2)
+      .orderBy(col("rank")).collect()
+    val rel = rows(0).getLong(2)
+    assert(rows(0).getLong(3) == rel)            // first pick: pure relevance
+    assert(rows(1).getLong(3) <= rel - 999999L)  // dup penalty ~ full similarity
+    assert(rows(1).getLong(1) == 2L)             // ties by id after the first
+  }
+}
