@@ -1067,6 +1067,80 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Robust MAD outliers per event type: |v − median| > 6·MAD on
+    * discrete rank statistics over the milli-grid — the heavy-tail-
+    * proof complement of [[eventOutliers]]'s z-score gate
+    * ([[graft.operators.Outliers.madOutliers]]).
+    */
+  private def eventOutliersMad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers
+      .madOutliers(
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        Seq("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        col("vmilli"), col("med_milli"), col("mad_milli"))
+      .orderBy(col("event_id"))
+
+  /** Exact phrase search ("slow hash batch") by positional-posting
+    * intersection ([[graft.operators.Bm25.phraseSearch]]): the
+    * boolean complement of BM25, every match position replayed.
+    */
+  private def phraseSearchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25
+      .phraseSearch(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .orderBy(col("id"))
+
+  /** Snapshot diff of orders vs a deterministically mutated copy
+    * (drops, price bumps, status flips, inserts): one full-outer join
+    * on the key, per-column null-safe verdicts
+    * ([[graft.operators.SnapshotDiff.diff]]).
+    */
+  private def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val b = a.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 31 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(a.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice")))
+    graft.operators.SnapshotDiff.diff(a, b, Seq("o_orderkey"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Canonical-copy selection over exact-dup clusters with planted
+    * copies: a worse-source mirror (src99) and a better-source copy
+    * (src0) per slice — the keeper is chosen by (source priority,
+    * length, id), NOT min-id
+    * ([[graft.operators.TextDedup.canonicalClusters]]).
+    */
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val worse = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        lit("src99").as("source"), col("n_chars"))
+    val better = docs.filter(col("doc_id") % 80 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+        lit("src0").as("source"), col("n_chars"))
+    val base = docs.unionByName(worse).unionByName(better)
+    TextDedup.canonicalClusters(base, "doc_id", "text",
+      preference = struct(
+        -substring(col("source"), 4, 10).cast("int"),
+        col("n_chars"),
+        -col("doc_id")))
+      .orderBy(col("h"))
+  }
+
   /** Mutual k-NN graph over the first 100 embedding vectors, BIT-EXACT
     * end-to-end: decimal-cosine similarities on the µ-grid, per-source
     * top-5, and the mutuality intersection all replay in SQL
@@ -3389,7 +3463,11 @@ object SparkEntry {
     "zipf_slope" -> (zipfSlopeQ _),
     "dedup_containment" -> (dedupContainment _),
     "knn_graph" -> (knnGraphQ _),
-    "mmr_select" -> (mmrSelectQ _))
+    "mmr_select" -> (mmrSelectQ _),
+    "event_outliers_mad" -> (eventOutliersMad _),
+    "phrase_search" -> (phraseSearchQ _),
+    "snapshot_diff" -> (snapshotDiffQ _),
+    "dedup_canonical" -> (dedupCanonical _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6651,5 +6729,107 @@ object SparkEntry {
         |UNION ALL SELECT 3, vec_id, rel, score FROM s3
         |UNION ALL SELECT 4, vec_id, rel, score FROM s4
         |UNION ALL SELECT 5, vec_id, rel, score FROM s5
-        |ORDER BY rank""".stripMargin)
+        |ORDER BY rank""".stripMargin,
+    // MAD outliers: discrete rank median + MAD, integer threshold
+    "event_outliers_mad" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vmilli) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM ev),
+        |med AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n+1)//2 THEN vmilli END) AS med_milli
+        |        FROM r GROUP BY event_type),
+        |d AS (SELECT ev.*, m.med_milli, abs(ev.vmilli - m.med_milli) AS dev
+        |      FROM ev JOIN med m ON ev.event_type = m.event_type),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM d),
+        |mad AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n+1)//2 THEN dev END) AS mad_milli
+        |        FROM r2 GROUP BY event_type)
+        |SELECT d.event_id, d.user_id, d.event_type, round(d.value, 2) AS value,
+        |       d.vmilli, d.med_milli, mad.mad_milli
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |WHERE d.dev * 1 > 6 * mad.mad_milli
+        |ORDER BY d.event_id""".stripMargin,
+    // phrase search: positional match positions via list comprehension
+    "phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, [i for i in range(1, len(t) - 1)
+        |              if t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'] AS ps
+        |  FROM t WHERE len(t) >= 3)
+        |SELECT id, CAST(len(ps) AS BIGINT) AS n_matches,
+        |       CAST(ps[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(ps) > 0
+        |ORDER BY id""".stripMargin,
+    // snapshot diff: full-outer keyed compare with per-column verdicts
+    "snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_orderpriority,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         a.o_orderkey IS NOT NULL AS pa, b.o_orderkey IS NOT NULL AS pb,
+        |         a.o_orderstatus AS a_s, b.o_orderstatus AS b_s,
+        |         a.o_orderpriority AS a_p, b.o_orderpriority AS b_p,
+        |         a.o_totalprice AS a_t, b.o_totalprice AS b_t
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+        |s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN NOT pa THEN 'added'
+        |         WHEN NOT pb THEN 'removed'
+        |         WHEN a_s IS NOT DISTINCT FROM b_s
+        |              AND a_p IS NOT DISTINCT FROM b_p
+        |              AND a_t IS NOT DISTINCT FROM b_t THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    CASE WHEN NOT pa OR NOT pb THEN ''
+        |         ELSE concat_ws(',',
+        |           CASE WHEN a_s IS DISTINCT FROM b_s THEN 'o_orderstatus' END,
+        |           CASE WHEN a_p IS DISTINCT FROM b_p THEN 'o_orderpriority' END,
+        |           CASE WHEN a_t IS DISTINCT FROM b_t THEN 'o_totalprice' END)
+        |    END AS changed_cols
+        |  FROM j)
+        |SELECT o_orderkey, status, changed_cols
+        |FROM s WHERE status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+    // canonical dedup: per-cluster keeper by (priority, length, id)
+    "dedup_canonical" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, 'src99', n_chars
+        |  FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text, 'src0', n_chars
+        |  FROM documents WHERE doc_id % 80 = 0),
+        |g AS (SELECT md5(text) AS h, doc_id,
+        |             CAST(substr(source, 4) AS INT) AS prio, n_chars
+        |      FROM base),
+        |r AS (SELECT h, doc_id,
+        |        row_number() OVER (PARTITION BY h
+        |                           ORDER BY prio ASC, n_chars DESC, doc_id ASC) AS rk,
+        |        count(*) OVER (PARTITION BY h) AS nc
+        |      FROM g)
+        |SELECT h, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+        |  CAST(max(nc) AS BIGINT) AS n_copies,
+        |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rk > 1)), ',')
+        |    AS drop_ids
+        |FROM r GROUP BY h HAVING max(nc) > 1 ORDER BY h""".stripMargin)
 }

@@ -223,4 +223,43 @@ object Bm25 {
       meta.getAs[Long]("totalDl"),
       Some(meta.getAs[Int]("prefixBuckets")))
   }
+
+  /** Exact phrase search via positional-posting intersection — the
+    * boolean complement of the BM25 ranker ("find the documents
+    * containing THIS exact token sequence"), the primitive behind
+    * quote tracing, eval-decontamination audits, and boilerplate
+    * hunting.
+    *
+    * Scale shape: the positional postings are filtered to the phrase's
+    * terms BEFORE anything else (an `isin` predicate that reaches the
+    * scan — the postings of a handful of terms, a vanishing slice of
+    * the corpus), then each term's postings are aligned to the phrase
+    * start (`pos - i`) and intersected with |phrase|-1 equi-joins on
+    * (doc, start). This is exactly how positional inverted indexes
+    * evaluate phrases; the rarest term bounds the join size. Nothing
+    * is proportional to corpus size except the matched terms' postings.
+    *
+    * @return (id, n_matches, first_pos) — first_pos 1-based, docs
+    *         containing the phrase at least once
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val pos = TextDedup.spreadToCores(docs)
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__term")))
+      .filter(col("__term").isin(phrase.distinct: _*))
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("__term") === t)
+        .select(col("id"), (col("__p") - i).as("__start"))
+    }
+    aligned
+      .reduce((a, b) => a.join(b, Seq("id", "__start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("__start")) + 1L).as("first_pos"))
+  }
 }

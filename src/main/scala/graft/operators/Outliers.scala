@@ -53,4 +53,57 @@ object Outliers {
         lit(thresholdNum.toLong * thresholdNum) * varTerm)
       .drop("__n", "__s", "__q")
   }
+
+  /** Robust per-group outliers by Median Absolute Deviation: flag rows
+    * with `|v − median| > (num/den) · MAD` — the detector that
+    * survives what breaks z-scores (a heavy-tailed group inflates σ
+    * until the outliers hide; the median and MAD barely move). Both
+    * the median and the MAD are DISCRETE rank statistics (the value at
+    * rank ceil(n/2) — the `value_winsorize` convention: an actual data
+    * point, no interpolation), so with milli-grid quantized values the
+    * entire decision is exact integer arithmetic and replays on any
+    * engine.
+    *
+    * Scale shape: two ranked passes per group (value rank for the
+    * median, deviation rank for the MAD) — each a window sort keyed by
+    * the group columns — plus group-sized joins back. The group-key
+    * sort is the inherent cost of an exact rank statistic; at corpus
+    * scale swap in the histogram-sketch quantile
+    * ([[graft.functions.HistogramSketch]]) for the same query shape
+    * with fixed state.
+    *
+    * @return input columns + (vmilli, med_milli, mad_milli)
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      thresholdNum: Int = 6,
+      thresholdDen: Int = 1): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold must be a positive rational")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    val withV = df.withColumn("vmilli", floor(valueCol * Scale).cast("long"))
+    val wAll = Window.partitionBy(gCols: _*)
+    val medRank = withV
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(gCols: _*).orderBy(col("vmilli"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val med = medRank.groupBy(gCols: _*)
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("vmilli")))
+        .as("med_milli"))
+    val withDev = withV.join(med, groupCols)
+      .withColumn("__dev", abs(col("vmilli") - col("med_milli")))
+    val devRank = withDev
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(gCols: _*).orderBy(col("__dev"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val mad = devRank.groupBy(gCols: _*)
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("__dev")))
+        .as("mad_milli"))
+    withDev.join(mad, groupCols)
+      .filter(col("__dev") * lit(thresholdDen.toLong) >
+        lit(thresholdNum.toLong) * col("mad_milli"))
+      .drop("__dev")
+  }
 }

@@ -1056,6 +1056,38 @@ object TextDedup {
     materialized(result, Seq(hashed, sigs))
   }
 
+  /** Quality-aware canonical selection over exact-duplicate clusters:
+    * keep the PREFERRED copy, not the minimum id — real pipelines rank
+    * duplicate copies by source trust, length, or quality score before
+    * dropping the rest ([[exactClusters]] keeps min-id; this is the
+    * policy-bearing twin). `preference` is any orderable column whose
+    * MAXIMUM marks the canonical row; make it total (include a unique
+    * tiebreak like `-id`) or the pick is nondeterministic.
+    *
+    * Scale shape: ONE hash aggregation keyed by content fingerprint —
+    * `max_by` carries the winner without a sort, map-side combinable.
+    * The dropped-id list is cluster-sized (`collect_list` bounded by
+    * the duplicate multiplicity, not the corpus; a mega-cluster of
+    * identical boilerplate is a data-quality finding of its own — cap
+    * upstream with a count pre-filter if that is a live risk).
+    *
+    * @return (h, keep_id, n_copies, drop_ids) for clusters with > 1
+    *         copy; drop_ids ascending, comma-joined
+    */
+  def canonicalClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      preference: Column): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(
+        max_by(col(idCol), preference).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(col("n_copies") > 1)
+      .select(col("h"), col("keep_id"), col("n_copies"),
+        array_join(expr("array_remove(__ids, keep_id)"), ",").as("drop_ids"))
+
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) over the
     * DF-FILTERED distinct word-n-gram sets — the asymmetric-overlap
     * signal symmetric Jaccard misses (a document embedded whole inside

@@ -119,4 +119,25 @@ class Bm25Spec extends SparkSpec {
     assert(a.exists { row => row.getAs[Long]("id") >= 100L })
     rebuilt.unpersist()
   }
+
+  test("phraseSearch: aligned positional intersection, 1-based positions") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the quick brown dog"),
+      (2L, "quick brown quick brown fox"),
+      (3L, "brown quick fox"),
+      (4L, "quick brown")).toDF("doc_id", "text")
+    val got = Bm25.phraseSearch(docs, "doc_id", "text", Seq("quick", "brown", "fox"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 matches once at token 2; doc 2 once at token 3 (the first
+    // "quick brown" is not followed by fox); 3 has wrong order; 4 too short
+    assert(got == Seq((1L, 1L, 2L), (2L, 1L, 3L)), s"got $got")
+  }
+
+  test("phraseSearch counts overlapping and repeated occurrences") {
+    val docs = Seq((1L, "go go go stop")).toDF("doc_id", "text")
+    val got = Bm25.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got") // starts at 1 and 2
+  }
 }

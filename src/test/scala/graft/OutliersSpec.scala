@@ -43,4 +43,30 @@ class OutliersSpec extends SparkSpec {
     val df = Seq.fill(4)(("g", 7.0)).toDF("g", "v")
     assert(Outliers.zScoreOutliers(df, Seq("g"), col("v")).count() == 0L)
   }
+
+  test("MAD flags what a heavy tail hides from the z-score") {
+    // 40 points at 10, a 10-point tail at 300, a 350 spike: the tail
+    // inflates sigma to ~121, so NOTHING reaches 2.5 sigma (z(350) ~
+    // 2.28, z(300) ~ 1.87); the median stays 10 and MAD is 0, so the
+    // entire tail flags under the robust gate
+    val vals = Seq.fill(40)(10.0) ++ Seq.fill(10)(300.0) :+ 350.0
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val z = Outliers.zScoreOutliers(df, Seq("g"), col("v")).count()
+    val mad = Outliers.madOutliers(df, Seq("g"), col("v"))
+      .select("vmilli").as[Long].collect().toSeq
+    assert(z == 0L, s"z-score path unexpectedly flagged $z rows")
+    assert(mad.count(_ == 350000L) == 1 && mad.count(_ == 300000L) == 10,
+      s"got $mad")
+  }
+
+  test("MAD median and MAD are discrete rank statistics (lower median)") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 10.0), ("g", 11.0)).toDF("g", "v")
+    // n=4: median rank ceil(4/2)=2 -> 2.0; devs |v-2|: 0,1,8,9 -> MAD rank 2 -> 1
+    val got = Outliers.madOutliers(df, Seq("g"), col("v"),
+      thresholdNum = 7, thresholdDen = 1)
+      .select("med_milli", "mad_milli", "vmilli")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // |v-2000| > 7*1000 -> 10.0 (8000) and 11.0 (9000) flag
+    assert(got == Seq((2000L, 1000L, 10000L), (2000L, 1000L, 11000L)), s"got $got")
+  }
 }
