@@ -1067,6 +1067,37 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Per-column data profile of orders (one-scan multi-statistic
+    * aggregation + stack unpivot —
+    * [[graft.operators.Profiling.profileColumns]]): the first-look
+    * report of any load.
+    */
+  private def profileColumnsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .profileColumns(
+        Tables(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy(col("column"))
+
+  /** Referential-integrity audit with planted orphans (parents
+    * filtered by key slices): one anti-join per relation
+    * ([[graft.operators.Profiling.orphanCount]]).
+    */
+  private def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    graft.operators.Profiling
+      .orphanCount("lineitem->orders",
+        li, "l_orderkey",
+        ord.filter(col("o_orderkey") % 50 =!= 0), "o_orderkey")
+      .unionByName(graft.operators.Profiling
+        .orphanCount("orders->customer",
+          ord.select(col("o_custkey")), "o_custkey",
+          cust.filter(col("c_custkey") % 30 =!= 0), "c_custkey"))
+      .orderBy(col("relation"))
+  }
+
   /** Robust MAD outliers per event type: |v − median| > 6·MAD on
     * discrete rank statistics over the milli-grid — the heavy-tail-
     * proof complement of [[eventOutliers]]'s z-score gate
@@ -3467,7 +3498,9 @@ object SparkEntry {
     "event_outliers_mad" -> (eventOutliersMad _),
     "phrase_search" -> (phraseSearchQ _),
     "snapshot_diff" -> (snapshotDiffQ _),
-    "dedup_canonical" -> (dedupCanonical _))
+    "dedup_canonical" -> (dedupCanonical _),
+    "profile_columns" -> (profileColumnsQ _),
+    "fk_integrity" -> (fkIntegrity _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6831,5 +6864,56 @@ object SparkEntry {
         |  CAST(max(nc) AS BIGINT) AS n_copies,
         |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rk > 1)), ',')
         |    AS drop_ids
-        |FROM r GROUP BY h HAVING max(nc) > 1 ORDER BY h""".stripMargin)
+        |FROM r GROUP BY h HAVING max(nc) > 1 ORDER BY h""".stripMargin,
+    // column profile: one aggregate, unpivoted per column
+    "profile_columns" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu_k,
+        |    count(DISTINCT o_orderkey) AS d_k,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu_s,
+        |    count(DISTINCT o_orderstatus) AS d_s,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS mn_s,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS mx_s,
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu_p,
+        |    count(DISTINCT o_orderpriority) AS d_p,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS mn_p,
+        |    CAST(max(o_orderpriority) AS VARCHAR) AS mx_p,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu_d,
+        |    count(DISTINCT o_orderdate) AS d_d,
+        |    CAST(min(o_orderdate) AS VARCHAR) AS mn_d,
+        |    CAST(max(o_orderdate) AS VARCHAR) AS mx_d
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", CAST(n AS BIGINT) AS n,
+        |    CAST(nu_k AS BIGINT) AS n_null, CAST(d_k AS BIGINT) AS n_distinct,
+        |    mn_k AS min_val, mx_k AS max_val FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nu_s AS BIGINT),
+        |    CAST(d_s AS BIGINT), mn_s, mx_s FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nu_p AS BIGINT),
+        |    CAST(d_p AS BIGINT), mn_p, mx_p FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(nu_d AS BIGINT),
+        |    CAST(d_d AS BIGINT), mn_d, mx_d FROM s)
+        |ORDER BY "column"""".stripMargin,
+    // referential integrity: anti-join orphan counts, planted gaps
+    "fk_integrity" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_children,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey % 50 <> 0
+        |                       AND o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey % 30 <> 0
+        |                       AND c.c_custkey = o.o_custkey))
+        |ORDER BY relation""".stripMargin)
 }

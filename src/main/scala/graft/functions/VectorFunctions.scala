@@ -46,8 +46,22 @@ object VectorFunctions {
     * element values, independent of summation order, so a rounded
     * output can never straddle a rounding boundary differently than an
     * oracle computing the same formulation.
+    *
+    * Native fused-loop expression ([[DecimalCosine]], real codegen);
+    * the interpreted HOF composition below is the differential
+    * reference (DecimalCosineSpec asserts bit identity).
     */
   def cosineDecimal(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      DecimalCosine(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
+
+  /** The original interpreted HOF form of [[cosineDecimal]] — retained
+    * ONLY as the differential-spec reference for the native
+    * expression's exact semantic mimicry.
+    */
+  private[graft] def cosineDecimalHof(a: Column, b: Column): Column =
     dotDecimal(a, b).cast("double") /
       (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-profiling and integrity-audit operators — the first look any
+  * data platform takes at a new load: per-column null/distinct/range
+  * statistics, and referential-integrity orphan counts between child
+  * and parent tables.
+  */
+object Profiling {
+
+  /** Per-column profile of the listed columns: row count, null count,
+    * exact distinct count, min and max (cast to string so columns of
+    * any orderable type share one report schema).
+    *
+    * Scale shape: ONE scan — a single aggregation computes every
+    * column's statistics (the multi-distinct plan is Spark's Expand:
+    * one pass, one row per aggregate group, output is one row total),
+    * then the single-row result unpivots with `stack` (no second
+    * scan). At 100 TB exact multi-column distincts are the expensive
+    * part — swap `countDistinct` for
+    * [[graft.functions.HyperLogLog.sketch]] with the same report
+    * shape.
+    *
+    * @return (column, n, n_null, n_distinct, min_val, max_val), one
+    *         row per profiled column in the given order
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"columns must exist: $cols vs ${df.columns.toSeq}")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    one.selectExpr(
+      "__n",
+      s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct, min_val, max_val)")
+      .select(col("column"), col("__n").cast("long").as("n"),
+        col("n_null").cast("long").as("n_null"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
+
+  /** Referential-integrity orphan count: child rows whose key has no
+    * match in the parent. One anti-join per relation (broadcast when
+    * the parent's key projection is small, sort-merge otherwise — and
+    * bucket both sides by key at 100 TB for a shuffle-free check).
+    *
+    * @return one row: (relation, n_children, n_orphans)
+    */
+  def orphanCount(
+      relation: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    val orphans = child
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+    child.agg(count(lit(1)).as("__nc"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("__no"))))
+      .select(lit(relation).as("relation"),
+        col("__nc").cast("long").as("n_children"),
+        col("__no").cast("long").as("n_orphans"))
+  }
+}

@@ -187,12 +187,14 @@ object SimilaritySearch {
     * integer, so the argmax replays across engines.
     *
     * Scale shape: relevance is ONE corpus scan against the broadcast
-    * query vector, persisted; each of the `k` rounds is one scan of
-    * that small projection with the selected vectors riding the plan
-    * as literals (k · |candidates| work total — greedy MMR's floor);
-    * each round's collect is exactly ONE row. `k` is a selection-batch
-    * size by construction, not corpus-scaled; for corpus-scale
-    * selection run MMR per-partition on bucketed shards.
+    * query vector, persisted; the max-similarity-to-selected column is
+    * maintained INCREMENTALLY (each round folds exactly one new cosine
+    * — the newest pick's — into a running `greatest`, so total work is
+    * k · |candidates| cosines, not the k²/2 of recomputing the max
+    * against every selected vector every round); each round's collect
+    * is exactly ONE row. `k` is a selection-batch size by
+    * construction, not corpus-scaled; for corpus-scale selection run
+    * MMR per-partition on bucketed shards.
     *
     * @return (rank, id, rel_micro, score_micro) — rank 1..k in
     *         selection order
@@ -211,32 +213,43 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     val simMicro: (Column, Column) => Column = (a, b) =>
       floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long")
-    val cand = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
-        simMicro(col(vecCol), typedLit(query)).as("rel_micro"))
-      .persist()
     val penalty = lambdaDen - lambdaNum
+    // __ms starts at 0: the first argmax is pure relevance by
+    // construction (no penalty term exists yet)
+    var cur = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+        simMicro(col(vecCol), typedLit(query)).as("rel_micro"),
+        lit(0L).as("__ms"))
+      .persist()
     var selected = Vector.empty[(Long, Seq[Float], Long, Long)]
-    for (_ <- 1 to k) {
+    // each round's frame stays cached until the end: the chain is k
+    // tiny candidate projections, and dropping a parent mid-loop would
+    // force an extra materialization job per round just to protect the
+    // child's lineage — ONE job per round (the argmax collect) is the
+    // floor, and this hits it
+    var cached = Vector(cur)
+    for (r <- 1 to k) {
       val scoreCol =
-        if (selected.isEmpty) col("rel_micro") * lit(lambdaNum)
-        else {
-          val maxSim = selected
-            .map { case (_, v, _, _) => simMicro(col("__v"), typedLit(v)) }
-            .reduce(greatest(_, _))
-          col("rel_micro") * lit(lambdaNum) - maxSim * lit(penalty)
-        }
-      val taken = selected.map(_._1)
-      val best = cand
-        .filter(if (taken.isEmpty) lit(true) else !col("id").isin(taken: _*))
+        if (r == 1) col("rel_micro") * lit(lambdaNum)
+        else col("rel_micro") * lit(lambdaNum) - col("__ms") * lit(penalty)
+      val best = cur
         .select(col("id"), col("__v"), col("rel_micro"), scoreCol.as("__score"))
         .orderBy(col("__score").desc, col("id").asc)
         .limit(1)
         .collect()(0)
       selected :+= ((best.getLong(0), best.getSeq[Float](1).toSeq,
         best.getLong(2), best.getLong(3)))
+      if (r < k) {
+        val pickedVec = selected.last._2
+        cur = cur
+          .filter(col("id") =!= selected.last._1)
+          .withColumn("__ms",
+            greatest(col("__ms"), simMicro(col("__v"), typedLit(pickedVec))))
+          .persist()
+        cached :+= cur
+      }
     }
-    cand.unpersist()
+    cached.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     selected.zipWithIndex
       .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
