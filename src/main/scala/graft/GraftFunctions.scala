@@ -151,6 +151,9 @@ object GraftFunctions {
       exprs => graft.functions.CharShinglesExpr(
         exprs.head, constantInt(exprs(1), "char_shingles(canon, n)")),
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "decimal_cosine",
+      exprs => graft.functions.DecimalCosine(exprs.head, exprs(1)), "scala_udf")
     ()
   }
 

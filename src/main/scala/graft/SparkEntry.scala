@@ -1067,6 +1067,46 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Per-label within-class scatter of the embedding table — exact
+    * µ-grid integer sums, one corpus scan
+    * ([[graft.operators.SimilaritySearch.groupScatter]]).
+    */
+  private def labelScatter(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch
+      .groupScatter(Tables(s, dir, "embeddings"), "label", "embedding")
+      .select(col("group").as("label"), col("n_vectors"),
+        (col("scatter") + lit(0.0)).as("scatter"))
+      .orderBy(col("label"))
+
+  /** Exact two-sample KS drift of event values (even vs odd
+    * event_id) per type — cross-multiplied integer ECDF supremum
+    * ([[graft.operators.CorpusDrift.ksStatistic]]).
+    */
+  private def valueKsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusDrift
+      .ksStatistic(
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), col("value"), col("event_id") % 2 === 1)
+      .orderBy(col("event_type"))
+
+  /** Deterministic epoch shuffle (epoch 1) of a bounded doc slice:
+    * the portable md5 order key is the operator (stateless,
+    * stream-legal); explicit positions materialize only on the gate's
+    * bounded slice ([[graft.operators.Sampling.epochShuffleKey]]).
+    */
+  private def epochShuffleQ(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.operators.Sampling
+      .epochShuffleKey(
+        Tables(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 100),
+        "doc_id", epoch = 1)
+    keyed
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("__ek"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("doc_id"), col("__ek").as("key60"))
+      .orderBy(col("pos"))
+  }
+
   /** Per-column data profile of orders (one-scan multi-statistic
     * aggregation + stack unpivot —
     * [[graft.operators.Profiling.profileColumns]]): the first-look
@@ -3500,7 +3540,10 @@ object SparkEntry {
     "snapshot_diff" -> (snapshotDiffQ _),
     "dedup_canonical" -> (dedupCanonical _),
     "profile_columns" -> (profileColumnsQ _),
-    "fk_integrity" -> (fkIntegrity _))
+    "fk_integrity" -> (fkIntegrity _),
+    "label_scatter" -> (labelScatter _),
+    "value_ks_drift" -> (valueKsDrift _),
+    "epoch_shuffle" -> (epochShuffleQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -6915,5 +6958,63 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM customer c
         |                     WHERE c.c_custkey % 30 <> 0
         |                       AND c.c_custkey = o.o_custkey))
-        |ORDER BY relation""".stripMargin)
+        |ORDER BY relation""".stripMargin,
+    // within-class scatter: µ-grid integer sums, exact to one division
+    "label_scatter" ->
+      """WITH q AS (
+        |  SELECT label, d, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        |  FROM (SELECT label,
+        |          unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |          unnest(range(1, len(embedding)+1)) AS d
+        |        FROM embeddings)),
+        |dims AS (
+        |  SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS sq,
+        |    CAST(sum(qv * qv) AS BIGINT) AS sqq
+        |  FROM q GROUP BY label, d),
+        |agg AS (
+        |  SELECT label, max(n) AS n,
+        |    sum(CAST(n AS HUGEINT) * CAST(sqq AS HUGEINT)
+        |        - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS scatter
+        |  FROM dims GROUP BY label)
+        |SELECT label, CAST(n AS BIGINT) AS n_vectors,
+        |  round(CAST(scatter AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |        / 1000000000000.0, 6) + 0.0 AS scatter
+        |FROM agg ORDER BY label""".stripMargin,
+    // two-sample KS: cross-multiplied integer ECDF supremum
+    "value_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v,
+        |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(1 - b) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        |  FROM ev GROUP BY event_type, v),
+        |w AS (
+        |  SELECT event_type, v,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY v
+        |                  ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+        |                  ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS na,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cuma * nb - cumb * na)) * 1000000
+        |       // (max(na) * max(nb)) AS BIGINT) AS ks_micro
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // epoch shuffle: portable md5 order key, positions on the slice
+    "epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS key60
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT CAST(row_number() OVER (ORDER BY key60, doc_id) AS BIGINT) AS pos,
+        |       doc_id, key60
+        |FROM k ORDER BY pos""".stripMargin)
 }

@@ -116,4 +116,56 @@ object CorpusDrift {
     TextDedup.spreadToCores(corpus)
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    * NUMERIC-distribution drift gate beside the token-distribution KL
+    * above ("did this batch's value distribution shift?"):
+    *
+    *   D = sup_x |F_a(x) − F_b(x)|
+    *
+    * evaluated after every observed point, entirely in integers: the
+    * supremum compares `|cumA·nB − cumB·nA|` (cross-multiplied ECDFs —
+    * no float division until the reported ratio), so the same D comes
+    * out of any engine. Values quantize to the milli-grid
+    * ([[Outliers.Scale]]).
+    *
+    * Scale shape: one conditional-count aggregation keyed by (group,
+    * value) — output is distinct-value-sized — then a per-group
+    * ordered window for the running sums and one max aggregation. The
+    * group-ordered window is the inherent cost of an exact ECDF sup.
+    * Long cross-products bound n_a·n_b < 2^63 (~3e9 rows per side) —
+    * switch the products to decimal(38,0) beyond that.
+    *
+    * @return (groupCols..., n_a, n_b, d_num, ks_micro) where
+    *         ks_micro = d_num·1e6 div (n_a·n_b)
+    */
+  def ksStatistic(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      isB: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    val counts = df
+      .select(gCols :+ floor(valueCol * Outliers.Scale).cast("long").as("__v")
+        :+ when(isB, 1L).otherwise(0L).as("__b"): _*)
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(lit(1L) - col("__b")).as("__ca"), sum(col("__b")).as("__cb"))
+    val wCum = Window.partitionBy(gCols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gCols: _*)
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .groupBy(gCols: _*)
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .select(gCols :+ col("n_a") :+ col("n_b") :+ col("d_num")
+        :+ expr("d_num * 1000000 div (n_a * n_b)").as("ks_micro"): _*)
+  }
 }

@@ -312,4 +312,23 @@ object Sampling {
             .otherwise(array().cast("array<int>"))))
       .drop("__copies")
   }
+
+  /** Deterministic epoch shuffle key: a pseudo-random total order over
+    * rows that is a pure function of (epoch, id) — the reproducible
+    * "shuffle the training corpus differently every epoch" primitive.
+    * The key is the portable 60-bit md5 hash of `"epoch<e>:<id>"`
+    * (the repo's engine-replayable hash convention), so two runs — or
+    * two engines — produce the identical permutation.
+    *
+    * This is a STATELESS projection (stream-legal): writers emit files
+    * sorted by `__ek` (sortWithinPartitions + a range partitioner at
+    * scale) and the position is implicit in the layout. Materializing
+    * explicit positions with a global row_number is a single-partition
+    * sort — gate/debug-sized slices only.
+    */
+  def epochShuffleKey(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.withColumn("__ek",
+      conv(substring(md5(
+        concat(lit(s"epoch$epoch:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
 }

@@ -256,6 +256,50 @@ object SimilaritySearch {
       .toDF("rank", "id", "rel_micro", "score_micro")
   }
 
+  /** Per-group within-class scatter of an embedding column: the trace
+    * of the biased covariance, `(1/n)·Σ‖x‖² − ‖mean‖²` — the
+    * label-cohesion scalar an embedding-quality audit reads next to
+    * [[groupCentroidSimilarity]] (tight labels separate; a scatter
+    * spike flags label noise or collapsed embeddings).
+    *
+    * Exactness: coordinates quantize to the µ-grid
+    * ([[TopicAssign.GridScale]] — the kmeans/topic-assign convention),
+    * so per-(group, dim) sums and squared sums are exact longs, the
+    * per-dim `n·Σq² − (Σq)²` terms are exact decimals (cast BEFORE the
+    * 38-digit products), and their dim-sum is exact in any order; ONE
+    * double division at the edge.
+    *
+    * Scale shape: one posexplode + a map-combinable (group, dim)
+    * aggregation (output groups × dims — tiny) + a groups-sized
+    * reduce. One corpus scan.
+    *
+    * @return (group, n_vectors, scatter) — scatter rounded to 6
+    */
+  def groupScatter(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val g = TopicAssign.GridScale
+    val dims = df
+      .select(col(groupCol).as("group"),
+        posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * g).cast("long"))).as(Seq("__d", "__q")))
+      .groupBy(col("group"), col("__d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__q") * col("__q")).as("__sqq"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    dims
+      .groupBy(col("group"))
+      .agg(max(col("__n")).as("__n"),
+        sum(dec(col("__n")) * dec(col("__sqq")) - dec(col("__sq")) * dec(col("__sq")))
+          .as("__scatter"))
+      .select(col("group"), col("__n").cast("long").as("n_vectors"),
+        round(col("__scatter").cast("double") /
+          (col("__n") * col("__n")).cast("double") / lit(g.toDouble * g.toDouble), 6)
+          .as("scatter"))
+  }
+
   /** Group-centroid similarity map: the pairwise cosine between the
     * MEAN embedding of every group (label, source, domain…) — the
     * corpus-analysis table mixture design reads ("which domains are

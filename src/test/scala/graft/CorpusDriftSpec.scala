@@ -49,4 +49,31 @@ class CorpusDriftSpec extends SparkSpec {
     // the quantized contributions
     assert(movers.toSet.subsetOf(Set("common", "surge", "rare_in_b")))
   }
+
+  test("KS statistic: identical samples give 0, disjoint samples give 1") {
+    import org.apache.spark.sql.functions.col
+    val same = (1 to 10).flatMap(i => Seq(("g", i.toDouble, 0L), ("g", i.toDouble, 1L)))
+      .toDF("g", "v", "side")
+    val s = CorpusDrift.ksStatistic(same, Seq("g"), col("v"), col("side") === 1L)
+      .select("ks_micro").as[Long].head()
+    assert(s == 0L)
+    // A entirely below B: at the boundary F_a = 1, F_b = 0 -> D = 1
+    val disjoint = ((1 to 5).map(i => ("g", i.toDouble, 0L)) ++
+      (11 to 15).map(i => ("g", i.toDouble, 1L))).toDF("g", "v", "side")
+    val d = CorpusDrift.ksStatistic(disjoint, Seq("g"), col("v"), col("side") === 1L)
+      .select("ks_micro").as[Long].head()
+    assert(d == 1000000L)
+  }
+
+  test("KS statistic: hand-checked supremum on a small mix") {
+    import org.apache.spark.sql.functions.col
+    // A = {1, 2, 3, 4}, B = {3, 4, 5, 6}: sup|F_a - F_b| at v=2 is
+    // |2/4 - 0/4| = 1/2
+    val df = (Seq(1, 2, 3, 4).map(v => ("g", v.toDouble, 0L)) ++
+      Seq(3, 4, 5, 6).map(v => ("g", v.toDouble, 1L))).toDF("g", "v", "side")
+    val row = CorpusDrift.ksStatistic(df, Seq("g"), col("v"), col("side") === 1L)
+      .select("n_a", "n_b", "d_num", "ks_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((4L, 4L, 8L, 500000L)), s"got $row")
+  }
 }

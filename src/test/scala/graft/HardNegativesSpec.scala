@@ -53,6 +53,17 @@ class HardNegativesSpec extends SparkSpec {
       (1, 2, BigDecimal(1.0 / math.sqrt(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("group scatter: zero for identical members, exact variance otherwise") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(1.0f, 2.0f)),      // identical -> 0
+      (1, Seq(0.0f, 0.0f)), (1, Seq(2.0f, 0.0f))).toDF("label", "embedding")
+    val got = SimilaritySearch.groupScatter(df, "label", "embedding")
+      .orderBy(col("group"))
+      .as[(Int, Long, Double)].collect().toSeq
+    // label 1: dim0 values {0, 2}: mean 1, var 1; dim1 var 0 -> trace 1
+    assert(got == Seq((0, 2L, 0.0), (1, 2L, 1.0)), s"got $got")
+  }
+
   test("group centroids: one corpus scan, no per-pair rescan") {
     val df = (0 until 100).map(i => (i % 5, Seq(i.toFloat, (i * 2).toFloat)))
       .toDF("label", "embedding")

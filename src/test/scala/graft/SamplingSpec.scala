@@ -144,4 +144,25 @@ class SamplingSpec extends SparkSpec {
     val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 1L).toDouble / 1000000.0
     assert(row == math.floor(StrictMath.log(u) / 8.0 * 1e6).toLong)
   }
+
+  test("epochShuffleKey: deterministic per epoch, different across epochs") {
+    val df = (1L to 50L).toDF("id")
+    val k1a = Sampling.epochShuffleKey(df, "id", epoch = 1)
+      .orderBy(col("__ek")).select("id").as[Long].collect().toSeq
+    val k1b = Sampling.epochShuffleKey(df, "id", epoch = 1)
+      .orderBy(col("__ek")).select("id").as[Long].collect().toSeq
+    val k2 = Sampling.epochShuffleKey(df, "id", epoch = 2)
+      .orderBy(col("__ek")).select("id").as[Long].collect().toSeq
+    assert(k1a == k1b)                 // reproducible
+    assert(k1a != k2)                  // epochs permute differently
+    assert(k1a.sorted == (1L to 50L))  // a permutation, nothing lost
+    assert(k1a != (1L to 50L).toSeq)   // and actually shuffled
+  }
+
+  test("epochShuffleKey is a stateless projection (stream-legal)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val keyed = Sampling.epochShuffleKey(stream.toDF().toDF("id"), "id", epoch = 3)
+    assert(keyed.isStreaming)
+  }
 }

@@ -76,4 +76,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[String](0).head == "the quick")
     spark.catalog.dropTempView("sql_grams_in")
   }
+
+  test("decimal_cosine via SQL matches the Column form bit for bit") {
+    GraftFunctions.registerAll(spark)
+    Seq((Seq(0.5f, -1.25f, 2.0f), Seq(1.0f, 0.75f, -0.5f)))
+      .toDF("a", "b").createOrReplaceTempView("sql_cos_in")
+    val r = spark.sql("SELECT decimal_cosine(a, b) AS c FROM sql_cos_in")
+      .head().getDouble(0)
+    val e = Seq((Seq(0.5f, -1.25f, 2.0f), Seq(1.0f, 0.75f, -0.5f)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosineDecimal(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(r)
+      == java.lang.Double.doubleToRawLongBits(e))
+    spark.catalog.dropTempView("sql_cos_in")
+  }
 }
