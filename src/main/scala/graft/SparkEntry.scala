@@ -1067,6 +1067,43 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Mutual information between document language and source — the
+    * column-dependency profile on the exact 1e-12 contribution grid
+    * ([[graft.operators.Profiling.mutualInformation]]).
+    */
+  private def columnMi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .mutualInformation(Tables(s, dir, "documents"), "lang", "source")
+
+  /** Market-basket pair lift over lineitem brands per order
+    * (basket = order, item = part brand via join): top pairs by
+    * co-occurrence with the exact integer lift
+    * ([[graft.operators.MarketBasket.pairLift]]).
+    */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val parts = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.operators.MarketBasket
+      .pairLift(
+        li.join(parts, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", minSupport = 2L, topK = 20)
+  }
+
+  /** Hourly linear interpolation of event values per user (users
+    * <= 5): milli-grid exact with TRUE floor division
+    * ([[graft.operators.TimeSeries.interpolateAtGrid]]).
+    */
+  private def tsInterpolate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries
+      .interpolateAtGrid(
+        Tables(s, dir, "events").filter(col("user_id") <= 5),
+        "user_id",
+        unix_timestamp(col("ts")).cast("long"),
+        floor(col("value") * 1e3).cast("long"),
+        stepS = 3600L)
+      .orderBy(col("user_id"), col("t_s"))
+
   /** Per-label within-class scatter of the embedding table — exact
     * µ-grid integer sums, one corpus scan
     * ([[graft.operators.SimilaritySearch.groupScatter]]).
@@ -3543,7 +3580,10 @@ object SparkEntry {
     "fk_integrity" -> (fkIntegrity _),
     "label_scatter" -> (labelScatter _),
     "value_ks_drift" -> (valueKsDrift _),
-    "epoch_shuffle" -> (epochShuffleQ _))
+    "epoch_shuffle" -> (epochShuffleQ _),
+    "column_mi" -> (columnMi _),
+    "basket_pairs" -> (basketPairs _),
+    "ts_interpolate" -> (tsInterpolate _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7016,5 +7056,77 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 100)
         |SELECT CAST(row_number() OVER (ORDER BY key60, doc_id) AS BIGINT) AS pos,
         |       doc_id, key60
-        |FROM k ORDER BY pos""".stripMargin)
+        |FROM k ORDER BY pos""".stripMargin,
+    // column MI: 1e-12-grid per-cell contributions, exact sum
+    "column_mi" ->
+      """WITH j AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS cab
+        |  FROM documents GROUP BY lang, source),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY b),
+        |m AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM j),
+        |c AS (
+        |  SELECT m.n,
+        |    CAST(floor(
+        |      (CAST(cab AS DOUBLE) / CAST(m.n AS DOUBLE)) *
+        |      ln((CAST(cab AS DOUBLE) * CAST(m.n AS DOUBLE)) /
+        |         (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) *
+        |      1000000000000.0) AS BIGINT) AS lp
+        |  FROM j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b CROSS JOIN m)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(lp) AS DOUBLE) / 1000000000000.0, 6) AS mi_nats
+        |FROM c GROUP BY n""".stripMargin,
+    // basket pairs: distinct (order, brand), self-join, integer lift
+    "basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM items),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY it),
+        |pr AS (
+        |  SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY a.it, b.it
+        |  HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_pairs, ca.c AS n_a, cb.c AS n_b,
+        |  n_pairs * nb.n * 1000000 // (ca.c * cb.c) AS lift_micro
+        |FROM pr JOIN ic ca ON pr.item_a = ca.it
+        |        JOIN ic cb ON pr.item_b = cb.it
+        |        CROSS JOIN nb
+        |ORDER BY n_pairs DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
+    // hourly interpolation: bracketing obs via ignore-nulls windows,
+    // true floor division on the milli-grid
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         max(CAST(floor(value * 1000.0) AS BIGINT)) AS v
+        |  FROM events WHERE user_id <= 5
+        |  GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)),
+        |bounds AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k),
+        |grid AS (
+        |  SELECT k, unnest(range(((lo + 3599)//3600)*3600, hi + 1, 3600)) AS t
+        |  FROM bounds),
+        |u AS (
+        |  SELECT k, t, v, 0 AS flag FROM obs
+        |  UNION ALL
+        |  SELECT k, t, NULL, 1 FROM grid),
+        |c AS (
+        |  SELECT k, t, flag,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, flag
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN flag = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY t, flag
+        |      ROWS UNBOUNDED PRECEDING) AS pt,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t DESC, flag DESC
+        |      ROWS UNBOUNDED PRECEDING) AS nv,
+        |    last_value(CASE WHEN flag = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY t DESC, flag DESC
+        |      ROWS UNBOUNDED PRECEDING) AS nt
+        |  FROM u)
+        |SELECT k AS user_id, t AS t_s,
+        |  CASE WHEN pt = t THEN pv
+        |       ELSE pv + ((nv - pv) * (t - pt)) // (nt - pt) END AS v_milli
+        |FROM c WHERE flag = 1
+        |ORDER BY user_id, t_s""".stripMargin)
 }

@@ -49,6 +49,45 @@ object Profiling {
         col("min_val"), col("max_val"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * dependency detector of a profiling pass (MI ~ 0 means the columns
+    * are independent; high MI flags redundant columns, derived fields,
+    * and leakage between a feature and a label):
+    *
+    *   MI = SUM_ab (c_ab/n) * ln(c_ab * n / (c_a * c_b))
+    *
+    * Per-cell contributions are floor-quantized to 1e-12-scaled longs
+    * (the [[CorpusDrift]] replay discipline) so the scalar is an exact
+    * sum in any order. One scan for the joint counts (output is
+    * |A|x|B| cells); the margins join back on each key (cell-table
+    * sized, never the corpus).
+    *
+    * @return one row: (n, n_cells, mi_nats)
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+    val ma = joint.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+    val mb = joint.groupBy(col("__b")).agg(sum(col("__cab")).as("__cb"))
+    val n1 = joint.agg(sum(col("__cab")).as("__n"))
+    val contrib = joint
+      .join(ma, "__a").join(mb, "__b").crossJoin(broadcast(n1))
+      .select(col("__n"),
+        floor(
+          (col("__cab").cast("double") / col("__n").cast("double")) *
+            log((col("__cab").cast("double") * col("__n").cast("double")) /
+              (col("__ca").cast("double") * col("__cb").cast("double"))) *
+            lit(CorpusDrift.ContribScale))
+          .cast("long").as("__lp"))
+    contrib
+      .groupBy(col("__n"))
+      .agg(count(lit(1)).as("__cells"), sum(col("__lp")).as("__mi"))
+      .select(col("__n").cast("long").as("n"),
+        col("__cells").cast("long").as("n_cells"),
+        round(col("__mi").cast("double") / lit(CorpusDrift.ContribScale), 6)
+          .as("mi_nats"))
+  }
+
   /** Referential-integrity orphan count: child rows whose key has no
     * match in the parent. One anti-join per relation (broadcast when
     * the parent's key projection is small, sort-merge otherwise — and

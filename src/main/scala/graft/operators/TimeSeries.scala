@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: linear interpolation of an irregular
+  * per-key series onto a fixed-step grid — the resampling step before
+  * any windowed model sees sensor/metric data.
+  *
+  * Exactness: values ride the milli-grid and the interpolation is
+  *
+  *   v(g) = v_prev + trunc((v_next − v_prev)·(g − t_prev) / (t_next − t_prev))
+  *
+  * with TRUNCATING integer division — Spark's `div` and DuckDB's `//`
+  * both round toward zero (verified on negative numerators), so a
+  * falling segment interpolates identically in either engine.
+  *
+  * Scale shape: one groupBy for per-(key, t) observations, a per-key
+  * min/max for the grid bounds, a `sequence` explode for grid points
+  * (bounded by span/step per key), and ONE per-key ordered window pass
+  * that carries the bracketing observations to every grid row (the
+  * union-and-scan formulation of an as-of join — no per-grid-point
+  * probe). Everything shuffles on the key.
+  */
+object TimeSeries {
+
+  /** Interpolate `valueMilliCol` onto grid instants every `stepS`
+    * seconds within each key's observed span. Grid points that land
+    * exactly on an observation return it unchanged.
+    *
+    * @return (keyCol, t_s, v_milli) — grid rows only, inclusive of
+    *         on-observation hits
+    */
+  def interpolateAtGrid(
+      df: DataFrame,
+      keyCol: String,
+      tsSecCol: Column,
+      valueMilliCol: Column,
+      stepS: Long): DataFrame = {
+    require(stepS > 0, "stepS must be positive")
+    val obs = df
+      .select(col(keyCol).as("__k"), tsSecCol.as("__t"), valueMilliCol.as("__v"))
+      .groupBy(col("__k"), col("__t"))
+      .agg(max(col("__v")).as("__v"))
+      .persist()
+    val bounds = obs.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
+    val grid = bounds.select(col("__k"),
+      explode(sequence(
+        // first grid instant at or after __lo: ceil(lo / step) * step
+        // on non-negative epochs via (lo + step - 1) div step
+        expr(s"((__lo + $stepS - 1) div $stepS) * $stepS"),
+        col("__hi"), lit(stepS))).as("__t"))
+    val unioned = obs
+      .select(col("__k"), col("__t"), col("__v"), lit(0).as("__flag"))
+      .unionByName(grid.select(col("__k"), col("__t"),
+        lit(null).cast("long").as("__v"), lit(1).as("__flag")))
+    val wFwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__flag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__flag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tObs = when(col("__flag") === 0, col("__t"))
+    val carried = unioned
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wFwd))
+      .withColumn("__pt", last(tObs, ignoreNulls = true).over(wFwd))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(wBwd))
+      .withColumn("__nt", last(tObs, ignoreNulls = true).over(wBwd))
+      .filter(col("__flag") === 1)
+    val out = carried
+      .select(col("__k").as(keyCol), col("__t").as("t_s"),
+        when(col("__pt") === col("__t"), col("__pv"))
+          .otherwise(col("__pv") +
+            expr("((__nv - __pv) * (__t - __pt)) div (__nt - __pt)"))
+          .as("v_milli"))
+    TextDedup.materialized(out, Seq(obs))
+  }
+}
