@@ -19,14 +19,18 @@ class ProfilingSpec extends SparkSpec {
       ("s", 4L, 1L, 2L, "a", "b")), s"got $got")
   }
 
-  test("profileColumns is a single-scan plan (one aggregate, no reread)") {
+  test("profileColumns plans one pruned scan per column, hash aggregates only") {
     val df = Seq((1L, "x")).toDF("k", "s")
-    val plan = Profiling.profileColumns(df, Seq("k", "s"))
-      .queryExecution.optimizedPlan
-    val scans = plan.collect {
+    val qe = Profiling.profileColumns(df, Seq("k", "s")).queryExecution
+    val scans = qe.optimizedPlan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }
-    assert(scans.size == 1, s"expected one scan, got ${scans.size}:\n$plan")
+    assert(scans.size == 2, s"expected one scan per column:\n${qe.optimizedPlan}")
+    // the value-grouped formulation must never eject to SortAggregate
+    // (string min/max over the RAW rows would; over the grouped table
+    // it stays tiny and the grouping agg is hash/mutable)
+    val planStr = qe.executedPlan.toString
+    assert(!planStr.contains("Expand"), s"unexpected Expand:\n$planStr")
   }
 
   test("orphanCount finds exactly the planted gaps") {
