@@ -1067,6 +1067,27 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Shuffle-key skew diagnosis of lineitem's order key: exact
+    * discrete-rank percentiles + integer Gini
+    * ([[graft.operators.Profiling.skewReport]]).
+    */
+  private def skewReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .skewReport(Tables(s, dir, "lineitem"), "l_orderkey")
+
+  /** Per-user value trend slopes (users <= 30): exact OLS moments,
+    * one division at the edge
+    * ([[graft.operators.TimeSeries.trendSlopes]]).
+    */
+  private def userTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries
+      .trendSlopes(
+        Tables(s, dir, "events").filter(col("user_id") <= 30),
+        "user_id",
+        unix_timestamp(col("ts")).cast("long"),
+        floor(col("value") * 1e3).cast("long"))
+      .orderBy(col("user_id"))
+
   /** Mutual information between document language and source — the
     * column-dependency profile on the exact 1e-12 contribution grid
     * ([[graft.operators.Profiling.mutualInformation]]).
@@ -3583,7 +3604,9 @@ object SparkEntry {
     "epoch_shuffle" -> (epochShuffleQ _),
     "column_mi" -> (columnMi _),
     "basket_pairs" -> (basketPairs _),
-    "ts_interpolate" -> (tsInterpolate _))
+    "ts_interpolate" -> (tsInterpolate _),
+    "skew_report" -> (skewReportQ _),
+    "user_trend" -> (userTrend _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7128,5 +7151,45 @@ object SparkEntry {
         |  CASE WHEN pt = t THEN pv
         |       ELSE pv + ((nv - pv) * (t - pt)) // (nt - pt) END AS v_milli
         |FROM c WHERE flag = 1
-        |ORDER BY user_id, t_s""".stripMargin)
+        |ORDER BY user_id, t_s""".stripMargin,
+    // skew report: ranked per-key counts, discrete percentiles, Gini
+    "skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |r AS (
+        |  SELECT k, c,
+        |    CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS kn
+        |  FROM c)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  max(CASE WHEN r = kn THEN k END) AS top_key,
+        |  CAST(max(CASE WHEN r = (kn + 1) // 2 THEN c END) AS BIGINT) AS p50_count,
+        |  CAST(max(CASE WHEN r = (99 * kn + 99) // 100 THEN c END) AS BIGINT)
+        |    AS p99_count,
+        |  CAST((2 * sum(r * c) - (count(*) + 1) * sum(c)) * 1000000
+        |       // (count(*) * sum(c)) AS BIGINT) AS gini_micro
+        |FROM r""".stripMargin,
+    // per-user OLS trend: exact moments, one edge division
+    "user_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         CAST(floor(value * 1000.0) AS BIGINT) AS y
+        |  FROM events WHERE user_id <= 30),
+        |o AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY user_id),
+        |m AS (
+        |  SELECT e.user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e.t - o.t0) AS HUGEINT) AS sx,
+        |    CAST(sum(e.y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(e.t - o.t0 AS HUGEINT) * CAST(e.y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(e.t - o.t0 AS HUGEINT) * CAST(e.t - o.t0 AS HUGEINT)) AS HUGEINT) AS sxx
+        |  FROM e JOIN o ON e.user_id = o.user_id
+        |  GROUP BY e.user_id)
+        |SELECT user_id, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_milli_per_s
+        |FROM m WHERE n * sxx - sx * sx <> 0
+        |ORDER BY user_id""".stripMargin)
 }

@@ -85,6 +85,48 @@ object Profiling {
           .as("mi_nats"))
   }
 
+  /** Join/groupBy-key skew report — the diagnosis a 100 TB shuffle
+    * gets BEFORE it runs ("will one key's partition spill while 31
+    * cores idle?"): per-key count distribution summarized as discrete
+    * rank percentiles, the heaviest key, and a Gini concentration
+    * coefficient, all exact integers:
+    *
+    *   gini = (2·Σ rank·c − (K+1)·Σc) / (K·Σc)   (counts ascending)
+    *
+    * Scale shape: one map-combinable count aggregation (key-cardinality
+    * sized), one ordered window over THAT table for ranks, one final
+    * reduce. The raw table is touched once.
+    *
+    * @return one row: (n_rows, n_keys, max_count, top_key, p50_count,
+    *         p99_count, gini_micro)
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    // both windows share the one ascending sort of the keys-sized table
+    val w = Window.orderBy(col("__c"), col("__k"))
+    val ranked = counts
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__kn",
+        count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+    ranked.agg(
+      sum(col("__c")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max(col("__c")).cast("long").as("max_count"),
+      max_by(col("__k"), struct(col("__c"), col("__k"))).as("top_key"),
+      max(when(col("__r") === expr("(__kn + 1) div 2"), col("__c")))
+        .cast("long").as("p50_count"),
+      max(when(col("__r") === expr("(99 * __kn + 99) div 100"), col("__c")))
+        .cast("long").as("p99_count"),
+      sum(col("__r") * col("__c")).as("__rc"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"), col("top_key"),
+        col("p50_count"), col("p99_count"),
+        expr("(2 * __rc - (n_keys + 1) * n_rows) * 1000000 div (n_keys * n_rows)")
+          .as("gini_micro"))
+  }
+
   /** Referential-integrity orphan count: child rows whose key has no
     * match in the parent. One anti-join per relation (broadcast when
     * the parent's key projection is small, sort-merge otherwise — and

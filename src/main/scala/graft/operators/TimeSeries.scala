@@ -77,4 +77,48 @@ object TimeSeries {
           .as("v_milli"))
     TextDedup.materialized(out, Seq(obs))
   }
+
+  /** Per-key OLS trend slope of a milli-grid value series over time
+    * (milli-units per second) — "which users/sensors/domains are
+    * drifting, and how fast":
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  x = t − min_t(key)
+    *
+    * The five sums are exact longs per key (x rebased to the key's own
+    * origin keeps products small); the combine casts to decimal BEFORE
+    * the 38-digit cross products so nothing overflows at any n; ONE
+    * double division at the edge. Keys with fewer than two distinct
+    * instants (denominator 0) are dropped — a slope needs two points.
+    *
+    * Scale shape: a per-key min, a join back (broadcast-or-hash on the
+    * key), and one map-combinable moment aggregation. No windows, no
+    * sorts.
+    *
+    * @return (keyCol, n, slope_milli_per_s) — slope rounded to 6
+    */
+  def trendSlopes(
+      df: DataFrame,
+      keyCol: String,
+      tsSecCol: Column,
+      valueMilliCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), tsSecCol.as("__t"),
+      valueMilliCol.as("__y"))
+    val origins = base.groupBy(col("__k")).agg(min(col("__t")).as("__t0"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = base.join(origins, "__k")
+      .select(col("__k"), (col("__t") - col("__t0")).as("__x"), col("__y"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+    moments
+      .withColumn("__den",
+        dec(col("__n")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .filter(col("__den") =!= lit(0))
+      .select(col("__k").as(keyCol), col("__n").cast("long").as("n"),
+        round((dec(col("__n")) * col("__sxy") - dec(col("__sx")) * dec(col("__sy")))
+          .cast("double") / col("__den").cast("double"), 6)
+          .as("slope_milli_per_s"))
+  }
 }
