@@ -1067,6 +1067,32 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Self-join-size prediction for events.user_id: the exact
+    * cardinality `Σ c_u²` (SQL-replayable) beside the count-min
+    * inner-product estimate
+    * ([[graft.functions.CountMinSketch.innerProductEstimate]]),
+    * gated by in-plan verdicts (never an underestimate; within the
+    * 10·N²/width collision bound — the `countmin_tokens` pattern).
+    */
+  private def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountMinSketch => CM}
+    val ev = Tables(s, dir, "events").select(col("user_id"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("exact_pairs"))
+    val sk = ev.agg(CM.sketch(col("user_id").cast("string")).as("__sk"))
+    exact.crossJoin(broadcast(sk))
+      .select(
+        col("n_rows").cast("long").as("n_rows"),
+        col("exact_pairs").cast("long").as("exact_pairs"),
+        (CM.innerProductEstimate(col("__sk"), col("__sk")) >= col("exact_pairs"))
+          .as("never_under"),
+        (CM.innerProductEstimate(col("__sk"), col("__sk")) <=
+          col("exact_pairs") +
+            lit(10L) * col("n_rows") * col("n_rows") / lit(CM.DefaultWidth.toLong))
+          .as("within_bound"))
+  }
+
   /** Shuffle-key skew diagnosis of lineitem's order key: exact
     * discrete-rank percentiles + integer Gini
     * ([[graft.operators.Profiling.skewReport]]).
@@ -3606,7 +3632,8 @@ object SparkEntry {
     "basket_pairs" -> (basketPairs _),
     "ts_interpolate" -> (tsInterpolate _),
     "skew_report" -> (skewReportQ _),
-    "user_trend" -> (userTrend _))
+    "user_trend" -> (userTrend _),
+    "join_size_estimate" -> (joinSizeEstimate _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7191,5 +7218,15 @@ object SparkEntry {
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_milli_per_s
         |FROM m WHERE n * sxx - sx * sx <> 0
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // join-size estimate: exact SQL-replayable count; sketch verdicts
+    // in-plan (the countmin_tokens convention)
+    "join_size_estimate" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(sum(c*c) AS BIGINT) AS exact_pairs,
+        |       true AS never_under, true AS within_bound
+        |FROM c""".stripMargin)
 }

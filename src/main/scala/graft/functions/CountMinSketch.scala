@@ -152,4 +152,29 @@ object CountMinSketch {
         XxHash64(Seq(GraftColumnShim.expression(value)), seed(i)))
       element_at(sketchCol, (lit(i.toLong * width) + pmod(h, lit(width.toLong))).cast("int") + 1)
     }: _*)
+
+  /** Sketch inner product — the classic count-min JOIN-SIZE estimator
+    * (Cormode & Muthukrishnan §4.2): `min over rows of Σ_j a[i][j]·b[i][j]`
+    * upper-bounds `Σ_k c_a(k)·c_b(k)`, the exact equi-join cardinality,
+    * and is within `N_a·N_b/width` of it in expectation per row.
+    * Self-product (`a`, `a`) estimates a self-join's size — the
+    * skew-explosion early warning for a planned shuffle.
+    *
+    * HOF evaluation is deliberate: this runs on ALREADY-AGGREGATED
+    * one-row sketch columns, so interpretation cost is a few thousand
+    * multiplies once per query, not per input row.
+    */
+  def innerProductEstimate(
+      a: Column,
+      b: Column,
+      depth: Int = DefaultDepth,
+      width: Int = DefaultWidth): Column =
+    least((0 until depth).map { i =>
+      aggregate(
+        zip_with(
+          slice(a, i * width + 1, width),
+          slice(b, i * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
 }

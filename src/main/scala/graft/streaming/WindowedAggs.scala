@@ -148,6 +148,47 @@ object WindowedAggs {
         H.quantile(col("counters"), 0.95, numBuckets, lo, hi).as("p95"))
   }
 
+  /** Kolmogorov–Smirnov drift of each window's histogram against a
+    * STATIC reference histogram (same bucket geometry): the bounded-
+    * state streaming twin of [[graft.operators.CorpusDrift.ksStatistic]]
+    * — the exact per-point ECDF needs an ordered pass over every
+    * distinct value (unbounded state on a stream), so the stream form
+    * compares BUCKET ECDFs, which is the exact KS of the bucketed
+    * distributions. Integer cross-multiplied supremum, so stream ==
+    * batch to the bit (StreamKsSpec's differential).
+    *
+    * The reference counters ride the plan as a literal (they are
+    * `numBuckets + 2` longs from a reference corpus aggregation); the
+    * per-window fold is a few-dozen-element HOF on the one row per
+    * window the state store emits — interpretation cost is per window,
+    * not per event.
+    *
+    * @return windowed rows + (n_window, d_num, ks_micro)
+    */
+  def histogramKs(
+      windowedHistograms: DataFrame,
+      refCounters: Seq[Long]): DataFrame = {
+    require(refCounters.nonEmpty && refCounters.forall(_ >= 0L),
+      "reference counters must be non-negative")
+    val nB = refCounters.sum
+    require(nB > 0L, "reference histogram must be non-empty")
+    val cumB = refCounters.scanLeft(0L)(_ + _).tail
+    val b = refCounters.size
+    val idx = sequence(lit(1), lit(b))
+    val cumA = transform(idx, i =>
+      aggregate(slice(col("counters"), lit(1), i), lit(0L), (acc, x) => acc + x))
+    val nA = aggregate(col("counters"), lit(0L), (acc, x) => acc + x)
+    windowedHistograms
+      .withColumn("__cuma", cumA)
+      .withColumn("__na", nA)
+      .withColumn("d_num",
+        array_max(zip_with(col("__cuma"), typedLit(cumB), (a, bc) =>
+          abs(a * lit(nB) - bc * col("__na")))))
+      .withColumn("n_window", col("__na"))
+      .withColumn("ks_micro", expr(s"d_num * 1000000 div (__na * ${nB}L)"))
+      .drop("__cuma", "__na")
+  }
+
   /** Sliding-window variant. */
   def slidingCounts(
       df: DataFrame,

@@ -97,4 +97,22 @@ class CountMinSketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("a" -> 2L, "b" -> 1L, "c" -> 3L, "zzz" -> 0L))
   }
+
+  test("inner product never underestimates the exact join size; exact when wide") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("v")    // c: x3 y1 z1
+    val b = Seq("x", "y", "y", "w").toDF("v")         // c: x1 y2 w1
+    // exact join size = 3*1 + 1*2 = 5
+    val ska = a.agg(CountMinSketch.sketch(col("v"), d, 4096).as("ska"))
+    val skb = b.agg(CountMinSketch.sketch(col("v"), d, 4096).as("skb"))
+    val est = ska.crossJoin(skb)
+      .select(CountMinSketch
+        .innerProductEstimate(col("ska"), col("skb"), d, 4096).as("e"))
+      .head().getLong(0)
+    assert(est == 5L, s"wide sketch should be exact, got $est")
+    // self product bounds the self-join size from above
+    val self = ska
+      .select(CountMinSketch.innerProductEstimate(col("ska"), col("ska"), d, 4096))
+      .head().getLong(0)
+    assert(self == 9L + 1L + 1L) // 3^2 + 1 + 1, exact at this width
+  }
 }
