@@ -1067,6 +1067,44 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** End-to-end entity resolution over customer records with planted
+    * typo variants: block on the stable name suffix, verify pairs
+    * with edit distance, connect components
+    * ([[graft.operators.Clustering.connectedComponents]]), and emit
+    * one golden record per cluster (min-key policy). The composition
+    * row: blocking bounds the pair search, the verifier prunes the
+    * blocks, clustering closes transitivity, canonicalization picks
+    * the survivor — each stage an already-gated primitive.
+    */
+  private def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val variants = cust.filter(col("c_custkey") % 25 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 11), lit("x"),
+          substring(col("c_name"), 13, 6)).as("c_name"))
+    val base = cust.unionByName(variants)
+    val blocked = base.withColumn("__bk", substring(col("c_name"), 15, 4))
+    val pairs = blocked
+      .select(col("__bk"), col("c_custkey").as("id_a"), col("c_name").as("__na"))
+      .join(blocked
+        .select(col("__bk"), col("c_custkey").as("id_b"), col("c_name").as("__nb")),
+        Seq("__bk"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("__na"), col("__nb")) <= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .join(base, col("id") === col("c_custkey"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("c_custkey")).as("golden_key"),
+        max_by(col("c_name"), -col("c_custkey")).as("golden_name"),
+        array_join(sort_array(collect_list(col("c_custkey"))), ",").as("members"))
+      .select(col("cluster").as("cluster_id"), col("golden_key"),
+        col("golden_name"), col("n_members").cast("long").as("n_members"),
+        col("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Self-join-size prediction for events.user_id: the exact
     * cardinality `Σ c_u²` (SQL-replayable) beside the count-min
     * inner-product estimate
@@ -3633,7 +3671,8 @@ object SparkEntry {
     "ts_interpolate" -> (tsInterpolate _),
     "skew_report" -> (skewReportQ _),
     "user_trend" -> (userTrend _),
-    "join_size_estimate" -> (joinSizeEstimate _))
+    "join_size_estimate" -> (joinSizeEstimate _),
+    "entity_resolution" -> (entityResolution _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7228,5 +7267,33 @@ object SparkEntry {
         |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
         |       CAST(sum(c*c) AS BIGINT) AS exact_pairs,
         |       true AS never_under, true AS within_bound
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    // entity resolution: block, edit-distance verify, transitive
+    // closure, golden record per cluster
+    "entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS k, c_name AS n FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |         substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
+        |  FROM customer WHERE c_custkey % 25 = 0),
+        |p AS (
+        |  SELECT a.k AS id_a, b.k AS id_b
+        |  FROM base a JOIN base b
+        |    ON substr(a.n, 15, 4) = substr(b.n, 15, 4) AND a.k < b.k
+        |  WHERE levenshtein(a.n, b.n) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cl.cluster_id, min(b.k) AS golden_key,
+        |  min_by(b.n, b.k) AS golden_name,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  array_to_string(list_sort(list(b.k)), ',') AS members
+        |FROM cl JOIN base b ON cl.id = b.k
+        |GROUP BY cl.cluster_id
+        |ORDER BY cl.cluster_id""".stripMargin)
 }
