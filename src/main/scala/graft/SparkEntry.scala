@@ -1067,6 +1067,37 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** "More like this" for doc 0: sparse TF-IDF cosine through the
+    * inverted index, milli-idf integer weights
+    * ([[graft.operators.Bm25.moreLikeThis]]).
+    */
+  private def moreLikeThisQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25
+      .moreLikeThis(Tables(s, dir, "documents"), "doc_id", "text",
+        queryId = 0L, k = 10)
+      .orderBy(col("sim").desc, col("id"))
+
+  /** Semantic clusters: connected components of the mutual 3-NN graph
+    * over the first 100 vectors — the composition of
+    * [[graft.operators.SimilaritySearch.mutualKnnGraph]] and
+    * [[graft.operators.Clustering.connectedComponents]], BIT-EXACT
+    * end to end.
+    */
+  private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = SimilaritySearch
+      .mutualKnnGraph(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 3,
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+    graft.operators.Clustering.connectedComponents(edges, "id_a", "id_b")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+      .select(col("cluster").cast("long").as("cluster_id"),
+        col("n_members").cast("long").as("n_members"), col("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** End-to-end entity resolution over customer records with planted
     * typo variants: block on the stable name suffix, verify pairs
     * with edit distance, connect components
@@ -3672,7 +3703,9 @@ object SparkEntry {
     "skew_report" -> (skewReportQ _),
     "user_trend" -> (userTrend _),
     "join_size_estimate" -> (joinSizeEstimate _),
-    "entity_resolution" -> (entityResolution _))
+    "entity_resolution" -> (entityResolution _),
+    "more_like_this" -> (moreLikeThisQ _),
+    "semantic_clusters" -> (semanticClusters _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7295,5 +7328,70 @@ object SparkEntry {
         |  array_to_string(list_sort(list(b.k)), ',') AS members
         |FROM cl JOIN base b ON cl.id = b.k
         |GROUP BY cl.cluster_id
-        |ORDER BY cl.cluster_id""".stripMargin)
+        |ORDER BY cl.cluster_id""".stripMargin,
+    // more-like-this: milli-idf weighted postings, query-doc dot
+    "more_like_this" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    tf.tf * ((CAST(floor(ln((nd + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |                         * 1000000.0) AS BIGINT) + 1000000) // 1000) AS w
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+        |norms AS (SELECT id, CAST(sum(w*w) AS BIGINT) AS n2 FROM w GROUP BY id),
+        |qv AS (SELECT term, w AS wq FROM w WHERE id = 0),
+        |qn AS (SELECT n2 AS qn2 FROM norms WHERE id = 0),
+        |d AS (
+        |  SELECT w.id, CAST(sum(w.w * qv.wq) AS BIGINT) AS dot,
+        |         CAST(count(*) AS BIGINT) AS shared_terms
+        |  FROM w JOIN qv ON w.term = qv.term
+        |  WHERE w.id <> 0
+        |  GROUP BY w.id)
+        |SELECT d.id, d.shared_terms,
+        |  round(CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6) AS sim
+        |FROM d JOIN norms ON d.id = norms.id CROSS JOIN qn
+        |ORDER BY sim DESC, d.id LIMIT 10""".stripMargin,
+    // semantic clusters: mutual 3-NN graph -> transitive closure
+    "semantic_clusters" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |      FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT src, dst, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src, dst,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src, dst),
+        |sim AS (SELECT src, dst,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS s
+        |        FROM sums),
+        |r AS (SELECT src, dst, s,
+        |        row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+        |      FROM sim),
+        |d AS (SELECT src, dst FROM r WHERE rk <= 3),
+        |m AS (SELECT d.src AS id_a, d.dst AS id_b
+        |      FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
+        |      WHERE d.src < d.dst),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM m
+        |          UNION SELECT id_b, id_a FROM m),
+        |reach(id, rt) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, reach.rt FROM edges e2 JOIN reach ON e2.dst = reach.id),
+        |cl AS (SELECT id, min(rt) AS c FROM reach GROUP BY id)
+        |SELECT CAST(c AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  array_to_string(list_sort(list(id)), ',') AS members
+        |FROM cl GROUP BY c ORDER BY cluster_id""".stripMargin)
 }

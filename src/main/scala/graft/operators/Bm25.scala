@@ -242,6 +242,69 @@ object Bm25 {
     * @return (id, n_matches, first_pos) — first_pos 1-based, docs
     *         containing the phrase at least once
     */
+  /** "More like this" — top-k documents by sparse TF-IDF cosine to a
+    * query DOCUMENT (doc-to-doc similarity through the inverted
+    * index, the retrieval complement of term-query BM25: seed-set
+    * expansion, related-content, near-topic audit).
+    *
+    * Exactness: weights ride an integer milli-idf grid
+    * (`tf · (idf_µ div 1000)` — the div keeps squared sums far inside
+    * long range at any document length), so dots and norms are exact
+    * integer sums; ONE double cosine at the edge, rounded before the
+    * deterministic (sim, id) ranking.
+    *
+    * Scale shape: the weighted posting table is built once (explode +
+    * count, map-combinable; the df join is vocabulary-keyed); the
+    * query document's terms broadcast (one doc — bounded by
+    * construction) and the dot aggregation touches ONLY postings of
+    * the query's terms. Top-k is ORDER+LIMIT.
+    *
+    * @return (id, shared_terms, sim) — k rows, sim rounded to 6
+    */
+  def moreLikeThis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nDocs = docs.count()
+    val tf = TextDedup.spreadToCores(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfQ =
+      floor(log(lit(nDocs + 1.0) / (col("df").cast("double") + 1.0))
+        * lit(Lexicon.IdfScale.toDouble)).cast("long") + lit(Lexicon.IdfScale)
+    val w = tf.join(dfT, "term")
+      .withColumn("__idfq", idfQ)
+      .select(col("id"), col("term"),
+        (col("tf") * expr("__idfq div 1000")).as("w"))
+      .persist()
+    val norms = w.groupBy(col("id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+      .persist()
+    val qv = w.filter(col("id") === queryId)
+      .select(col("term"), col("w").as("wq"))
+    val qn = norms.filter(col("id") === queryId).select(col("n2").as("qn2"))
+    val out = w.join(broadcast(qv), "term")
+      .filter(col("id") =!= queryId)
+      .groupBy(col("id"))
+      .agg(sum(col("w") * col("wq")).as("dot"),
+        count(lit(1)).as("shared_terms"))
+      .join(norms, "id")
+      .crossJoin(broadcast(qn))
+      .select(col("id"), col("shared_terms").cast("long").as("shared_terms"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+    TextDedup.materialized(out, Seq(w, norms))
+  }
+
   def phraseSearch(
       docs: DataFrame,
       idCol: String,

@@ -140,4 +140,18 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 2L, 1L)), s"got $got") // starts at 1 and 2
   }
+
+  test("moreLikeThis ranks shared-rare-term docs above shared-common-term docs") {
+    // every doc shares 'common'; doc 1 also shares the rare 'needle'
+    val docs = Seq(
+      (0L, "needle common alpha"),
+      (1L, "needle common beta"),
+      (2L, "common gamma delta"),
+      (3L, "common epsilon zeta")).toDF("doc_id", "text")
+    val got = Bm25.moreLikeThis(docs, "doc_id", "text", queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.head._1 == 1L, s"got $got")    // the needle-sharer wins
+    assert(got.head._2 == 2L)                 // shares needle + common
+    assert(!got.map(_._1).contains(0L))       // self excluded
+  }
 }
