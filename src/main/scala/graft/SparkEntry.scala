@@ -1067,6 +1067,38 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** 5-NN majority-vote label prediction for every 50th vector —
+    * decimal-cosine ranks, deterministic vote
+    * ([[graft.operators.SimilaritySearch.knnClassify]]).
+    */
+  private def knnClassifyQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    SimilaritySearch
+      .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 5,
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"),
+        col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Label-noise audit over embeddings with planted 5x-scaled
+    * outliers (vec_id % 77 == 0): n²-scaled integer distances, no
+    * division until the report
+    * ([[graft.operators.SimilaritySearch.labelOutliers]]).
+    */
+  private def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("embedding",
+        when(col("vec_id") % 77 === 0,
+          transform(col("embedding"), x => x * lit(5.0f)))
+          .otherwise(col("embedding")))
+    SimilaritySearch
+      .labelOutliers(emb, "vec_id", "embedding", "label", factor = 4)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("dist_sq"))
+      .orderBy(col("vec_id"))
+  }
+
   /** "More like this" for doc 0: sparse TF-IDF cosine through the
     * inverted index, milli-idf integer weights
     * ([[graft.operators.Bm25.moreLikeThis]]).
@@ -3705,7 +3737,9 @@ object SparkEntry {
     "join_size_estimate" -> (joinSizeEstimate _),
     "entity_resolution" -> (entityResolution _),
     "more_like_this" -> (moreLikeThisQ _),
-    "semantic_clusters" -> (semanticClusters _))
+    "semantic_clusters" -> (semanticClusters _),
+    "knn_classify" -> (knnClassifyQ _),
+    "embedding_outliers" -> (embeddingOutliers _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7393,5 +7427,66 @@ object SparkEntry {
         |SELECT CAST(c AS BIGINT) AS cluster_id,
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  array_to_string(list_sort(list(id)), ',') AS members
-        |FROM cl GROUP BY c ORDER BY cluster_id""".stripMargin)
+        |FROM cl GROUP BY c ORDER BY cluster_id""".stripMargin,
+    // kNN classification: decimal-cosine ranks, deterministic vote
+    "knn_classify" ->
+      """WITH nodes AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM nodes WHERE vec_id % 50 = 0),
+        |p AS (SELECT q.qid, n.vec_id AS cand, n.label, n.v AS cv, q.qv
+        |      FROM nodes n JOIN q ON n.vec_id <> q.qid),
+        |e AS (SELECT qid, cand, label, unnest(cv) AS x, unnest(qv) AS y FROM p),
+        |sums AS (SELECT qid, cand, label,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY qid, cand, label),
+        |sim AS (SELECT qid, cand, label,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS s
+        |        FROM sums),
+        |r AS (SELECT qid, cand, label, s,
+        |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, cand) AS rk
+        |      FROM sim),
+        |votes AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS nv
+        |          FROM r WHERE rk <= 5 GROUP BY qid, label),
+        |best AS (SELECT qid, label, nv,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY nv DESC, label ASC) AS brk
+        |         FROM votes)
+        |SELECT qid AS query_id, CAST(label AS BIGINT) AS predicted_label,
+        |       nv AS n_votes
+        |FROM best WHERE brk = 1 ORDER BY query_id""".stripMargin,
+    // label outliers: n^2-scaled integer distances, cross-multiplied flag
+    "embedding_outliers" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN vec_id % 77 = 0
+        |         THEN list_transform(embedding, x -> x * CAST(5.0 AS FLOAT))
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+        |         for x in embedding] AS qv
+        |      FROM base),
+        |ex AS (SELECT vec_id, label, unnest(qv) AS qd,
+        |              unnest(range(1, len(qv)+1)) AS d
+        |       FROM q),
+        |sums AS (SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(qd) AS BIGINT) AS s
+        |         FROM ex GROUP BY label, d),
+        |dist AS (SELECT ex.vec_id, ex.label, max(s.n) AS n,
+        |           sum(CAST(s.n * ex.qd - s.s AS HUGEINT)
+        |               * CAST(s.n * ex.qd - s.s AS HUGEINT)) AS d2
+        |         FROM ex JOIN sums s ON ex.label = s.label AND ex.d = s.d
+        |         GROUP BY ex.vec_id, ex.label),
+        |m AS (SELECT label, sum(d2) AS sd2, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM dist GROUP BY label)
+        |SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+        |  round(CAST(d.d2 AS DOUBLE) / CAST(d.n * d.n AS DOUBLE)
+        |        / 1000000000000.0, 4) AS dist_sq
+        |FROM dist d JOIN m ON d.label = m.label
+        |WHERE m.cnt * d.d2 > 4 * m.sd2
+        |ORDER BY d.vec_id""".stripMargin)
 }

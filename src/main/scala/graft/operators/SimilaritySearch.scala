@@ -256,6 +256,107 @@ object SimilaritySearch {
       .toDF("rank", "id", "rel_micro", "score_micro")
   }
 
+  /** k-NN label classification: predict each query vector's label by
+    * majority vote of its k nearest corpus neighbors (ties by label
+    * ascending — fully deterministic) — the cheap labeler/auditor for
+    * embedding spaces (held-out accuracy doubles as an
+    * embedding-quality metric).
+    *
+    * Scale shape: the query set broadcasts (a labeling batch, bounded
+    * by construction), ONE corpus scan scores all (query, candidate)
+    * pairs, per-query ranks and votes are windows/aggregations keyed
+    * by query id. For corpus-sized query sets route candidates
+    * through the IVF/LSH index into [[knnFromCandidates]].
+    *
+    * @return (query_id, predicted_label, n_votes)
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = TextDedup.spreadToCores(corpus)
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("__cand"),
+        col(labelCol).as("__lbl"), simFn(col(vecCol), col("__qv")).as("__sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("__cand"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(
+        max_by(col("__lbl"), struct(col("__votes"), -col("__lbl").cast("long")))
+          .as("predicted_label"),
+        max(col("__votes")).cast("long").as("n_votes"))
+  }
+
+  /** Label-noise detector: vectors whose squared distance to their
+    * OWN label's centroid exceeds `factor`x the label's mean squared
+    * distance — the mislabeled-or-outlier audit beside
+    * [[groupScatter]]. Entirely exact: coordinates ride the µ-grid,
+    * the centroid never materializes (the comparison uses
+    * `Σ_d (n·q_d − S_d)²`, the n²-scaled distance, so no division
+    * anywhere), and the flag is the cross-multiplied integer
+    * inequality `n·D_i > factor·ΣD`.
+    *
+    * Scale shape: one posexplode + (label, dim) sum aggregation (tiny
+    * output), joined back broadcast-or-hash on the label; the per-row
+    * distance is one fold over the vector; the mean side is one more
+    * label-sized aggregation. Two scans of the vector column total.
+    *
+    * @return (id, label, dist_sq) for flagged rows — dist_sq in
+    *         original units, rounded to 4
+    */
+  def labelOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      factor: Int = 4): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val g = TopicAssign.GridScale
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val quant = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      transform(col(vecCol), x => floor(x.cast("double") * g).cast("long")).as("__q"))
+      .persist()
+    val sums = quant
+      .select(col("__lbl"), posexplode(col("__q")).as(Seq("__d", "__qv")))
+      .groupBy(col("__lbl"), col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__qv")).as("__s"))
+    val centroids = sums.groupBy(col("__lbl"))
+      .agg(max(col("__n")).as("__n"),
+        // dim-aligned sum vector: sort the (dim, sum) pairs, project
+        transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
+          e => e.getField("__s")).as("__sv"))
+    val dists = quant.join(centroids, "__lbl")
+      .select(col("__id"), col("__lbl"), col("__n"),
+        aggregate(
+          zip_with(col("__q"), col("__sv"),
+            (qd, sd) => dec(col("__n") * qd - sd) * dec(col("__n") * qd - sd)),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+          (acc, x) => acc + x).as("__d2"))
+      .persist()
+    val means = dists.groupBy(col("__lbl"))
+      .agg(sum(col("__d2")).as("__sum_d2"), count(lit(1)).as("__cnt"))
+    val out = dists.join(means, "__lbl")
+      .filter(dec(col("__cnt")) * col("__d2") > lit(factor) * col("__sum_d2"))
+      .select(col("__id").as(idCol), col("__lbl").as(labelCol),
+        round(col("__d2").cast("double") /
+          (col("__n") * col("__n")).cast("double") / lit(g.toDouble * g.toDouble), 4)
+          .as("dist_sq"))
+    TextDedup.materialized(out, Seq(quant, dists))
+  }
+
   /** Per-group within-class scatter of an embedding column: the trace
     * of the biased covariance, `(1/n)·Σ‖x‖² − ‖mean‖²` — the
     * label-cohesion scalar an embedding-quality audit reads next to

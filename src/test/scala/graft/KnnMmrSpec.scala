@@ -46,6 +46,35 @@ class KnnMmrSpec extends SparkSpec {
     assert(got == Seq((1, 3L), (2, 2L)), s"got $got")
   }
 
+  test("knnClassify: majority vote with deterministic tie policy, self excluded") {
+    // query 9 at (1,0): nearest are the three label-1 vectors, then
+    // two label-2; k=5 -> 3 votes label 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.1f), 1L), (2L, Seq(1.0f, -0.1f), 1L),
+      (3L, Seq(0.9f, 0.0f), 1L),
+      (4L, Seq(0.5f, 0.8f), 2L), (5L, Seq(0.5f, -0.8f), 2L),
+      (6L, Seq(-1.0f, 0.0f), 3L),
+      (9L, Seq(1.0f, 0.0f), 9L)).toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch
+      .knnClassify(corpus, corpus.filter(col("vec_id") === 9L),
+        "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 1L, 3L)), s"got $got")
+  }
+
+  test("labelOutliers flags the far member, not the tight cluster") {
+    // n must exceed factor + 1: a lone outlier among n members tops
+    // out at ratio n - 1 as it recedes (it drags the centroid and the
+    // mean with it) — the same masking arithmetic as the z-score spec
+    val tight = (1L to 12L).map(i => (i, Seq(1.0f + 0.01f * i, 0.0f), 0L))
+    val df = (tight :+ ((13L, Seq(10.0f, 10.0f), 0L)))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch
+      .labelOutliers(df, "vec_id", "embedding", "label", factor = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(13L), s"got $got")
+  }
+
   test("MMR of an all-duplicates corpus scores later picks rel - 1e6") {
     val corpus = (1L to 3L).map(i => (i, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
     val rows = SimilaritySearch
