@@ -1067,6 +1067,40 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Top-10 within-session event-type trigram paths (users <= 50,
+    * 30-minute gaps, fully-ordered session windows)
+    * ([[graft.operators.Sessionization.pathTrigrams]]).
+    */
+  private def eventPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionization
+      .pathTrigrams(
+        Tables(s, dir, "events").filter(col("user_id") <= 50),
+        Seq("user_id"),
+        unix_timestamp(col("ts")).cast("long"),
+        col("event_id"), col("event_type"),
+        gapSeconds = 1800L, k = 10)
+
+  /** Flesch-style readability per document (docs < 100): words,
+    * sentence-punctuation runs (floored at 1), vowel-run syllable
+    * estimate — all regex-countable in any engine; the score is two
+    * exact-ratio divisions on fixed constants.
+    */
+  private def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+    val words = TF.tokenCount(col("text"))
+    val sents = greatest(
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L))
+    val sylls = size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 3)
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 5-NN majority-vote label prediction for every 50th vector —
     * decimal-cosine ranks, deterministic vote
     * ([[graft.operators.SimilaritySearch.knnClassify]]).
@@ -3739,7 +3773,9 @@ object SparkEntry {
     "more_like_this" -> (moreLikeThisQ _),
     "semantic_clusters" -> (semanticClusters _),
     "knn_classify" -> (knnClassifyQ _),
-    "embedding_outliers" -> (embeddingOutliers _))
+    "embedding_outliers" -> (embeddingOutliers _),
+    "event_paths" -> (eventPaths _),
+    "text_readability" -> (textReadability _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7488,5 +7524,46 @@ object SparkEntry {
         |        / 1000000000000.0, 4) AS dist_sq
         |FROM dist d JOIN m ON d.label = m.label
         |WHERE m.cnt * d.d2 > 4 * m.sd2
-        |ORDER BY d.vec_id""".stripMargin)
+        |ORDER BY d.vec_id""".stripMargin,
+    // session paths: fully-ordered session windows, trigram shingles
+    "event_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events WHERE user_id <= 50),
+        |fl AS (
+        |  SELECT *, CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |se AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM fl),
+        |sq AS (
+        |  SELECT user_id, sid,
+        |    list(event_type ORDER BY t, event_id) AS tys
+        |  FROM se GROUP BY user_id, sid),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(tys) >= 3
+        |    THEN [array_to_string(tys[i:i+2], ' ') for i in range(1, len(tys) - 1)]
+        |    ELSE [array_to_string(tys, ' ')] END) AS path
+        |  FROM sq)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // readability: regex-countable words/sentences/vowel runs
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |               / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS DOUBLE)
+        |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 3)
+        |    AS flesch
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin)
 }
