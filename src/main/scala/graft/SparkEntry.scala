@@ -1067,6 +1067,56 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Per-user lag-1 value autocorrelation (users <= 30): exact
+    * moments over fully ordered consecutive pairs
+    * ([[graft.operators.TimeSeries.lag1Autocorr]]).
+    */
+  private def valueAutocorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries
+      .lag1Autocorr(
+        Tables(s, dir, "events").filter(col("user_id") <= 30),
+        "user_id",
+        unix_timestamp(col("ts")).cast("long"),
+        col("event_id"),
+        floor(col("value") * 1e3).cast("long"))
+      .orderBy(col("user_id"))
+
+  /** Percentile-rank normalization of document length within each
+    * source: `(rank−1)·1e6 div (n−1)` on the exact (n_chars, doc_id)
+    * order — the cross-source score-comparability transform.
+    */
+  private def scorePercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(__rk - 1) * 1000000 div (__n - 1)").as("pr_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Held-out accuracy of the 5-NN classifier (the [[knnClassifyQ]]
+    * predictions joined back to true labels): one summary row with
+    * the exact integer accuracy — the embedding-quality eval.
+    */
+  private def knnEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    SimilaritySearch
+      .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 5,
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("__truth")),
+        "query_id")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted_label") === col("__truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_queries").cast("long").as("n_queries"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("n_correct * 1000000 div n_queries").as("accuracy_micro"))
+  }
+
   /** Top-10 within-session event-type trigram paths (users <= 50,
     * 30-minute gaps, fully-ordered session windows)
     * ([[graft.operators.Sessionization.pathTrigrams]]).
@@ -3775,7 +3825,10 @@ object SparkEntry {
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
-    "text_readability" -> (textReadability _))
+    "text_readability" -> (textReadability _),
+    "value_autocorr" -> (valueAutocorr _),
+    "score_percentile" -> (scorePercentile _),
+    "knn_eval" -> (knnEval _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7565,5 +7618,75 @@ object SparkEntry {
         |              / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 3)
         |    AS flesch
         |FROM documents WHERE doc_id < 100
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // lag-1 autocorrelation: exact moments over ordered lead pairs
+    "value_autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         CAST(floor(value * 1000.0) AS BIGINT) AS x
+        |  FROM events WHERE user_id <= 30),
+        |p AS (
+        |  SELECT user_id, x,
+        |         lead(x) OVER (PARTITION BY user_id ORDER BY t, event_id) AS y
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+        |  FROM p WHERE y IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n AS n_pairs,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r1
+        |FROM m
+        |WHERE n >= 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+        |ORDER BY user_id""".stripMargin,
+    // percentile-rank normalization within source
+    "score_percentile" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       (rk - 1) * 1000000 // (n - 1) AS pr_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // kNN held-out accuracy: replay the vote, join truth, exact ratio
+    "knn_eval" ->
+      """WITH nodes AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS truth, v AS qv
+        |      FROM nodes WHERE vec_id % 50 = 0),
+        |p AS (SELECT q.qid, q.truth, n.vec_id AS cand, n.label, n.v AS cv, q.qv
+        |      FROM nodes n JOIN q ON n.vec_id <> q.qid),
+        |e AS (SELECT qid, truth, cand, label, unnest(cv) AS x, unnest(qv) AS y FROM p),
+        |sums AS (SELECT qid, truth, cand, label,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY qid, truth, cand, label),
+        |sim AS (SELECT qid, truth, cand, label,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS s
+        |        FROM sums),
+        |r AS (SELECT qid, truth, cand, label, s,
+        |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, cand) AS rk
+        |      FROM sim),
+        |votes AS (SELECT qid, truth, label, CAST(count(*) AS BIGINT) AS nv
+        |          FROM r WHERE rk <= 5 GROUP BY qid, truth, label),
+        |best AS (SELECT qid, truth, label, nv,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY nv DESC, label ASC) AS brk
+        |         FROM votes)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN label = truth THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN label = truth THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS accuracy_micro
+        |FROM best WHERE brk = 1""".stripMargin)
 }

@@ -78,6 +78,53 @@ object TimeSeries {
     TextDedup.materialized(out, Seq(obs))
   }
 
+  /** Per-key lag-1 autocorrelation of a milli-grid value series —
+    * "is this metric noise or momentum": Pearson r over consecutive
+    * pairs (x_i, x_{i+1}) in a FULLY ordered series (time, then tie
+    * column, so equal timestamps replay identically):
+    *
+    *   r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+    *
+    * All moments are exact integer sums per key; the cross products
+    * cast to decimal before the 38-digit range; ONE double expression
+    * at the edge. Degenerate keys (fewer than 2 pairs, zero variance
+    * on either side) drop.
+    *
+    * Scale shape: one per-key ordered window pass (`lead`) + one
+    * map-combinable moment aggregation — the same shape as any
+    * windowed analytic; shuffles only on the key.
+    *
+    * @return (keyCol, n_pairs, r1) — r1 rounded to 6
+    */
+  def lag1Autocorr(
+      df: DataFrame,
+      keyCol: String,
+      tsSecCol: Column,
+      tieCol: Column,
+      valueMilliCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tie"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = df
+      .select(col(keyCol).as("__k"), tsSecCol.as("__t"), tieCol.as("__tie"),
+        valueMilliCol.as("__x"))
+      .withColumn("__y", lead(col("__x"), 1).over(w))
+      .filter(col("__y").isNotNull)
+    val m = pairs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("__syy"))
+    m.withColumn("__vx", dec(col("__n")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .withColumn("__vy", dec(col("__n")) * col("__syy") - dec(col("__sy")) * dec(col("__sy")))
+      .filter(col("__n") >= 2 && col("__vx") =!= lit(0) && col("__vy") =!= lit(0))
+      .select(col("__k").as(keyCol), col("__n").cast("long").as("n_pairs"),
+        round((dec(col("__n")) * col("__sxy") - dec(col("__sx")) * dec(col("__sy")))
+          .cast("double") /
+          (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))), 6)
+          .as("r1"))
+  }
+
   /** Per-key OLS trend slope of a milli-grid value series over time
     * (milli-units per second) — "which users/sensors/domains are
     * drifting, and how fast":

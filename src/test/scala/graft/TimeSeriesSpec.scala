@@ -41,6 +41,20 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 100L, 7L), ("b", 110L, 7L)), s"got $got")
   }
 
+  test("lag1Autocorr: monotone ramp ~ +1, alternating series -1, flat drops") {
+    val ramp = (0L to 9L).map(t => ("up", t, 0L, t * 10))
+    val alt = (0L to 9L).map(t => ("alt", t, 0L, if (t % 2 == 0) 0L else 100L))
+    val flat = (0L to 9L).map(t => ("flat", t, 0L, 7L))
+    val df = (ramp ++ alt ++ flat).toDF("k", "t", "tie", "v")
+    val got = TimeSeries.lag1Autocorr(df, "k", col("t"), col("tie"), col("v"))
+      .orderBy(col("k")).as[(String, Long, Double)].collect().toSeq
+    val byK = got.map(r => r._1 -> r._3).toMap
+    assert(!byK.contains("flat"), s"flat series must drop: $got")
+    assert(byK("alt") < -0.99, s"alternating r1 ${byK("alt")}")
+    assert(byK("up") > 0.99, s"ramp r1 ${byK("up")}")
+    assert(got.forall(_._2 == 9L)) // 10 points -> 9 pairs
+  }
+
   test("mutual information: independent columns score 0, copies score ln(k)") {
     val indep = (0 until 64).map(i => (s"a${i % 2}", s"b${(i / 2) % 2}")).toDF("x", "y")
     val mi0 = Profiling.mutualInformation(indep, "x", "y")
