@@ -1067,6 +1067,21 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Explicit GROUPING SETS (the custom-sets member of the
+    * rollup/cube family — q20/q25 cover the other two): per-status,
+    * per-priority, and grand-total counts in ONE grouping pass.
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** Time-bounded funnel: first view, then a click within ONE HOUR of
     * it, then a purchase within one hour of that click — the
     * attribution-window variant of [[funnelConversion]] (unbounded
@@ -3894,7 +3909,8 @@ object SparkEntry {
     "score_percentile" -> (scorePercentile _),
     "knn_eval" -> (knnEval _),
     "funnel_windowed" -> (funnelWindowed _),
-    "bucket_join" -> (bucketJoinQ _))
+    "bucket_join" -> (bucketJoinQ _),
+    "q51_grouping_sets" -> (groupingSetsQ _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7786,5 +7802,13 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 3000 AND l.l_orderkey <= 3000
         |GROUP BY o.o_orderstatus
-        |ORDER BY o.o_orderstatus""".stripMargin)
+        |ORDER BY o.o_orderstatus""".stripMargin,
+    // explicit grouping sets: per-status, per-priority, grand total
+    "q51_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
 }
