@@ -1067,6 +1067,57 @@ object SparkEntry {
       .tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** First-order Markov transition matrix of event types per user
+    * stream (fully ordered consecutive pairs; exact integer
+    * transition probabilities) — the behavioral-model complement of
+    * [[eventPaths]]'s trigram report.
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("__row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+        expr("n * 1000000 div __row_total").as("prob_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Inter-arrival gap percentiles per event type (consecutive
+    * same-type events per user; discrete rank statistics — the
+    * `value_winsorize` convention).
+    */
+  private def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val gaps = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).cast("long").as("ts_s"))
+      .withColumn("__gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("__gap"), col("user_id"), col("event_id"))
+    gaps
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"), col("__n"))
+      .agg(
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__gap")))
+          .as("p50_gap_s"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("__gap")))
+          .as("p90_gap_s"))
+      .select(col("event_type"), col("__n").cast("long").as("n_gaps"),
+        col("p50_gap_s"), col("p90_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** Explicit GROUPING SETS (the custom-sets member of the
     * rollup/cube family — q20/q25 cover the other two): per-status,
     * per-priority, and grand-total counts in ONE grouping pass.
@@ -3910,7 +3961,9 @@ object SparkEntry {
     "knn_eval" -> (knnEval _),
     "funnel_windowed" -> (funnelWindowed _),
     "bucket_join" -> (bucketJoinQ _),
-    "q51_grouping_sets" -> (groupingSetsQ _))
+    "q51_grouping_sets" -> (groupingSetsQ _),
+    "event_transitions" -> (eventTransitions _),
+    "event_gaps" -> (eventGaps _))
 
   /** DuckDB-runnable oracle SQL per query (same tables, same aliases,
     * same ordering). See class doc for the parity conventions.
@@ -7810,5 +7863,48 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin)
+        |ORDER BY status, priority""".stripMargin,
+    // Markov transitions: ordered consecutive pairs, exact row probs
+    "event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY t, event_id) AS to_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL
+        |      GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt
+        |        FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       c.n * 1000000 // tot.rt AS prob_micro
+        |FROM c JOIN tot ON c.from_type = tot.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+    // inter-arrival gaps: discrete rank percentiles per event type
+    "event_gaps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, event_type,
+        |         t - lag(t) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY t, event_id) AS gap
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, gap,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY gap, user_id, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, max(n) AS n_gaps,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+        |    AS p50_gap_s,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT)
+        |    AS p90_gap_s
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
