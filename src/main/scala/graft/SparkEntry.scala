@@ -1625,6 +1625,53 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("sim").as("sim_micro"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** ANN-backed mutual k-NN graph over a planted-cluster corpus (30
+    * base vectors x 10 float-exact shifted variants = 300 nodes in 30
+    * tight clusters — the near-dup-cluster regime the kNN graph exists
+    * for; on 64-dim near-orthogonal noise mutual-edge recall compounds
+    * quadratically and says nothing about the operator, the
+    * [[embWithPlantedNeighbors]] argument). Oracle-gated via the
+    * in-plan recall verdict (the `ann_ivf_topk` pattern): the emitted
+    * rows are the EXACT brute-force mutual 5-NN graph the DuckDB
+    * oracle replays bit-for-bit; the verdict column proves the
+    * IVF-bucketed composition ([[graft.operators.SimilaritySearch
+    * .mutualKnnGraphAnn]] — candidates joined on list id, nothing
+    * broadcast, nprobe=2 of nlist=8) ran for real and recovered
+    * >= 90% of the exact mutual edges. Training is deterministic
+    * (hash-seeded farthest-first + exact Lloyd means), so the recall
+    * is a fixed number for a fixed dataset, not a statistical bound.
+    */
+  private def knnGraphAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables(s, dir, "embeddings").filter(col("vec_id") < 30)
+      .select(col("vec_id").as("__b"),
+        explode(sequence(lit(0L), lit(9L))).as("__i"), col("embedding"))
+      .select((col("__b") * 10 + col("__i")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("__i").cast("float") * lit(0.0005f)).as("embedding"))
+    val simFn: (Column, Column) => Column =
+      (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
+      val e = SimilaritySearch
+        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn)
+        .persist()
+      e.count()
+      e
+    }
+    val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
+      IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
+    val ann = SimilaritySearch.mutualKnnGraphAnn(index, k = 5, nprobe = 2,
+      simFn = simFn)
+    val hits = exact
+      .join(ann.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__h"))
+    val tot = exact.agg(count(lit(1)).as("__t"))
+    val verdict = hits.crossJoin(tot)
+      .select((col("__h") * lit(100) >= col("__t") * lit(90)).as("recall_ok"))
+    exact.crossJoin(broadcast(verdict))
+      .select(col("id_a"), col("id_b"), col("sim").as("sim_micro"), col("recall_ok"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Greedy MMR selection (k=5, λ=1/2) against vec_id 0's embedding,
     * BIT-EXACT: every relevance/similarity is a µ-grid integer, so
     * each greedy argmax replays as an unrolled CTE chain
@@ -3933,6 +3980,7 @@ object SparkEntry {
     "zipf_slope" -> (zipfSlopeQ _),
     "dedup_containment" -> (dedupContainment _),
     "knn_graph" -> (knnGraphQ _),
+    "knn_graph_ann" -> (knnGraphAnnQ _),
     "mmr_select" -> (mmrSelectQ _),
     "event_outliers_mad" -> (eventOutliersMad _),
     "phrase_search" -> (phraseSearchQ _),
@@ -7106,6 +7154,40 @@ object SparkEntry {
         |      FROM sim),
         |d AS (SELECT src, dst, sim_micro FROM r WHERE rk <= 5)
         |SELECT d.src AS id_a, d.dst AS id_b, d.sim_micro
+        |FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
+        |WHERE d.src < d.dst
+        |ORDER BY id_a, id_b""".stripMargin,
+    // ANN graph gate: the exact mutual 5-NN graph over the planted
+    // 30x10 cluster corpus (replayed row-for-row; float-exact variant
+    // construction), recall_ok asserted true — the IVF composition's
+    // recall runs in-plan on the Spark side
+    "knn_graph_ann" ->
+      """WITH n AS (
+        |  SELECT b.vec_id * 10 + t.i AS vec_id,
+        |         CAST(list_transform(b.embedding,
+        |           x -> x + CAST(t.i AS FLOAT) * CAST(0.0005 AS FLOAT))
+        |           AS DOUBLE[]) AS v
+        |  FROM embeddings b, generate_series(0, 9) AS t(i)
+        |  WHERE b.vec_id < 30),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT src, dst, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src, dst,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src, dst),
+        |sim AS (SELECT src, dst,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS sim_micro
+        |        FROM sums),
+        |r AS (SELECT src, dst, sim_micro,
+        |        row_number() OVER (PARTITION BY src
+        |                           ORDER BY sim_micro DESC, dst) AS rk
+        |      FROM sim),
+        |d AS (SELECT src, dst, sim_micro FROM r WHERE rk <= 5)
+        |SELECT d.src AS id_a, d.dst AS id_b, d.sim_micro, true AS recall_ok
         |FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
         |WHERE d.src < d.dst
         |ORDER BY id_a, id_b""".stripMargin,

@@ -39,19 +39,27 @@ object BloomJoin {
       numBits: Int = BloomFilter.DefaultNumBits,
       numHashes: Int = BloomFilter.DefaultNumHashes): DataFrame =
     prefiltered(big, bigKey, small, smallKey, numBits, numHashes)
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("__bj_key")).distinct(),
+        col(bigKey) === col("__bj_key"), "left_semi")
 
-  /** The plain inner join, bloom-pre-filtered the same way. */
+  /** The plain inner join, bloom-pre-filtered the same way. When the
+    * two key columns share a name the joined frame keeps only the big
+    * side's copy (the values are equal by the join predicate).
+    */
   def innerJoin(
       big: DataFrame,
       bigKey: String,
       small: DataFrame,
       smallKey: String,
       numBits: Int = BloomFilter.DefaultNumBits,
-      numHashes: Int = BloomFilter.DefaultNumHashes): DataFrame =
-    prefiltered(big, bigKey, small, smallKey, numBits, numHashes)
-      .join(small, col(bigKey) === col(smallKey))
+      numHashes: Int = BloomFilter.DefaultNumHashes): DataFrame = {
+    val pre = prefiltered(big, bigKey, small, smallKey, numBits, numHashes)
+    if (bigKey == smallKey)
+      pre.join(small.withColumnRenamed(smallKey, "__bj_key"),
+        col(bigKey) === col("__bj_key")).drop("__bj_key")
+    else
+      pre.join(small, col(bigKey) === col(smallKey))
+  }
 
   /** The big side with the bloom probe applied (exposed for plans that
     * join manually or want the reduced frame for something else).

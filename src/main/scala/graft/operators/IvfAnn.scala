@@ -138,6 +138,29 @@ object IvfAnn {
       .limit(k)
   }
 
+  /** Per-row probe-list column: the `nprobe` inverted lists nearest
+    * the row's vector, as `array<int>`, computed ENTIRELY inside
+    * codegen'd HOFs against the literal centroid matrix — the
+    * distributed twin of [[probeLists]] (same highest-cosine,
+    * ties-to-lower-index rule). Every corpus row selects its own
+    * probes with no driver round-trip, which is what lets the kNN
+    * GRAPH composition ([[SimilaritySearch.mutualKnnGraphAnn]]) join
+    * corpus-to-corpus on list id instead of broadcasting a node set.
+    */
+  def probeListsCol(
+      vec: Column,
+      centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    require(nprobe > 0, "nprobe must be positive")
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val idx = sequence(lit(0), lit(centroids.length - 1))
+    val scored = zip_with(cents, idx, (c, i) =>
+      struct((-VectorFunctions.cosine(vec, c)).as("negcos"), i.as("idx")))
+    transform(
+      slice(array_sort(scored), 1, math.min(nprobe, centroids.length)),
+      s => s.getField("idx"))
+  }
+
   /** Incremental ingest: assign `newVectors` to the EXISTING centroids
     * (one NearestCentroid projection — no retraining, no corpus
     * rescan) and return an index over the union. This is how a real

@@ -44,7 +44,7 @@ object Outliers {
       .agg(
         count(lit(1)).as("__n"),
         sum(col("vmilli").cast("decimal(20,0)")).as("__s"),
-        sum((col("vmilli") * col("vmilli")).cast("decimal(30,0)")).as("__q"))
+        sum(col("vmilli").cast("decimal(20,0)") * col("vmilli").cast("decimal(20,0)")).as("__q"))
     val d = dec(col("__n")) * dec(col("vmilli")) - dec(col("__s"))
     val varTerm = dec(col("__n")) * dec(col("__q")) - dec(col("__s")) * dec(col("__s"))
     withV

@@ -155,11 +155,57 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       k: Int,
-      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+      simFn: (Column, Column) => Column = VectorFunctions.cosine,
+      maxBroadcastNodes: Int = 1 << 20): DataFrame = {
+    // guard the silent failure mode: this path BROADCASTS the node set,
+    // so past executor-broadcast size it dies mid-job with an opaque
+    // OOM. The limit-bounded count costs one cheap CollectLimit job and
+    // turns that into an actionable error BEFORE the n² scan starts.
+    val n = nodes.limit(maxBroadcastNodes + 1).count()
+    require(n <= maxBroadcastNodes,
+      s"mutualKnnGraph broadcasts the node set, but it exceeds " +
+        s"$maxBroadcastNodes rows — build an IVF index and call " +
+        "mutualKnnGraphAnn (same semantics, list-bucketed candidates, " +
+        "nothing broadcast)")
     val a = nodes.select(col(idCol).as("src"), col(vecCol).as("__vs"))
     val b = nodes.select(col(idCol).as("dst"), col(vecCol).as("__vd"))
     val cand = TextDedup.spreadToCores(a)
       .crossJoin(broadcast(b))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), simFn(col("__vs"), col("__vd")).as("sim"))
+    mutualEdges(knnFromCandidates(cand, k))
+  }
+
+  /** ANN-backed mutual k-NN graph: candidates come from a trained IVF
+    * index's inverted lists instead of the all-pairs broadcast. Each
+    * node probes its `nprobe` nearest lists per-row inside codegen
+    * ([[IvfAnn.probeListsCol]] — no driver round-trip) and meets only
+    * the nodes ASSIGNED to those lists, so candidate generation is a
+    * join keyed by list id — a co-partitioned shuffle of
+    * ~`nprobe/nlist` of the all-pairs volume, with NOTHING broadcast
+    * and no side that must fit anywhere. This is the corpus-scale
+    * composition [[mutualKnnGraph]]'s scaladoc promises: the same
+    * [[knnFromCandidates]] + [[mutualEdges]] semantics over a bucketed
+    * candidate set. Recall < 1 by construction (a true neighbor
+    * assigned to an unprobed list is missed); raise `nprobe` to trade
+    * cost for recall — with every list probed the result equals the
+    * brute-force graph exactly (spec-gated).
+    *
+    * @return (id_a, id_b, sim), id_a < id_b, one row per mutual pair
+    */
+  def mutualKnnGraphAnn(
+      index: IvfAnn.Index,
+      k: Int,
+      nprobe: Int,
+      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val probing = index.assigned.select(
+      col("__id").as("src"), col("__vec").as("__vs"),
+      explode(IvfAnn.probeListsCol(col("__vec"), index.centroids, nprobe))
+        .as("__pl"))
+    val members = index.assigned.select(
+      col("__id").as("dst"), col("__vec").as("__vd"), col("__list").as("__pl"))
+    val cand = probing.join(members, Seq("__pl"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), simFn(col("__vs"), col("__vd")).as("sim"))
     mutualEdges(knnFromCandidates(cand, k))
@@ -295,7 +341,10 @@ object SimilaritySearch {
       .agg(count(lit(1)).as("__votes"))
       .groupBy(col("query_id"))
       .agg(
-        max_by(col("__lbl"), struct(col("__votes"), -col("__lbl").cast("long")))
+        // vote ties break on the label's NATURAL ascending order (works
+        // for string labels too — no numeric cast): minimize the
+        // lexicographic (-votes, label) pair
+        min_by(col("__lbl"), struct((-col("__votes")).as("__nv"), col("__lbl")))
           .as("predicted_label"),
         max(col("__votes")).cast("long").as("n_votes"))
   }

@@ -48,9 +48,11 @@ object TimeSeries {
       .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
     val grid = bounds.select(col("__k"),
       explode(sequence(
-        // first grid instant at or after __lo: ceil(lo / step) * step
-        // on non-negative epochs via (lo + step - 1) div step
-        expr(s"((__lo + $stepS - 1) div $stepS) * $stepS"),
+        // first grid instant at or after __lo: a sign-safe ceiling —
+        // `div` truncates toward zero, which is already the ceiling for
+        // negative lo (pre-1970 epochs); bump by one step only when a
+        // positive remainder proves truncation rounded down
+        expr(s"((__lo div $stepS) + (case when __lo % $stepS > 0 then 1 else 0 end)) * $stepS"),
         col("__hi"), lit(stepS))).as("__t"))
     val unioned = obs
       .select(col("__k"), col("__t"), col("__v"), lit(0).as("__flag"))

@@ -185,7 +185,11 @@ object WindowedAggs {
         array_max(zip_with(col("__cuma"), typedLit(cumB), (a, bc) =>
           abs(a * lit(nB) - bc * col("__na")))))
       .withColumn("n_window", col("__na"))
-      .withColumn("ks_micro", expr(s"d_num * 1000000 div (__na * ${nB}L)"))
+      .withColumn("ks_micro",
+        // d_num can reach __na*nB, so the *1e6 scaling must leave long
+        // arithmetic before multiplying: decimal(38,0) on both sides
+        expr(s"cast(cast(d_num as decimal(38,0)) * 1000000 div " +
+          s"(cast(__na as decimal(38,0)) * ${nB}L) as long)"))
       .drop("__cuma", "__na")
   }
 

@@ -75,6 +75,59 @@ class KnnMmrSpec extends SparkSpec {
     assert(got == Seq(13L), s"got $got")
   }
 
+  test("knnClassify vote ties break on STRING labels' natural order") {
+    // query equidistant from one "b"-labeled and one "a"-labeled
+    // vector: 1 vote each, the ascending-label tie rule must pick "a"
+    // (the numeric-cast regression turned string labels into nulls)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.1f), "b"), (2L, Seq(1.0f, -0.1f), "a"),
+      (9L, Seq(1.0f, 0.0f), "q")).toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch
+      .knnClassify(corpus, corpus.filter(col("vec_id") === 9L),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((9L, "a", 1L)), s"got $got")
+  }
+
+  test("mutualKnnGraphAnn with every list probed equals the brute-force graph") {
+    // three well-separated clusters of 6; nlist=3 so lists ~= clusters
+    val nodes = (0 until 18).map { i =>
+      val c = i % 3
+      val base = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f),
+        Seq(0.0f, 0.0f, 1.0f))(c)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * ((i / 3) + 1) * (d + 1) })
+    }.toDF("id", "vec")
+    val simFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      (a, b) => floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val exact = SimilaritySearch
+      .mutualKnnGraph(nodes, "id", "vec", k = 3, simFn = simFn)
+      .as[(Long, Long, Long)].collect().toSet
+    val index = operators.IvfAnn.build(nodes, "id", "vec", nlist = 3, iters = 2)
+    val full = SimilaritySearch.mutualKnnGraphAnn(index, k = 3, nprobe = 3,
+        simFn = simFn)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == exact, s"full-probe ANN graph diverged: ${full.diff(exact)} / ${exact.diff(full)}")
+    // single-probe: candidates only within each node's own list — the
+    // within-cluster edges (clusters align with lists) must survive
+    val one = SimilaritySearch.mutualKnnGraphAnn(index, k = 3, nprobe = 1,
+        simFn = simFn)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one.subsetOf(exact), "nprobe=1 graph must be a subset of the exact graph")
+    assert(one.size >= exact.size / 2, s"nprobe=1 recall collapsed: ${one.size}/${exact.size}")
+    index.assigned.unpersist()
+  }
+
+  test("mutualKnnGraph's broadcast guard trips past the node cap") {
+    val nodes = (1L to 10L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.mutualKnnGraph(nodes, "id", "vec", k = 2,
+        maxBroadcastNodes = 5)
+    }
+    assert(e.getMessage.contains("mutualKnnGraphAnn"))
+  }
+
   test("MMR of an all-duplicates corpus scores later picks rel - 1e6") {
     val corpus = (1L to 3L).map(i => (i, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
     val rows = SimilaritySearch
