@@ -994,6 +994,36 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** Incremental connected components through the persisted cluster
+    * store ([[graft.operators.Clustering.absorbEdges]] — union-find
+    * with deferred path compression over an id-prefix-partitioned
+    * label table): a base chain graph builds the store, then an
+    * increment EXTENDS components and BRIDGES adjacent pairs of them
+    * (the i%20==4 cross edges), exercising root forwarding,
+    * contracted re-propagation, and new-node appends. Oracle-gated
+    * end-to-end: the resolved labels must equal DuckDB's recursive
+    * transitive closure over base ∪ increment — absorb == rebuild,
+    * hash-checked per run.
+    */
+  private def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("i")).filter(col("i") < 200)
+    val base = ids.filter(col("i") % 10 < 3)
+      .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+    val inc = ids.filter(col("i") % 10 === 3)
+      .select(col("i").as("id_a"), (col("i") + 1).as("id_b"))
+      .unionByName(ids.filter(col("i") % 20 === 4)
+        .select(col("i").as("id_a"), (col("i") + 6).as("id_b")))
+    val C = graft.operators.Clustering
+    val path = scratchDir("graft-cluster-store")
+    C.saveClusters(C.connectedComponents(base, "id_a", "id_b"), path,
+      prefixBuckets = 16)
+    C.absorbEdges(s, path, inc, "id_a", "id_b")
+    C.resolvedLabels(C.loadClusters(s, path))
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C4-style corpus-frequency n-gram duplication per document
     * (computed over the FULL corpus; output sampled to the first 30 doc
     * ids to keep the oracle diff small).
@@ -2619,6 +2649,48 @@ object SparkEntry {
       .orderBy(col("media_type"))
   }
 
+  /** Image perceptual-hash near-dup dedup over the synthetic BMP
+    * corpus: 64-bit difference hashes from REAL decoded pixels
+    * ([[graft.multimodal.ImageDedup.dHash]] — integer Rec.601 luma on
+    * a 9x8 grid), paired by 4x16-bit Hamming-LSH bands (pigeonhole-
+    * lossless at the Hamming <= 3 threshold) and verified with the
+    * exact popcount distance. The planted variants exercise both
+    * invariances: RESIZED copies (nearest-neighbor through 72x72 via
+    * the real BMP re-encode path — the 9x8 sampling composes through
+    * any 72-divisible grid exactly, so their hashes are bit-identical,
+    * ham 0) and NOISED copies (blue channel inverted on every 7th
+    * pixel — up to ~11% of the luma range on the few grid cells that
+    * sample those pixels, flipping a handful of gradient bits).
+    * Oracle-gated BIT-EXACTLY: DuckDB recomputes every hash closed-
+    * form from the document bytes (the resize collapse is exact:
+    * floor(floor(72c/9)·w/72) = floor(cw/9)), takes all pairs at
+    * ham <= 3, and must match the banded pipeline row for row.
+    */
+  private def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Codecs, ImageDedup => ID}
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+    val media = Multimodal.syntheticMediaFromDocs(s, docs)
+    val resized = Multimodal.resize(media.filter(_.media_id % 30 == 0), 72, 72)
+      .map(m => m.copy(media_id = m.media_id + 5000000L))
+    val noised = media.filter(_.media_id % 45 == 0).mapPartitions(_.map { m =>
+      val im = Codecs.decodeBmp(m.content)
+      val px = im.pixels.clone()
+      var i = 0
+      // invert the blue channel of every 7th pixel: up to ~11% of the
+      // luma range on the handful of 9x8 cells that sample those
+      // pixels — enough to flip a few gradient bits, far from 64
+      while (i < px.length) { if (i % 7 == 0) px(i) = px(i) ^ 0xff; i += 1 }
+      m.copy(media_id = m.media_id + 6000000L,
+        content = Codecs.encodeBmp(im.width, im.height, px))
+    })
+    ID.nearDupPairs(ID.dHashes(media.union(resized).union(noised)),
+        "media_id", "hash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("ham").cast("long").as("ham"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup semantic dedup removal list over the planted-perturbed
     * corpus ([[dedupEmbedding]]'s construction): k-means clusters the
     * embedding space (md5 seeds, 2 Lloyd iterations on the µ-grid),
@@ -3872,6 +3944,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
@@ -3917,6 +3990,7 @@ object SparkEntry {
     "pq_topk" -> (pqTopk _),
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
+    "image_dedup" -> (imageDedup _),
     "cdc_wire_decode" -> (cdcWireDecode _),
     "sample_sketch" -> (sampleSketch _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -4943,6 +5017,26 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // absorb == rebuild: the oracle closes base ∪ increment edges
+    // transitively from scratch; the Spark side reaches the same
+    // labels through the persisted store's absorb path
+    "dedup_clusters_incremental" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT vec_id AS i FROM embeddings WHERE vec_id < 200),
+        |base AS (SELECT i AS a, i + 1 AS b FROM ids WHERE i % 10 < 3),
+        |inc AS (
+        |  SELECT i AS a, i + 1 AS b FROM ids WHERE i % 10 = 3
+        |  UNION ALL
+        |  SELECT i AS a, i + 6 AS b FROM ids WHERE i % 20 = 4),
+        |alle AS (SELECT a, b FROM base UNION ALL SELECT a, b FROM inc),
+        |edges AS (SELECT a AS src, b AS dst FROM alle
+        |          UNION SELECT b, a FROM alle),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "text_scrub_pii" ->
       """SELECT doc_id,
         | regexp_replace(
@@ -6386,6 +6480,49 @@ object SparkEntry {
         |       CAST(sum(frames) AS BIGINT) AS total_frames,
         |       true AS decode_ok, true AS features_ok
         |FROM b GROUP BY media_type ORDER BY media_type""".stripMargin,
+    // image dHash dedup, closed-form: every 9x8 grid cell's integer
+    // Rec.601 luma recomputed from the document bytes (ASCII, so
+    // unicode() == byte), gradient-sign bits, all-pairs popcount at
+    // ham <= 3. The resized variants reuse the base sampling formula
+    // because the 72x72 nearest-neighbor hop collapses exactly:
+    // floor(floor(72c/9)*w/72) = floor(c*w/9), same for rows.
+    "image_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, text,
+        |         least(doc_id % 640 + 16, 32) AS w,
+        |         least(doc_id % 480 + 16, 32) AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        |variants AS (
+        |  SELECT id, text, w, h, 0 AS noise FROM imgs
+        |  UNION ALL SELECT id + 5000000, text, w, h, 0 FROM imgs WHERE id % 30 = 0
+        |  UNION ALL SELECT id + 6000000, text, w, h, 1 FROM imgs WHERE id % 45 = 0),
+        |gcells AS (
+        |  SELECT v.id, v.noise, v.text, gr.r, gc.c,
+        |         ((gr.r * v.h) // 8) * v.w + ((gc.c * v.w) // 9) AS p
+        |  FROM variants v, generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
+        |lums AS (
+        |  SELECT id, r, c,
+        |    299 * b + 587 * ((b * 31) % 256)
+        |      + 114 * (CASE WHEN noise = 1 AND p % 7 = 0
+        |                    THEN xor((b * 7) % 256, 255)
+        |                    ELSE (b * 7) % 256 END) AS lum
+        |  FROM (SELECT id, noise, r, c, p,
+        |          CASE WHEN strlen(text) = 0 THEN 0
+        |               ELSE unicode(substr(text, CAST(p % strlen(text) AS INT) + 1, 1))
+        |          END AS b
+        |        FROM gcells)),
+        |bits AS (
+        |  SELECT a.id, a.r * 8 + a.c AS i,
+        |         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM lums a JOIN lums b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits x JOIN bits y ON x.i = y.i AND x.id < y.id
+        |  GROUP BY x.id, y.id)
+        |SELECT id_a, id_b, CAST(ham AS BIGINT) AS ham
+        |FROM pairs WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin,
     // supervised bucketing on the integer mu-grid: centroid sums and
     // squared distances are exact integers, so the argmin replays;
     // parallel unnest zips component with 1-based position

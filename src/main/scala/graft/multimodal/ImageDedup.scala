@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import graft.operators.BinaryAnn
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Image perceptual-hash near-duplicate detection — the standard
+  * multimodal-corpus dedup step: a 64-bit difference hash (dHash)
+  * computed from REAL decoded pixels ([[Codecs.decodeBmp]]), packed in
+  * the repo-wide 32-bit-word convention ([[BinaryAnn]]), paired by
+  * Hamming-LSH banding, and verified with the exact popcount distance.
+  *
+  * dHash (the DCT-free member of the pHash family): grayscale the
+  * image, nearest-neighbor resample to a 9x8 grid, and set bit
+  * `r*8 + c` iff the cell right of (r, c) is brighter than (r, c) —
+  * 64 brightness-gradient signs. Gradient signs survive what byte
+  * hashes don't: resampling (a nearest-neighbor resize through any
+  * grid whose edges divide 72 reproduces the hash EXACTLY — the 9x8
+  * sampling composes through it, spec-proved), re-encoding, and
+  * small pixel noise (a flipped low bit moves one luma by <= 114/1000
+  * of a grey level and flips at most the two bits watching that cell).
+  *
+  * Luma is the integer Rec.601 form `299·R + 587·G + 114·B` (0..255000
+  * — exact, no float rounding anywhere), so every bit, and therefore
+  * every pair and distance, replays bit-for-bit on any engine.
+  *
+  * Scale shape: hashing is one `mapPartitions` decode pass (the
+  * per-partition-codec-reuse exception; 8 bytes out per image);
+  * banding shuffles (band, value)-keyed ID rows — never pixels; the
+  * verify join carries 16-byte hashes. With 4 bands of 16 bits the
+  * banding is pigeonhole-LOSSLESS for Hamming <= 3: every true pair
+  * at the default threshold shares at least one exact band, so
+  * banded + verified equals the all-pairs truth set — the property
+  * the `image_dedup` oracle gate hash-checks.
+  */
+object ImageDedup {
+
+  /** Integer Rec.601 luma of a `0xRRGGBB` pixel, on the x1000 grid. */
+  def luma1000(p: Int): Int =
+    299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+
+  /** 64-bit difference hash of a decoded image, packed as two 32-bit
+    * words (low word first — the [[BinaryAnn.packSignBits]] layout, so
+    * [[BinaryAnn.hammingWords]] and its HOF twin apply unchanged).
+    */
+  def dHash(img: Codecs.BmpImage): Array[Long] = {
+    val g = Codecs.resampleNearest(img, 9, 8)
+    val words = new Array[Long](2)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val i = r * 8 + c
+        if (luma1000(g.pixels(r * 9 + c + 1)) > luma1000(g.pixels(r * 9 + c)))
+          words(i / 32) |= 1L << (i % 32)
+        c += 1
+      }
+      r += 1
+    }
+    words
+  }
+
+  /** One decode+hash pass over a media table's image rows: BMP rows
+    * hash from their real pixels; rows of other formats are dropped
+    * (no codec, no hash — a production pipeline routes them to its
+    * decoder fleet). `mapPartitions` so the decode buffers stay local
+    * to a partition.
+    *
+    * @return (media_id, hash `array<bigint>` of two 32-bit words)
+    */
+  def dHashes(media: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.collect {
+        case m if m.format == "bmp" =>
+          (m.media_id, dHash(Codecs.decodeBmp(m.content)).toSeq)
+      }
+    }.toDF("media_id", "hash")
+  }
+
+  /** 16-bit band `j` (0..3) of a packed 64-bit hash. */
+  private def bandCol(h: Column, j: Int): Column =
+    shiftright(element_at(h, j / 2 + 1), (j % 2) * 16).bitwiseAND(lit(0xffffL))
+
+  /** Near-duplicate image pairs by banded Hamming distance: candidates
+    * share at least one 16-bit band; survivors clear the exact
+    * popcount distance. Lossless for `maxHamming` <= 3 (pigeonhole
+    * over 4 bands), so the result EQUALS the all-pairs truth set as
+    * long as no bucket overflows `maxBucketSize` (a popular band value
+    * is a duplicate GROUP — the [[graft.operators.SimilaritySearch
+    * .embeddingNearDupPairs]] guard argument).
+    *
+    * @return (id_a, id_b, ham), id_a < id_b
+    */
+  def nearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
+    val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val banded = base.select(col("id"), col("h"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("bj"), bandCol(col("h"), j).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("h"), col("b.bj").as("bj"), col("b.bv").as("bv"))
+    val bounded = banded.join(
+      banded.groupBy(col("bj"), col("bv"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n"),
+      Seq("bj", "bv"))
+    val a = bounded.select(col("bj"), col("bv"),
+      col("id").as("id_a"), col("h").as("__ha"))
+    val b = bounded.select(col("bj"), col("bv"),
+      col("id").as("id_b"), col("h").as("__hb"))
+    a.join(b, Seq("bj", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        BinaryAnn.hammingWords(col("__ha"), col("__hb")).as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the last step of a near-dup
@@ -91,5 +91,170 @@ object Clustering {
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  // ----- incremental component store (the AggStore.absorbIntoSaved
+  // lifecycle applied to cluster labels) -----
+
+  /** A loaded component store: `labels` is the persisted (id, cluster,
+    * __kp) table, id-hash-prefix-partitioned so endpoint lookups prune
+    * at the directory level; `relabels` is the tiny (old_cluster,
+    * new_cluster) root-forwarding table lazy merges accumulate into —
+    * the distributed form of union-find's deferred path compression.
+    * Resolve to final labels with [[resolvedLabels]]; fold the
+    * forwarding table away with [[compactClusters]].
+    */
+  final case class ClusterStore(
+      labels: DataFrame,
+      relabels: DataFrame,
+      prefixBuckets: Int)
+
+  private def kpId(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Persist a (id, cluster) label table (e.g.
+    * [[connectedComponents]]'s output) as a component store. Ids ride
+    * as longs — the repo-wide key convention.
+    */
+  def saveClusters(
+      labels: DataFrame,
+      path: String,
+      prefixBuckets: Int = 64): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels
+      .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+      .withColumn("__kp", kpId(col("id"), prefixBuckets))
+      .repartition(col("__kp"))
+      .write.mode("overwrite").partitionBy("__kp").parquet(s"$path/labels")
+    Seq.empty[(Long, Long)].toDF("old_cluster", "new_cluster")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/relabels")
+    Seq(prefixBuckets).toDF("prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted component store (lazy — absorbs and probes read
+    * only the label partitions they prune to; the relabel table is
+    * root-move-sized, broadcastable by construction until
+    * [[compactClusters]] folds it away).
+    */
+  def loadClusters(spark: SparkSession, path: String): ClusterStore =
+    ClusterStore(
+      spark.read.parquet(s"$path/labels"),
+      spark.read.parquet(s"$path/relabels"),
+      spark.read.parquet(s"$path/meta").head().getAs[Int]("prefixBuckets"))
+
+  /** Fold new edges into the SAVED component store at O(increment):
+    * components untouched by the increment are neither read, written,
+    * nor re-propagated.
+    *
+    * The algorithm is union-find with deferred path compression, kept
+    * distributed end to end:
+    *  1. the increment's endpoints look up their current labels via a
+    *     directory-PRUNED read of the id-partitioned label table (the
+    *     bounded-prefix-collect contract of every graft store), and
+    *     existing root forwards apply via the broadcast relabel table;
+    *  2. each touched component CONTRACTS to its root, so component
+    *     re-propagation runs [[connectedComponents]] on a graph of
+    *     increment size — roots + brand-new ids — never on the
+    *     accumulated edge set;
+    *  3. roots whose contracted component gained a smaller member
+    *     forward to the new minimum in the relabel table (composed
+    *     transitively, so reads stay one hop), and unseen endpoints
+    *     APPEND into their hash partitions — no existing label row is
+    *     rewritten (stale rows resolve through the forwarding table at
+    *     read time).
+    *
+    * Because every root is its component's minimum member id
+    * (established by [[connectedComponents]], preserved inductively
+    * here: the contracted minimum is the union's minimum), absorb
+    * equals a from-scratch rebuild over the accumulated edges EXACTLY
+    * — ClusteringSpec's differential and the `dedup_clusters_
+    * incremental` oracle gate both assert it.
+    */
+  def absorbEdges(
+      spark: SparkSession,
+      path: String,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String): Unit = {
+    val st = loadClusters(spark, path)
+    val edges = newEdges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .persist()
+    val endpoints = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .distinct()
+      .persist()
+    val prefixes = endpoints
+      .select(kpId(col("id"), st.prefixBuckets).as("__kp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val known = st.labels.filter(col("__kp").isin(prefixes: _*))
+      .join(endpoints, "id")
+      .join(broadcast(st.relabels), col("cluster") === col("old_cluster"), "left")
+      .select(col("id"), coalesce(col("new_cluster"), col("cluster")).as("root"))
+      .persist()
+    val contracted = edges
+      .join(known.select(col("id").as("a"), col("root").as("__ra")), Seq("a"), "left")
+      .join(known.select(col("id").as("b"), col("root").as("__rb")), Seq("b"), "left")
+      .select(
+        coalesce(col("__ra"), col("a")).as("src"),
+        coalesce(col("__rb"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val comp = connectedComponents(contracted, "src", "dst")
+      .select(col("id").as("node"), col("cluster").as("newroot"))
+    val rootMoves = known.select(col("root")).distinct()
+      .join(comp, col("root") === col("node"))
+      .filter(col("newroot") =!= col("root"))
+      .select(col("root").as("from_root"), col("newroot"))
+    // compose the existing forwards through this round's root moves so
+    // resolution stays ONE broadcast hop, then stage through a lineage
+    // cut (the table is read lazily from the same path it overwrites)
+    val staged = st.relabels
+      .join(broadcast(rootMoves), col("new_cluster") === col("from_root"), "left")
+      .select(col("old_cluster"),
+        coalesce(col("newroot"), col("new_cluster")).as("new_cluster"))
+      .unionByName(rootMoves.select(
+        col("from_root").as("old_cluster"), col("newroot").as("new_cluster")))
+      .distinct()
+      .repartition(1)
+      .localCheckpoint(true)
+    staged.write.mode("overwrite").parquet(s"$path/relabels")
+    val newLabels = endpoints
+      .join(known.select(col("id")), Seq("id"), "left_anti")
+      .join(comp, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("newroot"), col("id")).as("cluster"))
+      .withColumn("__kp", kpId(col("id"), st.prefixBuckets))
+    newLabels.repartition(col("__kp"))
+      .write.mode("append").partitionBy("__kp").parquet(s"$path/labels")
+    staged.unpersist(); known.unpersist(); endpoints.unpersist(); edges.unpersist()
+    ()
+  }
+
+  /** Final (id, cluster) labels of a loaded store: one broadcast hop
+    * through the root-forwarding table.
+    */
+  def resolvedLabels(store: ClusterStore): DataFrame =
+    store.labels
+      .join(broadcast(store.relabels), col("cluster") === col("old_cluster"), "left")
+      .select(col("id"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+
+  /** Fold the forwarding table into the label rows (full rewrite) and
+    * reset it to empty — run when the relabel table outgrows the
+    * broadcast budget, the compaction half of the store lifecycle.
+    */
+  def compactClusters(spark: SparkSession, path: String): Unit = {
+    val st = loadClusters(spark, path)
+    import spark.implicits._
+    val staged = resolvedLabels(st)
+      .withColumn("__kp", kpId(col("id"), st.prefixBuckets))
+      .repartition(col("__kp"))
+      .localCheckpoint(true)
+    staged.write.mode("overwrite").partitionBy("__kp").parquet(s"$path/labels")
+    Seq.empty[(Long, Long)].toDF("old_cluster", "new_cluster")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/relabels")
+    staged.unpersist()
+    ()
   }
 }

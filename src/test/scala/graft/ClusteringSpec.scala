@@ -50,4 +50,55 @@ class ClusteringSpec extends SparkSpec {
     val empty = spark.emptyDataset[(Long, Long)].toDF("a", "b")
     assert(Clustering.connectedComponents(empty, "a", "b").count() == 0)
   }
+
+  private def resolved(path: String): Map[Long, Long] =
+    Clustering.resolvedLabels(Clustering.loadClusters(spark, path))
+      .as[(Long, Long)].collect().toMap
+
+  test("absorbEdges == rebuild across batches with cross-component merges") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore").toString
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(900)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    // batch 1 builds the store; batches 2-3 absorb — the random graph
+    // guarantees merges across existing components and brand-new nodes
+    val (b1, rest) = all.splitAt(300)
+    val (b2, b3) = rest.splitAt(300)
+    Clustering.saveClusters(
+      Clustering.connectedComponents(b1.toDF("a", "b"), "a", "b"),
+      dir, prefixBuckets = 16)
+    Clustering.absorbEdges(spark, dir, b2.toDF("a", "b"), "a", "b")
+    Clustering.absorbEdges(spark, dir, b3.toDF("a", "b"), "a", "b")
+    assert(resolved(dir) == unionFind(all))
+    // compaction folds the forwarding table away without changing labels
+    Clustering.compactClusters(spark, dir)
+    val st = Clustering.loadClusters(spark, dir)
+    assert(st.relabels.count() == 0)
+    assert(resolved(dir) == unionFind(all))
+  }
+
+  test("absorbEdges handles intra-component and self edges as no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore2").toString
+    Clustering.saveClusters(
+      Clustering.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b"),
+      dir, prefixBuckets = 8)
+    // an edge inside {1,2,3}, a self edge, and a lone new self edge
+    Clustering.absorbEdges(spark, dir,
+      Seq((3L, 1L), (2L, 2L), (42L, 42L)).toDF("a", "b"), "a", "b")
+    assert(resolved(dir) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 42L -> 42L))
+  }
+
+  test("absorbEdges bridges two existing components through a new node") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore3").toString
+    Clustering.saveClusters(
+      Clustering.connectedComponents(
+        Seq((5L, 6L), (20L, 21L)).toDF("a", "b"), "a", "b"),
+      dir, prefixBuckets = 8)
+    Clustering.absorbEdges(spark, dir,
+      Seq((6L, 100L), (100L, 21L)).toDF("a", "b"), "a", "b")
+    assert(resolved(dir) ==
+      Map(5L -> 5L, 6L -> 5L, 20L -> 5L, 21L -> 5L, 100L -> 5L))
+  }
 }

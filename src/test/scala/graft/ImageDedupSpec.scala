@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.{Codecs, ImageDedup, Multimodal}
+
+import org.apache.spark.sql.functions._
+
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def img(w: Int, h: Int, seed: Int): Codecs.BmpImage = {
+    val px = Array.tabulate(w * h) { i =>
+      val b = (i * 131 + seed * 17) % 256
+      (b << 16) | ((b * 31 % 256) << 8) | (b * 7 % 256)
+    }
+    Codecs.BmpImage(w, h, px)
+  }
+
+  test("dHash is EXACTLY invariant under resize through a 72-divisible grid") {
+    val base = img(31, 23, seed = 5)
+    val h0 = ImageDedup.dHash(base).toSeq
+    for ((w, h) <- Seq((72, 72), (36, 24), (9, 8))) {
+      val resized = Codecs.resampleNearest(base, w, h)
+      assert(ImageDedup.dHash(resized).toSeq == h0,
+        s"hash drifted through ${w}x$h")
+    }
+    // and through a real encode/decode round trip of the resized image
+    val rt = Codecs.decodeBmp(
+      Codecs.encodeBmp(72, 72, Codecs.resampleNearest(base, 72, 72).pixels))
+    assert(ImageDedup.dHash(rt).toSeq == h0)
+  }
+
+  test("a flipped blue low bit moves at most the two bits watching that cell") {
+    val base = img(18, 16, seed = 9)
+    val noisy = base.copy(pixels = base.pixels.clone())
+    noisy.pixels(0) = noisy.pixels(0) ^ 1
+    val a = ImageDedup.dHash(base)
+    val b = ImageDedup.dHash(noisy)
+    val ham = (0 until 2).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+    assert(ham <= 2, s"one-pixel noise flipped $ham bits")
+  }
+
+  test("banded pairs equal the all-pairs truth set at Hamming <= 3") {
+    // 12 base images plus a near-copy of each (one pixel nudged) and
+    // one far image: truth pairs are (i, i+100) and whatever chance
+    // collisions exist — the banding must reproduce them exactly
+    val imgs = (0 until 12).flatMap { s =>
+      val b = img(20, 15, seed = s)
+      val n = b.copy(pixels = b.pixels.clone())
+      n.pixels(3) = n.pixels(3) ^ 1
+      Seq((s.toLong, b), (s + 100L, n))
+    }
+    val hashes = imgs.map { case (id, im) => (id, ImageDedup.dHash(im).toSeq) }
+    val truth = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      ham = (0 until 2).map(i => java.lang.Long.bitCount(ha(i) ^ hb(i))).sum
+      if ham <= 3
+    } yield (ia, ib, ham.toLong)).toSet
+    val got = ImageDedup.nearDupPairs(
+      hashes.toDF("media_id", "hash"), "media_id", "hash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("ham").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == truth, s"diff: ${got.diff(truth)} / ${truth.diff(got)}")
+    assert(truth.nonEmpty, "fixture produced no true pairs")
+  }
+
+  test("dHashes hashes BMP rows from real pixels and drops codec-less formats") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "bmp", 10, 8, 0L,
+        Codecs.encodeBmp(10, 8, img(10, 8, 1).pixels)),
+      Multimodal.MediaRecord(2L, "video", "mp4", 0, 0, 0L, Array[Byte](1, 2, 3)))
+      .toDS()
+    val got = ImageDedup.dHashes(media).as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == ImageDedup.dHash(img(10, 8, 1)).toSeq)
+  }
+
+  test("mega-buckets are dropped by the bucket cap") {
+    // 50 identical hashes: every band bucket holds 50 > cap -> no pairs
+    val hashes = (1L to 50L).map(i => (i, Seq(7L, 9L))).toDF("media_id", "hash")
+    assert(ImageDedup.nearDupPairs(hashes, "media_id", "hash",
+      maxHamming = 3, maxBucketSize = 10).count() == 0)
+  }
+}
