@@ -1717,6 +1717,29 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Serving-time MMR diversity gate ([[graft.streaming.StreamMmr
+    * .diversityGate]] — the streaming twin of [[graft.operators
+    * .SimilaritySearch.mmrSelect]]'s scoring arithmetic): candidates
+    * (vec_id >= 3) are scored against query vec 0 with the FIXED
+    * selected set {vec 1, vec 2} riding the plan as literals — a pure
+    * stateless projection, stream-legal with zero state. At λ = 1/2
+    * and threshold 0 `keep` reads "at least as close to the query as
+    * to every selected exemplar". BIT-EXACT oracle-gated: µ-grid
+    * decimal cosines, integer score, boolean verdict all replay.
+    */
+  private def mmrGateQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val sel = emb.filter(col("vec_id").isin(0L, 1L, 2L)).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    graft.streaming.StreamMmr
+      .diversityGate(emb.filter(col("vec_id") >= 3), "embedding",
+        query = sel.head, selected = sel.drop(1),
+        lambdaNum = 1L, lambdaDen = 2L, minScoreMicro = 0L)
+      .select(col("vec_id"), col("rel_micro"), col("max_sim_micro"),
+        col("score_micro"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Containment near-dup pairs over planted PREFIX-HALF documents
     * (every doc_id % 50 == 0 contributes a copy holding its first
     * max(len/2, 3) tokens): the asymmetric overlap signal symmetric
@@ -3119,6 +3142,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** [[ulmTrainQ]] through the persisted-train-state ABSORB path: the
+    * vocabulary trains on the EVEN half of the corpus
+    * ([[graft.operators.UnigramLm.trainAndSave]] — the distinct-word
+    * table persists hash-prefix-partitioned beside the artifact), then
+    * the ODD half folds in ([[graft.operators.UnigramLm
+    * .absorbIntoSaved]] — the increment is word-counted, only touched
+    * word partitions merge under dynamic overwrite, and EM re-runs
+    * over the vocabulary-sized word table; the base corpus is never
+    * rescanned). Gated against the SAME full-corpus EM oracle as
+    * `ulm_train`, so absorb == rebuild is itself oracle-checked (the
+    * `bm25_absorb_search` convention).
+    */
+  private def ulmAbsorbTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val v = UlmStageCache.getOrElseUpdate(s, dir + "#absorb") {
+      val path = scratchDir("graft-ulm-absorb")
+      graft.operators.UnigramLm.trainAndSave(
+        docs.filter(col("doc_id") % 2 === 0), "text", path,
+        maxPieceLen = UlmMaxPieceLen, topMulti = UlmTopMulti,
+        emIters = UlmEmIters, maxWordLen = UlmMaxWordLen)
+      graft.operators.UnigramLm.absorbIntoSaved(
+        s, path, docs.filter(col("doc_id") % 2 === 1), "text")
+    }
+    graft.operators.UnigramLm.vocabTable(docs, "text", v)
+  }
+
   /** BM25 search over an index built from HALF the corpus and
     * [[graft.operators.Bm25.absorb]]-ed with the other half — gated
     * against the oracle's full-corpus replay, so the absorb==rebuild
@@ -4007,6 +4056,7 @@ object SparkEntry {
     "bpe_train" -> (bpeTrainQ _),
     "bpe_segment" -> (bpeSegmentQ _),
     "ulm_train" -> (ulmTrainQ _),
+    "ulm_absorb_train" -> (ulmAbsorbTrain _),
     "ulm_segment" -> (ulmSegmentQ _),
     "ulm_segment_persisted" -> (ulmSegmentPersisted _),
     "ulm_train_pruned" -> (ulmTrainPruned _),
@@ -4056,6 +4106,7 @@ object SparkEntry {
     "knn_graph" -> (knnGraphQ _),
     "knn_graph_ann" -> (knnGraphAnnQ _),
     "mmr_select" -> (mmrSelectQ _),
+    "mmr_diversity_gate" -> (mmrGateQ _),
     "event_outliers_mad" -> (eventOutliersMad _),
     "phrase_search" -> (phraseSearchQ _),
     "snapshot_diff" -> (snapshotDiffQ _),
@@ -4096,6 +4147,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "dedup_incremental_minhash_persisted" -> oracleSqlBase("dedup_incremental_minhash"),
+    // absorb == rebuild: the absorbed vocabulary must equal the
+    // full-corpus EM replay verbatim
+    "ulm_absorb_train" -> oracleSqlBase("ulm_train"),
     "dedup_incremental_spans_persisted" -> oracleSqlBase("dedup_incremental_spans"),
     // the inline (task-closure model) twin is bit-identical to the
     // join form by construction; it shares the oracle verbatim
@@ -7328,6 +7382,49 @@ object SparkEntry {
         |FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
         |WHERE d.src < d.dst
         |ORDER BY id_a, id_b""".stripMargin,
+    // MMR serving gate: candidate µ-cosines vs the query (vec 0) and
+    // the two fixed exemplars (vec 1, 2); integer score and verdict
+    "mmr_diversity_gate" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |q AS (SELECT vv AS qv FROM v WHERE vec_id = 0),
+        |s1 AS (SELECT vv AS sv FROM v WHERE vec_id = 1),
+        |s2 AS (SELECT vv AS sv FROM v WHERE vec_id = 2),
+        |cand AS (SELECT vec_id, vv FROM v WHERE vec_id >= 3),
+        |rel AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(sum(CAST(x*y AS DECIMAL(28,14))) AS DOUBLE) /
+        |      (sqrt(CAST(sum(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE)) *
+        |       sqrt(CAST(sum(CAST(y*y AS DECIMAL(28,14))) AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS rel_micro
+        |  FROM (SELECT c.vec_id, unnest(c.vv) AS x, unnest(q.qv) AS y
+        |        FROM cand c, q)
+        |  GROUP BY vec_id),
+        |m1 AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(sum(CAST(x*y AS DECIMAL(28,14))) AS DOUBLE) /
+        |      (sqrt(CAST(sum(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE)) *
+        |       sqrt(CAST(sum(CAST(y*y AS DECIMAL(28,14))) AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim1
+        |  FROM (SELECT c.vec_id, unnest(c.vv) AS x, unnest(s1.sv) AS y
+        |        FROM cand c, s1)
+        |  GROUP BY vec_id),
+        |m2 AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(sum(CAST(x*y AS DECIMAL(28,14))) AS DOUBLE) /
+        |      (sqrt(CAST(sum(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE)) *
+        |       sqrt(CAST(sum(CAST(y*y AS DECIMAL(28,14))) AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim2
+        |  FROM (SELECT c.vec_id, unnest(c.vv) AS x, unnest(s2.sv) AS y
+        |        FROM cand c, s2)
+        |  GROUP BY vec_id)
+        |SELECT r.vec_id, r.rel_micro,
+        |       greatest(m1.sim1, m2.sim2) AS max_sim_micro,
+        |       r.rel_micro - greatest(m1.sim1, m2.sim2) AS score_micro,
+        |       (r.rel_micro - greatest(m1.sim1, m2.sim2) >= 0) AS keep
+        |FROM rel r JOIN m1 ON r.vec_id = m1.vec_id
+        |           JOIN m2 ON r.vec_id = m2.vec_id
+        |ORDER BY r.vec_id""".stripMargin,
     // greedy MMR: 5 unrolled argmax rounds on the µ-grid (λ = 1/2)
     "mmr_select" ->
       """WITH v0 AS MATERIALIZED (

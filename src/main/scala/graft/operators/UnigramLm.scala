@@ -187,6 +187,27 @@ object UnigramLm {
     Vocab(lpOf((chars ++ multi).sortBy(_._1)), vocab.maxPieceLen)
   }
 
+  /** Seed + EM over an already-built distinct-word table — the
+    * vocabulary-sized half of training, shared by [[train]] and
+    * [[absorbIntoSaved]] (the corpus-sized half is the word count).
+    */
+  private def trainFromWords(
+      words: DataFrame,
+      maxPieceLen: Int,
+      topMulti: Int,
+      emIters: Int,
+      pruneMultiTo: Option[Int]): Vocab = {
+    val seed = seedCounts(words, maxPieceLen, topMulti)
+    val charSet = seed.filter(_._1.length == 1).map(_._1).sorted
+    var vocab = Vocab(lpOf(seed), maxPieceLen)
+    var it = 0
+    while (it < emIters) {
+      vocab = emRound(words, vocab, charSet, pruneMultiTo)
+      it += 1
+    }
+    vocab
+  }
+
   /** Train a unigram-LM vocabulary: seed from substrings, then
     * `emIters` hard-EM rounds over the distinct-word table.
     */
@@ -201,17 +222,8 @@ object UnigramLm {
     require(maxPieceLen >= 1 && topMulti >= 0 && emIters >= 0, "bad unigram-LM params")
     val words = wordTable(docs, textCol, maxWordLen).persist()
     words.count()
-    try {
-      val seed = seedCounts(words, maxPieceLen, topMulti)
-      val charSet = seed.filter(_._1.length == 1).map(_._1).sorted
-      var vocab = Vocab(lpOf(seed), maxPieceLen)
-      var it = 0
-      while (it < emIters) {
-        vocab = emRound(words, vocab, charSet, pruneMultiTo)
-        it += 1
-      }
-      vocab
-    } finally { words.unpersist(); () }
+    try trainFromWords(words, maxPieceLen, topMulti, emIters, pruneMultiTo)
+    finally { words.unpersist(); () }
   }
 
   /** Train to a TARGET vocabulary size (SentencePiece's outer loop,
@@ -316,6 +328,96 @@ object UnigramLm {
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n"), r.getAs[Long]("lp")))
       .sortBy(_._1)
     Vocab(pieces.toSeq, maxPieceLen)
+  }
+
+  private def kpW(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Train AND persist the full train state: the vocabulary artifact
+    * ([[save]]'s layout, so [[load]] serves it unchanged) plus the
+    * distinct-word table, hash-prefix-partitioned on the word, plus
+    * the training parameters — everything [[absorbIntoSaved]] needs
+    * to fold a corpus increment in later.
+    */
+  def trainAndSave(
+      docs: DataFrame,
+      textCol: String,
+      path: String,
+      maxPieceLen: Int = 4,
+      topMulti: Int = 25,
+      emIters: Int = 2,
+      maxWordLen: Int = 12,
+      pruneMultiTo: Option[Int] = None,
+      prefixBuckets: Int = 64): Vocab = {
+    require(maxPieceLen >= 1 && topMulti >= 0 && emIters >= 0 && prefixBuckets > 0,
+      "bad unigram-LM params")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol, maxWordLen).persist()
+    words.count()
+    try {
+      val vocab = trainFromWords(words, maxPieceLen, topMulti, emIters, pruneMultiTo)
+      save(vocab, spark, path)
+      words.withColumn("__kp", kpW(col("w"), prefixBuckets))
+        .repartition(col("__kp"))
+        .write.mode("overwrite").partitionBy("__kp").parquet(s"$path/words")
+      Seq((topMulti, emIters, maxWordLen,
+          pruneMultiTo.map(_.toLong).map(java.lang.Long.valueOf).orNull, prefixBuckets))
+        .toDF("topMulti", "emIters", "maxWordLen", "pruneMultiTo", "prefixBuckets")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+      vocab
+    } finally { words.unpersist(); () }
+  }
+
+  /** Fold a corpus increment into the SAVED train state and re-emit
+    * the vocabulary — the [[Bm25.absorbIntoSaved]] lifecycle for the
+    * tokenizer: the increment is word-counted (the only corpus-sized
+    * work), its counts merge into the word table's touched hash
+    * partitions only (directory-pruned read, dynamic overwrite — the
+    * AggStore absorb shape), and seeding + EM re-run over the
+    * VOCABULARY-sized merged word table. Because word counts are a
+    * commutative monoid and everything downstream of the word table is
+    * a deterministic function of it, absorb-then-train equals
+    * retraining on the full corpus EXACTLY (UnigramLmSpec's
+    * differential and the `ulm_absorb_train` oracle gate) — but the
+    * 100 TB base corpus is never rescanned.
+    */
+  def absorbIntoSaved(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      textCol: String): Vocab = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val topMulti = p.getAs[Int]("topMulti")
+    val emIters = p.getAs[Int]("emIters")
+    val maxWordLen = p.getAs[Int]("maxWordLen")
+    val pruneMultiTo = Option(p.getAs[java.lang.Long]("pruneMultiTo")).map(_.toInt)
+    val buckets = p.getAs[Int]("prefixBuckets")
+    val maxPieceLen = spark.read.parquet(s"$path/meta").head().getAs[Int]("maxPieceLen")
+    val inc = wordTable(newDocs, textCol, maxWordLen)
+      .withColumn("__kp", kpW(col("w"), buckets))
+      .persist()
+    val touched = inc.select(col("__kp")).distinct().collect().map(_.getInt(0)).toSeq
+    val slice = spark.read.parquet(s"$path/words")
+      .filter(col("__kp").isin(touched: _*)).drop("__kp")
+    val staged = slice
+      .join(inc.drop("__kp").withColumnRenamed("wn", "__wn2"), Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("wn"), lit(0L)) + coalesce(col("__wn2"), lit(0L))).as("wn"))
+      .withColumn("__kp", kpW(col("w"), buckets))
+      .repartition(col("__kp"))
+      .localCheckpoint(true)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kp").parquet(s"$path/words")
+    staged.unpersist(); inc.unpersist()
+    val words = spark.read.parquet(s"$path/words").drop("__kp").persist()
+    words.count()
+    try {
+      val vocab = trainFromWords(words, maxPieceLen, topMulti, emIters, pruneMultiTo)
+      save(vocab, spark, path)
+      vocab
+    } finally { words.unpersist(); () }
   }
 
   /** Segment a text column under a trained vocab: tokens above

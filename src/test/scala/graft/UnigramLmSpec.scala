@@ -133,6 +133,41 @@ class UnigramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("vocabulary is empty"))
   }
 
+  test("absorbIntoSaved == full retrain, and segmentation agrees") {
+    val path = java.nio.file.Files.createTempDirectory("ulm-absorb").toString
+    val base = Seq((1L, "abab ab cd abcd")).toDF("doc_id", "text")
+    val inc = Seq((2L, "abab abab cd"), (3L, "dd abcd ab")).toDF("doc_id", "text")
+    val full = base.unionByName(inc)
+    UnigramLm.trainAndSave(base, "text", path,
+      maxPieceLen = 3, topMulti = 4, emIters = 2, prefixBuckets = 8)
+    val absorbed = UnigramLm.absorbIntoSaved(spark, path, inc, "text")
+    val retrained = UnigramLm.train(full, "text",
+      maxPieceLen = 3, topMulti = 4, emIters = 2)
+    assert(absorbed.pieces.sortBy(_._1) == retrained.pieces.sortBy(_._1))
+    // the persisted artifact serves the absorbed vocab
+    val loaded = UnigramLm.load(spark, path)
+    assert(loaded.pieces.sortBy(_._1) == retrained.pieces.sortBy(_._1))
+    val a = full.select(UnigramLm.segment(col("text"), loaded).as("ps"))
+      .as[Seq[Seq[String]]].collect().toSeq
+    val b = full.select(UnigramLm.segment(col("text"), retrained).as("ps"))
+      .as[Seq[Seq[String]]].collect().toSeq
+    assert(a == b)
+  }
+
+  test("absorbIntoSaved preserves the prune parameter") {
+    val path = java.nio.file.Files.createTempDirectory("ulm-absorb-p").toString
+    val base = Seq((1L, "abab ab cd abcd")).toDF("doc_id", "text")
+    val inc = Seq((2L, "abab abab cd")).toDF("doc_id", "text")
+    UnigramLm.trainAndSave(base, "text", path,
+      maxPieceLen = 3, topMulti = 6, emIters = 2,
+      pruneMultiTo = Some(1), prefixBuckets = 8)
+    val absorbed = UnigramLm.absorbIntoSaved(spark, path, inc, "text")
+    val retrained = UnigramLm.train(base.unionByName(inc), "text",
+      maxPieceLen = 3, topMulti = 6, emIters = 2, pruneMultiTo = Some(1))
+    assert(absorbed.pieces.sortBy(_._1) == retrained.pieces.sortBy(_._1))
+    assert(absorbed.pieces.count(_._1.length >= 2) <= 1)
+  }
+
   test("emIters=0 serves the raw seed vocabulary") {
     val v = UnigramLm.train(corpus, "text", maxPieceLen = 3, topMulti = 4, emIters = 0)
     // seed multi pieces by (count desc, piece asc): ab:8(pos counts:
