@@ -2714,6 +2714,47 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Audio perceptual-hash near-dup dedup — [[imageDedup]]'s WAV
+    * sibling: 64-bit energy-envelope hashes from REAL decoded PCM-16
+    * samples ([[graft.multimodal.AudioDedup.envelopeHash]] — exact
+    * integer window energies, cross-multiplied mean comparisons),
+    * paired by the same pigeonhole-lossless 4x16-bit Hamming bander.
+    * Planted variants: VOLUME-HALVED copies (every synthetic sample is
+    * even, so s/2 scales each window energy by exactly 1/4 and the
+    * hash is bit-identical — ham 0, the loudness-invariance claim made
+    * exact) and NOISED copies (+500 on every 11th sample — a few
+    * gradient flips). Oracle-gated BIT-EXACTLY: DuckDB resynthesizes
+    * every sample closed-form from the document bytes (including the
+    * PCM-16 wraparound), replays window energies and gradient bits,
+    * and must match the banded pipeline row for row at ham <= 3.
+    */
+  private def audioDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup => AD, Codecs}
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") < 120)
+    val media = Multimodal.syntheticMediaFromDocs(s, docs)
+    val halved = media.filter(_.media_id % 30 == 1).mapPartitions(_.map { m =>
+      val wav = Codecs.decodeWavPcm16(m.content)
+      m.copy(media_id = m.media_id + 5000000L,
+        content = Codecs.encodeWavPcm16(
+          wav.samples.map(x => (x / 2).toShort), wav.sampleRate))
+    })
+    val noised = media.filter(_.media_id % 45 == 1).mapPartitions(_.map { m =>
+      val wav = Codecs.decodeWavPcm16(m.content)
+      val ss = wav.samples.zipWithIndex.map { case (x, i) =>
+        if (i % 11 == 0) (x + 500).toShort else x
+      }
+      m.copy(media_id = m.media_id + 6000000L,
+        content = Codecs.encodeWavPcm16(ss, wav.sampleRate))
+    })
+    AD.nearDupPairs(
+        AD.envelopeHashes(media.union(halved).union(noised)),
+        "media_id", "hash", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("ham").cast("long").as("ham"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup semantic dedup removal list over the planted-perturbed
     * corpus ([[dedupEmbedding]]'s construction): k-means clusters the
     * embedding space (md5 seeds, 2 Lloyd iterations on the µ-grid),
@@ -4040,6 +4081,7 @@ object SparkEntry {
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "image_dedup" -> (imageDedup _),
+    "audio_dedup" -> (audioDedup _),
     "cdc_wire_decode" -> (cdcWireDecode _),
     "sample_sketch" -> (sampleSketch _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -6570,6 +6612,53 @@ object SparkEntry {
         |         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
         |  FROM lums a JOIN lums b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
         |  WHERE a.c < 8),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits x JOIN bits y ON x.i = y.i AND x.id < y.id
+        |  GROUP BY x.id, y.id)
+        |SELECT id_a, id_b, CAST(ham AS BIGINT) AS ham
+        |FROM pairs WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // audio envelope-hash dedup, closed-form: PCM-16 samples
+    // resynthesized from the document bytes (with the toShort
+    // wraparound), 65 window energies, cross-multiplied gradient
+    // bits, all-pairs popcount at ham <= 3. Synthetic samples are all
+    // EVEN, so the halved variant's s // 2 is exact (floor == trunc)
+    "audio_dedup" ->
+      """WITH auds AS (
+        |  SELECT doc_id AS id, text, strlen(text) AS len
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id < 120 AND strlen(text) >= 17),
+        |variants AS (
+        |  SELECT id, text, len, 0 AS scaled, 0 AS noise FROM auds
+        |  UNION ALL SELECT id + 5000000, text, len, 1, 0 FROM auds WHERE id % 30 = 1
+        |  UNION ALL SELECT id + 6000000, text, len, 0, 1 FROM auds WHERE id % 45 = 1),
+        |v AS (SELECT *, least(len * 4, 2048) AS ns FROM variants),
+        |samples AS (
+        |  SELECT q.id, q.ns, q.i,
+        |    CASE WHEN q.noise = 1 AND q.i % 11 = 0
+        |         THEN ((q.s1 + 500 + 32768) % 65536) - 32768
+        |         ELSE q.s1 END AS s
+        |  FROM (
+        |    SELECT v.id, v.ns, v.noise, g.i,
+        |      CASE WHEN v.scaled = 1 THEN l.s0 // 2 ELSE l.s0 END AS s1
+        |    FROM v, generate_series(0, 2047) AS g(i),
+        |      LATERAL (SELECT ((unicode(substr(v.text, CAST(g.i % v.len AS INT) + 1, 1))
+        |                        - 128) * 256 + (g.i % 7) * 100 + 32768) % 65536 - 32768 AS s0) l
+        |    WHERE g.i < v.ns) q),
+        |winb AS (
+        |  SELECT DISTINCT w.id, w.ns, j.j,
+        |         (j.j * w.ns) // 65 AS lo, ((j.j + 1) * w.ns) // 65 AS hi
+        |  FROM (SELECT DISTINCT id, ns FROM v) w, generate_series(0, 64) AS j(j)),
+        |we AS (
+        |  SELECT b.id, b.j, b.hi - b.lo AS wn, sum(s.s * s.s) AS e
+        |  FROM winb b JOIN samples s ON s.id = b.id AND s.i >= b.lo AND s.i < b.hi
+        |  GROUP BY b.id, b.j, b.hi, b.lo),
+        |bits AS (
+        |  SELECT a.id, a.j AS i,
+        |         CASE WHEN b.e * a.wn > a.e * b.wn THEN 1 ELSE 0 END AS bit
+        |  FROM we a JOIN we b ON a.id = b.id AND b.j = a.j + 1
+        |  WHERE a.j < 64),
         |pairs AS (
         |  SELECT x.id AS id_a, y.id AS id_b,
         |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
