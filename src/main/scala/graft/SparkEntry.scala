@@ -2177,6 +2177,42 @@ object SparkEntry {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Leakage-guarded split over a corpus with planted duplicate
+    * CHAINS (doc d -> copies d+2M and d+4M, paired d~d+2M and
+    * d+2M~d+4M so co-splitting requires real transitive closure, not
+    * pair lookup): [[graft.operators.Sampling.clusterAwareSplit]]
+    * assigns every cluster member by its component representative, so
+    * near-duplicates can never straddle train/test. Oracle-gated with
+    * the md5 bucket `split_assign` gates, plus an in-plan `leak_free`
+    * verdict (every pair co-split) the oracle asserts true.
+    */
+  private def clusterAwareSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val seeds = docs.filter(col("doc_id") % 50 === 0)
+    val all = docs
+      .unionByName(seeds.select((col("doc_id") + 2000000L).as("doc_id")))
+      .unionByName(seeds.select((col("doc_id") + 4000000L).as("doc_id")))
+    val pairs = seeds
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 2000000L).as("id_b"))
+      .unionByName(seeds.select((col("doc_id") + 2000000L).as("id_a"),
+        (col("doc_id") + 4000000L).as("id_b")))
+    val bucketOf: Column => Column = r =>
+      conv(substring(md5(r.cast("string")), 1, 15), 16, 10).cast("long") % 100L
+    val assigned = graft.operators.Sampling
+      .clusterAwareSplit(all, "doc_id", pairs, "id_a", "id_b",
+        Seq(("train", 90), ("val", 5), ("test", 5)), bucketOf)
+      .persist()
+    val verdict = pairs
+      .join(assigned.withColumnsRenamed(Map("doc_id" -> "id_a", "split" -> "__sa")),
+        Seq("id_a"))
+      .join(assigned.withColumnsRenamed(Map("doc_id" -> "id_b", "split" -> "__sb")),
+        Seq("id_b"))
+      .agg(bool_and(col("__sa") === col("__sb")).as("leak_free"))
+    assigned.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(verdict))
+      .orderBy(col("split"))
+  }
+
   /** Per-language corpus report: doc/token counts plus exact token
     * percentiles — the summary table every ingest round publishes.
     * Oracle-gated: Spark `percentile` and DuckDB `quantile_cont` share
@@ -4082,6 +4118,7 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "image_dedup" -> (imageDedup _),
     "audio_dedup" -> (audioDedup _),
+    "cluster_aware_split" -> (clusterAwareSplitQ _),
     "cdc_wire_decode" -> (cdcWireDecode _),
     "sample_sketch" -> (sampleSketch _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -5679,6 +5716,25 @@ object SparkEntry {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY source, split
         |ORDER BY source, split""".stripMargin,
+    // leakage-guarded split: copies inherit their chain's base id as
+    // the representative (the component minimum), originals are their
+    // own; the md5 bucket is split_assign's
+    "cluster_aware_split" ->
+      """WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |alle AS (
+        |  SELECT doc_id, doc_id AS rep FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM seeds
+        |  UNION ALL SELECT doc_id + 4000000, doc_id FROM seeds),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM alle),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n, true AS leak_free
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     // span dedup replay: k=8 windows, corpus-wide gram count, covered
     // positions, anti-join, ordered string_agg reassembly
     "dedup_spans" ->

@@ -149,6 +149,41 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-guarded train/val/test split: a near-duplicate of a
+    * training document sitting in the test set is evaluation leakage
+    * — the standard failure of id-hashed splits over an UNdeduplicated
+    * corpus. This variant assigns each row by its dedup CLUSTER
+    * representative (the connected component's minimum id over
+    * `dupPairs` — MinHash/SimHash/embedding near-dup pairs, any
+    * verified pair source) instead of its own id, so every member of
+    * a duplicate cluster lands in the SAME split by construction,
+    * while rows with no duplicates keep exactly the plain-
+    * [[hashSplitBy]] assignment of their own id.
+    *
+    * Scale shape: the label table is pair-graph-sized (a small
+    * fraction of the corpus in a deduplicated-pipeline world), so the
+    * join is broadcast-or-hash on the id; everything else is the
+    * stateless per-row split projection.
+    *
+    * @param bucketOf non-negative bucket from the representative id
+    *                 (e.g. the md5 form `split_assign` gates)
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      dupPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Int)],
+      bucketOf: Column => Column): DataFrame = {
+    val labels = Clustering.connectedComponents(dupPairs, aCol, bCol)
+      .withColumnsRenamed(Map("id" -> "__cid", "cluster" -> "__cluster"))
+    val withRep = df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("__rep", coalesce(col("__cluster"), col(idCol)))
+    hashSplitBy(withRep, bucketOf(col("__rep")), splits)
+      .drop("__cid", "__cluster", "__rep")
+  }
+
   /** Exact budget-capped corpus selection: keep documents in
     * (score desc, id asc) order while the running token total stays
     * within `budget` — "take the best docs until N tokens", the step

@@ -165,4 +165,30 @@ class SamplingSpec extends SparkSpec {
     val keyed = Sampling.epochShuffleKey(stream.toDF().toDF("id"), "id", epoch = 3)
     assert(keyed.isStreaming)
   }
+
+  test("clusterAwareSplit: dup clusters co-split, singletons match plain hashSplit") {
+    import org.apache.spark.sql.Column
+    val docs = (1L to 200L).toDF("id")
+    // clusters {10,110,120} (chained) and {20,130}
+    val pairs = Seq((10L, 110L), (110L, 120L), (20L, 130L)).toDF("a", "b")
+    val bucketOf: Column => Column = r => pmod(xxhash64(r), lit(100L))
+    val got = Sampling
+      .clusterAwareSplit(docs, "id", pairs, "a", "b",
+        Seq(("train", 90), ("val", 5), ("test", 5)), bucketOf)
+      .as[(Long, String)].collect().toMap
+    // every cluster member shares the representative's split
+    assert(Set(got(10L), got(110L), got(120L)).size == 1)
+    assert(got(20L) == got(130L))
+    // singletons are assigned exactly as the plain id-hashed split
+    val plain = Sampling
+      .hashSplitBy(docs, pmod(xxhash64(col("id")), lit(100L)),
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+      .as[(Long, String)].collect().toMap
+    val clustered = Set(10L, 110L, 120L, 20L, 130L)
+    docs.as[Long].collect().filterNot(clustered).foreach { id =>
+      assert(got(id) == plain(id), s"singleton $id moved splits")
+    }
+    // and the clusters' shared split is the REPRESENTATIVE's plain split
+    assert(got(10L) == plain(10L) && got(20L) == plain(20L))
+  }
 }
