@@ -2750,6 +2750,41 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[imageDedup]] through the PERSISTED hash store — the ingest
+    * shape: the base corpus's dHashes are saved band-prefix-
+    * partitioned ([[graft.multimodal.ImageDedup.saveHashStore]]), and
+    * the increment (the resized + noised variants) probes the saved
+    * layout ([[graft.multimodal.ImageDedup.probeStore]] — store read
+    * directory-pruned to the increment's band prefixes, spec-asserted
+    * PartitionFilters). Banding is pigeonhole-lossless at ham <= 3,
+    * so the matches equal the full increment-vs-base distance join
+    * the DuckDB oracle computes closed-form.
+    */
+  private def imageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Codecs, ImageDedup => ID}
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+    val media = Multimodal.syntheticMediaFromDocs(s, docs)
+    val path = scratchDir("graft-phash-store")
+    ID.saveHashStore(ID.dHashes(media), "media_id", "hash", path,
+      prefixBuckets = 16)
+    val resized = Multimodal.resize(media.filter(_.media_id % 30 == 0), 72, 72)
+      .map(m => m.copy(media_id = m.media_id + 5000000L))
+    val noised = media.filter(_.media_id % 45 == 0).mapPartitions(_.map { m =>
+      val im = Codecs.decodeBmp(m.content)
+      val px = im.pixels.clone()
+      var i = 0
+      while (i < px.length) { if (i % 7 == 0) px(i) = px(i) ^ 0xff; i += 1 }
+      m.copy(media_id = m.media_id + 6000000L,
+        content = Codecs.encodeBmp(im.width, im.height, px))
+    })
+    ID.probeStore(ID.dHashes(resized.union(noised)),
+        ID.loadHashStore(s, path), "media_id", "hash", maxHamming = 3)
+      .select(col("id"), col("store_id"), col("ham").cast("long").as("ham"))
+      .orderBy(col("id"), col("store_id"))
+  }
+
   /** Audio perceptual-hash near-dup dedup — [[imageDedup]]'s WAV
     * sibling: 64-bit energy-envelope hashes from REAL decoded PCM-16
     * samples ([[graft.multimodal.AudioDedup.envelopeHash]] — exact
@@ -4117,6 +4152,7 @@ object SparkEntry {
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "image_dedup" -> (imageDedup _),
+    "image_dedup_incremental" -> (imageDedupIncremental _),
     "audio_dedup" -> (audioDedup _),
     "cluster_aware_split" -> (clusterAwareSplitQ _),
     "cdc_wire_decode" -> (cdcWireDecode _),
@@ -6675,6 +6711,46 @@ object SparkEntry {
         |  GROUP BY x.id, y.id)
         |SELECT id_a, id_b, CAST(ham AS BIGINT) AS ham
         |FROM pairs WHERE ham <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // incremental image dedup: same closed-form hashes, but pairs are
+    // the increment (variant ids) against the stored base corpus
+    "image_dedup_incremental" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id, text,
+        |         least(doc_id % 640 + 16, 32) AS w,
+        |         least(doc_id % 480 + 16, 32) AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        |variants AS (
+        |  SELECT id, text, w, h, 0 AS noise FROM imgs
+        |  UNION ALL SELECT id + 5000000, text, w, h, 0 FROM imgs WHERE id % 30 = 0
+        |  UNION ALL SELECT id + 6000000, text, w, h, 1 FROM imgs WHERE id % 45 = 0),
+        |gcells AS (
+        |  SELECT v.id, v.noise, v.text, gr.r, gc.c,
+        |         ((gr.r * v.h) // 8) * v.w + ((gc.c * v.w) // 9) AS p
+        |  FROM variants v, generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
+        |lums AS (
+        |  SELECT id, r, c,
+        |    299 * b + 587 * ((b * 31) % 256)
+        |      + 114 * (CASE WHEN noise = 1 AND p % 7 = 0
+        |                    THEN xor((b * 7) % 256, 255)
+        |                    ELSE (b * 7) % 256 END) AS lum
+        |  FROM (SELECT id, noise, r, c, p,
+        |          CASE WHEN strlen(text) = 0 THEN 0
+        |               ELSE unicode(substr(text, CAST(p % strlen(text) AS INT) + 1, 1))
+        |          END AS b
+        |        FROM gcells)),
+        |bits AS (
+        |  SELECT a.id, a.r * 8 + a.c AS i,
+        |         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM lums a JOIN lums b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |pairs AS (
+        |  SELECT x.id AS id, y.id AS store_id,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits x JOIN bits y ON x.i = y.i
+        |  WHERE x.id >= 5000000 AND y.id < 5000000
+        |  GROUP BY x.id, y.id)
+        |SELECT id, store_id, CAST(ham AS BIGINT) AS ham
+        |FROM pairs WHERE ham <= 3 ORDER BY id, store_id""".stripMargin,
     // audio envelope-hash dedup, closed-form: PCM-16 samples
     // resynthesized from the document bytes (with the toShort
     // wraparound), 65 window energies, cross-multiplied gradient

@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.operators.BinaryAnn
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Image perceptual-hash near-duplicate detection — the standard
@@ -124,5 +124,112 @@ object ImageDedup {
       .select(col("id_a"), col("id_b"),
         BinaryAnn.hammingWords(col("__ha"), col("__hb")).as("ham"))
       .filter(col("ham") <= maxHamming)
+  }
+
+  // ----- persisted hash store (incremental ingest) -----
+
+  /** A loaded perceptual-hash store: the banded hash table
+    * (id, h, bj, bv), band-hash-prefix-partitioned on disk so probes
+    * read only the directories the increment's bands fall in — the
+    * [[graft.operators.TextDedup.MinhashStore]] lifecycle applied to
+    * 64-bit media hashes (image dHash, [[AudioDedup]] envelopes — any
+    * producer of the two-32-bit-word layout).
+    */
+  final case class HashStore(bands: DataFrame, prefixBuckets: Int)
+
+  private def bandPrefix(bj: Column, bv: Column, buckets: Int): Column =
+    pmod(xxhash64(bj, bv), lit(buckets.toLong)).cast("int")
+
+  private def banded(hashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    base.select(col("id"), col("h"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("bj"), bandCol(col("h"), j).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("h"), col("b.bj").as("bj"), col("b.bv").as("bv"))
+  }
+
+  /** Persist a hash corpus as a probe-able store (one banded row per
+    * (image, band), partitioned by band-hash prefix).
+    */
+  def saveHashStore(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      path: String,
+      prefixBuckets: Int = 32): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    banded(hashes, idCol, hashCol)
+      .withColumn("__bp", bandPrefix(col("bj"), col("bv"), prefixBuckets))
+      .repartition(col("__bp"))
+      .write.mode("overwrite").partitionBy("__bp").parquet(s"$path/bands")
+    Seq(prefixBuckets).toDF("prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted store (lazy — probes read only their prefixes). */
+  def loadHashStore(spark: SparkSession, path: String): HashStore =
+    HashStore(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/meta").head().getAs[Int]("prefixBuckets"))
+
+  /** Near-duplicate matches of an increment against the store:
+    * (id, store_id, ham) for every incoming hash within `maxHamming`
+    * of a stored one. The store read is directory-pruned to the
+    * increment's band prefixes (bounded collect — at most
+    * `prefixBuckets` values); store-side mega-buckets are dropped
+    * under the same duplicate-GROUP argument as [[nearDupPairs]].
+    * Lossless for `maxHamming` <= 3 by the pigeonhole argument, so
+    * the matches equal the full increment-vs-store distance join.
+    * The caller drops matched ids and [[appendToStore]]s survivors.
+    */
+  def probeStore(
+      incoming: DataFrame,
+      store: HashStore,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
+    val inBands = banded(incoming, idCol, hashCol).persist()
+    val prefixes = inBands
+      .select(bandPrefix(col("bj"), col("bv"), store.prefixBuckets).as("__bp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storeBands = store.bands.filter(col("__bp").isin(prefixes: _*)).drop("__bp")
+    val bounded = storeBands.join(
+      storeBands.groupBy(col("bj"), col("bv"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n"),
+      Seq("bj", "bv"))
+    val out = inBands
+      .join(bounded.withColumnsRenamed(Map("id" -> "store_id", "h" -> "__hs")),
+        Seq("bj", "bv"))
+      .select(col("id"), col("store_id"), col("h"), col("__hs"))
+      .distinct()
+      .select(col("id"), col("store_id"),
+        BinaryAnn.hammingWords(col("h"), col("__hs")).as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .persist()
+    out.count() // materialize while the banded increment is cached
+    inBands.unpersist()
+    out
+  }
+
+  /** Append an increment's hashes into the saved layout (dynamic
+    * append — only the band directories that receive rows gain files).
+    */
+  def appendToStore(
+      spark: SparkSession,
+      path: String,
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String): Unit = {
+    val buckets = spark.read.parquet(s"$path/meta").head().getAs[Int]("prefixBuckets")
+    banded(hashes, idCol, hashCol)
+      .withColumn("__bp", bandPrefix(col("bj"), col("bv"), buckets))
+      .write.mode("append").partitionBy("__bp").parquet(s"$path/bands")
   }
 }

@@ -74,6 +74,49 @@ class ImageDedupSpec extends SparkSpec {
     assert(got(1L) == ImageDedup.dHash(img(10, 8, 1)).toSeq)
   }
 
+  test("hash store: probe == full distance join, append is visible, read prunes") {
+    val path = java.nio.file.Files.createTempDirectory("phash-store").toString
+    val base = (0 until 20).map(s => (s.toLong, ImageDedup.dHash(img(20, 15, s)).toSeq))
+    ImageDedup.saveHashStore(base.toDF("media_id", "hash"),
+      "media_id", "hash", path, prefixBuckets = 8)
+    val store = ImageDedup.loadHashStore(spark, path)
+
+    // increment: a near-copy of image 3 and an unrelated image
+    val near = {
+      val b = img(20, 15, 3); val n = b.copy(pixels = b.pixels.clone())
+      n.pixels(7) = n.pixels(7) ^ 1; ImageDedup.dHash(n).toSeq
+    }
+    val inc = Seq((100L, near), (101L, ImageDedup.dHash(img(20, 15, 77)).toSeq))
+    val got = ImageDedup.probeStore(inc.toDF("media_id", "hash"), store,
+      "media_id", "hash", maxHamming = 3)
+      .select(col("id"), col("store_id"), col("ham").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val truth = (for {
+      (ii, hi) <- inc; (si, hs) <- base
+      ham = (0 until 2).map(w => java.lang.Long.bitCount(hi(w) ^ hs(w))).sum
+      if ham <= 3
+    } yield (ii, si, ham.toLong)).toSet
+    assert(got == truth, s"diff: ${got.diff(truth)} / ${truth.diff(got)}")
+    assert(got.exists(m => m._1 == 100L && m._2 == 3L), "near-copy missed")
+
+    // the pruned store read carries partition filters
+    val plan = ImageDedup.probeStore(inc.toDF("media_id", "hash"), store,
+      "media_id", "hash").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bp"),
+      s"expected __bp partition pruning in:\n$plan")
+
+    // append the unrelated image; an identical later probe must match it
+    ImageDedup.appendToStore(spark, path,
+      Seq((101L, inc(1)._2)).toDF("media_id", "hash"), "media_id", "hash")
+    val reloaded = ImageDedup.loadHashStore(spark, path)
+    val again = ImageDedup.probeStore(
+      Seq((200L, inc(1)._2)).toDF("media_id", "hash"), reloaded,
+      "media_id", "hash")
+      .select(col("store_id"), col("ham").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(again.contains((101L, 0L)), s"appended hash not matched: $again")
+  }
+
   test("mega-buckets are dropped by the bucket cap") {
     // 50 identical hashes: every band bucket holds 50 > cap -> no pairs
     val hashes = (1L to 50L).map(i => (i, Seq(7L, 9L))).toDF("media_id", "hash")

@@ -43,6 +43,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("mutualKnnGraphAnn never broadcasts the corpus and has no cartesian product") {
+    val index = graft.operators.IvfAnn.build(vecs, "vec_id", "embedding", nlist = 4, iters = 1)
+    try {
+      val plan = SimilaritySearch.mutualKnnGraphAnn(index, k = 3, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      // the candidate join must be keyed (list id), not nested-loop
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    } finally index.assigned.unpersist()
+  }
+
+  test("image-hash banded pairs join on band keys — never a cartesian product") {
+    val hashes = (1L to 40L).map(i => (i, Seq(i * 7 % 97, i * 13 % 89)))
+      .toDF("media_id", "hash")
+    val plan = graft.multimodal.ImageDedup
+      .nearDupPairs(hashes, "media_id", "hash", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
   test("groupScatter aggregates before anything label-pairwise (one scan)") {
     val qe = SimilaritySearch.groupScatter(vecs, "label", "embedding")
       .queryExecution
