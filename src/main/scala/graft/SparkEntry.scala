@@ -902,6 +902,21 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
+  /** PPJoin-style prefix-filtered exact-Jaccard join over the planted
+    * near-dup corpus ([[graft.operators.TextDedup
+    * .prefixFilteredJaccardPairs]]): each document indexes only its
+    * globally rarest shingles (the prefix-filter bound), candidates
+    * clear the size-compatibility inequality, and the exact integer
+    * Jaccard verifies. LOSSLESS by theorem, so the oracle is simply
+    * the all-pairs truth set — no recall verdict needed, unlike the
+    * MinHash gate.
+    */
+  private def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .prefixFilteredJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        shingleSize = 3, minJaccardMicro = 500000L)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     LshStageCache.getOrElseUpdate(s, dir)(
       TextDedup.minhashCandidatePairsAndShingles(
@@ -1700,6 +1715,58 @@ object SparkEntry {
     exact.crossJoin(broadcast(verdict))
       .select(col("id_a"), col("id_b"), col("sim").as("sim_micro"), col("recall_ok"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Semantic clusters through the ANN-backed graph — the corpus-scale
+    * composition the brute-force [[semanticClusters]] documents:
+    * [[graft.operators.SimilaritySearch.mutualKnnGraphAnn]] (IVF
+    * list-bucketed candidates, nothing broadcast) feeds
+    * [[graft.operators.Clustering.connectedComponents]] over the
+    * planted 30x10 cluster corpus (sharing [[knnGraphAnnQ]]'s cached
+    * exact graph and trained index). Oracle-gated via the component
+    * verdict: the emitted rows are the EXACT graph's components
+    * (DuckDB replays the mutual graph + recursive closure), and
+    * `clusters_ok` proves >= 90% of those components are reproduced
+    * member-for-member by the ANN-composed clustering.
+    */
+  private def semanticClustersAnn(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables(s, dir, "embeddings").filter(col("vec_id") < 30)
+      .select(col("vec_id").as("__b"),
+        explode(sequence(lit(0L), lit(9L))).as("__i"), col("embedding"))
+      .select((col("__b") * 10 + col("__i")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("__i").cast("float") * lit(0.0005f)).as("embedding"))
+    val simFn: (Column, Column) => Column =
+      (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
+      val e = SimilaritySearch
+        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn)
+        .persist()
+      e.count()
+      e
+    }
+    val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
+      IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
+    val ann = SimilaritySearch.mutualKnnGraphAnn(index, k = 5, nprobe = 2,
+      simFn = simFn)
+    val C = graft.operators.Clustering
+    def memberSets(edges: DataFrame): DataFrame =
+      C.connectedComponents(edges.select(col("id_a"), col("id_b")), "id_a", "id_b")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+    val em = memberSets(exact).persist()
+    val am = memberSets(ann)
+    val matched = em.join(am.select(col("members")), Seq("members"), "left_semi")
+      .agg(count(lit(1)).as("__m"))
+    val tot = em.agg(count(lit(1)).as("__t"))
+    val verdict = matched.crossJoin(tot)
+      .select((col("__m") * lit(100) >= col("__t") * lit(90)).as("clusters_ok"))
+    em.crossJoin(broadcast(verdict))
+      .select(col("cluster").cast("long").as("cluster_id"),
+        col("n_members").cast("long").as("n_members"),
+        col("members"), col("clusters_ok"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Greedy MMR selection (k=5, λ=1/2) against vec_id 0's embedding,
@@ -4106,6 +4173,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
+    "dedup_prefix_jaccard" -> (dedupPrefixJaccard _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
@@ -4220,6 +4288,7 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "knn_graph" -> (knnGraphQ _),
     "knn_graph_ann" -> (knnGraphAnnQ _),
+    "semantic_clusters_ann" -> (semanticClustersAnn _),
     "mmr_select" -> (mmrSelectQ _),
     "mmr_diversity_gate" -> (mmrGateQ _),
     "event_outliers_mad" -> (eventOutliersMad _),
@@ -5186,6 +5255,34 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // prefix-filtered Jaccard is LOSSLESS, so the oracle is the plain
+    // all-pairs truth set with the exact integer Jaccard
+    "dedup_prefix_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate tail' AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+        |           THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')
+        |                 for i in range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1)]
+        |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      END) AS s
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(a.s) AS BIGINT) AS sz_a,
+        |         CAST(len(b.s) AS BIGINT) AS sz_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, sz_a, sz_b, inter,
+        |       inter * 1000000 // (sz_a + sz_b - inter) AS jaccard_micro
+        |FROM pairs
+        |WHERE inter * 1000000 // (sz_a + sz_b - inter) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
     // absorb == rebuild: the oracle closes base ∪ increment edges
     // transitively from scratch; the Spark side reaches the same
     // labels through the persisted store's absorb path
@@ -7603,6 +7700,49 @@ object SparkEntry {
         |FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
         |WHERE d.src < d.dst
         |ORDER BY id_a, id_b""".stripMargin,
+    // ANN semantic clusters: components of the exact mutual graph
+    // (recursive closure), clusters_ok asserted true — the ANN
+    // component agreement runs in-plan on the Spark side
+    "semantic_clusters_ann" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT b.vec_id * 10 + t.i AS vec_id,
+        |         CAST(list_transform(b.embedding,
+        |           x -> x + CAST(t.i AS FLOAT) * CAST(0.0005 AS FLOAT))
+        |           AS DOUBLE[]) AS v
+        |  FROM embeddings b, generate_series(0, 9) AS t(i)
+        |  WHERE b.vec_id < 30),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.v AS va, b.v AS vb
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |e AS (SELECT src, dst, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src, dst,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src, dst),
+        |sim AS (SELECT src, dst,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS sim_micro
+        |        FROM sums),
+        |r AS (SELECT src, dst, sim_micro,
+        |        row_number() OVER (PARTITION BY src
+        |                           ORDER BY sim_micro DESC, dst) AS rk
+        |      FROM sim),
+        |d AS (SELECT src, dst FROM r WHERE rk <= 5),
+        |mut AS (SELECT d.src AS a, d.dst AS b
+        |        FROM d JOIN d d2 ON d.src = d2.dst AND d.dst = d2.src
+        |        WHERE d.src < d.dst),
+        |edges AS (SELECT a AS src, b AS dst FROM mut
+        |          UNION SELECT b, a FROM mut),
+        |reach(id, rr) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, reach.rr FROM edges e2 JOIN reach ON e2.dst = reach.id),
+        |comp AS (SELECT id, min(rr) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members,
+        |       true AS clusters_ok
+        |FROM comp GROUP BY cluster ORDER BY cluster_id""".stripMargin,
     // MMR serving gate: candidate µ-cosines vs the query (vec 0) and
     // the two fixed exemplars (vec 1, 2); integer score and verdict
     "mmr_diversity_gate" ->

@@ -1151,4 +1151,83 @@ object TextDedup {
         col("containment_micro"))
     materialized(out, Seq(grams, kept))
   }
+
+  /** PPJoin-style prefix-filtered exact-Jaccard similarity join
+    * (Xiao, Wang, Lin, Yu 2008; the Chaudhuri/Ganti/Kaushik 2006
+    * prefix-filter principle) — the LOSSLESS alternative to MinHash
+    * banding: instead of indexing every shingle (the
+    * [[containmentPairs]] inverted index) or a probabilistic sketch,
+    * each document indexes only its PREFIX — its
+    * `|set| − ceil(t·|set|) + 1` globally RAREST shingles under the
+    * canonical (document-frequency asc, shingle asc) order. Two sets
+    * with Jaccard >= t must share a prefix shingle (the pigeonhole
+    * bound on their required overlap), so the candidate join touches
+    * only prefix postings, and — the PPJoin argument — prefixes are
+    * the RARE end of the vocabulary by construction, so those
+    * postings are the SHORT lists: no mega-bucket guard is needed
+    * where the full inverted index would drown in stop-gram buckets.
+    * Candidates then clear a cross-multiplied size-compatibility
+    * bound and the EXACT integer Jaccard, so the result equals the
+    * all-pairs truth set — completeness is a theorem, not a recall
+    * target, and the `dedup_prefix_jaccard` oracle hash-checks it.
+    *
+    * Scale shape: one distinct-(id, shingle) staging pass, one
+    * map-combinable document-frequency aggregation, a per-document
+    * sort of its own shingles (bounded by document size — no global
+    * rank/window anywhere), a prefix-keyed self-join over short rare
+    * postings, and one verify join carrying the staged arrays.
+    *
+    * @return (id_a, id_b, sz_a, sz_b, inter, jaccard_micro),
+    *         id_a < id_b, `jaccard_micro = inter·1e6 div union` >=
+    *         `minJaccardMicro`
+    */
+  def prefixFilteredJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minJaccardMicro: Long = 500000L): DataFrame = {
+    require(minJaccardMicro > 0 && minJaccardMicro <= 1000000L,
+      "minJaccardMicro must be a micro-Jaccard in (0, 1e6]")
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = spreadToCores(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.ngramsFromTokens(toks, shingleSize))).as("g"))
+      .persist()
+    val dft = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    // each document's shingles in canonical rare-first order; the sort
+    // is per-document (array_sort over its own shingles), never global
+    val sets = grams.join(dft, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__df").as("d"), col("g").as("g")))),
+          e => e.getField("g")).as("gs"),
+        count(lit(1)).as("n"))
+      .withColumn("__p",
+        (col("n") - expr(s"(n * $minJaccardMicro + 999999) div 1000000") + 1).cast("int"))
+      .persist()
+    val pref = sets.select(col("id"), col("n"),
+      explode(slice(col("gs"), lit(1), col("__p"))).as("g"))
+    val cand = pref.select(col("g"), col("id").as("id_a"), col("n").as("__na"))
+      .join(pref.select(col("g"), col("id").as("id_b"), col("n").as("__nb")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        // size compatibility: t <= J <= min/max  =>  t*max <= 1e6*min
+        greatest(col("__na"), col("__nb")) * lit(minJaccardMicro) <=
+          least(col("__na"), col("__nb")) * lit(1000000L))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("gs").as("__ga"), col("n").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("gs").as("__gb"), col("n").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("jaccard_micro",
+        expr("inter * 1000000 div (sz_a + sz_b - inter)"))
+      .filter(col("jaccard_micro") >= minJaccardMicro)
+      .select(col("id_a"), col("id_b"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"),
+        col("inter"), col("jaccard_micro"))
+    materialized(out, Seq(grams, sets))
+  }
 }
