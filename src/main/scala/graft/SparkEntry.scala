@@ -1427,6 +1427,63 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  /** Label-propagation communities over a bridged-clique user graph
+    * (decade cliques joined by single bridge edges): two synchronous
+    * majority rounds keep the cliques apart where connected
+    * components would fuse the whole graph through the bridges —
+    * the community-vs-component distinction itself is what the gate
+    * checks ([[graft.operators.Clustering.labelPropagation]]).
+    * Oracle-gated BIT-EXACTLY: both rounds unroll as CTEs (neighbor
+    * label counts, argmax with ties to the smallest label).
+    */
+  private def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 150)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bridges = users
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 140)
+      .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
+    graft.operators.Clustering
+      .labelPropagation(clique.unionByName(bridges), "id_a", "id_b", rounds = 2)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+      .select(col("community").cast("long").as("community"),
+        col("n_members").cast("long").as("n_members"), col("members"))
+      .orderBy(col("community"))
+  }
+
+  /** Blocking-quality audit for the entity-resolution blocking scheme
+    * ([[graft.operators.Profiling.blockingQuality]]): reduction ratio
+    * and pair completeness over the customer corpus with planted typo
+    * variants — most variants keep the name-suffix block (the
+    * [[entityResolution]] scheme), but every 4th ALSO mutates a block
+    * character, so pair completeness lands strictly between 0 and 1
+    * and the audit flags exactly the truth mass the blocking loses.
+    * All-integer micro ratios, quadratic spaces counted closed-form —
+    * BIT-EXACT oracle replay.
+    */
+  private def blockingQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val seeds = cust.filter(col("c_custkey") % 25 === 0)
+    val variants = seeds.select(
+      (col("c_custkey") + 1000000L).as("c_custkey"),
+      when(col("c_custkey") % 100 === 0,
+        concat(substring(col("c_name"), 1, 15), lit("y"), substring(col("c_name"), 17, 2)))
+        .otherwise(
+          concat(substring(col("c_name"), 1, 11), lit("x"), substring(col("c_name"), 13, 6)))
+        .as("c_name"))
+    val truth = seeds.select(col("c_custkey").as("id_a"),
+      (col("c_custkey") + 1000000L).as("id_b"))
+    graft.operators.Profiling.blockingQuality(
+      cust.unionByName(variants), "c_custkey",
+      substring(col("c_name"), 15, 4), truth)
+  }
+
   /** Self-join-size prediction for events.user_id: the exact
     * cardinality `Σ c_u²` (SQL-replayable) beside the count-min
     * inner-product estimate
@@ -4307,8 +4364,10 @@ object SparkEntry {
     "user_trend" -> (userTrend _),
     "join_size_estimate" -> (joinSizeEstimate _),
     "entity_resolution" -> (entityResolution _),
+    "blocking_quality" -> (blockingQualityQ _),
     "more_like_this" -> (moreLikeThisQ _),
     "semantic_clusters" -> (semanticClusters _),
+    "graph_communities" -> (graphCommunities _),
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
@@ -5255,6 +5314,60 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // blocking audit: exact closed-form pair counts, micro ratios
+    "blocking_quality" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+        |seeds AS (SELECT c_custkey, c_name FROM cust WHERE c_custkey % 25 = 0),
+        |vars AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    CASE WHEN c_custkey % 100 = 0
+        |         THEN substr(c_name, 1, 15) || 'y' || substr(c_name, 17, 2)
+        |         ELSE substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
+        |    END AS c_name
+        |  FROM seeds),
+        |alle AS (SELECT c_custkey, c_name FROM cust
+        |         UNION ALL SELECT c_custkey, c_name FROM vars),
+        |b AS (SELECT c_custkey AS id, substr(c_name, 15, 4) AS bk FROM alle),
+        |bs AS (SELECT count(*) AS nb, sum(n * (n - 1) // 2) AS cand
+        |       FROM (SELECT bk, count(*) AS n FROM b GROUP BY bk)),
+        |rs AS (SELECT count(*) AS nrec FROM b),
+        |truth AS (SELECT c_custkey AS ta, c_custkey + 1000000 AS tb FROM seeds),
+        |ts AS (SELECT count(*) AS ntruth,
+        |         sum(CASE WHEN ba.bk = bb.bk THEN 1 ELSE 0 END) AS hits
+        |       FROM truth t JOIN b ba ON t.ta = ba.id JOIN b bb ON t.tb = bb.id)
+        |SELECT CAST(nrec AS BIGINT) AS n_records, CAST(nb AS BIGINT) AS n_blocks,
+        |  CAST(cand AS BIGINT) AS cand_pairs, CAST(ntruth AS BIGINT) AS truth_pairs,
+        |  CAST(hits AS BIGINT) AS truth_coblocked,
+        |  (nrec * (nrec - 1) // 2 - cand) * 1000000 // (nrec * (nrec - 1) // 2) AS rr_micro,
+        |  hits * 1000000 // ntruth AS pc_micro
+        |FROM rs, bs, ts""".stripMargin,
+    // synchronous LPA: two unrolled majority rounds, ties to the
+    // smallest label; bridges stay outvoted so decades survive
+    "graph_communities" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 150),
+        |cl AS (SELECT a.u AS s, b.u AS t FROM users a
+        |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 140),
+        |und AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
+        |edges AS (SELECT s AS src, t AS dst FROM und
+        |          UNION SELECT t, s FROM und),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+        |v1 AS (SELECT e.src AS id, l.lab, count(*) AS n
+        |       FROM edges e JOIN l0 l ON e.dst = l.id GROUP BY e.src, l.lab),
+        |l1 AS (SELECT id, lab FROM (
+        |         SELECT id, lab,
+        |                row_number() OVER (PARTITION BY id ORDER BY n DESC, lab ASC) AS rk
+        |         FROM v1) WHERE rk = 1),
+        |v2 AS (SELECT e.src AS id, l.lab, count(*) AS n
+        |       FROM edges e JOIN l1 l ON e.dst = l.id GROUP BY e.src, l.lab),
+        |l2 AS (SELECT id, lab FROM (
+        |         SELECT id, lab,
+        |                row_number() OVER (PARTITION BY id ORDER BY n DESC, lab ASC) AS rk
+        |         FROM v2) WHERE rk = 1)
+        |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM l2 GROUP BY lab ORDER BY community""".stripMargin,
     // prefix-filtered Jaccard is LOSSLESS, so the oracle is the plain
     // all-pairs truth set with the exact integer Jaccard
     "dedup_prefix_jaccard" ->

@@ -93,6 +93,58 @@ object Clustering {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan, Albert,
+    * Kumara 2007, made deterministic): every node starts labeled with
+    * its own id; each round every node adopts the MOST FREQUENT label
+    * among its neighbors, ties to the smallest label; a FIXED round
+    * count replaces the usual random-order convergence loop, so the
+    * result is a pure function of the graph (and replays in SQL as
+    * `rounds` unrolled CTEs — the `graph_communities` gate).
+    *
+    * This is the community detector [[connectedComponents]] is not:
+    * components merge through ANY path, so one stray bridge edge
+    * fuses two dense groups; majority voting keeps densely-connected
+    * groups separate because a bridge is always outvoted by the
+    * community's internal edges.
+    *
+    * Scale shape: per round, one edge-keyed join (O(|edges|) shuffle),
+    * one map-combinable (node, label) count, and one node-keyed
+    * window for the argmax — the [[connectedComponents]] round shape
+    * plus a window, with the same per-round lineage truncation.
+    *
+    * @return (id, community) for every node that appears in an edge
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__n").desc, col("label").asc)
+      labels = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   // ----- incremental component store (the AggStore.absorbIntoSaved
   // lifecycle applied to cluster labels) -----
 

@@ -148,4 +148,62 @@ object Profiling {
         col("__nc").cast("long").as("n_children"),
         col("__no").cast("long").as("n_orphans"))
   }
+
+  /** Blocking-quality audit for entity resolution (the two standard
+    * record-linkage metrics, Christen 2012): REDUCTION RATIO — the
+    * fraction of the all-pairs comparison space the blocking scheme
+    * eliminates — and PAIR COMPLETENESS — the fraction of known true
+    * matches the scheme keeps co-blocked (a missed true pair can never
+    * be found downstream, however good the verifier). Both are exact
+    * integer ratios on the micro grid, so the audit replays on any
+    * engine; `truthPairs` is a labeled sample, the standard proxy.
+    *
+    * Scale shape: one block-size aggregation (block-cardinality-sized
+    * output) + two joins of the (small) truth-pair sample against the
+    * block assignment. The quadratic spaces are COUNTED in closed form
+    * (`n·(n−1)/2`), never materialized.
+    *
+    * @return one row: (n_records, n_blocks, cand_pairs, truth_pairs,
+    *         truth_coblocked, rr_micro, pc_micro)
+    */
+  def blockingQuality(
+      records: DataFrame,
+      idCol: String,
+      blockCol: Column,
+      truthPairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val blocked = records
+      .select(col(idCol).as("__id"), blockCol.as("__bk"))
+      .persist()
+    val blockStats = blocked.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("__nblocks"),
+        sum(expr("__n * (__n - 1) div 2")).as("__cand"))
+    val recStats = blocked.agg(count(lit(1)).as("__nrec"))
+    val truth = truthPairs.select(col(aCol).as("__ta"), col(bCol).as("__tb"))
+    val truthStats = truth
+      .join(blocked.select(col("__id").as("__ta"), col("__bk").as("__ba")), Seq("__ta"), "left")
+      .join(blocked.select(col("__id").as("__tb"), col("__bk").as("__bb")), Seq("__tb"), "left")
+      .agg(
+        count(lit(1)).as("__ntruth"),
+        sum(when(col("__ba").isNotNull && col("__ba") === col("__bb"), 1L)
+          .otherwise(0L)).as("__hits"))
+    val out = recStats
+      .crossJoin(broadcast(blockStats))
+      .crossJoin(broadcast(truthStats))
+      .select(
+        col("__nrec").cast("long").as("n_records"),
+        col("__nblocks").cast("long").as("n_blocks"),
+        col("__cand").cast("long").as("cand_pairs"),
+        col("__ntruth").cast("long").as("truth_pairs"),
+        col("__hits").cast("long").as("truth_coblocked"),
+        expr("(__nrec * (__nrec - 1) div 2 - __cand) * 1000000 div (__nrec * (__nrec - 1) div 2)")
+          .as("rr_micro"),
+        expr("__hits * 1000000 div __ntruth").as("pc_micro"))
+    out.persist().count()
+    blocked.unpersist()
+    out
+  }
 }

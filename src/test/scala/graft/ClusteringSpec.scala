@@ -90,6 +90,33 @@ class ClusteringSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 42L -> 42L))
   }
 
+  test("labelPropagation keeps bridged cliques apart where CC fuses them") {
+    // two 5-cliques bridged by one edge: one component, two communities
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("a", "b")
+    assert(Clustering.connectedComponents(edges, "a", "b")
+      .select("cluster").distinct().count() == 1)
+    val lpa = Clustering.labelPropagation(edges, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).map(lpa).toSet.size == 1, s"left clique split: $lpa")
+    assert((11L to 15L).map(lpa).toSet.size == 1, s"right clique split: $lpa")
+    assert(lpa(1L) != lpa(12L), s"bridge fused the communities: $lpa")
+  }
+
+  test("labelPropagation rounds are deterministic with min-label ties") {
+    // a 3-clique: round 1 gives every node the min of the OTHERS,
+    // round 2 settles all on the global min
+    val edges = Seq((7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val got = Clustering.labelPropagation(edges, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val r0 = Clustering.labelPropagation(edges, "a", "b", rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0 == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("absorbEdges bridges two existing components through a new node") {
     val dir = java.nio.file.Files.createTempDirectory("clstore3").toString
     Clustering.saveClusters(
