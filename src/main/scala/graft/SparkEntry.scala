@@ -1090,6 +1090,29 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Personalized PageRank over the same synthetic link graph as
+    * [[pageRankQ]], restarting on the seed set `doc_id % 100 == 0`
+    * ([[graft.operators.PageRank.personalizedRank]] — teleport mass
+    * and the initial walk live only on the seeds, so ranks measure
+    * link-proximity to the seeds, the known-good-domain propagation
+    * op). BIT-EXACT oracle-gated: same unrolled-CTE replay with the
+    * seed-conditional teleport and start vector.
+    */
+  private def pageRankPersonalizedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L
+    val edges = docs
+      .select(col("doc_id").as("src"), explode(sequence(lit(1L), lit(3L))).as("j"))
+      .select(col("src"), ((col("src") * 7L + col("j")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.PageRank
+      .personalizedRank(edges, docs, docs.filter(col("doc_id") % 100 === 0),
+        "src", "dst", iters = 3)
+      .select(col("node").as("doc_id"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Deterministic weighted sampling (Efraimidis-Spirakis exponential
     * keys on md5 uniforms, µ-grid-quantized): the 25 length-weighted
     * winners replay bit-exactly — quality-weighted subsampling with
@@ -4311,6 +4334,7 @@ object SparkEntry {
     "line_dedup" -> (lineDedup _),
     "bloom_decontaminate" -> (bloomDecontaminate _),
     "page_rank" -> (pageRankQ _),
+    "page_rank_personalized" -> (pageRankPersonalizedQ _),
     "hist_quantiles" -> (histQuantiles _),
     "sketch_absorb" -> (sketchAbsorb _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
@@ -5852,6 +5876,42 @@ object SparkEntry {
         |  GROUP BY e.dst),
         |r3 AS (
         |  SELECT n.node, CAST(150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node AS doc_id, r AS rank_micro
+        |FROM r3 ORDER BY rank_micro DESC, doc_id LIMIT 50""".stripMargin,
+    // personalized PageRank: seed-conditional teleport + start vector,
+    // same unrolled integer iterations
+    "page_rank_personalized" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + j.i) % nn.n AS dst
+        |  FROM documents, nn, generate_series(1, 3) AS j(i)
+        |  WHERE (doc_id * 7 + j.i) % nn.n <> doc_id),
+        |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT doc_id AS node,
+        |                 CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS s
+        |          FROM documents),
+        |r0 AS (SELECT node, CAST(s * 1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, sum(r0.r // o.d) AS c
+        |  FROM edges e JOIN r0 ON e.src = r0.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.node, CAST(n.s * 150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (
+        |  SELECT e.dst AS node, sum(r1.r // o.d) AS c
+        |  FROM edges e JOIN r1 ON e.src = r1.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.node, CAST(n.s * 150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (
+        |  SELECT e.dst AS node, sum(r2.r // o.d) AS c
+        |  FROM edges e JOIN r2 ON e.src = r2.node JOIN outdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.node, CAST(n.s * 150000 + coalesce((c.c * 85) // 100, 0) AS BIGINT) AS r
         |  FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
         |SELECT node AS doc_id, r AS rank_micro
         |FROM r3 ORDER BY rank_micro DESC, doc_id LIMIT 50""".stripMargin,

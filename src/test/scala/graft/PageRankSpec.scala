@@ -62,4 +62,32 @@ class PageRankSpec extends SparkSpec {
     val r = ranksOf(Seq((0L, 1L)), Seq(0L, 1L, 9L), 2)
     assert(r(9L) == 150000L)
   }
+
+  test("personalized rank: mass concentrates near the seed, unreachable nodes stay 0") {
+    import graft.operators.PageRank
+    // chain 0 -> 1 -> 2, isolated 9; seed {0}
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 9L).toDF("node")
+    val seeds = Seq(0L).toDF("node")
+    val r = PageRank.personalizedRank(edges, nodes, seeds, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // hand-computed: r0 = (1e6, 0, 0, 0)
+    // r1: seed teleport 150000; c(1) = 1e6 -> r1(1) = 850000; others 0
+    //     r1(0) = 150000
+    // r2: r2(0) = 150000; c(1) = r1(0) = 150000 -> r2(1) = 127500
+    //     c(2) = r1(1) = 850000 -> r2(2) = 722500; r2(9) = 0
+    assert(r == Map(0L -> 150000L, 1L -> 127500L, 2L -> 722500L, 9L -> 0L), s"got $r")
+  }
+
+  test("personalized rank with ALL nodes as seeds equals the global rank") {
+    import graft.operators.PageRank
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val global = PageRank.rank(edges, nodes, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val personal = PageRank
+      .personalizedRank(edges, nodes, nodes, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(personal == global)
+  }
 }
