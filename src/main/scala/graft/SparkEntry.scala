@@ -3197,6 +3197,32 @@ object SparkEntry {
     exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
+  /** BM25 search through a SAVED index after tombstone retraction
+    * ([[graft.operators.Bm25.retractFromSaved]]): the full corpus is
+    * indexed and persisted, the ODD half is retracted as a tombstone
+    * append (the term-prefix layout is never rewritten — doc deletion
+    * is the wrong axis for it, the Lucene/Delta delete-marker shape),
+    * and the loaded index must score EXACTLY like an index built on
+    * the surviving even half — N, avgdl, idf, every posting. Gated
+    * against the survivor-corpus replay, so retract == rebuild is
+    * oracle-checked end to end (the `bm25_absorb_search` convention,
+    * inverted).
+    */
+  private def bm25RetractSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Bm25IndexCache.getOrElseUpdate(s, dir + "#retract") {
+      val docs = Tables(s, dir, "documents")
+      val path = scratchDir("graft-bm25-retract")
+      graft.operators.Bm25.save(
+        graft.operators.Bm25.build(docs, "doc_id", "text"), path,
+        prefixBuckets = 16)
+      graft.operators.Bm25.retractFromSaved(
+        s, path, docs.filter(col("doc_id") % 2 === 1).select(col("doc_id")), "doc_id")
+      graft.operators.Bm25.load(s, path)
+    }
+    graft.operators.Bm25.search(idx, Seq("vector", "merge", "stream"), k = 20)
+      .select(col("id").as("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Count-Min heavy hitters — the sketch's canonical selection use:
     * every token whose SKETCH estimate clears the threshold
     * `floor(N/64)` is a candidate; because count-min never
@@ -4325,6 +4351,7 @@ object SparkEntry {
     "ulm_train_pruned" -> (ulmTrainPruned _),
     "wordpiece_segment" -> (wordpieceSegment _),
     "bm25_absorb_search" -> (bm25AbsorbSearch _),
+    "bm25_retract_search" -> (bm25RetractSearch _),
     "chunk_search" -> (chunkSearch _),
     "countmin_heavyhitters" -> (countminHeavyHitters _),
     "ann_ivfpq_residual_topk" -> (annIvfpqResidualTopk _),
@@ -4439,7 +4466,13 @@ object SparkEntry {
     "text_backoff_inline" -> oracleSqlBase("text_backoff_score"),
     // absorb==rebuild is the invariant: the half-built + absorbed
     // index must score exactly like the oracle's full-corpus replay
-    "bm25_absorb_search" -> oracleSqlBase("bm25_search"))
+    "bm25_absorb_search" -> oracleSqlBase("bm25_search"),
+    // retract == rebuild: the tombstoned index must score exactly as
+    // an index built on the surviving even half
+    "bm25_retract_search" ->
+      oracleSqlBase("bm25_search").replace(
+        "FROM documents),",
+        "FROM documents WHERE doc_id % 2 = 0),"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table

@@ -193,6 +193,58 @@ object Bm25 {
     inc.unpersist()
   }
 
+  /** Remove documents from an index without rebuilding — the
+    * right-to-be-forgotten half of the ingest lifecycle, and the
+    * inverse [[absorb]] deserves because every index statistic is
+    * per-(term, doc) rows plus two exact totals: retraction is an
+    * anti-join on the removed ids and a subtraction, row-identical to
+    * [[build]] over the surviving corpus (Bm25Spec's differential and
+    * the `bm25_retract_search` gate both assert it). The removal set
+    * broadcasts — deletion batches are curated and small by
+    * construction.
+    */
+  def retract(index: Index, removeIds: DataFrame, idCol: String): Index = {
+    val ids = removeIds.select(col(idCol).as("id")).distinct().persist()
+    val gone = index.docs.join(ids, Seq("id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    val postings = index.postings.join(broadcast(ids), Seq("id"), "left_anti").persist()
+    val docs = index.docs.join(broadcast(ids), Seq("id"), "left_anti").persist()
+    postings.count(); docs.count()
+    ids.unpersist()
+    Index(postings, docs,
+      index.nDocs - gone.getAs[Long]("n"), index.totalDl - gone.getAs[Long]("t"),
+      index.prefixBuckets)
+  }
+
+  /** [[retract]] for a PERSISTED index, the Lucene/Delta way: the
+    * term-prefix layout is partitioned on the WRONG axis for doc
+    * deletion (one doc's postings scatter across every term prefix),
+    * so instead of rewriting the store the removed ids append to a
+    * TOMBSTONE table and [[load]] anti-joins them out lazily; the one-
+    * row meta updates to the survivors' exact totals, so avgdl/idf
+    * score as if rebuilt. Fold tombstones away when they accumulate by
+    * `save(load(path), path2)` — the compaction half of the cycle.
+    */
+  def retractFromSaved(
+      spark: SparkSession,
+      path: String,
+      removeIds: DataFrame,
+      idCol: String): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val ids = removeIds.select(col(idCol).as("id")).distinct().persist()
+    val gone = spark.read.parquet(s"$path/docs").join(ids, Seq("id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    ids.write.mode("append").parquet(s"$path/tombstones")
+    Seq((meta.getAs[Long]("nDocs") - gone.getAs[Long]("n"),
+        meta.getAs[Long]("totalDl") - gone.getAs[Long]("t"),
+        meta.getAs[Int]("prefixBuckets")))
+      .toDF("nDocs", "totalDl", "prefixBuckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    ids.unpersist()
+    ()
+  }
+
   /** Persist the index: postings partitioned by a term hash prefix
     * (searches read only the query terms' directories), doc lengths
     * plain, exact totals in a one-row meta parquet.
@@ -212,13 +264,23 @@ object Bm25 {
   }
 
   /** Load a persisted index; nothing is eagerly cached and searches
-    * prune the postings read by partition.
+    * prune the postings read by partition. Tombstoned ids (from
+    * [[retractFromSaved]]) anti-join out lazily — a broadcast filter
+    * on the pruned postings read, never a store rewrite.
     */
   def load(spark: SparkSession, path: String): Index = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    Index(
-      spark.read.parquet(s"$path/postings").select(col("term"), col("id"), col("tf"), col("__tp")),
-      spark.read.parquet(s"$path/docs").select(col("id"), col("dl")),
+    var postings = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("id"), col("tf"), col("__tp"))
+    var docs = spark.read.parquet(s"$path/docs").select(col("id"), col("dl"))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath)) {
+      val tombs = spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+      postings = postings.join(broadcast(tombs), Seq("id"), "left_anti")
+      docs = docs.join(broadcast(tombs), Seq("id"), "left_anti")
+    }
+    Index(postings, docs,
       meta.getAs[Long]("nDocs"),
       meta.getAs[Long]("totalDl"),
       Some(meta.getAs[Int]("prefixBuckets")))

@@ -120,6 +120,43 @@ class Bm25Spec extends SparkSpec {
     rebuilt.unpersist()
   }
 
+  test("retract-then-search equals rebuild-on-survivors (in-memory)") {
+    val corpus = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog bird"),
+      (3L, "fish fish fish"), (4L, "cat bird cat")).toDF("doc_id", "text")
+    val full = Bm25.build(corpus, "doc_id", "text")
+    val retracted = Bm25.retract(full, Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val rebuilt = Bm25.build(
+      corpus.filter(col("doc_id") === 1L || col("doc_id") === 3L), "doc_id", "text")
+    assert(retracted.nDocs == rebuilt.nDocs && retracted.totalDl == rebuilt.totalDl)
+    val a = Bm25.search(retracted, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    val b = Bm25.search(rebuilt, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    assert(a == b)
+    assert(!a.exists(r => r.getAs[Long]("id") == 2L || r.getAs[Long]("id") == 4L))
+  }
+
+  test("saved retraction tombstones lazily and scores like a survivor rebuild") {
+    val corpus = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog bird"),
+      (3L, "fish fish fish"), (4L, "cat bird cat")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25-retract").toString
+    Bm25.save(Bm25.build(corpus, "doc_id", "text"), path, prefixBuckets = 8)
+    Bm25.retractFromSaved(spark, path, Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val loaded = Bm25.load(spark, path)
+    val rebuilt = Bm25.build(
+      corpus.filter(col("doc_id") === 1L || col("doc_id") === 3L), "doc_id", "text")
+    assert(loaded.nDocs == rebuilt.nDocs && loaded.totalDl == rebuilt.totalDl)
+    val a = Bm25.search(loaded, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    val b = Bm25.search(rebuilt, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    assert(a == b)
+    // compaction: re-saving the loaded index folds the tombstones away
+    val path2 = java.nio.file.Files.createTempDirectory("bm25-compact").toString
+    Bm25.save(loaded, path2, prefixBuckets = 8)
+    val compacted = Bm25.load(spark, path2)
+    assert(Bm25.search(compacted, Seq("cat", "fish", "bird"), k = 4).collect().toSeq == b)
+    assert(compacted.postings.count() == rebuilt.postings.count())
+  }
+
   test("phraseSearch: aligned positional intersection, 1-based positions") {
     val docs = Seq(
       (1L, "the quick brown fox and the quick brown dog"),
