@@ -902,6 +902,59 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
+  /** The END-TO-END curation pipeline in one gated row — the
+    * composition a training-data user actually runs, every stage an
+    * already-gated primitive: Gopher quality gate → exact dedup
+    * (min-id per md5) → near-dup dedup ([[graft.operators.TextDedup
+    * .prefixFilteredJaccardPairs]], LOSSLESS, closed transitively by
+    * [[graft.operators.Clustering.connectedComponents]], keep the
+    * component minimum) → deterministic 90/5/5 md5 split → per-split
+    * doc/token totals, with every stage's surviving count riding the
+    * output as telemetry columns. The fixture plants BOTH duplicate
+    * kinds (near-dup tails at `% 50`, exact copies at `% 40`), so
+    * both dedup stages do real work. BIT-EXACT oracle replay of the
+    * entire chain.
+    */
+  private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
+    val withExact = base.unionByName(
+      base.filter(col("doc_id") % 40 === 0 && col("doc_id") < 1000000L)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    val quality = withExact
+      .withColumn("__ws", TF.tokens(col("text")))
+      .filter(TF.gopherKeep(col("__ws")))
+      .persist()
+    val exactKept = quality
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .persist()
+    val pairs = TextDedup.prefixFilteredJaccardPairs(
+      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+    val dropNear = graft.operators.Clustering
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val survivors = exactKept.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100L
+    val out = graft.operators.Sampling
+      .hashSplitBy(survivors, bucket, Seq(("train", 90), ("val", 5), ("test", 5)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__ws"))).cast("long").as("total_tokens"))
+      .crossJoin(broadcast(withExact.agg(count(lit(1)).as("n_input"))))
+      .crossJoin(broadcast(quality.agg(count(lit(1)).as("n_quality"))))
+      .crossJoin(broadcast(exactKept.agg(count(lit(1)).as("n_exact_kept"))))
+      .crossJoin(broadcast(survivors.agg(count(lit(1)).as("n_near_kept"))))
+      .orderBy(col("split"))
+    out.persist().count()
+    quality.unpersist(); exactKept.unpersist(); survivors.unpersist()
+    out
+  }
+
   /** PPJoin-style prefix-filtered exact-Jaccard join over the planted
     * near-dup corpus ([[graft.operators.TextDedup
     * .prefixFilteredJaccardPairs]]): each document indexes only its
@@ -4280,6 +4333,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_prefix_jaccard" -> (dedupPrefixJaccard _),
+    "corpus_curation_pipeline" -> (corpusCurationPipeline _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
@@ -5425,6 +5479,84 @@ object SparkEntry {
         |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
         |FROM l2 GROUP BY lab ORDER BY community""".stripMargin,
+    // the full curation chain replayed: gopher gate, md5 exact dedup,
+    // all-pairs jaccard + recursive closure (lossless ⇒ equals the
+    // prefix-filtered path), md5 split, per-split totals + telemetry
+    "corpus_curation_pipeline" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |alle AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM base
+        |  WHERE doc_id % 40 = 0 AND doc_id < 1000000),
+        |tok AS (SELECT doc_id, text,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM alle),
+        |gq AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS twf,
+        |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dbf
+        |    FROM (SELECT doc_id, text, ws,
+        |            CASE WHEN len(ws) >= 2
+        |                 THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |                 ELSE [array_to_string(ws, ' ')] END AS bg
+        |          FROM tok))
+        |  WHERE mwl BETWEEN 3.0 AND 10.0 AND twf <= 0.2 AND dbf <= 0.2),
+        |ek AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gq)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 3
+        |           THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS s
+        |  FROM ek),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0
+        |    AND len(list_intersect(a.s, b.s)) * 1000000
+        |        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000),
+        |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |dropn AS (SELECT id FROM comp WHERE id <> c),
+        |surv AS (SELECT ek.doc_id, ek.ws FROM ek
+        |         LEFT JOIN dropn d ON ek.doc_id = d.id WHERE d.id IS NULL),
+        |tele AS (SELECT
+        |  (SELECT count(*) FROM alle) AS n_input,
+        |  (SELECT count(*) FROM gq) AS n_quality,
+        |  (SELECT count(*) FROM ek) AS n_exact_kept,
+        |  (SELECT count(*) FROM surv) AS n_near_kept),
+        |spl AS (SELECT doc_id, len(ws) AS nt,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM surv)
+        |SELECT CASE WHEN bkt < 90 THEN 'train'
+        |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(t.n_input AS BIGINT) AS n_input,
+        |  CAST(t.n_quality AS BIGINT) AS n_quality,
+        |  CAST(t.n_exact_kept AS BIGINT) AS n_exact_kept,
+        |  CAST(t.n_near_kept AS BIGINT) AS n_near_kept
+        |FROM spl, tele t
+        |GROUP BY 1, t.n_input, t.n_quality, t.n_exact_kept, t.n_near_kept
+        |ORDER BY split""".stripMargin,
     // prefix-filtered Jaccard is LOSSLESS, so the oracle is the plain
     // all-pairs truth set with the exact integer Jaccard
     "dedup_prefix_jaccard" ->
