@@ -199,9 +199,13 @@ object Profiling {
         col("__cand").cast("long").as("cand_pairs"),
         col("__ntruth").cast("long").as("truth_pairs"),
         col("__hits").cast("long").as("truth_coblocked"),
-        expr("(__nrec * (__nrec - 1) div 2 - __cand) * 1000000 div (__nrec * (__nrec - 1) div 2)")
-          .as("rr_micro"),
-        expr("__hits * 1000000 div __ntruth").as("pc_micro"))
+        // degenerate inputs (fewer than 2 records / empty truth) yield
+        // null ratios instead of an ANSI division-by-zero error
+        expr("CASE WHEN __nrec >= 2 THEN " +
+          "(__nrec * (__nrec - 1) div 2 - __cand) * 1000000 div (__nrec * (__nrec - 1) div 2) " +
+          "END").as("rr_micro"),
+        expr("CASE WHEN __ntruth > 0 THEN __hits * 1000000 div __ntruth END")
+          .as("pc_micro"))
     out.persist().count()
     blocked.unpersist()
     out
