@@ -916,7 +916,6 @@ object SparkEntry {
     * entire chain.
     */
   private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
     val withExact = base.unionByName(
       base.filter(col("doc_id") % 40 === 0 && col("doc_id") < 1000000L)
@@ -925,12 +924,13 @@ object SparkEntry {
       .withColumn("__ws", TF.tokens(col("text")))
       .filter(TF.gopherKeep(col("__ws")))
       .persist()
-    val exactKept = quality
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .persist()
+    // exact dedup shuffles ONLY (hash, id) — the min-id winners come
+    // back as a semi-join, so document text never rides the exchange
+    val exactWinners = quality
+      .select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactKept = quality.join(exactWinners, Seq("doc_id"), "left_semi").persist()
     val pairs = TextDedup.prefixFilteredJaccardPairs(
       exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
     val dropNear = graft.operators.Clustering
