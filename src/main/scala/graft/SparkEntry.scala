@@ -5449,8 +5449,8 @@ object SparkEntry {
         |SELECT CAST(nrec AS BIGINT) AS n_records, CAST(nb AS BIGINT) AS n_blocks,
         |  CAST(cand AS BIGINT) AS cand_pairs, CAST(ntruth AS BIGINT) AS truth_pairs,
         |  CAST(hits AS BIGINT) AS truth_coblocked,
-        |  (nrec * (nrec - 1) // 2 - cand) * 1000000 // (nrec * (nrec - 1) // 2) AS rr_micro,
-        |  hits * 1000000 // ntruth AS pc_micro
+        |  CAST((nrec * (nrec - 1) // 2 - cand) * 1000000 // (nrec * (nrec - 1) // 2) AS BIGINT) AS rr_micro,
+        |  CAST(hits * 1000000 // ntruth AS BIGINT) AS pc_micro
         |FROM rs, bs, ts""".stripMargin,
     // synchronous LPA: two unrolled majority rounds, ties to the
     // smallest label; bridges stay outvoted so decades survive

@@ -182,6 +182,31 @@ object Bm25 {
     val meta = spark.read.parquet(s"$path/meta").head()
     val nb = meta.getAs[Int]("prefixBuckets")
     val inc = build(increment, idCol, textCol)
+    // A previously retracted id may legitimately re-enter the corpus.
+    // Its tombstone must clear or load() would filter the fresh rows
+    // while the meta rewrite below counts them — but clearing alone
+    // would un-mask the id's OLD rows still on disk, so those rows are
+    // physically vacuumed first (a targeted rewrite, paid only when a
+    // batch actually re-uses a retracted id — rare by construction).
+    if (tombstonesExist(spark, path)) {
+      val tombs = spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+        .persist()
+      val incIds = inc.docs.select(col("id")).distinct()
+      val reused = tombs.join(broadcast(incIds), Seq("id"), "left_semi").persist()
+      if (reused.count() > 0) {
+        swapTable(spark, path, "postings",
+          spark.read.parquet(s"$path/postings")
+            .select(col("term"), col("id"), col("tf"), col("__tp"))
+            .join(broadcast(reused), Seq("id"), "left_anti"),
+          partitioned = true)
+        swapTable(spark, path, "docs",
+          spark.read.parquet(s"$path/docs").select(col("id"), col("dl"))
+            .join(broadcast(reused), Seq("id"), "left_anti"),
+          partitioned = false)
+        rewriteTombstones(spark, path, tombs.join(broadcast(reused), Seq("id"), "left_anti"))
+      }
+      reused.unpersist(); tombs.unpersist()
+    }
     inc.postings
       .withColumn("__tp", hashPrefix(col("term"), nb))
       .write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
@@ -191,6 +216,80 @@ object Bm25 {
       .toDF("nDocs", "totalDl", "prefixBuckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     inc.unpersist()
+  }
+
+  /** Replace the tombstone table with `kept` via a staged swap: the
+    * replacement writes beside the live dir first, so a reader (or a
+    * crash) never sees a half-written table, and the source files stay
+    * intact until the staged copy is complete.
+    */
+  private def rewriteTombstones(spark: SparkSession, path: String, kept: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/tombstones")
+    val stage = new Path(s"$path/tombstones__stage")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    kept.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    fs.delete(live, true)
+    fs.rename(stage, live)
+    ()
+  }
+
+  /** Replace a store table with `rewritten` via the same staged swap:
+    * write aside (the rewritten frame reads the very files it
+    * replaces), delete live, rename in — a crash leaves either the
+    * old or the new complete copy, never a mix.
+    */
+  private def swapTable(
+      spark: SparkSession,
+      path: String,
+      table: String,
+      rewritten: DataFrame,
+      partitioned: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/$table")
+    val stage = new Path(s"$path/${table}__stage")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = rewritten.write.mode("overwrite")
+    (if (partitioned) w.partitionBy("__tp") else w).parquet(stage.toString)
+    fs.delete(live, true)
+    fs.rename(stage, live)
+    ()
+  }
+
+  /** Physically drop tombstoned rows from a persisted index and reset
+    * the tombstone table — the compaction half of the retract
+    * lifecycle, run when lazy anti-join filtering has accumulated
+    * enough dead weight (each tombstone broadcast-filters EVERY
+    * subsequent pruned read; past a few thousand ids the rewrite pays
+    * for itself). Meta is untouched: [[retractFromSaved]] already
+    * keeps it at the survivors' exact totals, so searches before and
+    * after a vacuum score bit-for-bit the same (Bm25Spec's
+    * vacuum==retract differential). Each store table swaps staged
+    * (write aside, delete live, rename in) — a reader never sees a
+    * half-rewritten table and a crash leaves either the old or the
+    * new complete copy.
+    *
+    * No-op when no tombstones exist.
+    */
+  def vacuumSaved(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!tombstonesExist(spark, path)) return
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+      .persist()
+    tombs.count()
+    swapTable(spark, path, "postings",
+      spark.read.parquet(s"$path/postings")
+        .select(col("term"), col("id"), col("tf"), col("__tp"))
+        .join(broadcast(tombs), Seq("id"), "left_anti"),
+      partitioned = true)
+    swapTable(spark, path, "docs",
+      spark.read.parquet(s"$path/docs").select(col("id"), col("dl"))
+        .join(broadcast(tombs), Seq("id"), "left_anti"),
+      partitioned = false)
+    tombs.unpersist()
+    fs.delete(new Path(s"$path/tombstones"), true)
+    ()
   }
 
   /** Remove documents from an index without rebuilding — the
@@ -232,7 +331,16 @@ object Bm25 {
       idCol: String): Unit = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
-    val ids = removeIds.select(col(idCol).as("id")).distinct().persist()
+    // Overlapping deletion batches are normal in right-to-be-forgotten
+    // flows: ids already tombstoned must NOT subtract from the totals
+    // again (the physical docs row is still on disk, so the join alone
+    // can't tell a live doc from a previously retracted one).
+    val raw = removeIds.select(col(idCol).as("id")).distinct()
+    val ids = (if (tombstonesExist(spark, path)) {
+      raw.join(
+        broadcast(spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()),
+        Seq("id"), "left_anti")
+    } else raw).persist()
     val gone = spark.read.parquet(s"$path/docs").join(ids, Seq("id"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
     ids.write.mode("append").parquet(s"$path/tombstones")
@@ -243,6 +351,11 @@ object Bm25 {
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     ids.unpersist()
     ()
+  }
+
+  private def tombstonesExist(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Persist the index: postings partitioned by a term hash prefix
@@ -261,6 +374,15 @@ object Bm25 {
     Seq((index.nDocs, index.totalDl, prefixBuckets))
       .toDF("nDocs", "totalDl", "prefixBuckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // The written frames have any tombstone filter already applied
+    // (load() bakes it into the plan), so a leftover tombstone table
+    // at the target is stale — it would wrongly re-filter ids a later
+    // absorb re-ingests. In-place compaction of a LOADED store is
+    // [[vacuumSaved]]; save targets a fresh/other path (overwriting
+    // the very files a loaded index reads from is not supported).
+    val stale = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) { fs.delete(stale, true); () }
   }
 
   /** Load a persisted index; nothing is eagerly cached and searches

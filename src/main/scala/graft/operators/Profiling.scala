@@ -200,11 +200,15 @@ object Profiling {
         col("__ntruth").cast("long").as("truth_pairs"),
         col("__hits").cast("long").as("truth_coblocked"),
         // degenerate inputs (fewer than 2 records / empty truth) yield
-        // null ratios instead of an ANSI division-by-zero error
-        expr("CASE WHEN __nrec >= 2 THEN " +
-          "(__nrec * (__nrec - 1) div 2 - __cand) * 1000000 div (__nrec * (__nrec - 1) div 2) " +
+        // null ratios instead of an ANSI division-by-zero error; the
+        // *1000000 scaling runs in decimal(38,0) so pair counts past
+        // ~9.2e12 (n_records > ~4.3M) don't wrap Long
+        expr("CASE WHEN __nrec >= 2 THEN cast(" +
+          "cast(cast(__nrec as decimal(38,0)) * (__nrec - 1) div 2 - __cand as decimal(38,0)) " +
+          "* 1000000 div (cast(__nrec as decimal(38,0)) * (__nrec - 1) div 2) as long) " +
           "END").as("rr_micro"),
-        expr("CASE WHEN __ntruth > 0 THEN __hits * 1000000 div __ntruth END")
+        expr("CASE WHEN __ntruth > 0 THEN " +
+          "cast(cast(__hits as decimal(38,0)) * 1000000 div __ntruth as long) END")
           .as("pc_micro"))
     out.persist().count()
     blocked.unpersist()

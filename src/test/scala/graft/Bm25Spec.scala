@@ -157,6 +157,77 @@ class Bm25Spec extends SparkSpec {
     assert(compacted.postings.count() == rebuilt.postings.count())
   }
 
+  test("overlapping saved retractions never double-subtract the totals") {
+    val corpus = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog bird"),
+      (3L, "fish fish fish"), (4L, "cat bird cat")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25-overlap").toString
+    Bm25.save(Bm25.build(corpus, "doc_id", "text"), path, prefixBuckets = 8)
+    Bm25.retractFromSaved(spark, path, Seq(2L).toDF("doc_id"), "doc_id")
+    // second batch re-lists id 2 (normal in right-to-be-forgotten
+    // flows) — its dl must subtract exactly once
+    Bm25.retractFromSaved(spark, path, Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val loaded = Bm25.load(spark, path)
+    val rebuilt = Bm25.build(
+      corpus.filter(col("doc_id") === 1L || col("doc_id") === 3L), "doc_id", "text")
+    assert(loaded.nDocs == rebuilt.nDocs && loaded.totalDl == rebuilt.totalDl,
+      s"meta diverged: loaded=(${loaded.nDocs},${loaded.totalDl}) " +
+        s"rebuilt=(${rebuilt.nDocs},${rebuilt.totalDl})")
+    val a = Bm25.search(loaded, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    val b = Bm25.search(rebuilt, Seq("cat", "fish", "bird"), k = 4).collect().toSeq
+    assert(a == b)
+    rebuilt.unpersist()
+  }
+
+  test("absorbing a previously retracted id clears its tombstone") {
+    val corpus = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25-reingest").toString
+    Bm25.save(Bm25.build(corpus, "doc_id", "text"), path, prefixBuckets = 8)
+    Bm25.retractFromSaved(spark, path, Seq(2L).toDF("doc_id"), "doc_id")
+    // doc 2 re-enters the corpus with fresh text
+    Bm25.absorbIntoSaved(spark, path, Seq((2L, "bird bird cat")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val loaded = Bm25.load(spark, path)
+    val rebuilt = Bm25.build(
+      Seq((1L, "cat dog cat fish"), (3L, "fish fish fish"), (2L, "bird bird cat"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(loaded.nDocs == rebuilt.nDocs && loaded.totalDl == rebuilt.totalDl)
+    val a = Bm25.search(loaded, Seq("cat", "bird", "fish"), k = 4).collect().toSeq
+    val b = Bm25.search(rebuilt, Seq("cat", "bird", "fish"), k = 4).collect().toSeq
+    assert(a == b, s"loaded=$a rebuilt=$b")
+    assert(a.exists(_.getAs[Long]("id") == 2L), "re-ingested doc must be served")
+    rebuilt.unpersist()
+  }
+
+  test("vacuumSaved drops tombstoned rows physically and scores identically") {
+    val corpus = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog bird"),
+      (3L, "fish fish fish"), (4L, "cat bird cat")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25-vacuum").toString
+    Bm25.save(Bm25.build(corpus, "doc_id", "text"), path, prefixBuckets = 8)
+    Bm25.retractFromSaved(spark, path, Seq(2L, 4L).toDF("doc_id"), "doc_id")
+    val before = Bm25.search(Bm25.load(spark, path), Seq("cat", "fish", "bird"), k = 4)
+      .collect().toSeq
+    Bm25.vacuumSaved(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "vacuum must reset the tombstone table")
+    val loaded = Bm25.load(spark, path)
+    assert(Bm25.search(loaded, Seq("cat", "fish", "bird"), k = 4).collect().toSeq == before)
+    val rebuilt = Bm25.build(
+      corpus.filter(col("doc_id") === 1L || col("doc_id") === 3L), "doc_id", "text")
+    assert(loaded.postings.count() == rebuilt.postings.count(),
+      "vacuumed store must hold only survivor postings")
+    assert(loaded.docs.count() == rebuilt.docs.count())
+    // idempotent: a second vacuum with no tombstones is a no-op
+    Bm25.vacuumSaved(spark, path)
+    assert(Bm25.search(Bm25.load(spark, path), Seq("cat", "fish", "bird"), k = 4)
+      .collect().toSeq == before)
+    rebuilt.unpersist()
+  }
+
   test("phraseSearch: aligned positional intersection, 1-based positions") {
     val docs = Seq(
       (1L, "the quick brown fox and the quick brown dog"),
