@@ -52,10 +52,25 @@ object AudioDedup {
     val words = new Array[Long](2)
     var i = 0
     while (i < 64) {
-      if (e(i + 1) * wn(i) > e(i) * wn(i + 1)) words(i / 32) |= 1L << (i % 32)
+      if (cmpProducts(e(i + 1), wn(i), e(i), wn(i + 1)) > 0) words(i / 32) |= 1L << (i % 32)
       i += 1
     }
     words
+  }
+
+  /** Compare `a*b` vs `c*d` in full 128-bit precision (all operands
+    * non-negative). The naive Long product overflows for realistic
+    * audio — full-scale PCM-16 at 44.1 kHz wraps past roughly two
+    * minutes of samples (e ~ 1e9·n/65 times wn ~ n/65) — silently
+    * flipping envelope bits, while the SQL oracle evaluates the same
+    * comparison in int128; this keeps the engines bit-identical at
+    * any clip length.
+    */
+  private def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 
   /** One decode+hash pass over a media table's WAV rows; rows of other

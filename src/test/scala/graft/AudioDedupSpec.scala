@@ -23,6 +23,39 @@ class AudioDedupSpec extends SparkSpec {
     assert(AudioDedup.envelopeHash(rt.samples).toSeq == h0)
   }
 
+  test("long loud clips hash without Long overflow (128-bit comparison)") {
+    // ~6.6M full-scale-ish samples (~2.5 min at 44.1 kHz): each window's
+    // energy sum e ~ 1e9 * 100k and window size wn ~ 100k, so the naive
+    // cross-multiplied comparison e*wn wraps Long. The hash must equal
+    // a BigInt evaluation of the same comparisons.
+    val n = 65 * 110000 + 17 // non-multiple of 65: unequal window sizes
+    val big = Array.tabulate(n)(i => (if ((i / 3) % 2 == 0) 30000 else -30000).toShort)
+    // make window energies vary so both comparison outcomes occur
+    var i = 0
+    while (i < n) { if ((i / (n / 65)) % 2 == 1) big(i) = (big(i) / 3).toShort; i += 1 }
+    val got = AudioDedup.envelopeHash(big)
+    // independent BigInt reference of the same windowing
+    val e = new Array[BigInt](65); val wn = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val lo = j.toLong * n / 65; val hi = (j + 1).toLong * n / 65
+      var s = BigInt(0); var k = lo
+      while (k < hi) { val v = BigInt(big(k.toInt).toInt); s += v * v; k += 1 }
+      e(j) = s; wn(j) = hi - lo; j += 1
+    }
+    val words = new Array[Long](2)
+    var b = 0
+    while (b < 64) {
+      if (e(b + 1) * wn(b) > e(b) * wn(b + 1)) words(b / 32) |= 1L << (b % 32)
+      b += 1
+    }
+    assert(got.toSeq == words.toSeq,
+      s"overflow-era hash diverged from BigInt reference: got=${got.toSeq} want=${words.toSeq}")
+    // sanity: the naive Long arithmetic genuinely overflows here
+    assert((0 until 64).exists { k => e(k + 1) * wn(k) > BigInt(Long.MaxValue) },
+      "fixture no longer exercises the overflow range")
+  }
+
   test("sparse additive noise flips few bits") {
     val base = clip(1024, seed = 7)
     val noisy = base.zipWithIndex.map { case (s, i) =>
