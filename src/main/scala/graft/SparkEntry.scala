@@ -1455,7 +1455,8 @@ object SparkEntry {
       .mutualKnnGraph(
         Tables(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", k = 3,
-        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        knownNodeCount = Some(100L)) // vec_id < 100 bounds the set by construction
     graft.operators.Clustering.connectedComponents(edges, "id_a", "id_b")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
@@ -1799,7 +1800,8 @@ object SparkEntry {
       .mutualKnnGraph(
         Tables(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", k = 5,
-        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        knownNodeCount = Some(100L)) // vec_id < 100 bounds the set by construction
       .select(col("id_a"), col("id_b"), col("sim").as("sim_micro"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1830,7 +1832,8 @@ object SparkEntry {
       (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
       val e = SimilaritySearch
-        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn)
+        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn,
+          knownNodeCount = Some(300L)) // 30 bases x 10 planted variants
         .persist()
       e.count()
       e
@@ -1873,7 +1876,8 @@ object SparkEntry {
       (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
       val e = SimilaritySearch
-        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn)
+        .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn,
+          knownNodeCount = Some(300L)) // 30 bases x 10 planted variants
         .persist()
       e.count()
       e

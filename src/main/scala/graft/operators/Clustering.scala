@@ -112,13 +112,22 @@ object Clustering {
     * window for the argmax — the [[connectedComponents]] round shape
     * plus a window, with the same per-round lineage truncation.
     *
+    * `convergeWhenStable` turns `rounds` into a CEILING: the loop
+    * stops early once a round changes no label (one extra
+    * map-combinable changed-row count per round — an anti-equi join
+    * of consecutive labelings). Determinism is unchanged — the
+    * synchronous update is a pure function of the previous labeling,
+    * so stopping at a fixed point yields exactly the fixed-round
+    * result for any larger round count.
+    *
     * @return (id, community) for every node that appears in an edge
     */
   def labelPropagation(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2,
+      convergeWhenStable: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -129,10 +138,11 @@ object Clustering {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var r = 0
-    while (r < rounds) {
+    var stable = false
+    while (r < rounds && !stable) {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("__n").desc, col("label").asc)
-      labels = edges
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("__n"))
@@ -140,6 +150,12 @@ object Clustering {
         .filter(col("__rk") === 1)
         .select(col("id"), col("label"))
         .localCheckpoint(true)
+      if (convergeWhenStable) {
+        stable = next.join(labels.withColumnRenamed("label", "__prev"), Seq("id"))
+          .filter(col("label") =!= col("__prev"))
+          .isEmpty
+      }
+      labels = next
       r += 1
     }
     labels.select(col("id"), col("label").as("community"))
@@ -224,13 +240,20 @@ object Clustering {
     * equals a from-scratch rebuild over the accumulated edges EXACTLY
     * — ClusteringSpec's differential and the `dedup_clusters_
     * incremental` oracle gate both assert it.
+    *
+    * `autoCompactAtRelabels` > 0 bounds the forwarding table: when an
+    * absorb leaves more than that many relabel rows, the store
+    * compacts in place ([[compactClusters]]) before returning, so an
+    * arbitrarily long absorb sequence never outgrows the broadcast
+    * budget. 0 (the default) never auto-compacts.
     */
   def absorbEdges(
       spark: SparkSession,
       path: String,
       newEdges: DataFrame,
       aCol: String,
-      bCol: String): Unit = {
+      bCol: String,
+      autoCompactAtRelabels: Int = 0): Unit = {
     val st = loadClusters(spark, path)
     val edges = newEdges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -280,7 +303,16 @@ object Clustering {
       .withColumn("__kp", kpId(col("id"), st.prefixBuckets))
     newLabels.repartition(col("__kp"))
       .write.mode("append").partitionBy("__kp").parquet(s"$path/labels")
+    // The forwarding table must stay broadcastable: when a long absorb
+    // sequence has grown it past the caller's budget, fold it into the
+    // label rows now (the MicroBatchMerger autoCompactEvery lifecycle,
+    // keyed on the durable store signal — relabel row count — instead
+    // of a per-JVM batch counter, so the trigger survives restarts and
+    // fires exactly when the broadcast actually grew). The count is
+    // free: `staged` is an eager localCheckpoint.
+    val compactNow = autoCompactAtRelabels > 0 && staged.count() > autoCompactAtRelabels
     staged.unpersist(); known.unpersist(); endpoints.unpersist(); edges.unpersist()
+    if (compactNow) compactClusters(spark, path)
     ()
   }
 

@@ -156,12 +156,16 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       simFn: (Column, Column) => Column = VectorFunctions.cosine,
-      maxBroadcastNodes: Int = 1 << 20): DataFrame = {
+      maxBroadcastNodes: Int = 1 << 20,
+      knownNodeCount: Option[Long] = None): DataFrame = {
     // guard the silent failure mode: this path BROADCASTS the node set,
     // so past executor-broadcast size it dies mid-job with an opaque
     // OOM. The limit-bounded count costs one cheap CollectLimit job and
     // turns that into an actionable error BEFORE the n² scan starts.
-    val n = nodes.limit(maxBroadcastNodes + 1).count()
+    // Callers that already hold the size (composed pipelines invoking
+    // this repeatedly on a counted frame) pass it via `knownNodeCount`
+    // and skip the job entirely.
+    val n = knownNodeCount.getOrElse(nodes.limit(maxBroadcastNodes + 1).count())
     require(n <= maxBroadcastNodes,
       s"mutualKnnGraph broadcasts the node set, but it exceeds " +
         s"$maxBroadcastNodes rows — build an IVF index and call " +

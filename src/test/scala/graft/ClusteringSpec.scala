@@ -77,6 +77,29 @@ class ClusteringSpec extends SparkSpec {
     assert(resolved(dir) == unionFind(all))
   }
 
+  test("auto-compaction keeps the forwarding table bounded over a long absorb run") {
+    val dir = java.nio.file.Files.createTempDirectory("clstore-auto").toString
+    // every batch links a new SMALLER id onto the chain, so each absorb
+    // moves the component root and grows the forwarding table by a row
+    // — the worst case for relabel accumulation
+    Clustering.saveClusters(
+      Clustering.connectedComponents(Seq((100L, 101L)).toDF("a", "b"), "a", "b"),
+      dir, prefixBuckets = 8)
+    val threshold = 10
+    var edges = Seq((100L, 101L))
+    (1 to 50).foreach { k =>
+      val e = (100L - k, 100L - k + 1)
+      edges = edges :+ e
+      Clustering.absorbEdges(spark, dir, Seq(e).toDF("a", "b"), "a", "b",
+        autoCompactAtRelabels = threshold)
+      val n = Clustering.loadClusters(spark, dir).relabels.count()
+      assert(n <= threshold, s"after batch $k the relabel table held $n rows")
+    }
+    assert(resolved(dir) == unionFind(edges))
+    // the whole chain collapsed to one root: the global minimum id
+    assert(resolved(dir).values.toSet == Set(50L))
+  }
+
   test("absorbEdges handles intra-component and self edges as no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("clstore2").toString
     Clustering.saveClusters(
@@ -103,6 +126,25 @@ class ClusteringSpec extends SparkSpec {
     assert((1L to 5L).map(lpa).toSet.size == 1, s"left clique split: $lpa")
     assert((11L to 15L).map(lpa).toSet.size == 1, s"right clique split: $lpa")
     assert(lpa(1L) != lpa(12L), s"bridge fused the communities: $lpa")
+  }
+
+  test("labelPropagation convergeWhenStable stops at the fixed point") {
+    // 4-clique with a pendant chain: labels need ~5 synchronous rounds
+    // to flood to the chain tip, so 2 rounds are NOT converged but a
+    // generous ceiling is
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    def run(rounds: Int, converge: Boolean) =
+      Clustering.labelPropagation(edges, "a", "b", rounds, converge)
+        .as[(Long, Long)].collect().toMap
+    val converged = run(rounds = 20, converge = true)
+    assert(converged == run(rounds = 20, converge = false),
+      "early stop must equal the full fixed-round result")
+    assert(converged.values.toSet == Set(1L), "the flood must reach the chain tip")
+    assert(run(rounds = 2, converge = false) != converged,
+      "fixture must NOT be converged at 2 rounds")
+    // stopping exactly at the fixed point: any larger ceiling is identical
+    assert(run(rounds = 6, converge = true) == converged)
   }
 
   test("labelPropagation rounds are deterministic with min-label ties") {

@@ -128,6 +128,31 @@ class KnnMmrSpec extends SparkSpec {
     assert(e.getMessage.contains("mutualKnnGraphAnn"))
   }
 
+  test("mutualKnnGraph with knownNodeCount runs no guard job") {
+    // a node frame that throws if ANY job executes: with the count
+    // supplied the call must stay fully lazy; without it the guard's
+    // CollectLimit job runs and trips the poison
+    val poisoned = spark.range(5).as[Long]
+      .map { i =>
+        if (i >= 0) throw new RuntimeException("guard job executed")
+        (i, Seq(1.0f, 0.0f))
+      }.toDF("id", "vec")
+    val g = SimilaritySearch.mutualKnnGraph(poisoned, "id", "vec", k = 2,
+      knownNodeCount = Some(5L))
+    assert(g.columns.toSeq == Seq("id_a", "id_b", "sim")) // plan built, nothing ran
+    val e = intercept[org.apache.spark.SparkException] {
+      SimilaritySearch.mutualKnnGraph(poisoned, "id", "vec", k = 2)
+    }
+    assert(e.getMessage.contains("guard job executed") ||
+      Option(e.getCause).exists(_.getMessage.contains("guard job executed")))
+    // and the supplied count still enforces the broadcast cap
+    val trip = intercept[IllegalArgumentException] {
+      SimilaritySearch.mutualKnnGraph(poisoned, "id", "vec", k = 2,
+        maxBroadcastNodes = 3, knownNodeCount = Some(5L))
+    }
+    assert(trip.getMessage.contains("mutualKnnGraphAnn"))
+  }
+
   test("MMR of an all-duplicates corpus scores later picks rel - 1e6") {
     val corpus = (1L to 3L).map(i => (i, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
     val rows = SimilaritySearch
