@@ -915,7 +915,11 @@ object SparkEntry {
     * both dedup stages do real work. BIT-EXACT oracle replay of the
     * entire chain.
     */
-  private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** Shared prefix of the curation pipelines: planted corpus (near-dup
+    * tails at `% 50`, exact copies at `% 40`), Gopher quality gate —
+    * both frames LAZY, callers persist what they reuse.
+    */
+  private def curationPrefix(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = docsWithNearDups(s, dir).select(col("doc_id"), col("text"))
     val withExact = base.unionByName(
       base.filter(col("doc_id") % 40 === 0 && col("doc_id") < 1000000L)
@@ -923,24 +927,35 @@ object SparkEntry {
     val quality = withExact
       .withColumn("__ws", TF.tokens(col("text")))
       .filter(TF.gopherKeep(col("__ws")))
-      .persist()
-    // exact dedup shuffles ONLY (hash, id) — the min-id winners come
-    // back as a semi-join, so document text never rides the exchange
+    (withExact, quality)
+  }
+
+  /** Exact-dedup stage of the curation pipelines: min-id winner per
+    * md5, returned as a semi-join of `quality` (which the caller has
+    * persisted) so document text never rides the exchange — the
+    * shuffle carries ONLY (hash, id).
+    */
+  private def curationExactDedup(quality: DataFrame): DataFrame = {
     val exactWinners = quality
       .select(md5(col("text")).as("__h"), col("doc_id"))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exactKept = quality.join(exactWinners, Seq("doc_id"), "left_semi").persist()
-    val pairs = TextDedup.prefixFilteredJaccardPairs(
-      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
-    val dropNear = graft.operators.Clustering
-      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as("doc_id"))
-    val survivors = exactKept.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    quality.join(exactWinners, Seq("doc_id"), "left_semi")
+  }
+
+  /** Survivor-set split + telemetry tail shared by the curation
+    * pipelines: deterministic 90/5/5 md5 split of `survivors`, with
+    * each stage's surviving count riding the output as broadcast
+    * one-row telemetry columns.
+    */
+  private def curationSplitCounts(
+      withExact: DataFrame,
+      quality: DataFrame,
+      exactKept: DataFrame,
+      survivors: DataFrame): DataFrame = {
     val bucket =
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100L
-    val out = graft.operators.Sampling
+    graft.operators.Sampling
       .hashSplitBy(survivors, bucket, Seq(("train", 90), ("val", 5), ("test", 5)))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -950,8 +965,85 @@ object SparkEntry {
       .crossJoin(broadcast(exactKept.agg(count(lit(1)).as("n_exact_kept"))))
       .crossJoin(broadcast(survivors.agg(count(lit(1)).as("n_near_kept"))))
       .orderBy(col("split"))
+  }
+
+  private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (withExact, qualityL) = curationPrefix(s, dir)
+    val quality = qualityL.persist()
+    val exactKept = curationExactDedup(quality).persist()
+    val pairs = TextDedup.prefixFilteredJaccardPairs(
+      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+    val dropNear = graft.operators.Clustering
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val survivors = exactKept.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    val out = curationSplitCounts(withExact, quality, exactKept, survivors)
     out.persist().count()
     quality.unpersist(); exactKept.unpersist(); survivors.unpersist()
+    out
+  }
+
+  /** The curation pipeline with the MINHASH-BANDED near-dup strategy —
+    * the corpus-scale alternative to [[corpusCurationPipeline]]'s
+    * lossless PPJoin (banding is a list-keyed bucket join, cost
+    * ~candidate volume instead of the prefix-index join). Oracle-gated
+    * via the recall-verdict pattern (`knn_graph_ann`): the emitted
+    * rows are the EXACT chain's split counts, which DuckDB replays
+    * bit-for-bit, and `minhash_ok` proves the banded composition
+    * (MinHash+LSH candidates → exact-Jaccard verify on the staged
+    * shingles → components → survivors) ran for real and recovered
+    * >= 90% of the lossless chain's near-dup pairs AND landed its
+    * survivor count within 1% of the exact chain's. Both chains share
+    * one persisted quality/exact-dedup prefix; banding is
+    * deterministic (xxhash64), so the recall is a fixed number for a
+    * fixed dataset, not a statistical bound.
+    */
+  private def corpusCurationPipelineMinhash(s: SparkSession, dir: String): DataFrame = {
+    val (withExact, qualityL) = curationPrefix(s, dir)
+    val quality = qualityL.persist()
+    val exactKept = curationExactDedup(quality).persist()
+    // lossless chain — the emitted truth
+    val pairsExact = TextDedup.prefixFilteredJaccardPairs(
+      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+      .select(col("id_a"), col("id_b")).persist()
+    val dropNear = graft.operators.Clustering
+      .connectedComponents(pairsExact, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val survivors = exactKept.join(dropNear, Seq("doc_id"), "left_anti").persist()
+    // banded chain: LSH candidates -> exact verify on the STAGED
+    // shingle arrays (never re-shingling text) -> components -> drops
+    val (cand, shingled) = TextDedup.minhashCandidatePairsAndShingles(
+      exactKept, "doc_id", "text", threshold = 0.5)
+    val verified = cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("__sa")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("__sb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(expr("__i * 1000000 div (size(__sa) + size(__sb) - __i)") >= 500000L)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val dropMinhash = graft.operators.Clustering
+      .connectedComponents(verified, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val minhashSurvivors = exactKept.join(dropMinhash, Seq("doc_id"), "left_anti")
+    // verdict: pair recall (banding is lossy; verified is a SUBSET of
+    // the lossless pairs by construction) and survivor-count agreement
+    val recall = pairsExact
+      .join(verified, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__h"))
+      .crossJoin(pairsExact.agg(count(lit(1)).as("__t")))
+      .crossJoin(minhashSurvivors.agg(count(lit(1)).as("__ms")))
+      .crossJoin(survivors.agg(count(lit(1)).as("__es")))
+      .select((col("__h") * lit(100) >= col("__t") * lit(90) &&
+        abs(col("__ms") - col("__es")) * lit(100) <= col("__es")).as("minhash_ok"))
+    val out = curationSplitCounts(withExact, quality, exactKept, survivors)
+      .crossJoin(broadcast(recall))
+      .orderBy(col("split"))
+    out.persist().count()
+    quality.unpersist(); exactKept.unpersist(); pairsExact.unpersist()
+    verified.unpersist(); shingled.unpersist(); survivors.unpersist()
     out
   }
 
@@ -4338,6 +4430,7 @@ object SparkEntry {
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_prefix_jaccard" -> (dedupPrefixJaccard _),
     "corpus_curation_pipeline" -> (corpusCurationPipeline _),
+    "corpus_curation_pipeline_minhash" -> (corpusCurationPipelineMinhash _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
@@ -5558,6 +5651,84 @@ object SparkEntry {
         |  CAST(t.n_quality AS BIGINT) AS n_quality,
         |  CAST(t.n_exact_kept AS BIGINT) AS n_exact_kept,
         |  CAST(t.n_near_kept AS BIGINT) AS n_near_kept
+        |FROM spl, tele t
+        |GROUP BY 1, t.n_input, t.n_quality, t.n_exact_kept, t.n_near_kept
+        |ORDER BY split""".stripMargin,    // minhash-banded curation variant: emitted rows are the EXACT
+    // chain (same replay as corpus_curation_pipeline); minhash_ok is
+    // asserted true — the banded recall check runs in-plan Spark-side
+"corpus_curation_pipeline_minhash" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |alle AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM base
+        |  WHERE doc_id % 40 = 0 AND doc_id < 1000000),
+        |tok AS (SELECT doc_id, text,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM alle),
+        |gq AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS twf,
+        |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dbf
+        |    FROM (SELECT doc_id, text, ws,
+        |            CASE WHEN len(ws) >= 2
+        |                 THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |                 ELSE [array_to_string(ws, ' ')] END AS bg
+        |          FROM tok))
+        |  WHERE mwl BETWEEN 3.0 AND 10.0 AND twf <= 0.2 AND dbf <= 0.2),
+        |ek AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gq)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 3
+        |           THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS s
+        |  FROM ek),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0
+        |    AND len(list_intersect(a.s, b.s)) * 1000000
+        |        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000),
+        |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |dropn AS (SELECT id FROM comp WHERE id <> c),
+        |surv AS (SELECT ek.doc_id, ek.ws FROM ek
+        |         LEFT JOIN dropn d ON ek.doc_id = d.id WHERE d.id IS NULL),
+        |tele AS (SELECT
+        |  (SELECT count(*) FROM alle) AS n_input,
+        |  (SELECT count(*) FROM gq) AS n_quality,
+        |  (SELECT count(*) FROM ek) AS n_exact_kept,
+        |  (SELECT count(*) FROM surv) AS n_near_kept),
+        |spl AS (SELECT doc_id, len(ws) AS nt,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM surv)
+        |SELECT CASE WHEN bkt < 90 THEN 'train'
+        |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(t.n_input AS BIGINT) AS n_input,
+        |  CAST(t.n_quality AS BIGINT) AS n_quality,
+        |  CAST(t.n_exact_kept AS BIGINT) AS n_exact_kept,
+        |  CAST(t.n_near_kept AS BIGINT) AS n_near_kept,
+        |  true AS minhash_ok
         |FROM spl, tele t
         |GROUP BY 1, t.n_input, t.n_quality, t.n_exact_kept, t.n_near_kept
         |ORDER BY split""".stripMargin,

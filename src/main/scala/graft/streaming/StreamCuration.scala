@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline as a STREAM: quality gate → cross-batch exact
+  * dedup → cumulative split counters, chained inside one foreachBatch
+  * pass against a durable store — the ingest-time twin of the batch
+  * `corpus_curation_pipeline` chain (same Gopher gate, same
+  * keep-lowest-id exact-duplicate rule, same md5 90/5/5 split), so a
+  * forever-running ingest keeps the same corpus a batch rerun would
+  * rebuild.
+  *
+  * Store layout at `path` (the AggStore/Bm25 absorb lifecycle):
+  * `seen/` is an append-only fingerprint table — appending only the
+  * SURVIVORS' fingerprints is sufficient, because a batch-internal
+  * loser always shares its winner's fingerprint and that winner is
+  * either kept (fingerprint appended) or was itself dropped against
+  * the store (fingerprint already present). `counters/` is the
+  * one-row-per-split cumulative tally, folded monoidally (sum of
+  * sums) and rewritten through a lineage cut each batch — split rows,
+  * never corpus rows.
+  *
+  * Differential contract (StreamCurationSpec): after ANY sequence of
+  * micro-batches, [[loadCounters]] equals [[batchChain]] over the
+  * concatenation, provided each fingerprint's minimum id arrives no
+  * later than its duplicates (the natural time order of an ingest
+  * feed; keep-FIRST is what bounded streaming dedup can promise, and
+  * it coincides with the batch chain's keep-lowest exactly under that
+  * arrival order).
+  *
+  * Scale shape: per batch, the gate is a stateless projection; the
+  * dedup is one (fp, id) shuffle of the BATCH plus an anti-join whose
+  * store side prunes to the batch's fingerprints; the counter fold
+  * touches ≤ 3 rows. Nothing is proportional to the accumulated
+  * corpus except the seen-store anti-join's pruned read.
+  */
+object StreamCuration {
+
+  private def bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 100L
+
+  private def splitOf(b: Column): Column =
+    when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
+
+  /** Gopher quality gate, staged with the token array the later
+    * stages reuse (`__ws` — the batch pipeline's convention).
+    */
+  def qualityGate(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("__ws", TextFunctions.tokens(col(textCol)))
+      .filter(TextFunctions.gopherKeep(col("__ws")))
+
+  /** Initialise an empty curation store. */
+  def init(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq.empty[String].toDF("fp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/seen")
+    Seq.empty[(String, Long, Long)].toDF("split", "n_docs", "total_tokens")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/counters")
+  }
+
+  /** Fold one micro-batch through the full chain: gate → in-batch
+    * keep-lowest-id per fingerprint → drop fingerprints the store has
+    * seen → append survivors' fingerprints → fold survivors' split
+    * counts into the cumulative tally. The foreachBatch body.
+    */
+  def absorbBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val gated = qualityGate(batch, textCol)
+      .select(col(idCol).as("__id"), col("__ws"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .persist()
+    // in-batch winners: the (fp, id) shuffle carries no text; winners
+    // come back as a semi-join, the batch pipeline's exact-dedup shape
+    val winners = gated.select(col("fp"), col("__id"))
+      .groupBy(col("fp")).agg(min(col("__id")).as("__id"))
+    // the lineage cut (not a mere persist) is load-bearing: the append
+    // below invalidates any cached plan that reads `seen/`, and a
+    // recompute after the append would anti-join the batch against its
+    // OWN fingerprints and emit nothing
+    val fresh = gated
+      .join(winners, Seq("fp", "__id"), "left_semi")
+      .join(spark.read.parquet(s"$path/seen"), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    fresh.select(col("fp")).write.mode("append").parquet(s"$path/seen")
+    val increment = fresh
+      .select(splitOf(bucket(col("__id"))).as("split"),
+        size(col("__ws")).cast("long").as("__nt"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+    // monoid fold + staged rewrite: the counters table reads the same
+    // files it overwrites, so the folded frame cuts lineage first
+    val folded = spark.read.parquet(s"$path/counters")
+      .unionByName(increment)
+      .groupBy(col("split"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tokens")).as("total_tokens"))
+      .repartition(1)
+      .localCheckpoint(true)
+    folded.write.mode("overwrite").parquet(s"$path/counters")
+    folded.unpersist(); fresh.unpersist(); gated.unpersist()
+    ()
+  }
+
+  /** The cumulative per-split tally after the batches absorbed so far. */
+  def loadCounters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/counters")
+      .select(col("split"), col("n_docs"), col("total_tokens"))
+
+  /** The batch twin the stream must agree with: the same gate, the
+    * same keep-lowest-id exact dedup, the same split tally, over one
+    * static frame.
+    */
+  def batchChain(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val gated = qualityGate(docs, textCol)
+      .select(col(idCol).as("__id"), col("__ws"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val winners = gated.select(col("fp"), col("__id"))
+      .groupBy(col("fp")).agg(min(col("__id")).as("__id"))
+    gated.join(winners, Seq("fp", "__id"), "left_semi")
+      .select(splitOf(bucket(col("__id"))).as("split"),
+        size(col("__ws")).cast("long").as("__nt"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+  }
+}
