@@ -2527,6 +2527,49 @@ object SparkEntry {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
       .orderBy(col("lang"))
 
+  /** Distributed suffix array over the first 25 tokens of the doc_id <
+    * 40 slice ([[graft.operators.SuffixArray.build]] — prefix
+    * doubling, log-round sort-based ordinal ranking, no suffix string
+    * ever materialized). Oracle-gated the strong way: DuckDB simply
+    * SORTS THE ACTUAL SUFFIX LISTS (`ORDER BY ws[pos:], doc_id, pos`)
+    * — trivially correct by definition — and the doubling construction
+    * must reproduce every rank bit-for-bit.
+    */
+  private def suffixArrayRanks(s: SparkSession, dir: String): DataFrame = {
+    val ix = graft.operators.SuffixArray.build(
+      Tables(s, dir, "documents").filter(col("doc_id") < 40),
+      "doc_id", "text", maxTokens = 25)
+    val out = ix.sa.orderBy(col("doc_id"), col("pos"))
+    out.persist().count()
+    ix.unpersist()
+    out
+  }
+
+  /** Repeated-passage discovery via suffix-array adjacent LCP
+    * ([[graft.operators.SuffixArray.adjacentLcp]] — binary descent
+    * over the retained doubling tables): every >= 5-token passage
+    * occurring twice in the boilerplate-seeded doc_id < 200 slice
+    * surfaces as an adjacent pair, with NO shingle size fixed in
+    * advance — the substring-level dedup primitive (Lee et al. 2022)
+    * the k-gram span remover approximates. Oracle: rank the real
+    * suffix lists, pair consecutive ranks, count the agreeing
+    * prefixes (monotone, so a filter-count is the LCP), filter >= 5.
+    */
+  private def suffixRepeats(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val seeded = Tables(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val ix = graft.operators.SuffixArray.build(seeded, "doc_id", "text", maxTokens = 30)
+    val out = graft.operators.SuffixArray.repeatedSpans(ix, minLen = 5)
+      .orderBy(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+    out.persist().count()
+    ix.unpersist()
+    out
+  }
+
   /** Span-level exact-substring dedup over documents seeded with a
     * 10-token boilerplate prefix on every doc_id % 10 == 1 doc: the
     * boilerplate's 8-token windows duplicate across those docs, so
@@ -4444,6 +4487,8 @@ object SparkEntry {
     "split_assign" -> (splitAssign _),
     "corpus_stats" -> (corpusStats _),
     "dedup_spans" -> (dedupSpans _),
+    "suffix_array_ranks" -> (suffixArrayRanks _),
+    "suffix_repeats" -> (suffixRepeats _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
     "dedup_incremental_spans_persisted" -> (dedupIncrementalSpansPersisted _),
     "domain_cap" -> (domainCap _),
@@ -6381,6 +6426,47 @@ object SparkEntry {
         |  FROM b)
         |SELECT split, CAST(count(*) AS BIGINT) AS n, true AS leak_free
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // suffix array: the oracle sorts the ACTUAL suffix lists (DuckDB
+    // list ordering is token-lexicographic, shorter-prefix-first) —
+    // the prefix-doubling construction must reproduce every rank
+    "suffix_array_ranks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')[1:25] AS ws
+        |  FROM documents WHERE doc_id < 40),
+        |px AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t),
+        |sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i:] AS suf FROM px)
+        |SELECT doc_id, pos,
+        |  CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT) AS sa_rank
+        |FROM sfx
+        |ORDER BY doc_id, pos""".stripMargin,
+    // adjacent-LCP repeats: rank the real suffixes, pair consecutive
+    // ranks, count agreeing prefixes (prefix equality is monotone, so
+    // the filter-count IS the LCP), keep >= 5
+    "suffix_repeats" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1
+        |         THEN 'subscribe to our newsletter for updates terms of service apply ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 200),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')[1:30] AS ws
+        |  FROM seeded),
+        |px AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t),
+        |sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i:] AS suf FROM px),
+        |r AS (
+        |  SELECT doc_id, pos, suf,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS rk
+        |  FROM sfx),
+        |adj AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |         b.doc_id AS doc_b, b.pos AS pos_b,
+        |         CAST(len(list_filter(range(1, least(len(a.suf), len(b.suf)) + 1),
+        |                              j -> a.suf[1:j] = b.suf[1:j])) AS BIGINT) AS lcp
+        |  FROM r a JOIN r b ON b.rk = a.rk + 1)
+        |SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM adj
+        |WHERE lcp >= 5
+        |ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin,
     // span dedup replay: k=8 windows, corpus-wide gram count, covered
     // positions, anti-join, ordered string_agg reassembly
     "dedup_spans" ->

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed token-level suffix array by PREFIX DOUBLING
+  * (Manber–Myers, the sort-based form every distributed construction
+  * uses), plus LCP by binary descent over the retained doubling
+  * tables — the substring-level dedup primitive behind "longest
+  * repeated passage" analyses (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"): ANY passage that
+  * occurs twice anywhere in the corpus shows up as an adjacent
+  * suffix pair with LCP >= its length, with no fixed shingle size
+  * chosen in advance — the capability the k-gram span remover
+  * ([[TextDedup.removeDupSpans]]) approximates from below.
+  *
+  * Scale shape: O(log maxDocLen) rounds, each ONE equi-join keyed by
+  * (doc, pos+h) plus one distributed ordinal ranking (range-sort +
+  * per-partition offsets — the two-job order-statistics primitive;
+  * nothing is ever a single-partition window and no suffix string is
+  * ever materialized). The LCP pass is 2 joins per round over the
+  * ADJACENCY table (|positions| rows), descending through the same
+  * tables the construction already built. Every round cuts lineage.
+  *
+  * Exactness: ranks are ordinals of range-sorted distinct keys, so
+  * the suffix order is the exact lexicographic order of token
+  * sequences (shorter-prefix-first via the -1 out-of-range sentinel)
+  * and replays on any engine that sorts the same token lists — the
+  * `suffix_array_ranks` / `suffix_repeats` oracle gates.
+  */
+object SuffixArray {
+
+  /** A built index: `sa` is (doc_id, pos, sa_rank) — pos 1-based,
+    * sa_rank the 1-based global lexicographic rank of the suffix
+    * starting at pos, ties between IDENTICAL suffixes broken by
+    * (doc_id, pos); `ranksByLen` retains each doubling round's
+    * (prefix-length, (doc_id, pos, r)) table for the LCP descent;
+    * `positions` is the (doc_id, pos) universe.
+    */
+  final case class Index(
+      sa: DataFrame,
+      ranksByLen: Seq[(Long, DataFrame)],
+      positions: DataFrame) {
+    def unpersist(): Unit = {
+      sa.unpersist(); positions.unpersist()
+      ranksByLen.foreach(_._2.unpersist())
+      ()
+    }
+  }
+
+  /** Ordinal of each distinct key row in range-sorted order — the
+    * distributed dense-rank: range-repartition the distinct keys,
+    * sort within partitions, then zipWithIndex (one count job for the
+    * partition offsets + one map). The ONLY RDD use: Spark has no
+    * Dataset-native order-statistics primitive, and a window without
+    * a partition key would serialize the sort to one task.
+    */
+  private def ordinalRanks(d: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val spark = d.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = d.select(keys.map(col): _*).distinct()
+      .repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Build the suffix array over the first `maxTokens` tokens of each
+    * document (cap the per-document round count; Int.MaxValue for
+    * uncapped).
+    */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int = Int.MaxValue): Index = {
+    val positions = TextDedup.spreadToCores(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(slice(TextFunctions.tokens(col(textCol)), 1, maxTokens)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+      .localCheckpoint(true)
+    val n = positions.count()
+    val maxLen = if (n == 0) 0L
+      else positions.agg(max(col("pos"))).head().getLong(0)
+    // round 0: ordinal of the single token — prefix length 1
+    var ranks = positions
+      .join(ordinalRanks(positions, Seq("tok"), "__r"), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("__r").as("r"))
+      .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]((1L, ranks))
+    var h = 1L
+    var distinctRanks = ranks.select(col("r")).distinct().count()
+    while (h < maxLen && distinctRanks < n) {
+      // rank at pos+h rides back to pos through ONE co-keyed join;
+      // suffixes shorter than h+1 pair with the -1 sentinel, which
+      // sorts before every real ordinal — shorter-prefix-first
+      val shifted = ranks.select(
+        col("doc_id"), (col("pos") - h).as("pos"), col("r").as("__r2"))
+      val paired = ranks
+        .join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r"),
+          coalesce(col("__r2"), lit(-1L)).as("r2"))
+      ranks = paired
+        .join(ordinalRanks(paired, Seq("r", "r2"), "__r"), Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("__r").as("r"))
+        .localCheckpoint(true)
+      h = h * 2
+      rounds += ((h, ranks))
+      distinctRanks = ranks.select(col("r")).distinct().count()
+    }
+    // final order with the deterministic (doc_id, pos) tie-break for
+    // IDENTICAL suffixes
+    val sa = ordinalRanks(ranks, Seq("r", "doc_id", "pos"), "sa_rank")
+      .select(col("doc_id"), col("pos"), col("sa_rank"))
+      .localCheckpoint(true)
+    Index(sa, rounds.toSeq, positions.select(col("doc_id"), col("pos")))
+  }
+
+  /** LCP between each pair of CONSECUTIVE suffixes in SA order, by
+    * binary descent: walk the retained doubling tables from the
+    * largest prefix length down; whenever both advanced positions
+    * exist and carry the same rank, the 2^j-token blocks match and
+    * the walk advances by that length. The overshoot an
+    * entirely-equal shorter suffix causes is clamped to the real
+    * tail lengths at the end.
+    *
+    * @return (doc_a, pos_a, doc_b, pos_b, lcp) — one row per adjacent
+    *         pair, (doc_a, pos_a) the LOWER-ranked suffix and
+    *         (doc_b, pos_b) the one immediately after it in SA order,
+    *         lcp in tokens
+    */
+  def adjacentLcp(ix: Index): DataFrame = {
+    val a = ix.sa.select(
+      col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("sa_rank"))
+    val b = ix.sa.select(
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      (col("sa_rank") - 1).as("sa_rank"))
+    var pairs = a.join(b, Seq("sa_rank"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        lit(0L).as("__l"))
+    ix.ranksByLen.reverse.foreach { case (len, rt) =>
+      val ra = rt.select(col("doc_id").as("doc_a"), col("pos").as("__pa"),
+        col("r").as("__ra"))
+      val rb = rt.select(col("doc_id").as("doc_b"), col("pos").as("__pb"),
+        col("r").as("__rb"))
+      pairs = pairs
+        .withColumn("__pa", col("pos_a") + col("__l"))
+        .withColumn("__pb", col("pos_b") + col("__l"))
+        .join(ra, Seq("doc_a", "__pa"), "left")
+        .join(rb, Seq("doc_b", "__pb"), "left")
+        .withColumn("__l",
+          col("__l") + when(
+            col("__ra").isNotNull && col("__rb").isNotNull &&
+              col("__ra") === col("__rb"), lit(len)).otherwise(lit(0L)))
+        .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), col("__l"))
+        .localCheckpoint(true)
+    }
+    // clamp the equal-suffix overshoot to the true tail lengths
+    val lens = ix.positions.groupBy(col("doc_id")).agg(max(col("pos")).as("__n"))
+    pairs
+      .join(lens.select(col("doc_id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        least(col("__l"),
+          col("__na") - col("pos_a") + 1,
+          col("__nb") - col("pos_b") + 1).as("lcp"))
+  }
+
+  /** Adjacent suffix pairs sharing at least `minLen` tokens — every
+    * corpus passage that occurs twice (of length >= minLen) produces
+    * at least one such pair, with no shingle size fixed in advance.
+    */
+  def repeatedSpans(ix: Index, minLen: Long): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    adjacentLcp(ix).filter(col("lcp") >= minLen)
+  }
+}
