@@ -1378,6 +1378,20 @@ object SparkEntry {
     * [[graft.operators.Bucketing.isShuffleFree]]'s plan verdict — the
     * layout claim the 100 TB story rests on, hash-checked every run).
     */
+  /** Z-order layout diagnostic ([[graft.operators.ZOrder.fileRanges]])
+    * over orders keyed on (o_custkey, o_orderkey): range-normalized
+    * 8-bit buckets, the 16-term Morton interleave, value-range
+    * assignment into 16 files, and each file's min/max window on BOTH
+    * columns — the parquet-footer ranges a scan planner prunes on.
+    * BIT-EXACT: buckets, the bit sum, and the file split are integral
+    * closed forms the SQL replays term for term.
+    */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.fileRanges(
+      Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+      Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 16)
+      .orderBy(col("file_id"))
+
   private def bucketJoinQ(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bucketing
     val scratch = scratchDir("graft_bdemo")
@@ -1624,6 +1638,31 @@ object SparkEntry {
       .select(col("community").cast("long").as("community"),
         col("n_members").cast("long").as("n_members"), col("members"))
       .orderBy(col("community"))
+  }
+
+  /** Per-node triangle counts and local clustering coefficients
+    * ([[graft.operators.Graphs.clusteringCoefficient]]) over the
+    * [[graphCommunities]] clique+bridge graph — the cohesion
+    * diagnostic that tells a genuinely-duplicated cluster (members
+    * pair with each other, lcc ~1) from a template hub (star of
+    * pairs, lcc ~0). Clique interiors score 1e6; bridge endpoints dip
+    * below (their two worlds don't interconnect). BIT-EXACT: the SQL
+    * replays the wedge+closing-edge joins and the integral lcc grid.
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 150)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bridges = users
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 140)
+      .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
+    graft.operators.Graphs
+      .clusteringCoefficient(clique.unionByName(bridges), "id_a", "id_b")
+      .orderBy(col("id"))
   }
 
   /** Blocking-quality audit for the entity-resolution blocking scheme
@@ -1887,6 +1926,35 @@ object SparkEntry {
     * top-5, and the mutuality intersection all replay in SQL
     * ([[graft.operators.SimilaritySearch.mutualKnnGraph]]).
     */
+  /** Margin-based bitext mining ([[graft.operators.BitextMine]]) over
+    * a two-sided planted fixture: sources are the first 30 embedding
+    * vectors; targets are float-exact +0.0004 shifted "translations"
+    * of the first 24 (id + 2000) plus ten unshifted decoys
+    * (id + 3000). BIT-EXACT end to end: decimal-cosine µ-grid sims,
+    * integral ratio margins (counts, not k, in the denominator), both
+    * argmax windows, the mutual intersection, and the 1.5 margin
+    * threshold all replay in SQL — the threshold separates the
+    * planted pairs (margin ~2.1: a standout best over a ~0.25-cosine
+    * neighborhood) from decoy mutual-bests (margin ~1.0-1.2: merely
+    * the best of uniformly weak options, exactly the hub/noise regime
+    * the ratio margin exists to reject).
+    */
+  private def bitextMineQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val src = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tgt = emb.filter(col("vec_id") < 24)
+      .select((col("vec_id") + 2000L).as("id"),
+        transform(col("embedding"), x => x + lit(0.0004f)).as("vec"))
+      .unionByName(emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+        .select((col("vec_id") + 3000L).as("id"), col("embedding").as("vec")))
+    graft.operators.BitextMine
+      .marginMine(src, tgt, "id", "vec", k = 4, minMarginMicro = 1500000L,
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        knownTgtCount = Some(34L)) // 24 planted + 10 decoys by construction
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch
       .mutualKnnGraph(
@@ -4591,6 +4659,7 @@ object SparkEntry {
     "zipf_slope" -> (zipfSlopeQ _),
     "dedup_containment" -> (dedupContainment _),
     "knn_graph" -> (knnGraphQ _),
+    "bitext_mine" -> (bitextMineQ _),
     "knn_graph_ann" -> (knnGraphAnnQ _),
     "semantic_clusters_ann" -> (semanticClustersAnn _),
     "mmr_select" -> (mmrSelectQ _),
@@ -4615,6 +4684,7 @@ object SparkEntry {
     "more_like_this" -> (moreLikeThisQ _),
     "semantic_clusters" -> (semanticClusters _),
     "graph_communities" -> (graphCommunities _),
+    "graph_triangles" -> (graphTriangles _),
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
@@ -4624,6 +4694,7 @@ object SparkEntry {
     "knn_eval" -> (knnEval _),
     "funnel_windowed" -> (funnelWindowed _),
     "bucket_join" -> (bucketJoinQ _),
+    "zorder_layout" -> (zorderLayout _),
     "q51_grouping_sets" -> (groupingSetsQ _),
     "event_transitions" -> (eventTransitions _),
     "event_gaps" -> (eventGaps _))
@@ -5594,6 +5665,32 @@ object SparkEntry {
         |  CAST((nrec * (nrec - 1) // 2 - cand) * 1000000 // (nrec * (nrec - 1) // 2) AS BIGINT) AS rr_micro,
         |  CAST(hits * 1000000 // ntruth AS BIGINT) AS pc_micro
         |FROM rs, bs, ts""".stripMargin,
+    // triangles: wedge join + closing-edge check on the canonical
+    // a<b edge set, per-node participation, integral lcc grid
+    "graph_triangles" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 150),
+        |cl AS (SELECT a.u AS s, b.u AS t FROM users a
+        |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 140),
+        |e AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |          SELECT s AS id FROM e UNION ALL SELECT t FROM e)
+        |        GROUP BY id),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |        FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+        |                  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |pn AS (SELECT id, count(*) AS triangles FROM (
+        |          SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri)
+        |        GROUP BY id)
+        |SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |       THEN coalesce(pn.triangles, 0) * 2000000 // (d.degree * (d.degree - 1))
+        |       ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM deg d LEFT JOIN pn ON d.id = pn.id
+        |ORDER BY d.id""".stripMargin,
     // synchronous LPA: two unrolled majority rounds, ties to the
     // smallest label; bridges stay outvoted so decades survive
     "graph_communities" ->
@@ -8238,6 +8335,58 @@ object SparkEntry {
         |FROM j
         |WHERE common * 1000000 // least(sz_a, sz_b) >= 800000
         |ORDER BY id_a, id_b""".stripMargin,
+    // bitext mining: decimal-cosine sims over the two planted sides,
+    // integral ratio margins, mutual argmax, 1.5 threshold
+    "bitext_mine" ->
+      """WITH s AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 30),
+        |tt AS (
+        |  SELECT vec_id + 2000 AS id,
+        |    CAST(list_transform(embedding, x -> x + CAST(0.0004 AS FLOAT))
+        |      AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 24
+        |  UNION ALL
+        |  SELECT vec_id + 3000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 40 AND vec_id < 50),
+        |p AS (SELECT s.id AS src_id, tt.id AS tgt_id, s.v AS va, tt.v AS vb
+        |      FROM s, tt),
+        |e AS (SELECT src_id, tgt_id, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src_id, tgt_id,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src_id, tgt_id),
+        |sim AS (SELECT src_id, tgt_id,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS sim
+        |        FROM sums),
+        |f AS (SELECT src_id, sum(sim) AS fsum, count(*) AS fcnt FROM (
+        |        SELECT src_id, sim,
+        |          row_number() OVER (PARTITION BY src_id
+        |                             ORDER BY sim DESC, tgt_id) AS rk
+        |        FROM sim) WHERE rk <= 4 GROUP BY src_id),
+        |b AS (SELECT tgt_id, sum(sim) AS bsum, count(*) AS bcnt FROM (
+        |        SELECT tgt_id, sim,
+        |          row_number() OVER (PARTITION BY tgt_id
+        |                             ORDER BY sim DESC, src_id) AS rk
+        |        FROM sim) WHERE rk <= 4 GROUP BY tgt_id),
+        |m AS (SELECT sim.src_id, sim.tgt_id, sim.sim,
+        |        sim.sim * 2000000 * fcnt * bcnt
+        |          // (fsum * bcnt + bsum * fcnt) AS margin
+        |      FROM sim JOIN f ON sim.src_id = f.src_id
+        |                JOIN b ON sim.tgt_id = b.tgt_id),
+        |best AS (SELECT src_id, tgt_id, sim, margin,
+        |        row_number() OVER (PARTITION BY src_id
+        |                           ORDER BY margin DESC, tgt_id) AS bf,
+        |        row_number() OVER (PARTITION BY tgt_id
+        |                           ORDER BY margin DESC, src_id) AS bb
+        |      FROM m)
+        |SELECT src_id, tgt_id, CAST(sim AS BIGINT) AS sim_micro,
+        |  CAST(margin AS BIGINT) AS margin_micro
+        |FROM best WHERE bf = 1 AND bb = 1 AND margin >= 1500000
+        |ORDER BY src_id, tgt_id""".stripMargin,
     // mutual kNN graph: decimal cosine, per-source top-5, mutuality
     "knn_graph" ->
       """WITH n AS (
@@ -9121,6 +9270,37 @@ object SparkEntry {
         |UNION ALL SELECT '2_click_1h', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase_1h', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
+    // z-order: range-normalized buckets, the 16-term Morton bit sum,
+    // value-range file split, per-file min/max windows
+    "zorder_layout" ->
+      """WITH t AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+        |                  CAST(o_orderkey AS BIGINT) AS b FROM orders),
+        |bounds AS (SELECT min(a) AS mna, max(a) AS mxa,
+        |                  min(b) AS mnb, max(b) AS mxb FROM t),
+        |bk AS (SELECT a, b,
+        |  (a - mna) * 256 // (mxa - mna + 1) AS ba,
+        |  (b - mnb) * 256 // (mxb - mnb + 1) AS bb
+        |  FROM t, bounds),
+        |z AS (SELECT a, b,
+        |  ((ba // 1) % 2) * 2 + ((ba // 2) % 2) * 8 +
+        |  ((ba // 4) % 2) * 32 + ((ba // 8) % 2) * 128 +
+        |  ((ba // 16) % 2) * 512 + ((ba // 32) % 2) * 2048 +
+        |  ((ba // 64) % 2) * 8192 + ((ba // 128) % 2) * 32768 +
+        |  ((bb // 1) % 2) * 1 + ((bb // 2) % 2) * 4 +
+        |  ((bb // 4) % 2) * 16 + ((bb // 8) % 2) * 64 +
+        |  ((bb // 16) % 2) * 256 + ((bb // 32) % 2) * 1024 +
+        |  ((bb // 64) % 2) * 4096 + ((bb // 128) % 2) * 16384 AS zv
+        |  FROM bk),
+        |zb AS (SELECT min(zv) AS zmn, max(zv) AS zmx FROM z),
+        |f AS (SELECT a, b, (zv - zmn) * 16 // (zmx - zmn + 1) AS file_id
+        |      FROM z, zb)
+        |SELECT CAST(file_id AS BIGINT) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(a) AS BIGINT) AS min_o_custkey,
+        |  CAST(max(a) AS BIGINT) AS max_o_custkey,
+        |  CAST(min(b) AS BIGINT) AS min_o_orderkey,
+        |  CAST(max(b) AS BIGINT) AS max_o_orderkey
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
     // bucket join: plain join replay; the shuffle-free plan verdict
     // is asserted true (the countmin_tokens in-plan verdict pattern)
     "bucket_join" ->

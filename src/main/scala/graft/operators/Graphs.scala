@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and local clustering coefficients over the
+  * similarity/dedup graphs the other operators emit — the standard
+  * cohesion diagnostics: a near-dup cluster whose members all pair
+  * with each other (high coefficient) is one duplicated document; a
+  * star of pairs through one hub (coefficient ~0) is a template
+  * matching many distinct pages — different cleanup actions, same
+  * edge count.
+  *
+  * Algorithm: the compact-forward/wedge-check scheme every
+  * distributed triangle counter uses. Edges canonicalize to a < b;
+  * wedges (a < b < c with a-b, a-c present) form by ONE self-join on
+  * the lower endpoint; a second join against the canonical edge set
+  * checks the closing b-c edge. Every shuffle is keyed by a node id;
+  * nothing is ever broadcast or collected. Cost is sum of per-node
+  * C(deg, 2) for wedge formation — the optimal-ordering refinements
+  * (degree-ordered direction) exist but the canonical a < b form is
+  * what replays trivially in SQL, and the dedup-graph degrees this
+  * engine feeds it are bounded by construction (bucket guards upstream
+  * cap cluster sizes).
+  */
+object Graphs {
+
+  /** Canonical undirected edge set: a < b, self-loops and duplicate /
+    * reversed edges collapsed.
+    */
+  private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(
+      least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts; nodes in no triangle are
+    * absent.
+    *
+    * @return (id, triangles)
+    */
+  def nodeTriangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonical(pairs, aCol, bCol).persist()
+    // wedges a < b < c rooted at the minimum node
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    // closing edge (b, c) is canonical by construction
+    val triangles = wedges
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .persist()
+    val perNode = triangles.select(col("a").as("id"))
+      .unionAll(triangles.select(col("b").as("id")))
+      .unionAll(triangles.select(col("c").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("triangles"))
+    val out = TextDedup.materialized(perNode, Seq(triangles))
+    e.unpersist()
+    out
+  }
+
+  /** Per-node local clustering coefficient on the 1e-6 grid:
+    * `2·triangles div (deg·(deg-1))`, 0 for degree < 2 nodes; every
+    * node of the graph appears.
+    *
+    * @return (id, degree, triangles, lcc_micro)
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonical(pairs, aCol, bCol).persist()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val out = deg
+      .join(nodeTriangles(e, "a", "b"), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("CASE WHEN degree >= 2 THEN " +
+          "coalesce(triangles, 0L) * 2000000 div (degree * (degree - 1)) " +
+          "ELSE 0L END").as("lcc_micro"))
+    TextDedup.materialized(out, Seq(e))
+  }
+
+  /** Whole-graph totals: triangle count, wedge (open-path) count, and
+    * the global clustering coefficient `3·triangles div wedges` on the
+    * 1e-6 grid (0 when the graph has no wedge).
+    *
+    * @return one row (n_nodes, n_edges, n_wedges, n_triangles,
+    *         gcc_micro)
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonical(pairs, aCol, bCol).persist()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("__d * (__d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val tri = nodeTriangles(e, "a", "b")
+      .agg(coalesce(sum(col("triangles")), lit(0L)).as("__t3"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val out = wedges
+      .crossJoin(broadcast(edges))
+      .crossJoin(broadcast(tri))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"),
+        expr("__t3 div 3").as("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN __t3 * 1000000 div n_wedges " +
+          "ELSE 0L END").as("gcc_micro"))
+    TextDedup.materialized(out, Seq(e))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Graphs
+
+import org.apache.spark.sql.functions._
+
+/** Triangle counts / clustering coefficients vs brute force on
+  * hand-built and random graphs.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq
+    val tris = for {
+      a <- nodes; b <- nodes; c <- nodes
+      if a < b && b < c && e((a, b)) && e((a, c)) && e((b, c))
+    } yield (a, b, c)
+    tris.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  test("closed form on a clique plus a pendant") {
+    // K4 on 1..4 (4 triangles, each node in 3) plus pendant 5-1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L))
+    val tri = Graphs.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val stats = Graphs.triangleStats(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // wedges: deg 1:4,2:3,3:3,4:3,5:1 -> 6+3+3+3+0 = 15; gcc = 12/15
+    assert(stats == ((5L, 7L, 15L, 4L, 800000L)), s"got $stats")
+    val lcc = Graphs.clusteringCoefficient(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // node 1: deg 4, 3 triangles -> 6/12 = 0.5; nodes 2-4: 3/ (3*2/2)=1; 5: deg 1 -> 0
+    assert(lcc == Map(1L -> 500000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L, 5L -> 0L), s"got $lcc")
+  }
+
+  test("duplicate, reversed, and self edges collapse before counting") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+    val tri = Graphs.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("differential vs brute force on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Graphs.nodeTriangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == bruteTriangles(edges.toSet), "per-node counts diverged")
+  }
+
+  test("triangle-free and empty graphs") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graphs.nodeTriangles(path.toDF("a", "b"), "a", "b").count() == 0)
+    val stats = Graphs.triangleStats(path.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(stats == ((4L, 3L, 2L, 0L, 0L)))
+    val empty = Graphs.triangleStats(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(empty == ((0L, 0L, 0L, 0L, 0L)))
+  }
+}

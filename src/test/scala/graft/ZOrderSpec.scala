@@ -1,95 +1,83 @@
 package graft
 
-import graft.config.TableConfig
-import graft.functions.ZOrder
-import graft.operators.MergeEngine
+import graft.operators.ZOrder
 
 import org.apache.spark.sql.functions._
 
+/** Morton interleave closed forms, range-normalized bucketing, and
+  * the point of it all: a z-ordered layout prunes files on EITHER
+  * dimension where a plain sort prunes only its leading column.
+  */
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference Morton implementation mirroring the expression spec. */
-  private def mortonRef(values: Seq[Long]): Long = {
-    val n = values.size
-    val bitsPer = 64 / n
-    var out = 0L
-    var pos = 63
-    for (b <- 0 until bitsPer; c <- 0 until n if pos >= 0) {
-      out |= ((values(c) >>> (63 - b)) & 1L) << pos
-      pos -= 1
-    }
-    out
-  }
-  private def uLong(v: Long): Long = v ^ Long.MinValue
-  private def uDouble(d: Double): Long = {
-    val bits = java.lang.Double.doubleToLongBits(d)
-    if (bits < 0) ~bits else bits | Long.MinValue
+  test("interleave closed form on hand-picked bit patterns") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (0L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+      ZOrder.interleave(Seq(col("a"), col("b")), bits = 2).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // column 0 holds the higher bit of each pair: z = interleave(a hi)
+    assert(got == Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 1L) -> 3L,
+      (3L, 0L) -> 10L, (0L, 3L) -> 5L, (3L, 3L) -> 15L), s"got $got")
   }
 
-  test("interleave matches the reference Morton construction") {
-    val rnd = new scala.util.Random(5)
-    val rows = Seq.fill(200)((rnd.nextLong(), rnd.nextInt(), rnd.nextDouble() * 2000 - 1000))
-    val got = rows.toDF("a", "b", "c")
-      .select(ZOrder.zorder(col("a"), col("b"), col("c"))).as[Long].collect()
-    rows.zip(got).foreach { case ((a, b, c), z) =>
-      assert(z == mortonRef(Seq(uLong(a), uLong(b.toLong), uDouble(c))), s"($a,$b,$c)")
-    }
+  test("withZ normalizes ranges so both dimensions share the z domain") {
+    // a in [100, 355], b in [0, 1023): both normalize to 8-bit buckets
+    val df = (0L until 256L).map(i => (100L + i, i * 4L)).toDF("a", "b")
+    val z = ZOrder.withZ(df, Seq("a", "b"), bits = 8)
+    // identical normalized buckets -> z = interleave(k, k), strictly
+    // monotone in the common bucket
+    val rows = z.orderBy(col("a")).select(col("__z")).as[Long].collect()
+    assert(rows.length == 256 && rows.toSeq == rows.sorted.toSeq)
+    assert(rows.distinct.length == 256)
   }
 
-  test("single column z-order preserves the column's total order") {
-    val vals = Seq(Long.MinValue, -5L, -1L, 0L, 1L, 42L, Long.MaxValue)
-    val zs = vals.toDF("a").select(ZOrder.zorder(col("a"))).as[Long].collect()
-    // unsigned comparison of the z keys must match signed order of inputs
-    assert(zs.map(z => java.lang.Long.compareUnsigned(z, zs.head)).sliding(2).forall(p => p.head <= p.last))
-  }
-
-  test("z-order write clusters BOTH dimensions into row groups") {
-    val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x, y)
-    val df = grid.toDF("x", "y").repartition(1)
-    def fileRanges(sorted: org.apache.spark.sql.DataFrame): Double = {
-      val dir = tmpDir("zorder") + "/t"
-      sorted.write.option("maxRecordsPerFile", 64).parquet(dir)
-      spark.read.parquet(dir)
-        .groupBy(input_file_name())
-        .agg((max("y") - min("y")).as("yr"))
-        .agg(avg("yr")).as[Double].collect().head
-    }
-    val lexSpread = fileRanges(df.sortWithinPartitions(col("x"), col("y")))
-    val zSpread = fileRanges(df.sortWithinPartitions(ZOrder.zorder(
-      ZOrder.rangeScaled(col("x"), 0, 31), ZOrder.rangeScaled(col("y"), 0, 31))))
-    // lexicographic: every 64-row file spans the full y range (~31);
-    // z-order: files are ~8x8 blocks (y range ~7)
-    assert(zSpread < lexSpread / 2, s"z=$zSpread lex=$lexSpread")
-  }
-
-  test("generated code compiles and agrees with interpreted eval (no silent fallback)") {
-    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    try {
-      val rnd = new scala.util.Random(11)
-      val rows = Seq.fill(100)((rnd.nextLong(), rnd.nextDouble() * 100, rnd.nextInt()))
-      val out = rows.toDF("a", "b", "c")
-        .select(ZOrder.zorder(col("a"), col("b"), col("c"))).as[Long].collect()
-      rows.zip(out).foreach { case ((a, b, c), z) =>
-        assert(z == mortonRef(Seq(uLong(a), uDouble(b), uLong(c.toLong))))
-      }
-    } finally {
-      spark.conf.unset("spark.sql.codegen.factoryMode")
-      prev.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
+  test("fileRanges: z-order keeps BOTH dimensions narrow per file") {
+    // a uniform grid where a and b are independent — the case a plain
+    // sort cannot cluster on both
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val ranges = ZOrder.fileRanges(grid, Seq("x", "y"), bits = 6, numFiles = 16)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(ranges.map(_._2).sum == 64L * 64L, "every row lands in exactly one file")
+    // each file's window on EACH dimension is far narrower than the
+    // full 64-value domain (perfect z on a 64x64 grid gives 16- or
+    // 32-wide windows; a plain x-sort gives 64-wide y windows)
+    ranges.foreach { case (f, _, minX, maxX, minY, maxY) =>
+      assert(maxX - minX <= 32 && maxY - minY <= 32,
+        s"file $f window too wide: x [$minX,$maxX] y [$minY,$maxY]")
     }
   }
 
-  test("MergeEngine zOrderWrite preserves merge semantics") {
-    val path = tmpDir("merge-zorder")
-    val cfg = TableConfig("graft_test", "z_tbl", s"$path/t",
-      sortCols = Seq("a", "b"), zOrderWrite = true)
-    val b1 = Seq((1, 10, "x", 1L), (2, 20, "y", 2L), (3, 30, "z", 3L)).toDF("a", "b", "name", "lsn")
-    MergeEngine.upsert(spark, cfg, b1, Seq("a"), "lsn")
-    val b2 = Seq((2, 20, "y2", 9L)).toDF("a", "b", "name", "lsn")
-    MergeEngine.upsert(spark, cfg, b2, Seq("a"), "lsn")
-    val out = MergeEngine.readTable(spark, cfg.path).get
-      .select("a", "name").as[(Int, String)].collect().toMap
-    assert(out == Map(1 -> "x", 2 -> "y2", 3 -> "z"))
+  test("writeZordered produces files a point predicate prunes on either column") {
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val path = tmpDir("zorder-layout")
+    ZOrder.writeZordered(grid, Seq("x", "y"), path, bits = 6, numFiles = 16)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size == 16, s"expected 16 files, got ${files.size}")
+    def touched(c: String, v: Long): Int = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx")).head()
+      r.getLong(0) <= v && v <= r.getLong(1)
+    }
+    // a point predicate on either dimension overlaps only a quarter of
+    // the files; an x-sorted layout would touch ALL 16 for y = 17
+    assert(touched("x", 17L) <= 4, s"x pruning weak: ${touched("x", 17L)}")
+    assert(touched("y", 17L) <= 4, s"y pruning weak: ${touched("y", 17L)}")
+  }
+
+  test("single-column and constant-column degenerate cases") {
+    val one = Seq((5L, 9L), (6L, 9L), (7L, 9L)).toDF("a", "b")
+    // constant column: every bucket 0, z reduces to the varying column
+    val z = ZOrder.withZ(one, Seq("a", "b"), bits = 4)
+      .orderBy(col("a")).select(col("__z")).as[Long].collect().toSeq
+    assert(z == z.sorted && z.distinct.size == 3)
+    val empty = ZOrder.fileRanges(
+      Seq.empty[(Long, Long)].toDF("a", "b"), Seq("a", "b"))
+    assert(empty.count() == 0)
   }
 }
