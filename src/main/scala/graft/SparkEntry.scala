@@ -1665,6 +1665,35 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** 2-core extraction ([[graft.operators.Graphs.kCore]]) over a
+    * clique+pendant-chain fixture built to peel in EXACTLY three
+    * rounds: each decade clique keeps every member (degree >= 9), and
+    * the 3-node chains hanging off the `% 10 == 0` members peel tail
+    * → middle → stub on consecutive rounds. The operator runs its
+    * convergence loop; the oracle unrolls the three peeling rounds —
+    * agreement proves the fixpoint landed exactly where the
+    * closed-form peel says (the LPA unrolled-rounds gate pattern).
+    */
+  private def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 100)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val anchors = users.filter(col("user_id") % 10 === 0)
+    val chains = anchors
+      .select(col("user_id").as("id_a"), (col("user_id") + 1000).as("id_b"))
+      .unionByName(anchors.select((col("user_id") + 1000).as("id_a"),
+        (col("user_id") + 2000).as("id_b")))
+      .unionByName(anchors.select((col("user_id") + 2000).as("id_a"),
+        (col("user_id") + 3000).as("id_b")))
+    graft.operators.Graphs
+      .kCore(clique.unionByName(chains), "id_a", "id_b", k = 2)
+      .orderBy(col("id"))
+  }
+
   /** Blocking-quality audit for the entity-resolution blocking scheme
     * ([[graft.operators.Profiling.blockingQuality]]): reduction ratio
     * and pair completeness over the customer corpus with planted typo
@@ -4685,6 +4714,7 @@ object SparkEntry {
     "semantic_clusters" -> (semanticClusters _),
     "graph_communities" -> (graphCommunities _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
@@ -5665,6 +5695,36 @@ object SparkEntry {
         |  CAST((nrec * (nrec - 1) // 2 - cand) * 1000000 // (nrec * (nrec - 1) // 2) AS BIGINT) AS rr_micro,
         |  CAST(hits * 1000000 // ntruth AS BIGINT) AS pc_micro
         |FROM rs, bs, ts""".stripMargin,
+    // 2-core: three unrolled peeling rounds (the fixture converges in
+    // exactly three), then surviving degrees
+    "graph_kcore" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
+        |cl AS (SELECT a.u AS s, b.u AS t FROM users a
+        |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
+        |ch AS (
+        |  SELECT u AS s, u + 1000 AS t FROM users WHERE u % 10 = 0
+        |  UNION ALL SELECT u + 1000, u + 2000 FROM users WHERE u % 10 = 0
+        |  UNION ALL SELECT u + 2000, u + 3000 FROM users WHERE u % 10 = 0),
+        |e0 AS (SELECT s, t FROM cl UNION SELECT s, t FROM ch),
+        |d1 AS (SELECT id, count(*) AS d FROM (
+        |         SELECT s AS id FROM e0 UNION ALL SELECT t FROM e0) GROUP BY id),
+        |e1 AS (SELECT s, t FROM e0
+        |       WHERE s IN (SELECT id FROM d1 WHERE d >= 2)
+        |         AND t IN (SELECT id FROM d1 WHERE d >= 2)),
+        |d2 AS (SELECT id, count(*) AS d FROM (
+        |         SELECT s AS id FROM e1 UNION ALL SELECT t FROM e1) GROUP BY id),
+        |e2 AS (SELECT s, t FROM e1
+        |       WHERE s IN (SELECT id FROM d2 WHERE d >= 2)
+        |         AND t IN (SELECT id FROM d2 WHERE d >= 2)),
+        |d3 AS (SELECT id, count(*) AS d FROM (
+        |         SELECT s AS id FROM e2 UNION ALL SELECT t FROM e2) GROUP BY id),
+        |e3 AS (SELECT s, t FROM e2
+        |       WHERE s IN (SELECT id FROM d3 WHERE d >= 2)
+        |         AND t IN (SELECT id FROM d3 WHERE d >= 2))
+        |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT s AS id FROM e3 UNION ALL SELECT t FROM e3)
+        |GROUP BY id ORDER BY id""".stripMargin,
     // triangles: wedge join + closing-edge check on the canonical
     // a<b edge set, per-node participation, integral lcc grid
     "graph_triangles" ->

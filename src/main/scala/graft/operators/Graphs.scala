@@ -81,6 +81,63 @@ object Graphs {
     TextDedup.materialized(out, Seq(e))
   }
 
+  /** k-core of the graph: the maximal subgraph in which every node
+    * keeps degree >= k, found by the standard peeling iteration (drop
+    * all nodes below k, recompute degrees, repeat until stable) — the
+    * density lens on a dedup/similarity graph that [[nodeTriangles]]
+    * complements: a k-core is a tightly duplicated region even when
+    * its triangles are sparse (bipartite-ish template families), and
+    * peeling is how "remove the boilerplate cluster, keep the long
+    * tail" decisions bound their blast radius.
+    *
+    * Scale shape: each round is one map-combinable degree count and
+    * two node-keyed semi-joins over the CURRENT edge set (shrinking
+    * monotonically); rounds cut lineage. Convergence is detected by
+    * edge count (one job per round); a graph peels in at most
+    * |nodes| rounds but real graphs converge in a handful —
+    * `maxRounds` caps the pathological chain.
+    *
+    * @return (id, degree) of the surviving nodes with their degree
+    *         INSIDE the core (>= k by construction); empty when the
+    *         graph has no k-core
+    */
+  def kCore(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    var edges = canonical(pairs, aCol, bCol).localCheckpoint(true)
+    var nEdges = edges.count()
+    var r = 0
+    var stable = false
+    while (!stable && r < maxRounds && nEdges > 0) {
+      val keep = edges.select(col("a").as("id"))
+        .unionAll(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("id"))
+      val pruned = edges
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = pruned.count()
+      stable = n2 == nEdges
+      edges = pruned
+      nEdges = n2
+      r += 1
+    }
+    // at the fixpoint every surviving degree is >= k by construction;
+    // if maxRounds capped an unconverged pathological chain, this is
+    // the partially peeled subgraph's honest degrees (documented cap)
+    edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Whole-graph totals: triangle count, wedge (open-path) count, and
     * the global clustering coefficient `3·triangles div wedges` on the
     * 1e-6 grid (0 when the graph has no wedge).

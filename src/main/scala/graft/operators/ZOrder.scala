@@ -64,17 +64,20 @@ object ZOrder {
     }
     val bounds = df.agg(aggs.head, aggs.tail: _*)
     // integral range normalization via div — the Column `/` operator
-    // is IEEE double division, which loses exactness past 2^53
-    val withBounds = df.crossJoin(broadcast(bounds))
+    // is IEEE double division, which loses exactness past 2^53;
     // decimal(38,0) keeps the scaled difference exact even when the
-    // column spans nearly the full Long range
-    val bs = cols.zipWithIndex.map { case (c, i) =>
-      expr(s"(cast(`$c` as decimal(38,0)) - __min$i) * ${1L << bits}L " +
-        s"div (cast(__max$i as decimal(38,0)) - __min$i + 1)")
+    // column spans nearly the full Long range. Buckets stage as their
+    // own projection so the interleave's terms reference ONE computed
+    // value per column instead of re-expanding the div per bit.
+    val withBuckets = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (d, (c, i)) =>
+        d.withColumn(s"__b$i",
+          expr(s"(cast(`$c` as decimal(38,0)) - __min$i) * ${1L << bits}L " +
+            s"div (cast(__max$i as decimal(38,0)) - __min$i + 1)"))
     }
-    withBounds
-      .withColumn("__z", interleave(bs, bits))
-      .drop(cols.indices.flatMap(i => Seq(s"__min$i", s"__max$i")): _*)
+    withBuckets
+      .withColumn("__z", interleave(cols.indices.map(i => col(s"__b$i")), bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__min$i", s"__max$i", s"__b$i")): _*)
   }
 
   /** Deterministic value-range file assignment over the z domain plus

@@ -54,6 +54,43 @@ class GraphsSpec extends SparkSpec {
     assert(got == bruteTriangles(edges.toSet), "per-node counts diverged")
   }
 
+  private def brutePeel(edges: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2)
+    var changed = true
+    while (changed) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      changed = e2 != e
+      e = e2
+    }
+    e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+  }
+
+  test("kCore peels a pendant chain round by round, keeps the clique") {
+    // 5-clique 1..5, chain 5-10-11-12: k=2 peels 12, then 11, then 10
+    val edges = (for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)) ++
+      Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val got = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap, s"got $got")
+    // k above the clique degree: nothing survives
+    assert(Graphs.kCore(edges.toDF("a", "b"), "a", "b", k = 5).count() == 0)
+  }
+
+  test("kCore differential vs brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(250)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    (1 to 4).foreach { k =>
+      val got = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brutePeel(edges.toSet, k), s"k=$k diverged")
+    }
+  }
+
   test("triangle-free and empty graphs") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     assert(Graphs.nodeTriangles(path.toDF("a", "b"), "a", "b").count() == 0)

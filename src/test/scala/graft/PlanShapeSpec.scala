@@ -64,6 +64,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("marginMineFromCandidates never broadcasts or nested-loops the candidates") {
+    val cand = (for { s <- 1L to 20L; t <- 100L to 119L }
+      yield (s, t, (s * 31 + t * 17) % 1000000L)).toDF("src_id", "tgt_id", "sim")
+    val plan = graft.operators.BitextMine
+      .marginMineFromCandidates(cand, k = 4, minMarginMicro = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
+  test("triangle wedges join on node keys — never a cartesian product") {
+    val edges = (for { a <- 1L to 20L; b <- 1L to 20L if a < b && (a + b) % 3 != 0 }
+      yield (a, b)).toDF("a", "b")
+    val plan = graft.operators.Graphs.nodeTriangles(edges, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
+  test("zorder withZ broadcasts only the one-row bounds; bit sum stays in codegen") {
+    // a parquet source, not a local relation — local relations skip
+    // codegen wrapping and would make the span assertion vacuous
+    val src = tmpDir("zorder-plan")
+    (0L until 500L).map(i => (i, i * 7 % 311)).toDF("a", "b")
+      .write.mode("overwrite").parquet(src)
+    val z = graft.operators.ZOrder.withZ(spark.read.parquet(src), Seq("a", "b"), bits = 8)
+    // execute THIS queryExecution (count() would plan a different one)
+    // so AQE finalizes and codegen spans appear in the plan string
+    z.queryExecution.toRdd.count()
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bounds not broadcast:\n$plan")
+    // the 32-term interleave is plain arithmetic — it must live inside
+    // a whole-stage-codegen span (the `*(n)` operator prefix), not
+    // fall back to interpreted eval
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+
+  test("suffix-array doubling joins on (doc, pos) keys — never a cartesian product") {
+    val docs = (1L to 10L).map(i => (i, s"alpha beta gamma delta tail$i end$i"))
+      .toDF("doc_id", "text")
+    val ix = graft.operators.SuffixArray.build(docs, "doc_id", "text")
+    val plan = graft.operators.SuffixArray.adjacentLcp(ix)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    ix.unpersist()
+  }
+
   test("groupScatter aggregates before anything label-pairwise (one scan)") {
     val qe = SimilaritySearch.groupScatter(vecs, "label", "embedding")
       .queryExecution
