@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
 private[graft] object LshStageCache
     extends graft.util.SessionScopedCache[(DataFrame, DataFrame)]
 
+/** Session-scoped cache of the curation pipelines' shared stages
+  * (quality-gated frame, exact-dedup survivors, lossless near-dup
+  * pairs): the lossless and MinHash-banded pipeline variants both
+  * consume them — one staged prefix per (application, dir), the
+  * build-once/curate-many lifecycle a real pipeline has. Frames are
+  * persisted; entries live for the session (the [[LshStageCache]]
+  * contract).
+  */
+private[graft] object CurationStageCache
+    extends graft.util.SessionScopedCache[(DataFrame, DataFrame, DataFrame)]
+
 /** Session-scoped cache of the trained IVF index (centroids + assigned
   * corpus): `ann_ivf_topk` trains once per (application, dir) and every
   * later query pays only the probed scan — the shape a real deployment
@@ -967,20 +978,37 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
-  private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The curation pipelines' shared staged stages, built once per
+    * (session, dir) — both variants consume the same quality gate,
+    * exact-dedup survivors, and lossless near-dup pairs (the
+    * build-once/curate-many lifecycle). `withExact` is a cheap lazy
+    * construction, rebuilt per call.
+    */
+  private def curationStages(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (withExact, qualityL) = curationPrefix(s, dir)
-    val quality = qualityL.persist()
-    val exactKept = curationExactDedup(quality).persist()
-    val pairs = TextDedup.prefixFilteredJaccardPairs(
-      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+    val (quality, exactKept, pairsExact) = CurationStageCache.getOrElseUpdate(s, dir) {
+      val q = qualityL.persist()
+      val ek = curationExactDedup(q).persist()
+      val pe = TextDedup.prefixFilteredJaccardPairs(
+        ek, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+        .select(col("id_a"), col("id_b")).persist()
+      pe.count()
+      (q, ek, pe)
+    }
+    (withExact, quality, exactKept, pairsExact)
+  }
+
+  private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (withExact, quality, exactKept, pairsExact) = curationStages(s, dir)
     val dropNear = graft.operators.Clustering
-      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .connectedComponents(pairsExact, "id_a", "id_b")
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
     val survivors = exactKept.join(dropNear, Seq("doc_id"), "left_anti").persist()
     val out = curationSplitCounts(withExact, quality, exactKept, survivors)
     out.persist().count()
-    quality.unpersist(); exactKept.unpersist(); survivors.unpersist()
+    survivors.unpersist()
     out
   }
 
@@ -1000,13 +1028,9 @@ object SparkEntry {
     * fixed dataset, not a statistical bound.
     */
   private def corpusCurationPipelineMinhash(s: SparkSession, dir: String): DataFrame = {
-    val (withExact, qualityL) = curationPrefix(s, dir)
-    val quality = qualityL.persist()
-    val exactKept = curationExactDedup(quality).persist()
-    // lossless chain — the emitted truth
-    val pairsExact = TextDedup.prefixFilteredJaccardPairs(
-      exactKept, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
-      .select(col("id_a"), col("id_b")).persist()
+    // shared staged prefix + lossless pairs (the emitted truth) come
+    // from the session cache both pipeline variants consume
+    val (withExact, quality, exactKept, pairsExact) = curationStages(s, dir)
     val dropNear = graft.operators.Clustering
       .connectedComponents(pairsExact, "id_a", "id_b")
       .filter(col("id") =!= col("cluster"))
@@ -1042,7 +1066,6 @@ object SparkEntry {
       .crossJoin(broadcast(recall))
       .orderBy(col("split"))
     out.persist().count()
-    quality.unpersist(); exactKept.unpersist(); pairsExact.unpersist()
     verified.unpersist(); shingled.unpersist(); survivors.unpersist()
     out
   }

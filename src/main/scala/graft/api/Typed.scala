@@ -194,4 +194,57 @@ object Typed {
     import docs.sparkSession.implicits._
     TextDedup.removeDupSpans(docs.toDF(), "doc_id", "text", k).as[SpanCleaned]
   }
+
+  /** One adjacent-suffix repeat: the lower-ranked suffix, the one
+    * after it, and their common prefix length in tokens.
+    */
+  final case class RepeatedSpan(
+      doc_a: Long, pos_a: Long, doc_b: Long, pos_b: Long, lcp: Long)
+
+  /** Suffix-array repeated-passage discovery, typed
+    * ([[graft.operators.SuffixArray.repeatedSpans]] semantics: every
+    * passage occurring twice at >= minLen tokens, no shingle size
+    * fixed in advance). Builds and releases the index internally —
+    * use the untyped operator to keep the index for further probes.
+    */
+  def repeatedSpans(docs: Dataset[Document], minLen: Long): Dataset[RepeatedSpan] = {
+    import docs.sparkSession.implicits._
+    val ix = graft.operators.SuffixArray.build(docs.toDF(), "doc_id", "text")
+    val out = graft.operators.SuffixArray.repeatedSpans(ix, minLen).as[RepeatedSpan]
+    out.persist().count()
+    ix.unpersist()
+    out
+  }
+
+  /** One mined parallel pair with its µ-grid similarity and margin. */
+  final case class MinedPair(
+      src_id: Long, tgt_id: Long, sim_micro: Long, margin_micro: Long)
+
+  /** Ratio-margin bitext mining over two typed embedding sides
+    * ([[graft.operators.BitextMine.marginMine]] semantics and guard).
+    */
+  def minePairs(
+      src: Dataset[EmbeddingRow],
+      tgt: Dataset[EmbeddingRow],
+      k: Int,
+      minMarginMicro: Long): Dataset[MinedPair] = {
+    import src.sparkSession.implicits._
+    graft.operators.BitextMine
+      .marginMine(src.toDF(), tgt.toDF(), "vec_id", "embedding", k, minMarginMicro,
+        simFn = (a, b) => floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+      .as[MinedPair]
+  }
+
+  /** A node's cohesion profile in the duplicate graph. */
+  final case class NodeCohesion(id: Long, degree: Long, triangles: Long, lcc_micro: Long)
+
+  /** Local clustering coefficients over a typed pair set
+    * ([[graft.operators.Graphs.clusteringCoefficient]]).
+    */
+  def cohesion(pairs: Dataset[DupPair]): Dataset[NodeCohesion] = {
+    import pairs.sparkSession.implicits._
+    graft.operators.Graphs
+      .clusteringCoefficient(pairs.toDF(), "id_a", "id_b")
+      .as[NodeCohesion]
+  }
 }

@@ -93,7 +93,11 @@ object SuffixArray {
       .localCheckpoint(true)
     val rounds = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]((1L, ranks))
     var h = 1L
-    var distinctRanks = ranks.select(col("r")).distinct().count()
+    // ordinals are DENSE from 1, so the distinct-rank count is just
+    // max(r) — a map-combinable agg instead of a distinct shuffle
+    def nDistinct(r: DataFrame): Long =
+      r.agg(coalesce(max(col("r")), lit(0L))).head().getLong(0)
+    var distinctRanks = nDistinct(ranks)
     while (h < maxLen && distinctRanks < n) {
       // rank at pos+h rides back to pos through ONE co-keyed join;
       // suffixes shorter than h+1 pair with the -1 sentinel, which
@@ -110,7 +114,7 @@ object SuffixArray {
         .localCheckpoint(true)
       h = h * 2
       rounds += ((h, ranks))
-      distinctRanks = ranks.select(col("r")).distinct().count()
+      distinctRanks = nDistinct(ranks)
     }
     // final order with the deterministic (doc_id, pos) tie-break for
     // IDENTICAL suffixes

@@ -82,4 +82,31 @@ class TypedApiSpec extends SparkSpec {
     assert(top.map(_.vec_id).toSeq == Seq(0L, 1L))
     assert(top.head.score > top(1).score)
   }
+
+  test("repeatedSpans surfaces the shared passage, typed") {
+    val spans = Typed.repeatedSpans(docs, minLen = 10).collect()
+    // docs 1, 2, 4 share the 13-token sentence prefix
+    assert(spans.nonEmpty)
+    assert(spans.forall(sp => Set(1L, 2L, 4L).contains(sp.doc_a) &&
+      Set(1L, 2L, 4L).contains(sp.doc_b)), s"unexpected pair: ${spans.toSeq}")
+    assert(spans.exists(_.lcp >= 13L), s"full shared prefix missed: ${spans.toSeq}")
+  }
+
+  test("minePairs mines the planted translation, typed") {
+    val src = (0 until 6).map(i =>
+      EmbeddingRow(i.toLong, Array.tabulate(6)(j => if (j == i) 1.0f else 0.1f), 0)).toDS()
+    val tgt = (0 until 6).map(i =>
+      EmbeddingRow(i + 100L, Array.tabulate(6)(j => if (j == i) 0.9f else 0.11f), 0)).toDS()
+    val got = Typed.minePairs(src, tgt, k = 3, minMarginMicro = 1000000L)
+      .collect().map(p => p.src_id -> p.tgt_id).toMap
+    assert(got == (0 until 6).map(i => i.toLong -> (i + 100L)).toMap, s"got $got")
+  }
+
+  test("cohesion separates a clique member from a hub, typed") {
+    val pairs = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++ // triangle
+      Seq((9L, 10L), (9L, 11L), (9L, 12L)))           // star hub
+      .map { case (a, b) => Typed.DupPair(a, b, 1.0) }.toDS()
+    val got = Typed.cohesion(pairs).collect().map(c => c.id -> c.lcc_micro).toMap
+    assert(got(1L) == 1000000L && got(9L) == 0L, s"got $got")
+  }
 }
