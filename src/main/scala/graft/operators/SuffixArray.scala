@@ -58,9 +58,9 @@ object SuffixArray {
     * Dataset-native order-statistics primitive, and a window without
     * a partition key would serialize the sort to one task.
     */
-  private def ordinalRanks(d: DataFrame, keys: Seq[String], out: String): DataFrame = {
+  private def ordinalRanks(
+      d: DataFrame, keys: Seq[String], out: String, parts: Int): DataFrame = {
     val spark = d.sparkSession
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val sorted = d.select(keys.map(col): _*).distinct()
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
@@ -86,9 +86,15 @@ object SuffixArray {
     val n = positions.count()
     val maxLen = if (n == 0) 0L
       else positions.agg(max(col("pos"))).head().getLong(0)
+    // right-size the sort parallelism to the position count: a gate
+    // fixture of a few thousand suffixes pays 32-task overhead per
+    // round otherwise, while a real corpus still fans out fully
+    val parts = math.max(1, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism,
+      (n / 20000L).toInt + 1))
     // round 0: ordinal of the single token — prefix length 1
     var ranks = positions
-      .join(ordinalRanks(positions, Seq("tok"), "__r"), Seq("tok"))
+      .join(ordinalRanks(positions, Seq("tok"), "__r", parts), Seq("tok"))
       .select(col("doc_id"), col("pos"), col("__r").as("r"))
       .localCheckpoint(true)
     val rounds = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]((1L, ranks))
@@ -109,7 +115,7 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("r"),
           coalesce(col("__r2"), lit(-1L)).as("r2"))
       ranks = paired
-        .join(ordinalRanks(paired, Seq("r", "r2"), "__r"), Seq("r", "r2"))
+        .join(ordinalRanks(paired, Seq("r", "r2"), "__r", parts), Seq("r", "r2"))
         .select(col("doc_id"), col("pos"), col("__r").as("r"))
         .localCheckpoint(true)
       h = h * 2
@@ -118,7 +124,7 @@ object SuffixArray {
     }
     // final order with the deterministic (doc_id, pos) tie-break for
     // IDENTICAL suffixes
-    val sa = ordinalRanks(ranks, Seq("r", "doc_id", "pos"), "sa_rank")
+    val sa = ordinalRanks(ranks, Seq("r", "doc_id", "pos"), "sa_rank", parts)
       .select(col("doc_id"), col("pos"), col("sa_rank"))
       .localCheckpoint(true)
     Index(sa, rounds.toSeq, positions.select(col("doc_id"), col("pos")))
