@@ -87,7 +87,13 @@ object ZOrder {
     *
     * @return (file_id, n_rows, and min_/max_ per z column)
     */
-  def fileRanges(
+  /** The frame with its deterministic value-range file assignment
+    * attached as `file_id` — the closed-form split [[fileRanges]]
+    * aggregates and a `partitionBy("file_id")` write materializes
+    * (both consume THIS column, so the written layout and the
+    * diagnostic provably agree).
+    */
+  def withFileId(
       df: DataFrame,
       cols: Seq[String],
       bits: Int = 8,
@@ -99,6 +105,15 @@ object ZOrder {
       .withColumn("file_id",
         expr(s"(cast(__z as decimal(38,0)) - __zmin) * ${numFiles}L " +
           s"div (cast(__zmax as decimal(38,0)) - __zmin + 1)"))
+      .drop("__z", "__zmin", "__zmax")
+  }
+
+  def fileRanges(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 16): DataFrame = {
+    withFileId(df, cols, bits, numFiles)
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(
