@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
+import graft.operators.TextDedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,5 +128,139 @@ object StreamCuration {
         size(col("__ws")).cast("long").as("__nt"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+  }
+
+  // ----- the NEAR-DUP-aware chain: quality gate → exact dedup →
+  // MinHash-store near-dup drop → counters, all cross-batch -----
+
+  /** Initialise the near-dup curation store: the exact-dedup /
+    * counter tables of [[init]] plus an empty PERSISTED MinHash store
+    * survivors' signatures append into (band-prefix-partitioned — the
+    * [[graft.operators.TextDedup.appendToSavedMinhashStore]] ingest
+    * path, so probes prune to the batch's band prefixes at the
+    * directory level).
+    */
+  def initNearDup(spark: SparkSession, path: String, idCol: String, textCol: String): Unit = {
+    // the MinHash store bootstraps from the FIRST batch's survivors
+    // (an empty band-partitioned parquet layout has no files to carry
+    // a schema); until then probes see no store and drop nothing
+    init(spark, path)
+  }
+
+  private def minhashStoreExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/minhash/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** [[absorbBatch]] with a cross-batch NEAR-dup stage: after the
+    * exact-fingerprint drop, the batch's remaining docs first dedup
+    * among THEMSELVES (banded candidates → components → keep the
+    * minimum id, the batch pipeline's rule), then drop every doc the
+    * persisted MinHash store matches at `threshold` — keep-FIRST
+    * across batches, the semantics bounded streaming dedup can
+    * promise (a doc near-dupes only against prior SURVIVORS: a
+    * transitive chain through an already-dropped doc does not
+    * propagate, exactly like the incremental minhash store operators
+    * — the StreamCurationSpec differential plants direct duplicates,
+    * where stream == one-shot batch exactly). Survivors append their
+    * fingerprints AND their signatures/bands before the counter fold.
+    */
+  def absorbBatchNearDup(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): Unit = {
+    val gated = qualityGate(batch, textCol)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"), col("__ws"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .persist()
+    val winners = gated.select(col("fp"), col("__id"))
+      .groupBy(col("fp")).agg(min(col("__id")).as("__id"))
+    val fresh = gated
+      .join(winners, Seq("fp", "__id"), "left_semi")
+      .join(spark.read.parquet(s"$path/seen"), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    gated.unpersist()
+    // in-batch near-dups: keep each component's minimum id
+    val inBatchPairs = TextDedup.minhashCandidatePairs(
+      fresh, "__id", "__text", threshold = threshold)
+    val dropInBatch = graft.operators.Clustering
+      .connectedComponents(inBatchPairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__id"))
+    val inBatchKept = fresh.join(dropInBatch, Seq("__id"), "left_anti")
+    // cross-batch: drop docs the persisted store matches; the store
+    // read prunes to this batch's band prefixes. First batch: no
+    // store yet, nothing to match.
+    val hasStore = minhashStoreExists(spark, path)
+    val survivors = (if (hasStore) {
+      val store = TextDedup.loadMinhashStore(spark, s"$path/minhash")
+      val matched = TextDedup.minhashAgainstStore(
+        inBatchKept, store, "__id", "__text", threshold = threshold)
+        .select(col("id").as("__id")).distinct()
+      inBatchKept.join(matched, Seq("__id"), "left_anti")
+    } else inBatchKept)
+      .localCheckpoint(true)
+    // appends AFTER the lineage cut (the absorbBatch invalidation rule)
+    survivors.select(col("fp")).write.mode("append").parquet(s"$path/seen")
+    if (hasStore)
+      TextDedup.appendToSavedMinhashStore(
+        spark, s"$path/minhash", survivors, "__id", "__text")
+    else if (!survivors.isEmpty)
+      // an all-dropped batch must NOT bootstrap: a meta row over an
+      // empty band-partitioned layout (dynamic partitioning writes no
+      // files for zero rows) would break the next batch's load
+      TextDedup.saveMinhashStore(
+        TextDedup.buildMinhashStore(survivors, "__id", "__text"),
+        s"$path/minhash")
+    val increment = survivors
+      .select(splitOf(bucket(col("__id"))).as("split"),
+        size(col("__ws")).cast("long").as("__nt"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+    val folded = spark.read.parquet(s"$path/counters")
+      .unionByName(increment)
+      .groupBy(col("split"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tokens")).as("total_tokens"))
+      .repartition(1)
+      .localCheckpoint(true)
+    folded.write.mode("overwrite").parquet(s"$path/counters")
+    folded.unpersist(); survivors.unpersist(); fresh.unpersist()
+    ()
+  }
+
+  /** One-shot batch twin of the near-dup chain: gate → keep-lowest
+    * exact dedup → banded near-dup components keep-lowest → split
+    * tally. Equals the streamed fold when duplicates match their
+    * surviving base directly (no transitive chains through dropped
+    * docs — the planted-fixture regime).
+    */
+  def batchChainNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val gated = qualityGate(docs, textCol)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"), col("__ws"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val winners = gated.select(col("fp"), col("__id"))
+      .groupBy(col("fp")).agg(min(col("__id")).as("__id"))
+    val exactKept = gated.join(winners, Seq("fp", "__id"), "left_semi").persist()
+    val pairs = TextDedup.minhashCandidatePairs(
+      exactKept, "__id", "__text", threshold = threshold)
+    val dropNear = graft.operators.Clustering
+      .connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__id"))
+    val out = exactKept.join(dropNear, Seq("__id"), "left_anti")
+      .select(splitOf(bucket(col("__id"))).as("split"),
+        size(col("__ws")).cast("long").as("__nt"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+    out.persist().count()
+    exactKept.unpersist()
+    out
   }
 }
