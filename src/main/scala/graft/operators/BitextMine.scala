@@ -46,17 +46,33 @@ object BitextMine {
       k: Int,
       minMarginMicro: Long): DataFrame = {
     require(k > 0, "k must be positive")
+    // sim contract: NON-NEGATIVE (raw cosines go negative routinely —
+    // shift/clamp at ingest). A negative sim makes the ratio-margin
+    // denominator zero or negative: zero nulls the division (row
+    // silently dropped here, a hard error in an exact SQL replay) and
+    // a sign flip can promote hub pairs past the threshold. Enforced
+    // in-plan (one codegen'd comparison per candidate row) rather than
+    // documented-and-hoped.
+    val checked = cand.withColumn("sim",
+      when(col("sim") < 0, raise_error(concat(
+        lit("marginMineFromCandidates: sim must be non-negative "),
+        lit("(shift or clamp the grid at ingest); got "),
+        col("sim").cast("string")))).otherwise(col("sim")))
     val wf = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("tgt_id"))
     val wb = Window.partitionBy(col("tgt_id")).orderBy(col("sim").desc, col("src_id"))
-    val fwd = cand.withColumn("__rk", row_number().over(wf)).filter(col("__rk") <= k)
+    val fwd = checked.withColumn("__rk", row_number().over(wf)).filter(col("__rk") <= k)
       .groupBy(col("src_id"))
       .agg(sum(col("sim")).as("__fsum"), count(lit(1)).as("__fcnt"))
-    val bwd = cand.withColumn("__rk", row_number().over(wb)).filter(col("__rk") <= k)
+    val bwd = checked.withColumn("__rk", row_number().over(wb)).filter(col("__rk") <= k)
       .groupBy(col("tgt_id"))
       .agg(sum(col("sim")).as("__bsum"), count(lit(1)).as("__bcnt"))
-    val scored = cand
+    val scored = checked
       .join(fwd, Seq("src_id"))
       .join(bwd, Seq("tgt_id"))
+      // with sims >= 0 the denominator is 0 only when BOTH
+      // neighborhoods sum to zero — a sim-0 pair that no positive
+      // margin threshold could mine; drop it rather than divide
+      .filter(expr("__fsum * __bcnt + __bsum * __fcnt > 0"))
       // numerator in decimal(38,0): sim*2e6*k*k wraps Long past
       // k ~ 1500 (the Profiling.rr_micro lesson); DuckDB's int128
       // already gets this right

@@ -218,43 +218,47 @@ object Bm25 {
     inc.unpersist()
   }
 
-  /** Replace the tombstone table with `kept` via a staged swap: the
-    * replacement writes beside the live dir first, so a reader (or a
-    * crash) never sees a half-written table, and the source files stay
-    * intact until the staged copy is complete.
+  /** Replace the tombstone table with `kept` via the rename-aside
+    * staged swap ([[rotateIn]]): a complete copy exists under a
+    * recoverable name at every instant.
     */
-  private def rewriteTombstones(spark: SparkSession, path: String, kept: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$path/tombstones")
-    val stage = new Path(s"$path/tombstones__stage")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    kept.repartition(1).write.mode("overwrite").parquet(stage.toString)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
-  }
+  private def rewriteTombstones(spark: SparkSession, path: String, kept: DataFrame): Unit =
+    rotateIn(spark, s"$path/tombstones") { stage =>
+      kept.repartition(1).write.mode("overwrite").parquet(stage)
+    }
 
-  /** Replace a store table with `rewritten` via the same staged swap:
-    * write aside (the rewritten frame reads the very files it
-    * replaces), delete live, rename in — a crash leaves either the
-    * old or the new complete copy, never a mix.
+  /** Replace a store table with `rewritten` via the same rename-aside
+    * swap: write aside (the rewritten frame reads the very files it
+    * replaces), then rotate in.
     */
   private def swapTable(
       spark: SparkSession,
       path: String,
       table: String,
       rewritten: DataFrame,
-      partitioned: Boolean): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$path/$table")
-    val stage = new Path(s"$path/${table}__stage")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val w = rewritten.write.mode("overwrite")
-    (if (partitioned) w.partitionBy("__tp") else w).parquet(stage.toString)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
-  }
+      partitioned: Boolean): Unit =
+    rotateIn(spark, s"$path/$table") { stage =>
+      val w = rewritten.write.mode("overwrite")
+      (if (partitioned) w.partitionBy("__tp") else w).parquet(stage)
+      ()
+    }
+
+  /** The rename-aside swap ([[graft.sources.StagedSwap.rotateIn]]):
+    * a complete copy of the table exists under a recoverable name at
+    * every instant — the delete-then-rename window that could leave NO
+    * live table is gone.
+    */
+  private def rotateIn(spark: SparkSession, livePath: String)(write: String => Unit): Unit =
+    graft.sources.StagedSwap.rotateIn(spark, livePath)(write)
+
+  /** Heal a store a crashed [[rotateIn]] left mid-rotation: for each
+    * table, restore `__old` (or the complete `__stage`) to live when
+    * live is missing and clear stray stage/old dirs. Idempotent; a
+    * no-op on a healthy store.
+    */
+  def recoverSaved(spark: SparkSession, path: String): Unit =
+    Seq("postings", "docs", "tombstones")
+      .foreach(t => graft.sources.StagedSwap.recover(spark, s"$path/$t"))
 
   /** Physically drop tombstoned rows from a persisted index and reset
     * the tombstone table — the compaction half of the retract

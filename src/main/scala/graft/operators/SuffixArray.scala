@@ -38,18 +38,35 @@ object SuffixArray {
     * starting at pos, ties between IDENTICAL suffixes broken by
     * (doc_id, pos); `ranksByLen` retains each doubling round's
     * (prefix-length, (doc_id, pos, r)) table for the LCP descent;
-    * `positions` is the (doc_id, pos) universe.
+    * `positions` is the (doc_id, pos, tok) universe — the checkpointed
+    * frame itself, so [[unpersist]] releases its blocks (a derived
+    * select would make the release a no-op) and span-rewrite consumers
+    * can reassemble text from it.
     */
   final case class Index(
       sa: DataFrame,
       ranksByLen: Seq[(Long, DataFrame)],
       positions: DataFrame) {
     def unpersist(): Unit = {
-      sa.unpersist(); positions.unpersist()
-      ranksByLen.foreach(_._2.unpersist())
+      releaseCheckpoint(sa); releaseCheckpoint(positions)
+      ranksByLen.foreach(r => releaseCheckpoint(r._2))
       ()
     }
   }
+
+  /** Release the RDD blocks behind a localCheckpointed frame NOW:
+    * `Dataset.unpersist` only clears CacheManager entries, so a
+    * checkpoint's blocks otherwise linger until the GC-driven
+    * ContextCleaner notices the RDD is unreachable. Matches only a
+    * frame whose ROOT is the checkpoint (never a derived plan, whose
+    * tree would contain some OTHER live checkpoint's LogicalRDD);
+    * no-op on anything else.
+    */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Ordinal of each distinct key row in range-sorted order — the
     * distributed dense-rank: range-repartition the distinct keys,
@@ -127,7 +144,7 @@ object SuffixArray {
     val sa = ordinalRanks(ranks, Seq("r", "doc_id", "pos"), "sa_rank", parts)
       .select(col("doc_id"), col("pos"), col("sa_rank"))
       .localCheckpoint(true)
-    Index(sa, rounds.toSeq, positions.select(col("doc_id"), col("pos")))
+    Index(sa, rounds.toSeq, positions)
   }
 
   /** LCP between each pair of CONSECUTIVE suffixes in SA order, by
@@ -157,7 +174,7 @@ object SuffixArray {
         col("r").as("__ra"))
       val rb = rt.select(col("doc_id").as("doc_b"), col("pos").as("__pb"),
         col("r").as("__rb"))
-      pairs = pairs
+      val next = pairs
         .withColumn("__pa", col("pos_a") + col("__l"))
         .withColumn("__pb", col("pos_b") + col("__l"))
         .join(ra, Seq("doc_a", "__pa"), "left")
@@ -168,6 +185,12 @@ object SuffixArray {
               col("__ra") === col("__rb"), lit(len)).otherwise(lit(0L)))
         .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"), col("__l"))
         .localCheckpoint(true)
+      // the superseded round's checkpoint is dead once `next` is
+      // materialized (eager) — release its blocks instead of leaking
+      // them until GC; the first `pairs` is a derived plan, which
+      // releaseCheckpoint leaves alone by construction
+      releaseCheckpoint(pairs)
+      pairs = next
     }
     // clamp the equal-suffix overshoot to the true tail lengths
     val lens = ix.positions.groupBy(col("doc_id")).agg(max(col("pos")).as("__n"))

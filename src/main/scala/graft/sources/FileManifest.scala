@@ -12,49 +12,104 @@ import scala.jdk.CollectionConverters._
   * touched. Combined with a z-ordered or sorted write
   * ([[graft.operators.ZOrder]], `TableConfig.sortCols`), the manifest
   * turns a point/range predicate into a file subset long before any
-  * scan task launches — the planning-time half of the pruning story
-  * whose scan-time half (`PushedFilters`, partition pruning) this
-  * engine already plan-asserts.
+  * scan task launches — and [[readPruned]] closes the loop by
+  * scanning ONLY that subset.
   *
-  * Scale shape: the file listing is one recursive metadata pass; the
-  * footer reads fan out as a Spark job over the file list (a million
-  * files is a million ~8 KB footer reads across the cluster, zero
-  * row decoding). Statistics aggregate per file from the row-group
-  * blocks — min of mins, max of maxs, exact sums — so the manifest is
-  * a pure function of the files and replays anywhere
-  * (`file_manifest_stats` gates it against a full data-scan
+  * Scale shape: the file listing fans out per top-level subdirectory
+  * as a Spark job (a partitioned table's million files list in
+  * parallel across its partition dirs; a flat directory is one
+  * driver RPC), and the footer reads fan out as a second job over the
+  * file list (a million files is a million ~8 KB footer reads across
+  * the cluster, zero row decoding). Statistics aggregate per file
+  * from the row-group blocks — min of mins, max of maxs, exact sums —
+  * so the manifest is a pure function of the files and replays
+  * anywhere (`file_manifest_stats` gates it against a full data-scan
   * recomputation AND the SQL oracle).
   *
-  * Integral (INT32/INT64) columns only — the key/bucket columns
-  * pruning actually uses; extending to binary stats is mechanical.
+  * Covered statistics: integral (INT32/INT64) columns fill
+  * `min_v`/`max_v`; string (UTF-8 BINARY) columns fill `min_s`/`max_s`
+  * with UNSIGNED-byte-order bounds — the order parquet's min_value/
+  * max_value contract specifies and the order Spark's UTF8String
+  * comparisons use, so string-key pruning (domain/URL/lang — the
+  * columns an LLM-data layout actually filters by) is exact. Every
+  * (file, column) pair gets a manifest row UNCONDITIONALLY — a column
+  * with no usable stats (all-null, float, nested) carries nulls, so
+  * pruning can tell "provably disjoint" from "unknown, must keep" and
+  * never loses a file.
   */
 object FileManifest {
 
-  /** One manifest row per (file, column): exact per-file row count,
-    * min/max over the file's row groups, and the null count.
+  /** List every `.parquet` file under `path`: one driver RPC for the
+    * top level, then a Spark job fanning the recursive listing out
+    * per subdirectory — the partition-dir layout a real table has is
+    * exactly the parallelism axis. The returned list lives on the
+    * driver, the same memory class as Spark's own file index.
+    */
+  private def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(root)
+    val rootFiles = top.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    if (dirs.isEmpty) rootFiles
+    else {
+      val parts = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, dirs.size))
+      val fanned = spark.createDataset(dirs).repartition(parts)
+        .mapPartitions { ds =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          ds.flatMap { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val it = p.getFileSystem(conf).listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+            }
+            buf
+          }
+        }
+        .collect().toSeq
+      rootFiles ++ fanned
+    }
+  }
+
+  /** One manifest row per (file, wanted column) — ALWAYS, even when
+    * the column carries no usable footer stats (the row then has null
+    * bounds and the pruners keep the file): exact per-file row count,
+    * integral min/max, string min/max, and the null count.
     *
-    * @return (file, column, n_rows, min_v, max_v, n_nulls)
+    * @return (file, column, n_rows, min_v, max_v, min_s, max_s, n_nulls)
     */
   def build(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "statCols must be non-empty")
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(root, true)
-    val files = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
-    }
-    val wanted = statCols.toSet
+    val files = listParquetFiles(spark, path)
+    val wanted = statCols.toVector
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, files.size))
-    spark.createDataset(files.toSeq).repartition(parts)
+    spark.createDataset(files).repartition(parts)
       .mapPartitions { paths =>
         // executor-local Configuration: footer reads need only the
         // filesystem defaults for the path scheme (object-store creds
         // ride the cluster-wide hadoop conf in a real deployment)
         val conf = new org.apache.hadoop.conf.Configuration()
+        // parquet's min_value/max_value contract for UTF-8 strings is
+        // UNSIGNED lexicographic byte order — the same order Spark's
+        // UTF8String comparisons use, so aggregating with it keeps the
+        // manifest bounds consistent with the predicates pruned on
+        def uCmp(a: Array[Byte], b: Array[Byte]): Int = {
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          a.length - b.length
+        }
         paths.flatMap { p =>
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -62,45 +117,141 @@ object FileManifest {
           try {
             val blocks = rdr.getFooter.getBlocks.asScala.toSeq
             val nRows = blocks.map(_.getRowCount).sum
-            val perCol = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+            val ints = scala.collection.mutable.Map[String, (Long, Long)]()
+            val strs = scala.collection.mutable.Map[String, (Array[Byte], Array[Byte])]()
+            val nulls = scala.collection.mutable.Map[String, Long]()
             blocks.foreach { b =>
               b.getColumns.asScala.foreach { c =>
                 val name = c.getPath.toDotString
                 if (wanted.contains(name)) {
                   val st = c.getStatistics
-                  (st.genericGetMin, st.genericGetMax) match {
-                    case (mn: Number, mx: Number) =>
-                      val (pmn, pmx, pnl) = perCol.getOrElse(name,
-                        (Long.MaxValue, Long.MinValue, 0L))
-                      perCol(name) = (
-                        math.min(pmn, mn.longValue()),
-                        math.max(pmx, mx.longValue()),
-                        pnl + st.getNumNulls)
-                    case _ => () // non-integral stats: column skipped
+                  if (st != null && !st.isEmpty) {
+                    nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      (st.genericGetMin, st.genericGetMax) match {
+                        case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                          val (pmn, pmx) = ints.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                          ints(name) = (math.min(pmn, mn.longValue()),
+                            math.max(pmx, mx.longValue()))
+                        case (mn: java.lang.Long, mx: java.lang.Long) =>
+                          val (pmn, pmx) = ints.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                          ints(name) = (math.min(pmn, mn.longValue()),
+                            math.max(pmx, mx.longValue()))
+                        case (mn: org.apache.parquet.io.api.Binary,
+                              mx: org.apache.parquet.io.api.Binary)
+                            if c.getPrimitiveType.getLogicalTypeAnnotation
+                              .isInstanceOf[org.apache.parquet.schema
+                                .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                          val (bmn, bmx) = (mn.getBytes, mx.getBytes)
+                          strs.get(name) match {
+                            case Some((pmn, pmx)) =>
+                              strs(name) = (
+                                if (uCmp(bmn, pmn) < 0) bmn else pmn,
+                                if (uCmp(bmx, pmx) > 0) bmx else pmx)
+                            case None => strs(name) = (bmn, bmx)
+                          }
+                        case _ => () // float/boolean/nested: column stays unknown
+                      }
+                    }
                   }
                 }
               }
             }
-            perCol.toSeq.map { case (c, (mn, mx, nl)) => (p, c, nRows, mn, mx, nl) }
+            // a row per wanted column UNCONDITIONALLY: a file must
+            // never vanish from the manifest just because a column's
+            // stats are absent — pruning derives its universe from
+            // these rows
+            wanted.map { c =>
+              val iv = ints.get(c)
+              val sv = strs.get(c).map { case (mn, mx) =>
+                (new String(mn, java.nio.charset.StandardCharsets.UTF_8),
+                  new String(mx, java.nio.charset.StandardCharsets.UTF_8))
+              }
+              (p, c, nRows, iv.map(_._1), iv.map(_._2),
+                sv.map(_._1), sv.map(_._2), nulls.get(c))
+            }
           } finally rdr.close()
         }
       }
-      .toDF("file", "column", "n_rows", "min_v", "max_v", "n_nulls")
+      .toDF("file", "column", "n_rows", "min_v", "max_v", "min_s", "max_s", "n_nulls")
   }
 
   /** Files whose `[min_v, max_v]` window on `column` overlaps
     * `[lo, hi]` — the conservative skip set: a file absent from the
-    * result provably contains no matching row. Files without a
-    * manifest row for the column (all-null or unlisted) are KEPT —
-    * pruning must never lose data.
+    * result provably contains no matching row. Files without integral
+    * bounds for the column (all-null, uncovered type, or stats
+    * missing) are KEPT — pruning must never lose data.
     */
-  def pruneFiles(manifest: DataFrame, column: String, lo: Long, hi: Long): DataFrame = {
+  def pruneFiles(manifest: DataFrame, column: String, lo: Long, hi: Long): DataFrame =
+    pruneOn(manifest, column, col("max_v") >= lo && col("min_v") <= hi,
+      col("min_v").isNotNull && col("max_v").isNotNull)
+
+  /** [[pruneFiles]] for a STRING column: overlap of the file's
+    * unsigned-byte-order `[min_s, max_s]` window with `[lo, hi]`
+    * (Spark string comparison is the same unsigned order). Files
+    * without string bounds are KEPT.
+    */
+  def pruneFilesString(manifest: DataFrame, column: String, lo: String, hi: String): DataFrame =
+    pruneOn(manifest, column, col("max_s") >= lit(lo) && col("min_s") <= lit(hi),
+      col("min_s").isNotNull && col("max_s").isNotNull)
+
+  private def pruneOn(
+      manifest: DataFrame,
+      column: String,
+      overlap: org.apache.spark.sql.Column,
+      hasBounds: org.apache.spark.sql.Column): DataFrame = {
     val all = manifest.select(col("file")).distinct()
-    val covered = manifest.filter(col("column") === column)
-    val overlapping = covered
-      .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select(col("file"))
+    val covered = manifest.filter(col("column") === column && hasBounds)
+    val overlapping = covered.filter(overlap).select(col("file"))
     val uncovered = all.join(covered.select(col("file")), Seq("file"), "left_anti")
     overlapping.unionByName(uncovered).distinct()
+  }
+
+  /** Scan ONLY the files [[pruneFiles]] keeps — the manifest→scan
+    * loop closed: results equal the full-scan filter (pruning is
+    * conservative by construction), but the scan's input file set is
+    * the pruned subset, which a driver-side `queryExecution` file
+    * listing can assert. The pruned predicate still applies (a kept
+    * file may carry non-matching rows); pass `basePath` when the
+    * layout is partitioned so the partition columns survive the
+    * file-addressed read. The file-list collect is bounded by the
+    * table's file count — the same driver memory Spark's own
+    * InMemoryFileIndex spends on any scan of the table.
+    */
+  def readPruned(
+      spark: SparkSession,
+      manifest: DataFrame,
+      column: String,
+      lo: Long,
+      hi: Long,
+      basePath: Option[String] = None): DataFrame =
+    readFiles(spark, manifest, pruneFiles(manifest, column, lo, hi), basePath)
+      .filter(col(column) >= lo && col(column) <= hi)
+
+  /** [[readPruned]] for a STRING column. */
+  def readPrunedString(
+      spark: SparkSession,
+      manifest: DataFrame,
+      column: String,
+      lo: String,
+      hi: String,
+      basePath: Option[String] = None): DataFrame =
+    readFiles(spark, manifest, pruneFilesString(manifest, column, lo, hi), basePath)
+      .filter(col(column) >= lo && col(column) <= hi)
+
+  private def readFiles(
+      spark: SparkSession,
+      manifest: DataFrame,
+      pruned: DataFrame,
+      basePath: Option[String]): DataFrame = {
+    val files = pruned.collect().map(_.getString(0)).toSeq
+    val rd = basePath.foldLeft(spark.read)((r, bp) => r.option("basePath", bp))
+    if (files.nonEmpty) rd.parquet(files: _*)
+    else {
+      // empty prune set: an empty frame with the table's schema,
+      // recovered from any manifest-listed file (zero rows read)
+      val any = manifest.select(col("file")).limit(1).collect().map(_.getString(0)).toSeq
+      rd.parquet(any: _*).limit(0)
+    }
   }
 }
