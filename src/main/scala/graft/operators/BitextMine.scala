@@ -38,22 +38,23 @@ object BitextMine {
   /** Mine mutual-best pairs from a scored candidate table
     * (src_id, tgt_id, sim) with sim on the 1e-6 LONG grid.
     *
+    * Negative sims are LEGAL input: raw cosines go negative routinely
+    * and such pairs sit below any positive margin threshold, so they
+    * prune themselves (the denominator filter below drops the only
+    * degenerate case). Callers wanting a hard non-negative contract
+    * (e.g. a pre-shifted grid where a negative means an upstream bug)
+    * opt in with `validate = true` — one codegen'd comparison per row.
+    *
     * @return (src_id, tgt_id, sim_micro, margin_micro), mutual argmax
     *         pairs with margin_micro >= minMarginMicro
     */
   def marginMineFromCandidates(
       cand: DataFrame,
       k: Int,
-      minMarginMicro: Long): DataFrame = {
+      minMarginMicro: Long,
+      validate: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
-    // sim contract: NON-NEGATIVE (raw cosines go negative routinely —
-    // shift/clamp at ingest). A negative sim makes the ratio-margin
-    // denominator zero or negative: zero nulls the division (row
-    // silently dropped here, a hard error in an exact SQL replay) and
-    // a sign flip can promote hub pairs past the threshold. Enforced
-    // in-plan (one codegen'd comparison per candidate row) rather than
-    // documented-and-hoped.
-    val checked = cand.withColumn("sim",
+    val checked = if (!validate) cand else cand.withColumn("sim",
       when(col("sim") < 0, raise_error(concat(
         lit("marginMineFromCandidates: sim must be non-negative "),
         lit("(shift or clamp the grid at ingest); got "),

@@ -53,6 +53,27 @@ class BitextMineSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 600000L, 1000000L)), s"got $got")
   }
 
+  test("negative sims are legal input: pruned by margin, never raised on") {
+    // raw-cosine candidates go negative routinely (anti-correlated
+    // vectors); they must flow through — below any positive margin —
+    // without tripping validation (the round-12 bitext_mine regression)
+    val cand = Seq(
+      (1L, 10L, 900000L), (1L, 11L, -400000L), (1L, 12L, -96767L),
+      (2L, 10L, -500000L), (2L, 11L, 800000L), (2L, 12L, -350000L))
+      .toDF("src_id", "tgt_id", "sim")
+    val got = BitextMine.marginMineFromCandidates(cand, k = 2, minMarginMicro = 1000000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 10L), (2L, 11L)),
+      s"negative-sim candidates broke mining: $got")
+    assert(!got.exists(_._3 < 0), s"a negative-sim pair was mined: $got")
+    // the hard contract is opt-in: validate = true raises on the same input
+    val e = intercept[Exception] {
+      BitextMine.marginMineFromCandidates(cand, k = 2, minMarginMicro = 0L,
+        validate = true).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), s"got ${e.getMessage}")
+  }
+
   test("broadcast mine finds planted translations through the guard path") {
     val src = (0L until 8L).map(i =>
       (i, Seq.tabulate(8)(j => if (j == i) 1.0f else 0.05f))).toDF("id", "vec")
