@@ -61,6 +61,14 @@ private[graft] object CurationStageCache
 private[graft] object ZWriteStageCache
     extends graft.util.SessionScopedCache[String]
 
+/** Session-scoped cache of the range-laid-out documents copy (4 files,
+  * range-partitioned on `source`): the `manifest_pruned_read_string`
+  * gate writes it once per (application, dir); manifest builds and
+  * pruned reads only touch footers and the kept file subset after.
+  */
+private[graft] object SourceLayoutStageCache
+    extends graft.util.SessionScopedCache[String]
+
 /** Session-scoped cache of the trained IVF index (centroids + assigned
   * corpus): `ann_ivf_topk` trains once per (application, dir) and every
   * later query pays only the probed scan — the shape a real deployment
@@ -1472,6 +1480,77 @@ object SparkEntry {
       .orderBy(col("file_id"))
     out.persist().count()
     manifest.unpersist(); assembled.unpersist()
+    out
+  }
+
+  /** The manifest→scan loop closed on an INTEGRAL key: prune the
+    * z-ordered orders layout ([[ZWriteStageCache]] — the same staged
+    * copy `file_manifest_stats` audits) to the files whose
+    * `o_custkey` window overlaps [100, 180], scan ONLY those, and
+    * aggregate. Rows replay as a plain filtered aggregate over
+    * `orders` (pruning is conservative-lossless by construction); the
+    * `pruned_ok` verdict asserts in-plan that the prune actually
+    * SKIPPED files — kept < total — so a pruner that degenerates to
+    * keep-everything fails the gate, not just the benchmark.
+    */
+  private def manifestPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val ordersKeys = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val path = ZWriteStageCache.getOrElseUpdate(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-zlayout").toString
+      graft.operators.ZOrder.withFileId(ordersKeys, Seq("o_custkey", "o_orderkey"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(p)
+      p
+    }
+    val manifest = graft.sources.FileManifest
+      .build(s, path, Seq("o_custkey", "o_orderkey")).persist()
+    manifest.count()
+    val (lo, hi) = (100L, 180L)
+    val kept = graft.sources.FileManifest.pruneFiles(manifest, "o_custkey", lo, hi)
+    val verdict = kept.agg(count(lit(1)).as("__k"))
+      .crossJoin(manifest.select(col("file")).distinct().agg(count(lit(1)).as("__t")))
+      .select((col("__k") > 0 && col("__k") < col("__t")).as("pruned_ok"))
+    val out = graft.sources.FileManifest
+      .readPruned(s, manifest, "o_custkey", lo, hi, basePath = Some(path))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+      .crossJoin(broadcast(verdict))
+      .orderBy(col("o_custkey"))
+    out.persist().count()
+    manifest.unpersist()
+    out
+  }
+
+  /** [[manifestPrunedRead]] on a STRING key — the domain/URL/lang
+    * pruning axis an LLM-data layout actually filters by: documents
+    * range-laid-out on `source` (4 files, contiguous unsigned-order
+    * ranges), manifest string bounds, pruned read of the
+    * ['src2','src4'] window. Same verdict contract.
+    */
+  private def manifestPrunedReadString(s: SparkSession, dir: String): DataFrame = {
+    val path = SourceLayoutStageCache.getOrElseUpdate(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-srclayout").toString
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        .repartitionByRange(4, col("source"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val manifest = graft.sources.FileManifest
+      .build(s, path, Seq("source")).persist()
+    manifest.count()
+    val (lo, hi) = ("src2", "src4")
+    val kept = graft.sources.FileManifest.pruneFilesString(manifest, "source", lo, hi)
+    val verdict = kept.agg(count(lit(1)).as("__k"))
+      .crossJoin(manifest.select(col("file")).distinct().agg(count(lit(1)).as("__t")))
+      .select((col("__k") > 0 && col("__k") < col("__t")).as("pruned_ok"))
+    val out = graft.sources.FileManifest
+      .readPrunedString(s, manifest, "source", lo, hi)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(broadcast(verdict))
+      .orderBy(col("source"))
+    out.persist().count()
+    manifest.unpersist()
     out
   }
 
@@ -4809,6 +4888,8 @@ object SparkEntry {
     "bucket_join" -> (bucketJoinQ _),
     "zorder_layout" -> (zorderLayout _),
     "file_manifest_stats" -> (fileManifestStats _),
+    "manifest_pruned_read" -> (manifestPrunedRead _),
+    "manifest_pruned_read_string" -> (manifestPrunedReadString _),
     "q51_grouping_sets" -> (groupingSetsQ _),
     "event_transitions" -> (eventTransitions _),
     "event_gaps" -> (eventGaps _))
@@ -9477,6 +9558,23 @@ object SparkEntry {
         |  CAST(max(b) AS BIGINT) AS max_o_orderkey,
         |  true AS footer_ok
         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+    // manifest-pruned reads: pruning is conservative-lossless, so the
+    // pruned scan replays as the plain filtered aggregate; pruned_ok
+    // (kept>0 AND kept<total files) is asserted in-plan Spark-side
+    "manifest_pruned_read" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  true AS pruned_ok
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 180
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_pruned_read_string" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  true AS pruned_ok
+        |FROM documents WHERE source >= 'src2' AND source <= 'src4'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // bucket join: plain join replay; the shuffle-free plan verdict
     // is asserted true (the countmin_tokens in-plan verdict pattern)
     "bucket_join" ->

@@ -179,6 +179,10 @@ object Bm25 {
       idCol: String,
       textCol: String): Unit = {
     import spark.implicits._
+    // heal a crashed prior rotation BEFORE any read plans resolve —
+    // the reads below would throw path-not-found on a store whose
+    // live dir is mid-rename, making rotateIn's own heal unreachable
+    recoverSaved(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     val nb = meta.getAs[Int]("prefixBuckets")
     val inc = build(increment, idCol, textCol)
@@ -277,6 +281,7 @@ object Bm25 {
     */
   def vacuumSaved(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverSaved(spark, path)
     if (!tombstonesExist(spark, path)) return
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombs = spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
@@ -334,6 +339,7 @@ object Bm25 {
       removeIds: DataFrame,
       idCol: String): Unit = {
     import spark.implicits._
+    recoverSaved(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     // Overlapping deletion batches are normal in right-to-be-forgotten
     // flows: ids already tombstoned must NOT subtract from the totals
@@ -395,6 +401,7 @@ object Bm25 {
     * on the pruned postings read, never a store rewrite.
     */
   def load(spark: SparkSession, path: String): Index = {
+    recoverSaved(spark, path)
     val meta = spark.read.parquet(s"$path/meta").head()
     var postings = spark.read.parquet(s"$path/postings")
       .select(col("term"), col("id"), col("tf"), col("__tp"))

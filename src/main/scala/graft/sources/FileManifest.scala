@@ -57,9 +57,13 @@ object FileManifest {
     else {
       val parts = math.max(1, math.min(
         spark.sparkContext.defaultParallelism, dirs.size))
+      // ship the DRIVER's hadoop conf: executors rebuilding a bare
+      // `new Configuration()` would drop every spark.hadoop.* setting
+      // (object-store credentials, endpoints) set programmatically
+      val bconf = broadcastHadoopConf(spark)
       val fanned = spark.createDataset(dirs).repartition(parts)
         .mapPartitions { ds =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bconf.value.value
           ds.flatMap { d =>
             val p = new org.apache.hadoop.fs.Path(d)
             val it = p.getFileSystem(conf).listFiles(p, true)
@@ -87,15 +91,14 @@ object FileManifest {
     require(statCols.nonEmpty, "statCols must be non-empty")
     import spark.implicits._
     val files = listParquetFiles(spark, path)
+    require(files.nonEmpty, s"FileManifest.build: no .parquet files under $path")
     val wanted = statCols.toVector
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, files.size))
+    val bconf = broadcastHadoopConf(spark)
     spark.createDataset(files).repartition(parts)
       .mapPartitions { paths =>
-        // executor-local Configuration: footer reads need only the
-        // filesystem defaults for the path scheme (object-store creds
-        // ride the cluster-wide hadoop conf in a real deployment)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bconf.value.value
         // parquet's min_value/max_value contract for UTF-8 strings is
         // UNSIGNED lexicographic byte order — the same order Spark's
         // UTF8String comparisons use, so aggregating with it keeps the
@@ -161,11 +164,22 @@ object FileManifest {
             // never vanish from the manifest just because a column's
             // stats are absent — pruning derives its universe from
             // these rows
+            // a string bound is usable only when its stat bytes
+            // roundtrip UTF-8 decode/encode UNCHANGED: String() maps
+            // invalid sequences to U+FFFD, which can DECREASE a max
+            // bound (bytes >= 0xF0 become EF BF BD) and make pruning
+            // drop a file that holds matching rows. Non-roundtripping
+            // bounds null out — "unknown, keep the file", never lossy.
+            def rt(b: Array[Byte]): Option[String] = {
+              val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              if (java.util.Arrays.equals(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8), b)) Some(s)
+              else None
+            }
             wanted.map { c =>
               val iv = ints.get(c)
-              val sv = strs.get(c).map { case (mn, mx) =>
-                (new String(mn, java.nio.charset.StandardCharsets.UTF_8),
-                  new String(mx, java.nio.charset.StandardCharsets.UTF_8))
+              val sv = strs.get(c).flatMap { case (mn, mx) =>
+                for (a <- rt(mn); b <- rt(mx)) yield (a, b)
               }
               (p, c, nRows, iv.map(_._1), iv.map(_._2),
                 sv.map(_._1), sv.map(_._2), nulls.get(c))
@@ -251,7 +265,34 @@ object FileManifest {
       // empty prune set: an empty frame with the table's schema,
       // recovered from any manifest-listed file (zero rows read)
       val any = manifest.select(col("file")).limit(1).collect().map(_.getString(0)).toSeq
+      require(any.nonEmpty,
+        "FileManifest.readPruned: the manifest lists no files — build() " +
+          "requires a non-empty table; an empty-table read needs an explicit schema")
       rd.parquet(any: _*).limit(0)
     }
   }
+
+  /** Java-serializable carrier for the driver's hadoop conf (Spark's
+    * own SerializableConfiguration is private[spark]); Configuration
+    * is a Writable, so it serializes through its own write/readFields.
+    */
+  private[sources] class HadoopConfCarrier(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  private def broadcastHadoopConf(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[HadoopConfCarrier] =
+    spark.sparkContext.broadcast(
+      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
 }

@@ -1,5 +1,8 @@
 package graft.sources
 
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** The rename-aside staged-swap protocol shared by the persisted-store
@@ -15,41 +18,63 @@ import org.apache.spark.sql.SparkSession
   * but a reader racing the writer can observe a partially copied live
   * dir; single-writer stores (these lifecycles' contract) are
   * unaffected.
+  *
+  * Every rename/delete is CHECKED: HDFS-style FileSystems report most
+  * failures by returning false, not throwing, and a swallowed false
+  * breaks the protocol invariant silently — a failed live→old leaves
+  * stage→live failing too (dst exists) while the caller proceeds as if
+  * swapped, and in recovery a failed old→live followed by delete(old)
+  * would destroy the last complete copy. A false here is an
+  * [[IOException]] so callers abort instead of continuing.
   */
 private[graft] object StagedSwap {
 
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IOException(s"StagedSwap: rename($src, $dst) returned false — " +
+        "aborting the swap; the table is intact under its pre-step name")
+
+  private def deleteOrThrow(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new IOException(s"StagedSwap: delete($p) returned false")
+
+  /** A stage dir is promotable only when its write COMPLETED — gated
+    * on Spark's `_SUCCESS` job-commit marker. A crash mid-write leaves
+    * a partial stage that must never become live.
+    */
+  private def stageComplete(fs: FileSystem, stage: Path): Boolean =
+    fs.exists(new Path(stage, "_SUCCESS"))
+
   /** Swap `livePath` for whatever `write` produces at the stage path. */
   def rotateIn(spark: SparkSession, livePath: String)(write: String => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
     val live = new Path(livePath)
     val stage = new Path(s"${livePath}__stage")
     val old = new Path(s"${livePath}__old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a prior crash first: live missing with old present means
     // the previous swap died between its renames
-    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
-    fs.delete(stage, true); fs.delete(old, true)
+    if (!fs.exists(live) && fs.exists(old)) renameOrThrow(fs, old, live)
+    deleteOrThrow(fs, stage); deleteOrThrow(fs, old)
     write(stage.toString)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(stage, live)
-    fs.delete(old, true)
-    ()
+    if (fs.exists(live)) renameOrThrow(fs, live, old)
+    renameOrThrow(fs, stage, live)
+    deleteOrThrow(fs, old)
   }
 
   /** Heal a table a crashed [[rotateIn]] left mid-rotation: restore
-    * `__old` (or, failing that, the complete `__stage`) to live when
-    * live is missing, then clear stray stage/old dirs. Idempotent; a
-    * no-op on a healthy table.
+    * `__old` (or, failing that, a COMPLETE `__stage` — `_SUCCESS`
+    * present; a partial stage from a crash mid-write is deleted, never
+    * promoted) to live when live is missing, then clear stray
+    * stage/old dirs. Idempotent; a no-op on a healthy table.
     */
   def recover(spark: SparkSession, livePath: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val live = new Path(livePath)
     val stage = new Path(s"${livePath}__stage")
     val old = new Path(s"${livePath}__old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
-    else if (!fs.exists(live) && fs.exists(stage)) fs.rename(stage, live)
-    fs.delete(stage, true); fs.delete(old, true)
-    ()
+    if (!fs.exists(live) && fs.exists(old)) renameOrThrow(fs, old, live)
+    else if (!fs.exists(live) && fs.exists(stage) && stageComplete(fs, stage))
+      renameOrThrow(fs, stage, live)
+    deleteOrThrow(fs, stage); deleteOrThrow(fs, old)
   }
 }

@@ -70,4 +70,119 @@ class FileManifestSpec extends SparkSpec {
     val kept = FileManifest.pruneFiles(manifest, "missing", 0L, 1L).count()
     assert(kept == manifest.select(col("file")).distinct().count())
   }
+
+  test("string bounds follow unsigned byte order and prune losslessly") {
+    // three disjoint key ranges across three files, including
+    // multi-byte UTF-8: 'é' = C3 A9 sorts ABOVE every ASCII key in
+    // unsigned byte order (and below in none) — the order both
+    // parquet stats and Spark string comparisons use
+    val path = tmpDir("manifest-str")
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (_, i) =>
+      val rows = i match {
+        case 0 => Seq("alpha.com", "beta.org", "delta.net")
+        case 1 => Seq("kappa.io", "lambda.dev", "mu.edu")
+        case 2 => Seq("zeta.gov", "émile.fr", "école.fr")
+      }
+      rows.zipWithIndex.map { case (s, j) => (s, i * 10L + j) }.toDF("domain", "a")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val manifest = FileManifest.build(spark, path, Seq("domain"))
+    assert(manifest.filter(col("min_s").isNull).count() == 0,
+      "valid-UTF8 string columns must carry bounds")
+    // range [k, m): only the middle file overlaps
+    val keptMid = FileManifest.pruneFilesString(manifest, "domain", "k", "mzz")
+      .as[String].collect().toSeq
+    assert(keptMid.size == 1, s"expected 1 file kept, got $keptMid")
+    // range above all ASCII: only the é-file overlaps ('z' < 'é' unsigned)
+    val keptHigh = FileManifest.pruneFilesString(manifest, "domain", "à", "ÿ")
+      .as[String].collect().toSeq
+    assert(keptHigh.size == 1, s"expected only the multi-byte file kept, got $keptHigh")
+    // losslessness: pruned read == full-scan filter
+    val got = FileManifest.readPrunedString(spark, manifest, "domain", "k", "mzz")
+      .select(col("domain")).as[String].collect().toSet
+    val want = spark.read.parquet(path)
+      .filter(col("domain") >= "k" && col("domain") <= "mzz")
+      .select(col("domain")).as[String].collect().toSet
+    assert(got == want && want == Set("kappa.io", "lambda.dev", "mu.edu"))
+  }
+
+  test("non-roundtripping (invalid UTF-8) string stats null out; the file is kept") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = tmpDir("manifest-badutf8")
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required binary s (UTF8); required int64 a; }")
+    val gf = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/bad.parquet"))
+      .withType(schema)
+      .build()
+    // 0xF5 is never valid in UTF-8; String() decodes it to U+FFFD,
+    // so a decoded max would COLLAPSE below the real byte value —
+    // exactly the lossy-bound case that must fall back to "unknown"
+    w.write(gf.newGroup()
+      .append("s", Binary.fromConstantByteArray(Array[Byte](0xF5.toByte, 0x7A)))
+      .append("a", 1L))
+    w.write(gf.newGroup()
+      .append("s", Binary.fromConstantByteArray("plain".getBytes("UTF-8")))
+      .append("a", 2L))
+    w.close()
+    val manifest = FileManifest.build(spark, dir, Seq("s", "a"))
+    val sRow = manifest.filter(col("column") === "s").head()
+    assert(sRow.isNullAt(sRow.fieldIndex("min_s")) &&
+      sRow.isNullAt(sRow.fieldIndex("max_s")),
+      s"invalid-UTF8 stat bytes must yield null bounds, got $sRow")
+    // null bounds ⇒ conservatively kept on ANY string range
+    val kept = FileManifest.pruneFilesString(manifest, "s", "a", "b").count()
+    assert(kept == 1L, "a file with unusable string stats must be kept")
+    // integral stats on the same file still work
+    val keptA = FileManifest.pruneFiles(manifest, "a", 5L, 9L).count()
+    assert(keptA == 0L, "integral pruning should still drop the file")
+  }
+
+  test("fanned-out listing covers a nested partitioned layout") {
+    val path = tmpDir("manifest-partitioned")
+    (0L until 400L).map(i => (i, i % 4, s"d${i % 7}"))
+      .toDF("a", "p", "domain")
+      .repartition(2).write.mode("overwrite").partitionBy("p").parquet(path)
+    val manifest = FileManifest.build(spark, path, Seq("a"))
+    val listed = manifest.select(col("file")).distinct().as[String].collect().toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val expected = walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    assert(listed.map(base) == expected.map(base) && expected.size >= 8,
+      s"fanned listing diverged: ${listed.size} vs ${expected.size} files")
+    // manifest row counts must sum to the table total
+    assert(manifest.select(col("file"), col("n_rows")).distinct()
+      .agg(sum(col("n_rows"))).head().getLong(0) == 400L)
+  }
+
+  test("readPruned scans exactly the pruned file set; empty manifest errors clearly") {
+    val path = tmpDir("manifest-scanset")
+    // 4 files with disjoint sorted ranges of a
+    (0L until 4L).foreach { i =>
+      (i * 100L until (i + 1) * 100L).map(v => (v, v % 7)).toDF("a", "b")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val manifest = FileManifest.build(spark, path, Seq("a"))
+    val prunedSet = FileManifest.pruneFiles(manifest, "a", 150L, 249L)
+      .as[String].collect().toSet
+    assert(prunedSet.size == 2, s"expected 2 of 4 files, got $prunedSet")
+    val df = FileManifest.readPruned(spark, manifest, "a", 150L, 249L)
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    assert(df.inputFiles.map(base).toSet == prunedSet.map(base),
+      s"scan file set != prune set: ${df.inputFiles.toSeq} vs $prunedSet")
+    assert(df.count() == 100L)
+    // empty prune window still answers (zero rows, right schema)
+    assert(FileManifest.readPruned(spark, manifest, "a", 5000L, 6000L).count() == 0L)
+    // an empty manifest is a clear error, not an AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      FileManifest.readPruned(spark, manifest.limit(0), "a", 0L, 1L)
+    }
+    assert(e.getMessage.contains("manifest lists no files"))
+  }
 }
