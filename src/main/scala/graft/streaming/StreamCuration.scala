@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   * rebuild.
   *
   * Store layout at `path` (the AggStore/Bm25 absorb lifecycle):
-  * `seen/` is an append-only fingerprint table — appending only the
-  * SURVIVORS' fingerprints is sufficient, because a batch-internal
-  * loser always shares its winner's fingerprint and that winner is
-  * either kept (fingerprint appended) or was itself dropped against
-  * the store (fingerprint already present). `counters/` is the
-  * one-row-per-split cumulative tally, folded monoidally (sum of
-  * sums) and rewritten through a lineage cut each batch — split rows,
-  * never corpus rows.
+  * `seen/` is an append-only fingerprint table PARTITIONED by a
+  * 64-bucket fingerprint-hash prefix (`__fpb` — the TextDedup band-
+  * store pattern): each batch's anti-join probe derives an `isin`
+  * partition filter from ITS fingerprints' prefixes, so the store
+  * side of the probe reads only the matching directories instead of
+  * SortMergeJoining the entire accumulated corpus once it outgrows
+  * broadcast, and appends touch only the directories that receive
+  * rows. Appending only the SURVIVORS' fingerprints is sufficient,
+  * because a batch-internal loser always shares its winner's
+  * fingerprint and that winner is either kept (fingerprint appended)
+  * or was itself dropped against the store (fingerprint already
+  * present). `counters/` is the one-row-per-split cumulative tally,
+  * folded monoidally (sum of sums) and rewritten through a lineage
+  * cut each batch — split rows, never corpus rows.
   *
   * Differential contract (StreamCurationSpec): after ANY sequence of
   * micro-batches, [[loadCounters]] equals [[batchChain]] over the
@@ -43,6 +49,49 @@ object StreamCuration {
   private def bucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 100L
 
+  /** Fingerprint-prefix partition bucket of the `seen/` store. 64
+    * directories bounds the probe's prefix collect regardless of
+    * store size while keeping per-directory file counts sane at scale.
+    */
+  private val SeenBuckets = 64
+  private def fpb(fp: Column): Column =
+    pmod(xxhash64(fp), lit(SeenBuckets.toLong)).cast("int")
+
+  private def seenExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/seen")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The store side of the exact-dedup anti-join, pruned to the
+    * batch's fingerprint prefixes: the collect is bounded by
+    * [[SeenBuckets]] values, and the resulting `isin` filter reaches
+    * the scan as PartitionFilters (StreamCurationSpec plan-asserts
+    * it) — per batch the store read is O(matching directories), never
+    * O(corpus). The store bootstraps on the first non-empty append,
+    * so a fresh store reads as an empty probe side.
+    */
+  private[graft] def prunedSeen(spark: SparkSession, path: String, probe: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (!seenExists(spark, path)) Seq.empty[String].toDF("fp")
+    else {
+      val prefixes = probe.select(fpb(col("fp")).as("__fpb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(s"$path/seen")
+        .filter(col("__fpb").isin(prefixes: _*)).select(col("fp"))
+    }
+  }
+
+  /** Dynamic-partition-append the survivors' fingerprints: only the
+    * prefixes that receive rows gain files. A zero-row append is
+    * SKIPPED — dynamic partitioning would write a file-less directory
+    * that breaks later schema inference.
+    */
+  private def appendSeen(spark: SparkSession, path: String, survivors: DataFrame): Unit =
+    if (!survivors.isEmpty) {
+      survivors.select(col("fp"), fpb(col("fp")).as("__fpb"))
+        .write.mode("append").partitionBy("__fpb").parquet(s"$path/seen")
+    }
+
   private def splitOf(b: Column): Column =
     when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
 
@@ -53,11 +102,15 @@ object StreamCuration {
     docs.withColumn("__ws", TextFunctions.tokens(col(textCol)))
       .filter(TextFunctions.gopherKeep(col("__ws")))
 
-  /** Initialise an empty curation store. */
+  /** Initialise an empty curation store. `seen/` bootstraps from the
+    * first non-empty batch (an empty partitioned layout has no files
+    * to carry a schema — the minhash-store bootstrap rule); until then
+    * probes see an empty store and drop nothing.
+    */
   def init(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    Seq.empty[String].toDF("fp")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/seen")
+    val seen = new org.apache.hadoop.fs.Path(s"$path/seen")
+    seen.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(seen, true)
     Seq.empty[(String, Long, Long)].toDF("split", "n_docs", "total_tokens")
       .repartition(1).write.mode("overwrite").parquet(s"$path/counters")
   }
@@ -87,9 +140,9 @@ object StreamCuration {
     // OWN fingerprints and emit nothing
     val fresh = gated
       .join(winners, Seq("fp", "__id"), "left_semi")
-      .join(spark.read.parquet(s"$path/seen"), Seq("fp"), "left_anti")
+      .join(prunedSeen(spark, path, gated), Seq("fp"), "left_anti")
       .localCheckpoint(true)
-    fresh.select(col("fp")).write.mode("append").parquet(s"$path/seen")
+    appendSeen(spark, path, fresh)
     val increment = fresh
       .select(splitOf(bucket(col("__id"))).as("split"),
         size(col("__ws")).cast("long").as("__nt"))
@@ -180,7 +233,7 @@ object StreamCuration {
       .groupBy(col("fp")).agg(min(col("__id")).as("__id"))
     val fresh = gated
       .join(winners, Seq("fp", "__id"), "left_semi")
-      .join(spark.read.parquet(s"$path/seen"), Seq("fp"), "left_anti")
+      .join(prunedSeen(spark, path, gated), Seq("fp"), "left_anti")
       .localCheckpoint(true)
     gated.unpersist()
     // in-batch near-dups: keep each component's minimum id
@@ -204,7 +257,7 @@ object StreamCuration {
     } else inBatchKept)
       .localCheckpoint(true)
     // appends AFTER the lineage cut (the absorbBatch invalidation rule)
-    survivors.select(col("fp")).write.mode("append").parquet(s"$path/seen")
+    appendSeen(spark, path, survivors)
     if (hasStore)
       TextDedup.appendToSavedMinhashStore(
         spark, s"$path/minhash", survivors, "__id", "__text")

@@ -161,6 +161,31 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seen-store probe prunes at the directory level (PartitionFilters on __fpb)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("stream-curation-prune")
+    StreamCuration.init(spark, path)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamCuration.absorbBatch(batch.sparkSession, path, batch, "doc_id", "text")
+      }
+      .start()
+    try { in.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    // the store is partitioned by the fingerprint prefix
+    val dirs = new java.io.File(s"$path/seen").listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("__fpb=")),
+      s"seen/ not prefix-partitioned: ${dirs.map(_.getName).toSeq}")
+    // a single-fingerprint probe's store read carries the __fpb
+    // partition filter — the anti-join never scans the whole store
+    val probe = Seq("deadbeefdeadbeefdeadbeefdeadbeef").toDF("fp")
+    val plan = StreamCuration.prunedSeen(spark, path, probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__fpb"),
+      s"expected __fpb PartitionFilters in:\n$plan")
+  }
+
   test("duplicate-only and gate-only batches leave the counters unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmpDir("stream-curation-noop")
