@@ -1856,6 +1856,34 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** FULL coreness decomposition ([[graft.operators.Graphs.coreness]])
+    * over [[graphKcore]]'s clique+chain fixture — disjoint components
+    * whose core numbers are CLOSED FORM: a clique of m present users
+    * peels in phase m (core number m-1, chains attached or not), and
+    * the 3-node pendant chains peel in phase 2 (core number 1) — so
+    * the whole peeling spectrum replays in SQL as per-group counts,
+    * no recursive fixpoint needed.
+    */
+  private def graphCoreness(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 100)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val anchors = users.filter(col("user_id") % 10 === 0)
+    val chains = anchors
+      .select(col("user_id").as("id_a"), (col("user_id") + 1000).as("id_b"))
+      .unionByName(anchors.select((col("user_id") + 1000).as("id_a"),
+        (col("user_id") + 2000).as("id_b")))
+      .unionByName(anchors.select((col("user_id") + 2000).as("id_a"),
+        (col("user_id") + 3000).as("id_b")))
+    graft.operators.Graphs
+      .coreness(clique.unionByName(chains), "id_a", "id_b")
+      .orderBy(col("id"))
+  }
+
   /** Blocking-quality audit for the entity-resolution blocking scheme
     * ([[graft.operators.Profiling.blockingQuality]]): reduction ratio
     * and pair completeness over the customer corpus with planted typo
@@ -2143,6 +2171,54 @@ object SparkEntry {
       .marginMine(src, tgt, "id", "vec", k = 4, minMarginMicro = 1500000L,
         simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
         knownTgtCount = Some(34L)) // 24 planted + 10 decoys by construction
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  /** Bitext mining AT SCALE: [[graft.operators.BitextMine
+    * .marginMineAnn]] — IVF-bucketed candidates (each source probes
+    * its 2 nearest of 4 inverted lists in-plan; candidates join on
+    * list id, nothing broadcast) feeding the same ratio-margin mutual-
+    * argmax mine, over [[bitextMineQ]]'s planted fixture. Oracle-gated
+    * via the recall verdict (the `knn_graph_ann` pattern): the emitted
+    * rows are the EXACT broadcast mine the SQL replays bit-for-bit;
+    * `recall_ok` proves the ANN composition re-mines >= 90% of those
+    * pairs (a translated source and its target embed near-identically,
+    * so they co-probe the same list by construction).
+    */
+  private def bitextMineAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val src = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tgt = emb.filter(col("vec_id") < 24)
+      .select((col("vec_id") + 2000L).as("id"),
+        transform(col("embedding"), x => x + lit(0.0004f)).as("vec"))
+      .unionByName(emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+        .select((col("vec_id") + 3000L).as("id"), col("embedding").as("vec")))
+    val simFn: (Column, Column) => Column =
+      (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val exact = ExactTopCache.getOrElseUpdate(s, dir + "#bitext-exact") {
+      val e = graft.operators.BitextMine
+        .marginMine(src, tgt, "id", "vec", k = 4, minMarginMicro = 1500000L,
+          simFn = simFn, knownTgtCount = Some(34L))
+        .persist()
+      e.count()
+      e
+    }
+    val index = IvfStageCache.getOrElseUpdate(s, dir + "#bitext-tgt")(
+      IvfAnn.build(tgt, "id", "vec", nlist = 4, iters = 3))
+    val ann = graft.operators.BitextMine.marginMineAnn(
+      src, "id", "vec", index, k = 4, minMarginMicro = 1500000L,
+      nprobe = 2, simFn = simFn)
+    val hits = exact
+      .join(ann.select(col("src_id"), col("tgt_id")),
+        Seq("src_id", "tgt_id"), "left_semi")
+      .agg(count(lit(1)).as("__h"))
+    val tot = exact.agg(count(lit(1)).as("__t"))
+    val verdict = hits.crossJoin(tot)
+      .select((col("__h") * lit(100) >= col("__t") * lit(90)).as("recall_ok"))
+    exact.crossJoin(broadcast(verdict))
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_micro"), col("recall_ok"))
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
@@ -2829,6 +2905,36 @@ object SparkEntry {
     out
   }
 
+  /** Suffix-array-DRIVEN corpus rewrite ([[graft.operators.SuffixArray
+    * .removeRepeatedSpans]]) — the consuming half of the Lee et al.
+    * capability `suffix_repeats` only finds: over the boilerplate-
+    * seeded 120-doc corpus (uncapped index — the rewrite must keep
+    * every tail token), every duplicated 8-token window keeps exactly
+    * its minimal-(doc_id, pos) canonical occurrence and loses the
+    * rest. The suffix path groups occurrences through adjacent-LCP
+    * runs + connected components; the oracle replays the same
+    * semantics directly in gram space (same-8-prefix suffix runs ARE
+    * the 8-gram occurrence groups), making the gate an exact
+    * cross-representation hash match.
+    */
+  private def suffixDedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val seeded = Tables(s, dir, "documents")
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val ix = graft.operators.SuffixArray.build(seeded, "doc_id", "text")
+    val out = graft.operators.SuffixArray
+      .removeRepeatedSpans(ix, minLen = 8, keepCanonical = true)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("removed_tokens"), col("clean_text"))
+      .orderBy(col("doc_id"))
+    out.persist().count()
+    ix.unpersist()
+    out
+  }
+
   /** Span-level exact-substring dedup over documents seeded with a
     * 10-token boilerplate prefix on every doc_id % 10 == 1 doc: the
     * boilerplate's 8-token windows duplicate across those docs, so
@@ -3345,6 +3451,37 @@ object SparkEntry {
     ID.nearDupPairs(ID.dHashes(media.union(resized).union(noised)),
         "media_id", "hash", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("ham").cast("long").as("ham"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-duplicate VIDEO detection over REAL Y4M containers
+    * ([[graft.multimodal.VideoDedup]]): 6-frame C444 videos
+    * synthesized from documents, exact re-encoded copies for every
+    * doc_id % 30 == 0 and blue-channel-noised variants for every
+    * doc_id % 45 == 0; sampled frames (stride 2) hash with the luma
+    * dHash, candidates join banded per (frame, band), and a pair
+    * matches when ALL sampled frames land within Hamming 3. BIT-EXACT
+    * oracle: the stored Y plane is an integer expression of the text
+    * bytes, so grid luma, gradient bits, per-frame Hamming, and the
+    * matched-frame filter all replay in SQL.
+    */
+  private def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, VideoDedup => VD}
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+    val base = Multimodal.syntheticVideosFromDocs(s, docs)
+    val copies = base.filter(_.media_id % 30 == 0)
+      .map(m => m.copy(media_id = m.media_id + 5000000L))
+    val noised = Multimodal
+      .syntheticVideosFromDocs(s, docs.filter(col("doc_id") % 45 === 0),
+        noiseEvery = 13)
+      .map(m => m.copy(media_id = m.media_id + 6000000L))
+    VD.nearDupPairs(
+        VD.frameHashes(base.union(copies).union(noised), stride = 2),
+        maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("matched_frames"),
+        col("total_frames"), col("ham_sum"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -4748,6 +4885,7 @@ object SparkEntry {
     "dedup_spans" -> (dedupSpans _),
     "suffix_array_ranks" -> (suffixArrayRanks _),
     "suffix_repeats" -> (suffixRepeats _),
+    "suffix_dedup_spans" -> (suffixDedupSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
     "dedup_incremental_spans_persisted" -> (dedupIncrementalSpansPersisted _),
     "domain_cap" -> (domainCap _),
@@ -4781,6 +4919,7 @@ object SparkEntry {
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "image_dedup" -> (imageDedup _),
+    "video_dedup" -> (videoDedup _),
     "image_dedup_incremental" -> (imageDedupIncremental _),
     "audio_dedup" -> (audioDedup _),
     "cluster_aware_split" -> (clusterAwareSplitQ _),
@@ -4851,6 +4990,7 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "knn_graph" -> (knnGraphQ _),
     "bitext_mine" -> (bitextMineQ _),
+    "bitext_mine_ann" -> (bitextMineAnnQ _),
     "knn_graph_ann" -> (knnGraphAnnQ _),
     "semantic_clusters_ann" -> (semanticClustersAnn _),
     "mmr_select" -> (mmrSelectQ _),
@@ -4877,6 +5017,7 @@ object SparkEntry {
     "graph_communities" -> (graphCommunities _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_coreness" -> (graphCoreness _),
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
@@ -5862,6 +6003,26 @@ object SparkEntry {
         |FROM rs, bs, ts""".stripMargin,
     // 2-core: three unrolled peeling rounds (the fixture converges in
     // exactly three), then surviving degrees
+    // coreness: the fixture's components peel in closed form — a
+    // clique of m present users (chains attached or not) has core
+    // number m-1, pendant-chain nodes 1, singleton-group anchors 1
+    "graph_coreness" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
+        |gs AS (SELECT u // 10 AS g, count(*) AS sz FROM users GROUP BY 1),
+        |cliq AS (SELECT u AS id, sz - 1 AS c FROM users
+        |         JOIN gs ON u // 10 = g WHERE sz >= 2),
+        |anch AS (SELECT u FROM users WHERE u % 10 = 0),
+        |chain AS (
+        |  SELECT u + 1000 AS id, 1 AS c FROM anch
+        |  UNION ALL SELECT u + 2000, 1 FROM anch
+        |  UNION ALL SELECT u + 3000, 1 FROM anch),
+        |lone AS (SELECT u AS id, 1 AS c FROM anch
+        |         JOIN gs ON u // 10 = g WHERE sz = 1)
+        |SELECT id, CAST(c AS BIGINT) AS coreness FROM (
+        |  SELECT * FROM cliq UNION ALL SELECT * FROM chain
+        |  UNION ALL SELECT * FROM lone)
+        |ORDER BY id""".stripMargin,
     "graph_kcore" ->
       """WITH users AS (
         |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
@@ -6764,6 +6925,49 @@ object SparkEntry {
     // adjacent-LCP repeats: rank the real suffixes, pair consecutive
     // ranks, count agreeing prefixes (prefix equality is monotone, so
     // the filter-count IS the LCP), keep >= 5
+    // suffix-driven keep-one span removal: same-8-prefix suffix runs
+    // are exactly the 8-gram occurrence groups, so the keep-canonical
+    // rewrite replays in gram space — rank occurrences per gram by
+    // (doc_id, start), cover everything past rank 1
+    "suffix_dedup_spans" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1
+        |         THEN 'subscribe to our newsletter for updates terms of service apply ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 120),
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM d0),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'s': i, 'g': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, greatest(len(ws) - 6, 1))]) AS e
+        |  FROM t),
+        |g AS (SELECT doc_id, e.s AS start, e.g AS gram FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT doc_id, start, gram,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rk
+        |  FROM g JOIN dup USING (gram)),
+        |cov0 AS (
+        |  SELECT doc_id, unnest([p for p in range(start, start + 8)]) AS pos
+        |  FROM ranked WHERE rk > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |p0 AS (
+        |  SELECT doc_id, unnest([{'p': i, 'tok': ws[i]} for i in range(1, len(ws) + 1)]) AS e
+        |  FROM t),
+        |p AS (SELECT doc_id, e.p AS pos, e.tok AS tok FROM p0),
+        |kept AS (
+        |  SELECT p.doc_id, count(*) AS kept_tokens,
+        |    string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "suffix_repeats" ->
       """WITH seeded AS (
         |  SELECT doc_id,
@@ -7692,6 +7896,51 @@ object SparkEntry {
     // ham <= 3. The resized variants reuse the base sampling formula
     // because the 72x72 nearest-neighbor hop collapses exactly:
     // floor(floor(72c/9)*w/72) = floor(c*w/9), same for rows.
+    // video near-dup: stored Y = luma1000(b-derived RGB) // 1000 per
+    // sampled frame; grid bits, per-frame hamming and the all-frames
+    // filter replay closed-form from the text
+    "video_dedup" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS id, text
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        |variants AS (
+        |  SELECT id, text, 0 AS noise FROM vids
+        |  UNION ALL SELECT id + 5000000, text, 0 FROM vids WHERE id % 30 = 0
+        |  UNION ALL SELECT id + 6000000, text, 1 FROM vids WHERE id % 45 = 0),
+        |gcells AS (
+        |  SELECT v.id, v.noise, v.text, fr.f, gr.r, gc.c,
+        |         ((gr.r * 24) // 8) * 32 + ((gc.c * 32) // 9) AS p
+        |  FROM variants v, (VALUES (0), (2), (4)) AS fr(f),
+        |       generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
+        |lums AS (
+        |  SELECT id, f, r, c,
+        |    (299 * b + 587 * ((b * 31) % 256)
+        |      + 114 * (CASE WHEN noise = 1 AND p % 13 = 0
+        |                    THEN xor((b * 7) % 256, 255)
+        |                    ELSE (b * 7) % 256 END)) // 1000 AS lum
+        |  FROM (SELECT id, noise, f, r, c, p,
+        |          CASE WHEN strlen(text) = 0 THEN 0
+        |               ELSE unicode(substr(text,
+        |                 CAST((p + 13 * f) % strlen(text) AS INT) + 1, 1))
+        |          END AS b
+        |        FROM gcells)),
+        |bits AS (
+        |  SELECT a.id, a.f, a.r * 8 + a.c AS i,
+        |         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM lums a JOIN lums b ON a.id = b.id AND a.f = b.f
+        |                         AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |fpairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, x.f,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits x JOIN bits y ON x.i = y.i AND x.f = y.f AND x.id < y.id
+        |  GROUP BY x.id, y.id, x.f),
+        |agg AS (
+        |  SELECT id_a, id_b, count(*) AS matched_frames, sum(ham) AS ham_sum
+        |  FROM fpairs WHERE ham <= 3 GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, CAST(matched_frames AS BIGINT) AS matched_frames,
+        |  CAST(3 AS BIGINT) AS total_frames, CAST(ham_sum AS BIGINT) AS ham_sum
+        |FROM agg WHERE matched_frames = 3 ORDER BY id_a, id_b""".stripMargin,
     "image_dedup" ->
       """WITH imgs AS (
         |  SELECT doc_id AS id, text,
@@ -8610,6 +8859,59 @@ object SparkEntry {
         |      FROM m)
         |SELECT src_id, tgt_id, CAST(sim AS BIGINT) AS sim_micro,
         |  CAST(margin AS BIGINT) AS margin_micro
+        |FROM best WHERE bf = 1 AND bb = 1 AND margin >= 1500000
+        |ORDER BY src_id, tgt_id""".stripMargin,
+    // ANN-composed bitext mining: rows are the exact broadcast mine
+    // (same replay as bitext_mine); recall_ok asserted true — the
+    // >=90% ANN-recall check runs in-plan Spark-side
+    "bitext_mine_ann" ->
+      """WITH s AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 30),
+        |tt AS (
+        |  SELECT vec_id + 2000 AS id,
+        |    CAST(list_transform(embedding, x -> x + CAST(0.0004 AS FLOAT))
+        |      AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 24
+        |  UNION ALL
+        |  SELECT vec_id + 3000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 40 AND vec_id < 50),
+        |p AS (SELECT s.id AS src_id, tt.id AS tgt_id, s.v AS va, tt.v AS vb
+        |      FROM s, tt),
+        |e AS (SELECT src_id, tgt_id, unnest(va) AS x, unnest(vb) AS y FROM p),
+        |sums AS (SELECT src_id, tgt_id,
+        |        sum(CAST(x*y AS DECIMAL(28,14))) AS dotd,
+        |        sum(CAST(x*x AS DECIMAL(28,14))) AS nad,
+        |        sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
+        |      FROM e GROUP BY src_id, tgt_id),
+        |sim AS (SELECT src_id, tgt_id,
+        |        CAST(floor(CAST(dotd AS DOUBLE) /
+        |          (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE)))
+        |          * 1000000.0) AS BIGINT) AS sim
+        |        FROM sums),
+        |f AS (SELECT src_id, sum(sim) AS fsum, count(*) AS fcnt FROM (
+        |        SELECT src_id, sim,
+        |          row_number() OVER (PARTITION BY src_id
+        |                             ORDER BY sim DESC, tgt_id) AS rk
+        |        FROM sim) WHERE rk <= 4 GROUP BY src_id),
+        |b AS (SELECT tgt_id, sum(sim) AS bsum, count(*) AS bcnt FROM (
+        |        SELECT tgt_id, sim,
+        |          row_number() OVER (PARTITION BY tgt_id
+        |                             ORDER BY sim DESC, src_id) AS rk
+        |        FROM sim) WHERE rk <= 4 GROUP BY tgt_id),
+        |m AS (SELECT sim.src_id, sim.tgt_id, sim.sim,
+        |        sim.sim * 2000000 * fcnt * bcnt
+        |          // (fsum * bcnt + bsum * fcnt) AS margin
+        |      FROM sim JOIN f ON sim.src_id = f.src_id
+        |                JOIN b ON sim.tgt_id = b.tgt_id),
+        |best AS (SELECT src_id, tgt_id, sim, margin,
+        |        row_number() OVER (PARTITION BY src_id
+        |                           ORDER BY margin DESC, tgt_id) AS bf,
+        |        row_number() OVER (PARTITION BY tgt_id
+        |                           ORDER BY margin DESC, src_id) AS bb
+        |      FROM m)
+        |SELECT src_id, tgt_id, CAST(sim AS BIGINT) AS sim_micro,
+        |  CAST(margin AS BIGINT) AS margin_micro, true AS recall_ok
         |FROM best WHERE bf = 1 AND bb = 1 AND margin >= 1500000
         |ORDER BY src_id, tgt_id""".stripMargin,
     // mutual kNN graph: decimal cosine, per-source top-5, mutuality

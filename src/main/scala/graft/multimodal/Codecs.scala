@@ -185,4 +185,131 @@ object Codecs extends Serializable {
 
   private def tag(bytes: Array[Byte], pos: Int): String =
     new String(bytes, pos, 4, "US-ASCII")
+
+  // ---------------------------------------------------------------- Y4M
+
+  /** Decoded video: per-frame planes, C444 (one Y, U, V byte per
+    * pixel, planar). `frames(f)` holds the LUMA plane as 0..255 ints —
+    * the channel every perceptual hash reads; chroma is parsed and
+    * validated but not retained (nothing downstream consumes it).
+    */
+  final case class Y4mVideo(width: Int, height: Int, frames: Seq[Array[Int]])
+
+  /** Integer BT.601 RGB→YUV used by [[encodeY4m]]: Y is
+    * [[ImageDedup.luma1000]] div 1000 — the same grid the image hash
+    * uses, so a video frame's stored Y plane replays from source RGB
+    * with one integer expression.
+    */
+  def rgbToY(p: Int): Int =
+    (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+
+  /** Encode `0xRRGGBB` frames as YUV4MPEG2, C444 planar — the
+    * plain-text-headered uncompressed video container (`YUV4MPEG2
+    * W.. H.. F25:1 C444\n` then `FRAME\n` + Y,U,V planes per frame).
+    * Simple enough to be complete and correct with zero dependencies,
+    * same argument as BMP/WAV.
+    */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty, "need at least one frame")
+    require(frames.forall(_.length == width * height),
+      s"every frame must carry $width x $height pixels")
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val n = width * height
+    val buf = ByteBuffer.allocate(header.length + frames.size * (frameMark.length + 3 * n))
+    buf.put(header)
+    frames.foreach { px =>
+      buf.put(frameMark)
+      var i = 0
+      while (i < n) { buf.put(rgbToY(px(i)).toByte); i += 1 }
+      i = 0
+      while (i < n) {
+        val p = px(i)
+        val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        buf.put((((-169 * r - 331 * g + 500 * b) / 1000) + 128).toByte)
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val p = px(i)
+        val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        buf.put((((500 * r - 419 * g - 81 * b) / 1000) + 128).toByte)
+        i += 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Decode a C444 YUV4MPEG2 stream. Strict FAILFAST like the other
+    * codecs: validates the signature, requires W/H parameters and the
+    * C444 colorspace (the only layout [[encodeY4m]] writes), and
+    * throws on truncated frames.
+    */
+  def decodeY4m(bytes: Array[Byte]): Y4mVideo = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "truncated Y4M: no header line")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    require(header.startsWith("YUV4MPEG2"), s"not a Y4M stream: $header")
+    val params = header.split(' ').drop(1)
+    def param(k: Char): Option[String] =
+      params.find(p => p.nonEmpty && p.head == k).map(_.tail)
+    val width = param('W').map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("Y4M header missing W"))
+    val height = param('H').map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("Y4M header missing H"))
+    require(width > 0 && height > 0, s"bad Y4M geometry ${width}x$height")
+    val cs = param('C').getOrElse("420") // Y4M default is 4:2:0
+    require(cs == "444", s"unsupported Y4M colorspace C$cs (only C444)")
+    val n = width * height
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      val fnl = bytes.indexOf('\n'.toByte, pos)
+      require(fnl > pos, "truncated Y4M: unterminated FRAME header")
+      require(new String(bytes, pos, fnl - pos, "US-ASCII").startsWith("FRAME"),
+        "corrupt Y4M: expected FRAME marker")
+      require(bytes.length >= fnl + 1 + 3 * n,
+        s"truncated Y4M frame at byte $pos")
+      val luma = new Array[Int](n)
+      var i = 0
+      while (i < n) { luma(i) = bytes(fnl + 1 + i) & 0xff; i += 1 }
+      frames += luma
+      pos = fnl + 1 + 3 * n
+    }
+    require(frames.nonEmpty, "Y4M stream carries no frames")
+    Y4mVideo(width, height, frames.toSeq)
+  }
+
+  /** Nearest-neighbor resample of one luma plane — [[resampleNearest]]
+    * for the channel video hashing consumes.
+    */
+  def resampleNearestLuma(
+      luma: Array[Int], width: Int, height: Int,
+      outW: Int, outH: Int): Array[Int] = {
+    require(outW > 0 && outH > 0)
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * height / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = luma(sy * width + x * width / outW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Mean luma of a decoded video across every frame, in [0, 1]. */
+  def meanLumaVideo(v: Y4mVideo): Double = {
+    var sum = 0.0
+    var n = 0L
+    v.frames.foreach { f =>
+      var i = 0
+      while (i < f.length) { sum += f(i); i += 1 }
+      n += f.length
+    }
+    sum / n / 255.0
+  }
 }

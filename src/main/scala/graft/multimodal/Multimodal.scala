@@ -79,15 +79,19 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
+        lazy val y4m = Codecs.decodeY4m(m.content)
         val decodedMean = m.format match {
           case "bmp" => Some(Codecs.meanLuma(Codecs.decodeBmp(m.content)))
           case "wav" => Some(Codecs.rms(Codecs.decodeWavPcm16(m.content)))
+          case "y4m" => Some(Codecs.meanLumaVideo(y4m))
           case _ => None // no codec for compressed formats on this classpath
         }
-        val frames =
-          if (m.media_type == "video")
+        val frames = m.format match {
+          case "y4m" => (0 until y4m.frames.size by 2).size // real frame count
+          case _ if m.media_type == "video" =>
             StubCodec.sampleFrameIndices(m.content.length, frameSize = 256, stride = 2).size
-          else 1
+          case _ => 1
+        }
         MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, frames,
           decodedMean, StubCodec.features(m.content, dim))
       }
@@ -124,6 +128,48 @@ object Multimodal {
     * on valid containers without any codec dependency. Video rows stay
     * opaque bytes (declared stub — no mp4 muxer here).
     */
+  /** Synthesize REAL Y4M videos from the documents testdata: one
+    * `nFrames`-frame C444 video per doc, frame `f` pixel `p` colored
+    * from the text byte at `(p + 13·f) % len` with the
+    * [[syntheticMediaFromDocs]] channel recipe `(b, b·31 % 256,
+    * b·7 % 256)` — every frame is a shifted read of the same text, so
+    * consecutive frames differ (a real moving scene) while the whole
+    * video replays closed-form from the text (the `video_dedup`
+    * oracle).
+    */
+  def syntheticVideosFromDocs(
+      spark: SparkSession,
+      docs: DataFrame,
+      width: Int = 32,
+      height: Int = 24,
+      nFrames: Int = 6,
+      noiseEvery: Int = 0): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, text, nChars) =>
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Int](width * height)
+            var p = 0
+            while (p < px.length) {
+              val b = if (text.isEmpty) 0
+                else text.charAt((p + 13 * f) % text.length).toInt
+              val blue = (b * 7) % 256
+              // noiseEvery > 0: invert the blue channel of every nth
+              // pixel — the noised-variant knob of the video_dedup
+              // fixture (the imageDedup noise recipe)
+              val nb = if (noiseEvery > 0 && p % noiseEvery == 0) blue ^ 0xff else blue
+              px(p) = ((b & 0xff) << 16) | (((b * 31) % 256) << 8) | nb
+              p += 1
+            }
+            px
+          }
+          MediaRecord(id, "video", "y4m", width, height, nChars * 40,
+            Codecs.encodeY4m(width, height, frames))
+        }
+      }
+  }
+
   def syntheticMediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs

@@ -94,6 +94,38 @@ object BitextMine {
         col("sim").as("sim_micro"), col("margin_micro"))
   }
 
+  /** Mine against an IVF-indexed target corpus — the at-scale
+    * composition ([[SimilaritySearch.mutualKnnGraphAnn]]'s shape):
+    * each source row selects its `nprobe` nearest inverted lists
+    * in-plan ([[IvfAnn.probeListsCol]] — codegen'd against the literal
+    * centroid matrix, no driver round-trip), candidates come from ONE
+    * join keyed by list id (source-to-corpus, nothing broadcast, never
+    * all-pairs), and [[marginMineFromCandidates]] mines the scored
+    * pairs. Neighborhood averages are over the CANDIDATE sets — the
+    * standard ANN-margin approximation; recall against the exact mine
+    * is what the `bitext_mine_ann` gate's verdict asserts.
+    */
+  def marginMineAnn(
+      src: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfAnn.Index,
+      k: Int,
+      minMarginMicro: Long,
+      nprobe: Int,
+      simFn: (Column, Column) => Column): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val probing = src.select(col(idCol).as("src_id"), col(vecCol).as("__vs"),
+      explode(IvfAnn.probeListsCol(col(vecCol), index.centroids, nprobe))
+        .as("__pl"))
+    val members = index.assigned.select(
+      col("__id").as("tgt_id"), col("__vec").as("__vt"), col("__list").as("__pl"))
+    val cand = probing.join(members, Seq("__pl"))
+      .select(col("src_id"), col("tgt_id"),
+        simFn(col("__vs"), col("__vt")).as("sim"))
+    marginMineFromCandidates(cand, k, minMarginMicro)
+  }
+
   /** Broadcast convenience for BOUNDED sides: score src x tgt with
     * `simFn` (must emit the 1e-6 LONG grid) and mine. The target side
     * broadcasts — guarded with the [[SimilaritySearch.mutualKnnGraph]]

@@ -138,6 +138,77 @@ object Graphs {
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** FULL coreness decomposition: every node's core number (the
+    * largest k for which it survives in the k-core) in one
+    * monotonically shrinking peeling pass — the whole-spectrum density
+    * map [[kCore]] samples at a single k. Phases run k = 1, 2, …: each
+    * phase peels the current subgraph to its k-core fixpoint (the
+    * [[kCore]] inner loop), and the nodes that vanish during phase k
+    * are exactly the (k-1)-core members outside the k-core — core
+    * number k-1. Terminates when the edge set empties; the phase
+    * count is the graph's degeneracy + 1, and every inner round is one
+    * map-combinable degree count plus two node-keyed semi-joins over
+    * an edge set that only ever shrinks. Nodes with no edge are absent
+    * (their core number is 0 and they never enter the edge table).
+    *
+    * @return (id, coreness), one row per node with at least one edge;
+    *         coreness >= 1
+    */
+  def coreness(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 1000): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id"))).distinct()
+    var edges = canonical(pairs, aCol, bCol).localCheckpoint(true)
+    var nEdges = edges.count()
+    var live = nodesOf(edges).localCheckpoint(true)
+    val phases = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var k = 1
+    var rounds = 0
+    while (nEdges > 0 && rounds < maxRounds) {
+      // peel the current subgraph to its k-core fixpoint
+      var stable = false
+      while (!stable && nEdges > 0 && rounds < maxRounds) {
+        val keep = edges.select(col("a").as("id"))
+          .unionAll(edges.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k)
+          .select(col("id"))
+        val pruned = edges
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val n2 = pruned.count()
+        stable = n2 == nEdges
+        SuffixArray.releaseCheckpoint(edges)
+        edges = pruned
+        nEdges = n2
+        rounds += 1
+      }
+      val survivors = nodesOf(edges).localCheckpoint(true)
+      val dropped = live
+        .join(survivors, Seq("id"), "left_anti")
+        .select(col("id"), lit(k - 1L).cast("long").as("coreness"))
+        .localCheckpoint(true)
+      phases += dropped
+      SuffixArray.releaseCheckpoint(live)
+      live = survivors
+      k += 1
+    }
+    // maxRounds exhaustion on a pathological chain leaves `live`
+    // un-assigned; give those nodes their last proven level (k-1) so
+    // the output is total over every peeled-or-surviving node
+    val tail =
+      if (nEdges > 0) Seq(live.select(col("id"), lit(k - 1L).cast("long").as("coreness")))
+      else Seq.empty
+    (phases.toSeq ++ tail).reduceOption(_ unionAll _)
+      .getOrElse(live.select(col("id"), lit(0L).as("coreness")).limit(0))
+  }
+
   /** Whole-graph totals: triangle count, wedge (open-path) count, and
     * the global clustering coefficient `3·triangles div wedges` on the
     * 1e-6 grid (0 when the graph has no wedge).

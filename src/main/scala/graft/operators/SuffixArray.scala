@@ -211,4 +211,81 @@ object SuffixArray {
     require(minLen > 0, "minLen must be positive")
     adjacentLcp(ix).filter(col("lcp") >= minLen)
   }
+
+  /** REMOVE the repeated passages [[repeatedSpans]] finds — the
+    * consuming half of the Lee et al. 2022 ExactSubstr capability: a
+    * corpus rewrite where every `minLen`-token window that occurs
+    * twice anywhere loses all occurrences but one deterministic
+    * canonical (`keepCanonical = true`, the paper's keep-one policy)
+    * or all occurrences outright (`keepCanonical = false` — which
+    * then equals [[TextDedup.removeDupSpans]] at `k = minLen`,
+    * `minOccurrences = 2`, the SuffixArraySpec differential).
+    *
+    * Mechanics: suffixes sharing a full `minLen`-prefix form maximal
+    * consecutive SA runs (adjacent LCP >= minLen pairwise ⟺ the whole
+    * run shares the prefix), so the qualifying adjacent pairs are
+    * exactly the edges of those runs; connected components over them
+    * recover the occurrence groups in O(log run length) rounds, and
+    * the component minimum under the (doc_id, pos) encoding IS the
+    * canonical occurrence. Marked occurrences explode `minLen` wide
+    * into covered token positions (no tail clamp needed: lcp is
+    * already clamped to real tail lengths, so a qualifying suffix has
+    * >= minLen tokens ahead of it); uncovered positions reassemble in
+    * token order.
+    *
+    * Scale shape: the edge set is |repeated adjacent pairs| — the
+    * boilerplate, not the corpus; CC chains are SA runs (log-bounded
+    * rounds); the cover explode is minLen-wide over marked
+    * occurrences only; the rewrite is one anti-join + one per-doc
+    * aggregation over the positions table the index already carries.
+    *
+    * Docs with zero tokens never enter the index and do not appear in
+    * the output (the index has no row to reassemble them from).
+    *
+    * @return (id, n_tokens, removed_tokens, clean_text), one row per
+    *         indexed document; fully-removed docs get clean_text = "".
+    */
+  def removeRepeatedSpans(
+      ix: Index,
+      minLen: Long,
+      keepCanonical: Boolean = true): DataFrame = {
+    val spans = repeatedSpans(ix, minLen)
+    val maxPos = ix.positions.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
+    // (doc_id, pos) packs into one long key for the CC pass: pos rides
+    // the low bits, so the numeric minimum is the lexicographic
+    // (doc_id, pos) minimum — the canonical-occurrence rule for free
+    val mult = java.lang.Long.highestOneBit(math.max(1L, maxPos)) * 2L
+    val bits = java.lang.Long.numberOfTrailingZeros(mult)
+    def enc(d: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+      shiftleft(d, bits).plus(p)
+    val edges = spans.select(
+      enc(col("doc_a"), col("pos_a")).as("id_a"),
+      enc(col("doc_b"), col("pos_b")).as("id_b"))
+    val groups = Clustering.connectedComponents(edges, "id_a", "id_b")
+    val marked = (if (keepCanonical) groups.filter(col("id") =!= col("cluster"))
+      else groups)
+      .select(shiftright(col("id"), bits).as("doc_id"),
+        col("id").bitwiseAND(lit(mult - 1L)).as("p0"))
+    val covered = marked
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p0") + (minLen - 1L))).as("pos"))
+      .distinct()
+    val kept = ix.positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
+    // positions are dense 1..n per doc, so max(pos) is the token count
+    ix.positions.groupBy(col("doc_id")).agg(max(col("pos")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as("id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -91,6 +91,39 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("coreness closed form: clique members get size-1, chain nodes get 1") {
+    // K5 on 1..5, a 3-node chain hanging off node 1, an isolated edge
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val chain = Seq((1L, 10L), (10L, 11L), (11L, 12L))
+    val pair = Seq((100L, 101L))
+    val got = Graphs.coreness((clique ++ chain ++ pair).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = (1L to 5L).map(_ -> 4L).toMap ++
+      Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 100L -> 1L, 101L -> 1L)
+    assert(got == want, s"got $got")
+  }
+
+  test("coreness differential: {coreness >= k} equals the kCore node set for every k") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(250)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val cn = Graphs.coreness(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val maxCore = cn.values.max
+    (1L to maxCore).foreach { k =>
+      val fromCoreness = cn.filter(_._2 >= k).keySet
+      val fromKcore = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k.toInt)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      assert(fromCoreness == fromKcore, s"k=$k diverged")
+    }
+    // and nothing survives past the degeneracy
+    assert(Graphs.kCore(edges.toDF("a", "b"), "a", "b", maxCore.toInt + 1).count() == 0)
+  }
+
+  test("coreness on an empty graph is empty") {
+    assert(Graphs.coreness(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+  }
+
   test("triangle-free and empty graphs") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     assert(Graphs.nodeTriangles(path.toDF("a", "b"), "a", "b").count() == 0)

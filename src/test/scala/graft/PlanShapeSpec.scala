@@ -74,6 +74,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("marginMineAnn joins candidates on list id — corpus never broadcast or nested-looped") {
+    val index = graft.operators.IvfAnn.build(vecs, "vec_id", "embedding", nlist = 4, iters = 1)
+    try {
+      val src = vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val plan = graft.operators.BitextMine.marginMineAnn(
+        src, "qid", "qv", index, k = 3, minMarginMicro = 0L, nprobe = 2,
+        simFn = (a, b) => floor(graft.functions.VectorFunctions.cosine(a, b) * lit(1e6)).cast("long"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    } finally index.assigned.unpersist()
+  }
+
   test("triangle wedges join on node keys — never a cartesian product") {
     val edges = (for { a <- 1L to 20L; b <- 1L to 20L if a < b && (a + b) % 3 != 0 }
       yield (a, b)).toDF("a", "b")

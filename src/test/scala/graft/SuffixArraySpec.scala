@@ -102,6 +102,49 @@ class SuffixArraySpec extends SparkSpec {
     ix.unpersist()
   }
 
+  test("removeRepeatedSpans keep-one: canonical occurrence survives, every other drops") {
+    // the 6-token passage repeats in docs 1, 2 and twice in doc 5;
+    // canonical = minimal (doc_id, pos) = doc 1
+    val boiler = "one two three four five six"
+    val docs = Seq(
+      (1L, s"alpha $boiler beta"),
+      (2L, s"$boiler gamma delta"),
+      (5L, s"$boiler epsilon $boiler"),
+      (9L, "nothing shared here at all whatsoever"))
+    val ix = SuffixArray.build(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val got = SuffixArray.removeRepeatedSpans(ix, minLen = 6, keepCanonical = true)
+      .orderBy(col("id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 0L, s"alpha $boiler beta"),
+      (2L, 8L, 6L, "gamma delta"),
+      (5L, 13L, 12L, "epsilon"),
+      (9L, 6L, 0L, "nothing shared here at all whatsoever")), s"got $got")
+    ix.unpersist()
+  }
+
+  test("removeRepeatedSpans remove-all == TextDedup.removeDupSpans at k = minLen") {
+    val boiler = "subscribe to our newsletter for updates now"
+    val base = Seq(
+      (1L, s"$boiler unique tail for document one with extra words"),
+      (2L, s"completely different content here $boiler"),
+      (3L, "no repeated material in this document at all plainly"),
+      (4L, s"$boiler and then some more $boiler"),
+      (5L, "short one"))
+    val df = base.toDF("doc_id", "text")
+    val ix = SuffixArray.build(df, "doc_id", "text")
+    val viaSuffix = SuffixArray.removeRepeatedSpans(ix, minLen = 5, keepCanonical = false)
+      .orderBy(col("id")).as[(Long, Long, Long, String)].collect().toSeq
+    val viaGrams = graft.operators.TextDedup
+      .removeDupSpans(df, "doc_id", "text", k = 5, minOccurrences = 2)
+      .orderBy(col("id")).as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaSuffix == viaGrams,
+      s"suffix path diverged from gram path:\n$viaSuffix\n$viaGrams")
+    // and the differential is not vacuous: something was removed
+    assert(viaSuffix.exists(_._3 > 0))
+    ix.unpersist()
+  }
+
   test("empty corpus and single-token docs degrade gracefully") {
     val ix = SuffixArray.build(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text")
