@@ -166,27 +166,37 @@ object Graphs {
     var nEdges = edges.count()
     var live = nodesOf(edges).localCheckpoint(true)
     val phases = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var k = 1
+    var k = 1L
     var rounds = 0
     while (nEdges > 0 && rounds < maxRounds) {
-      // peel the current subgraph to its k-core fixpoint
+      // peel the current subgraph to its k-core fixpoint; the fixpoint
+      // degree agg doubles as the JUMP probe — when the surviving
+      // minimum degree d exceeds k, phases k+1..d would each peel
+      // nothing (a clique of m pays m-1 no-op phases otherwise), so
+      // the next threshold starts at d+1 directly. A node's coreness
+      // is still the threshold that removed it minus 1: nothing is
+      // removed during a jump.
       var stable = false
+      var minDeg = k
       while (!stable && nEdges > 0 && rounds < maxRounds) {
-        val keep = edges.select(col("a").as("id"))
+        val deg = edges.select(col("a").as("id"))
           .unionAll(edges.select(col("b").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("__d"))
-          .filter(col("__d") >= k)
-          .select(col("id"))
-        val pruned = edges
-          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-          .select(col("a"), col("b"))
-          .localCheckpoint(true)
-        val n2 = pruned.count()
-        stable = n2 == nEdges
-        SuffixArray.releaseCheckpoint(edges)
-        edges = pruned
-        nEdges = n2
+          .persist()
+        minDeg = deg.agg(coalesce(min(col("__d")), lit(0L))).head().getLong(0)
+        if (minDeg >= k) stable = true
+        else {
+          val keep = deg.filter(col("__d") >= k).select(col("id"))
+          val pruned = edges
+            .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+            .select(col("a"), col("b"))
+            .localCheckpoint(true)
+          nEdges = pruned.count()
+          SuffixArray.releaseCheckpoint(edges)
+          edges = pruned
+        }
+        deg.unpersist()
         rounds += 1
       }
       val survivors = nodesOf(edges).localCheckpoint(true)
@@ -197,7 +207,9 @@ object Graphs {
       phases += dropped
       SuffixArray.releaseCheckpoint(live)
       live = survivors
-      k += 1
+      // everything still alive has degree >= minDeg: jump past the
+      // no-op thresholds
+      k = math.max(k + 1, minDeg + 1)
     }
     // maxRounds exhaustion on a pathological chain leaves `live`
     // un-assigned; give those nodes their last proven level (k-1) so
