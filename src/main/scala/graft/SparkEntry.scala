@@ -69,6 +69,22 @@ private[graft] object ZWriteStageCache
 private[graft] object SourceLayoutStageCache
     extends graft.util.SessionScopedCache[String]
 
+/** Session-scoped cache of the two-ingest manifest fixture: (table
+  * path, saved manifest path). The `manifest_incremental` gate stages
+  * both ingests + the incremental maintenance once per (application,
+  * dir); the query itself only loads, prunes, and audits.
+  */
+private[graft] object ManifestIncrStageCache
+    extends graft.util.SessionScopedCache[(String, String)]
+
+/** Session-scoped cache of the persisted video frame-hash store path:
+  * the `video_dedup_incremental` gate hashes + saves the base corpus
+  * once per (application, dir); every later probe reads only the
+  * increment's band-prefix directories.
+  */
+private[graft] object VideoStoreStageCache
+    extends graft.util.SessionScopedCache[String]
+
 /** Session-scoped cache of the trained IVF index (centroids + assigned
   * corpus): `ann_ivf_topk` trains once per (application, dir) and every
   * later query pays only the probed scan — the shape a real deployment
@@ -1551,6 +1567,54 @@ object SparkEntry {
       .orderBy(col("source"))
     out.persist().count()
     manifest.unpersist()
+    out
+  }
+
+  /** PERSISTED-manifest lifecycle gate: the orders keys land in TWO
+    * ingests (4 files each); the manifest is built+saved after the
+    * first and maintained INCREMENTALLY after the second
+    * ([[graft.sources.FileManifest.appendToManifest]] — footer reads
+    * only for the 4 new files). Rows are the pruned read through the
+    * SAVED manifest (replaying as the plain filtered aggregate);
+    * `inc_ok` asserts in-plan that the incrementally-maintained
+    * manifest row-set EQUALS a full rebuild over the final table AND
+    * that pruning still skipped files.
+    */
+  private def manifestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val (table, mpath) = ManifestIncrStageCache.getOrElseUpdate(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft-mincr").toString
+      val t = s"$root/t"; val m = s"$root/m"
+      keys.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_custkey")).sortWithinPartitions(col("o_custkey"))
+        .write.mode("append").parquet(t)
+      graft.sources.FileManifest.saveManifest(
+        graft.sources.FileManifest.build(s, t, Seq("o_custkey", "o_orderkey")), m)
+      keys.filter(col("o_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("o_custkey")).sortWithinPartitions(col("o_custkey"))
+        .write.mode("append").parquet(t)
+      graft.sources.FileManifest.appendToManifest(s, t, m, Seq("o_custkey", "o_orderkey"))
+      (t, m)
+    }
+    val saved = graft.sources.FileManifest.loadManifest(s, mpath).persist()
+    saved.count()
+    val rebuilt = graft.sources.FileManifest.build(s, table, Seq("o_custkey", "o_orderkey"))
+    val (lo, hi) = (100L, 180L)
+    val kept = graft.sources.FileManifest.pruneFiles(saved, "o_custkey", lo, hi)
+    val verdict = saved.exceptAll(rebuilt).agg(count(lit(1)).as("__d1"))
+      .crossJoin(rebuilt.exceptAll(saved).agg(count(lit(1)).as("__d2")))
+      .crossJoin(kept.agg(count(lit(1)).as("__k")))
+      .crossJoin(saved.select(col("file")).distinct().agg(count(lit(1)).as("__t")))
+      .select((col("__d1") === 0 && col("__d2") === 0 &&
+        col("__k") > 0 && col("__k") < col("__t")).as("inc_ok"))
+    val out = graft.sources.FileManifest
+      .readPruned(s, saved, "o_custkey", lo, hi, basePath = Some(table))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+      .crossJoin(broadcast(verdict))
+      .orderBy(col("o_custkey"))
+    out.persist().count()
+    saved.unpersist()
     out
   }
 
@@ -3485,6 +3549,43 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[videoDedup]] through the PERSISTED frame-hash store — the
+    * video-ingest shape: the base corpus's sampled-frame dHashes are
+    * saved band-prefix-partitioned once ([[graft.multimodal.VideoDedup
+    * .saveFrameStore]] — one banded layout shared with the image
+    * store), and the increment (exact copies + noised variants)
+    * probes it ([[graft.multimodal.VideoDedup.probeFrameStore]] —
+    * store read pruned to the increment's band prefixes, aligned
+    * frames only, matched-fraction policy). Banding is pigeonhole-
+    * lossless per frame at ham <= 3, so the matches equal the full
+    * increment-vs-base comparison the oracle computes closed-form.
+    */
+  private def videoDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, VideoDedup => VD}
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+    val path = VideoStoreStageCache.getOrElseUpdate(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-vstore").toString + "/store"
+      VD.saveFrameStore(
+        VD.frameHashes(Multimodal.syntheticVideosFromDocs(s, docs), stride = 2), p)
+      p
+    }
+    val base = Multimodal.syntheticVideosFromDocs(s, docs)
+    val copies = base.filter(_.media_id % 30 == 0)
+      .map(m => m.copy(media_id = m.media_id + 5000000L))
+    val noised = Multimodal
+      .syntheticVideosFromDocs(s, docs.filter(col("doc_id") % 45 === 0),
+        noiseEvery = 13)
+      .map(m => m.copy(media_id = m.media_id + 6000000L))
+    VD.probeFrameStore(
+        VD.frameHashes(copies.union(noised), stride = 2),
+        VD.loadFrameStore(s, path), maxHamming = 3)
+      .select(col("media_id"), col("store_id"), col("matched_frames"),
+        col("total_frames"), col("ham_sum"))
+      .orderBy(col("media_id"), col("store_id"))
+  }
+
   /** [[imageDedup]] through the PERSISTED hash store — the ingest
     * shape: the base corpus's dHashes are saved band-prefix-
     * partitioned ([[graft.multimodal.ImageDedup.saveHashStore]]), and
@@ -4920,6 +5021,7 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "image_dedup" -> (imageDedup _),
     "video_dedup" -> (videoDedup _),
+    "video_dedup_incremental" -> (videoDedupIncremental _),
     "image_dedup_incremental" -> (imageDedupIncremental _),
     "audio_dedup" -> (audioDedup _),
     "cluster_aware_split" -> (clusterAwareSplitQ _),
@@ -5031,6 +5133,7 @@ object SparkEntry {
     "file_manifest_stats" -> (fileManifestStats _),
     "manifest_pruned_read" -> (manifestPrunedRead _),
     "manifest_pruned_read_string" -> (manifestPrunedReadString _),
+    "manifest_incremental" -> (manifestIncremental _),
     "q51_grouping_sets" -> (groupingSetsQ _),
     "event_transitions" -> (eventTransitions _),
     "event_gaps" -> (eventGaps _))
@@ -7941,6 +8044,52 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(matched_frames AS BIGINT) AS matched_frames,
         |  CAST(3 AS BIGINT) AS total_frames, CAST(ham_sum AS BIGINT) AS ham_sum
         |FROM agg WHERE matched_frames = 3 ORDER BY id_a, id_b""".stripMargin,
+    // incremental video near-dup: same closed-form replay restricted
+    // to increment (variant ids) vs store (base ids)
+    "video_dedup_incremental" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS id, text
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        |variants AS (
+        |  SELECT id, text, 0 AS noise FROM vids
+        |  UNION ALL SELECT id + 5000000, text, 0 FROM vids WHERE id % 30 = 0
+        |  UNION ALL SELECT id + 6000000, text, 1 FROM vids WHERE id % 45 = 0),
+        |gcells AS (
+        |  SELECT v.id, v.noise, v.text, fr.f, gr.r, gc.c,
+        |         ((gr.r * 24) // 8) * 32 + ((gc.c * 32) // 9) AS p
+        |  FROM variants v, (VALUES (0), (2), (4)) AS fr(f),
+        |       generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
+        |lums AS (
+        |  SELECT id, f, r, c,
+        |    (299 * b + 587 * ((b * 31) % 256)
+        |      + 114 * (CASE WHEN noise = 1 AND p % 13 = 0
+        |                    THEN xor((b * 7) % 256, 255)
+        |                    ELSE (b * 7) % 256 END)) // 1000 AS lum
+        |  FROM (SELECT id, noise, f, r, c, p,
+        |          CASE WHEN strlen(text) = 0 THEN 0
+        |               ELSE unicode(substr(text,
+        |                 CAST((p + 13 * f) % strlen(text) AS INT) + 1, 1))
+        |          END AS b
+        |        FROM gcells)),
+        |bits AS (
+        |  SELECT a.id, a.f, a.r * 8 + a.c AS i,
+        |         CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+        |  FROM lums a JOIN lums b ON a.id = b.id AND a.f = b.f
+        |                         AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |fpairs AS (
+        |  SELECT y.id AS media_id, x.id AS store_id, x.f,
+        |         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits x JOIN bits y ON x.i = y.i AND x.f = y.f
+        |  WHERE x.id < 5000000 AND y.id >= 5000000
+        |  GROUP BY y.id, x.id, x.f),
+        |agg AS (
+        |  SELECT media_id, store_id, count(*) AS matched_frames,
+        |         sum(ham) AS ham_sum
+        |  FROM fpairs WHERE ham <= 3 GROUP BY media_id, store_id)
+        |SELECT media_id, store_id, CAST(matched_frames AS BIGINT) AS matched_frames,
+        |  CAST(3 AS BIGINT) AS total_frames, CAST(ham_sum AS BIGINT) AS ham_sum
+        |FROM agg WHERE matched_frames = 3 ORDER BY media_id, store_id""".stripMargin,
     "image_dedup" ->
       """WITH imgs AS (
         |  SELECT doc_id AS id, text,
@@ -9868,6 +10017,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
         |  true AS pruned_ok
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 180
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "manifest_incremental" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  true AS inc_ok
         |FROM orders WHERE o_custkey BETWEEN 100 AND 180
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "manifest_pruned_read_string" ->

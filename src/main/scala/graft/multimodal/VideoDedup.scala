@@ -129,4 +129,92 @@ object VideoDedup {
       .filter(col("matched_frames") * minMatchedDen >=
         col("total_frames") * minMatchedNum)
   }
+
+  // ----- persisted frame-hash store (incremental video ingest) -----
+
+  /** A loaded video frame-hash store: the banded frame hashes (an
+    * [[ImageDedup.HashStore]] over packed (media, frame) ids — one
+    * band-prefix-partitioned layout shared across modalities) plus the
+    * per-video sampled-frame counts the matched-fraction policy needs.
+    */
+  final case class FrameStore(hashes: ImageDedup.HashStore, counts: DataFrame)
+
+  /** frame_idx rides the low bits of the packed store id; 2^20 frames
+    * (~12 h at 24 fps) bounds any real clip.
+    */
+  private val FrameBits = 20
+  private def packed(frameHashes: DataFrame): DataFrame =
+    frameHashes.select(
+      (shiftleft(col("media_id"), FrameBits) + col("frame_idx")).as("fid"),
+      col("hash"))
+
+  /** Persist a frame-hash corpus as a probe-able store. */
+  def saveFrameStore(frameHashes: DataFrame, path: String, prefixBuckets: Int = 32): Unit = {
+    val counts = frameHashes.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    ImageDedup.saveHashStore(packed(frameHashes), "fid", "hash",
+      s"$path/frames", prefixBuckets)
+    counts.repartition(1).write.mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Load a persisted frame store (lazy; probes prune by prefix). */
+  def loadFrameStore(spark: org.apache.spark.sql.SparkSession, path: String): FrameStore =
+    FrameStore(
+      ImageDedup.loadHashStore(spark, s"$path/frames"),
+      spark.read.parquet(s"$path/counts"))
+
+  /** Append an increment's frame hashes into the saved layout —
+    * dynamic partition append for the bands, plain append for the
+    * counts; O(increment), no store read.
+    */
+  def appendToFrameStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      frameHashes: DataFrame): Unit = {
+    ImageDedup.appendToStore(spark, s"$path/frames", packed(frameHashes), "fid", "hash")
+    frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      .write.mode("append").parquet(s"$path/counts")
+  }
+
+  /** Match an increment's videos against the STORE — the ingest-time
+    * twin of [[nearDupPairs]]: per-frame candidates come from
+    * [[ImageDedup.probeStore]] (store read directory-pruned to the
+    * increment's band prefixes), keep only ALIGNED frames (same
+    * frame_idx — a shifted re-edit is a different video), and
+    * aggregate with the same matched-fraction policy.
+    *
+    * @return (media_id, store_id, matched_frames, total_frames,
+    *         ham_sum) — total_frames = min(sampled counts)
+    */
+  def probeFrameStore(
+      incoming: DataFrame,
+      store: FrameStore,
+      maxHamming: Int = 3,
+      minMatchedNum: Int = 1,
+      minMatchedDen: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minMatchedNum > 0 && minMatchedDen > 0 && minMatchedNum <= minMatchedDen,
+      "minMatched fraction must be in (0, 1]")
+    val inCounts = incoming.groupBy(col("media_id")).agg(count(lit(1)).as("__na"))
+    val matches = ImageDedup
+      .probeStore(packed(incoming), store.hashes, "fid", "hash",
+        maxHamming, maxBucketSize)
+      .select(
+        shiftright(col("id"), FrameBits).as("media_id"),
+        col("id").bitwiseAND(lit((1L << FrameBits) - 1)).as("__f"),
+        shiftright(col("store_id"), FrameBits).as("store_id"),
+        col("store_id").bitwiseAND(lit((1L << FrameBits) - 1)).as("__sf"),
+        col("ham"))
+      .filter(col("__f") === col("__sf"))
+    matches
+      .groupBy(col("media_id"), col("store_id"))
+      .agg(count(lit(1)).as("matched_frames"), sum(col("ham")).as("ham_sum"))
+      .join(inCounts, Seq("media_id"))
+      .join(store.counts.select(col("media_id").as("store_id"),
+        col("n_frames").as("__nb")), Seq("store_id"))
+      .select(col("media_id"), col("store_id"), col("matched_frames"),
+        least(col("__na"), col("__nb")).as("total_frames"), col("ham_sum"))
+      .filter(col("matched_frames") * minMatchedDen >=
+        col("total_frames") * minMatchedNum)
+  }
 }

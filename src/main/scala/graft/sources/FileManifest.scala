@@ -88,10 +88,19 @@ object FileManifest {
     * @return (file, column, n_rows, min_v, max_v, min_s, max_s, n_nulls)
     */
   def build(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
-    require(statCols.nonEmpty, "statCols must be non-empty")
-    import spark.implicits._
     val files = listParquetFiles(spark, path)
     require(files.nonEmpty, s"FileManifest.build: no .parquet files under $path")
+    buildForFiles(spark, files, statCols)
+  }
+
+  /** Footer-stat rows for an EXPLICIT file list — the shared core of
+    * [[build]] (everything under a directory) and [[appendToManifest]]
+    * (only the files a saved manifest has not seen).
+    */
+  private def buildForFiles(
+      spark: SparkSession, files: Seq[String], statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "statCols must be non-empty")
+    import spark.implicits._
     val wanted = statCols.toVector
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, files.size))
@@ -188,6 +197,94 @@ object FileManifest {
         }
       }
       .toDF("file", "column", "n_rows", "min_v", "max_v", "min_s", "max_s", "n_nulls")
+  }
+
+  // ----- persisted manifest lifecycle (the table-format log shape:
+  // build once, maintain incrementally per ingest, vacuum on compaction
+  // — never re-read old footers) -----
+
+  /** Persist a manifest, partitioned by stat column so per-column
+    * pruning reads only its directory. Written through the rename-
+    * aside staged swap: a reader never sees a half-written manifest
+    * and a crash leaves a complete copy under a recoverable name.
+    */
+  def saveManifest(manifest: DataFrame, path: String): Unit = {
+    val spark = manifest.sparkSession
+    StagedSwap.rotateIn(spark, path) { stage =>
+      manifest.write.mode("overwrite").partitionBy("column").parquet(stage)
+      ()
+    }
+  }
+
+  /** Load a saved manifest (healing a crashed swap first). */
+  def loadManifest(spark: SparkSession, path: String): DataFrame = {
+    StagedSwap.recover(spark, path)
+    spark.read.parquet(path)
+      .select(col("file"), col("column"), col("n_rows"), col("min_v"),
+        col("max_v"), col("min_s"), col("max_s"), col("n_nulls"))
+  }
+
+  /** Incremental maintenance: stat ONLY the table files the saved
+    * manifest has not seen and append their rows — O(new files) footer
+    * reads per ingest instead of a full rebuild, the table-format-log
+    * maintenance shape. Appends land per-column-partition; existing
+    * directories are untouched. The known-file set collects to the
+    * driver — the same memory class as the table's file listing.
+    *
+    * @return number of new files statted (0 = manifest already
+    *         current; nothing written)
+    */
+  def appendToManifest(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String,
+      statCols: Seq[String]): Long = {
+    StagedSwap.recover(spark, manifestPath)
+    val known = spark.read.parquet(manifestPath)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val fresh = listParquetFiles(spark, tablePath).filterNot(known)
+    if (fresh.nonEmpty) {
+      buildForFiles(spark, fresh, statCols)
+        .write.mode("append").partitionBy("column").parquet(manifestPath)
+    }
+    fresh.size.toLong
+  }
+
+  /** Drop manifest rows for files the table no longer has (compaction
+    * / OPTIMIZE rewrote them): one listing, one anti-filter, one
+    * staged rewrite. Without this, [[readPruned]] over a saved
+    * manifest would address dead paths.
+    *
+    * @return number of files whose rows were dropped
+    */
+  def vacuumManifest(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String): Long = {
+    import spark.implicits._
+    StagedSwap.recover(spark, manifestPath)
+    val livingSeq = listParquetFiles(spark, tablePath)
+    require(livingSeq.nonEmpty,
+      s"vacuumManifest: $tablePath has no parquet files — an all-files vacuum " +
+        "would leave an unreadable empty manifest; drop the manifest dir instead")
+    val living = livingSeq.toSet
+    val saved = spark.read.parquet(manifestPath)
+    val stale = saved.select(col("file")).distinct()
+      .collect().map(_.getString(0)).filterNot(living)
+    if (stale.nonEmpty) {
+      val kept = saved
+        .join(spark.createDataset(livingSeq).toDF("file"), Seq("file"), "left_semi")
+        .select(col("file"), col("column"), col("n_rows"), col("min_v"),
+          col("max_v"), col("min_s"), col("max_s"), col("n_nulls"))
+        // the rewrite reads the very files it replaces: cut lineage
+        // BEFORE the swap deletes them out from under the plan
+        .localCheckpoint(true)
+      StagedSwap.rotateIn(spark, manifestPath) { stage =>
+        kept.write.mode("overwrite").partitionBy("column").parquet(stage)
+        ()
+      }
+    }
+    stale.length.toLong
   }
 
   /** Files whose `[min_v, max_v]` window on `column` overlaps

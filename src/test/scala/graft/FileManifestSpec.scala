@@ -161,6 +161,43 @@ class FileManifestSpec extends SparkSpec {
       .agg(sum(col("n_rows"))).head().getLong(0) == 400L)
   }
 
+  test("persisted manifest lifecycle: incremental append == full rebuild; vacuum drops dead files") {
+    val table = tmpDir("manifest-incr") + "/t"
+    val mpath = tmpDir("manifest-incr") + "/m"
+    // ingest 1: two files
+    (0L until 100L).map(v => (v, v % 5)).toDF("a", "b")
+      .repartition(2).write.mode("append").parquet(table)
+    FileManifest.saveManifest(FileManifest.build(spark, table, Seq("a", "b")), mpath)
+    // ingest 2: two more files; incremental maintenance stats ONLY them
+    (100L until 200L).map(v => (v, v % 5)).toDF("a", "b")
+      .repartition(2).write.mode("append").parquet(table)
+    val statted = FileManifest.appendToManifest(spark, table, mpath, Seq("a", "b"))
+    assert(statted == 2L, s"expected 2 new files statted, got $statted")
+    // a second maintenance pass finds nothing new and writes nothing
+    assert(FileManifest.appendToManifest(spark, table, mpath, Seq("a", "b")) == 0L)
+    // incremental == full rebuild, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(rows(FileManifest.loadManifest(spark, mpath)) ==
+      rows(FileManifest.build(spark, table, Seq("a", "b"))),
+      "incremental manifest diverged from a full rebuild")
+    // pruned read through the SAVED manifest
+    val got = FileManifest.readPruned(
+      spark, FileManifest.loadManifest(spark, mpath), "a", 120L, 180L)
+    assert(got.count() == 61L)
+    // compaction: delete one file, vacuum drops its rows
+    val victim = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val dropped = FileManifest.vacuumManifest(spark, table, mpath)
+    assert(dropped == 1L, s"expected 1 dead file dropped, got $dropped")
+    assert(rows(FileManifest.loadManifest(spark, mpath)) ==
+      rows(FileManifest.build(spark, table, Seq("a", "b"))),
+      "vacuumed manifest diverged from a rebuild over the surviving files")
+    // idempotent
+    assert(FileManifest.vacuumManifest(spark, table, mpath) == 0L)
+  }
+
   test("readPruned scans exactly the pruned file set; empty manifest errors clearly") {
     val path = tmpDir("manifest-scanset")
     // 4 files with disjoint sorted ranges of a

@@ -141,6 +141,37 @@ class VideoDedupSpec extends SparkSpec {
     assert(f.decoded_mean.get > 0.0 && f.decoded_mean.get < 1.0)
   }
 
+  test("frame store: save -> probe matches aligned frames; append absorbs survivors") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", 63L),
+      (2L, "completely different material about catalyst optimizer internals", 64L),
+      (3L, "yet another unrelated string with its own words and rhythm", 58L))
+      .toDF("doc_id", "text", "n_chars")
+    val base = Multimodal.syntheticVideosFromDocs(spark, docs)
+    val path = tmpDir("video-store") + "/store"
+    VideoDedup.saveFrameStore(VideoDedup.frameHashes(base), path)
+    val store = VideoDedup.loadFrameStore(spark, path)
+    // increment: an exact copy of video 1 and a fresh video
+    val inc = base.filter(_.media_id == 1L).map(m => m.copy(media_id = 101L))
+      .union(Multimodal.syntheticVideosFromDocs(spark,
+        Seq((102L, "a brand new clip nothing like the others at all", 47L))
+          .toDF("doc_id", "text", "n_chars")))
+    val got = VideoDedup.probeFrameStore(
+      VideoDedup.frameHashes(inc), store, maxHamming = 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((101L, 1L, 3L, 3L, 0L)), s"got $got")
+    // absorb the fresh survivor; a later copy of IT now matches
+    VideoDedup.appendToFrameStore(spark, path,
+      VideoDedup.frameHashes(inc.filter(_.media_id == 102L)))
+    val store2 = VideoDedup.loadFrameStore(spark, path)
+    val later = VideoDedup.probeFrameStore(
+      VideoDedup.frameHashes(
+        inc.filter(_.media_id == 102L).map(m => m.copy(media_id = 202L))),
+      store2, maxHamming = 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(later == Seq((202L, 102L, 3L, 3L, 0L)), s"got $later")
+  }
+
   test("banded candidate plan never goes cartesian") {
     val docs = (1L to 8L).map(i => (i, s"document number $i with words", 28L))
       .toDF("doc_id", "text", "n_chars")
