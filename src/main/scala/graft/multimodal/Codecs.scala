@@ -240,10 +240,13 @@ object Codecs extends Serializable {
     buf.array()
   }
 
-  /** Decode a C444 YUV4MPEG2 stream. Strict FAILFAST like the other
-    * codecs: validates the signature, requires W/H parameters and the
-    * C444 colorspace (the only layout [[encodeY4m]] writes), and
-    * throws on truncated frames.
+  /** Decode a YUV4MPEG2 stream: C444 (what [[encodeY4m]] writes) and
+    * the 4:2:0 family (`C420`/`C420jpeg`/`C420paldv`/`C420mpeg2` —
+    * the in-the-wild default; chroma planes are quarter-size, the
+    * luma plane every hash consumes is identical). Strict FAILFAST
+    * like the other codecs: validates the signature, requires W/H,
+    * rejects other colorspaces and odd-dimension 4:2:0, throws on
+    * truncated frames.
     */
   def decodeY4m(bytes: Array[Byte]): Y4mVideo = {
     val nl = bytes.indexOf('\n'.toByte)
@@ -259,8 +262,17 @@ object Codecs extends Serializable {
       .getOrElse(throw new IllegalArgumentException("Y4M header missing H"))
     require(width > 0 && height > 0, s"bad Y4M geometry ${width}x$height")
     val cs = param('C').getOrElse("420") // Y4M default is 4:2:0
-    require(cs == "444", s"unsupported Y4M colorspace C$cs (only C444)")
     val n = width * height
+    val chromaBytes = cs match {
+      case "444" => 2 * n
+      case "420" | "420jpeg" | "420paldv" | "420mpeg2" =>
+        require(width % 2 == 0 && height % 2 == 0,
+          s"C$cs requires even dimensions, got ${width}x$height")
+        2 * ((width / 2) * (height / 2))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported Y4M colorspace C$other (C444 and the C420 family only)")
+    }
     val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
     var pos = nl + 1
     while (pos < bytes.length) {
@@ -268,13 +280,13 @@ object Codecs extends Serializable {
       require(fnl > pos, "truncated Y4M: unterminated FRAME header")
       require(new String(bytes, pos, fnl - pos, "US-ASCII").startsWith("FRAME"),
         "corrupt Y4M: expected FRAME marker")
-      require(bytes.length >= fnl + 1 + 3 * n,
+      require(bytes.length >= fnl + 1 + n + chromaBytes,
         s"truncated Y4M frame at byte $pos")
       val luma = new Array[Int](n)
       var i = 0
       while (i < n) { luma(i) = bytes(fnl + 1 + i) & 0xff; i += 1 }
       frames += luma
-      pos = fnl + 1 + 3 * n
+      pos = fnl + 1 + n + chromaBytes
     }
     require(frames.nonEmpty, "Y4M stream carries no frames")
     Y4mVideo(width, height, frames.toSeq)

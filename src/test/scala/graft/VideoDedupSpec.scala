@@ -29,13 +29,13 @@ class VideoDedupSpec extends SparkSpec {
     }
   }
 
-  test("Y4M decode is strict: bad magic, wrong colorspace, truncation all throw") {
+  test("Y4M decode is strict: bad magic, exotic colorspace, truncation all throw") {
     val good = Codecs.encodeY4m(4, 4, Seq(solidFrame(4, 4, 0x808080)))
     intercept[IllegalArgumentException] {
       Codecs.decodeY4m("JUNK4MPEG2 W4 H4 C444\n".getBytes("US-ASCII"))
     }
     intercept[IllegalArgumentException] {
-      Codecs.decodeY4m("YUV4MPEG2 W4 H4 C420\nFRAME\n".getBytes("US-ASCII"))
+      Codecs.decodeY4m("YUV4MPEG2 W4 H4 Cmono\nFRAME\n".getBytes("US-ASCII"))
     }
     intercept[IllegalArgumentException] {
       Codecs.decodeY4m(good.dropRight(5)) // truncated last frame
@@ -43,6 +43,25 @@ class VideoDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Codecs.decodeY4m("YUV4MPEG2 H4 C444\n".getBytes("US-ASCII")) // no W
     }
+    intercept[IllegalArgumentException] { // 4:2:0 needs even dims
+      Codecs.decodeY4m("YUV4MPEG2 W3 H4 C420\nFRAME\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("Y4M decode handles the C420 family: luma plane exact, quarter-size chroma skipped") {
+    // hand-build a C420jpeg stream: 4x2 luma ramp + 2x1 chroma planes
+    val luma = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    val header = "YUV4MPEG2 W4 H2 F25:1 C420jpeg\nFRAME\n".getBytes("US-ASCII")
+    val body = luma.map(_.toByte) ++ Array[Byte](99, 98) ++ Array[Byte](97, 96)
+    val second = "FRAME\n".getBytes("US-ASCII") ++
+      luma.map(v => (v + 1).toByte) ++ Array[Byte](1, 2) ++ Array[Byte](3, 4)
+    val v = Codecs.decodeY4m(header ++ body ++ second)
+    assert(v.width == 4 && v.height == 2 && v.frames.size == 2)
+    assert(v.frames(0).toSeq == luma.toSeq)
+    assert(v.frames(1).toSeq == luma.map(_ + 1).toSeq)
+    // implicit-C default is 420: no C parameter at all
+    val noC = "YUV4MPEG2 W4 H2\nFRAME\n".getBytes("US-ASCII") ++ body
+    assert(Codecs.decodeY4m(noC).frames.head.toSeq == luma.toSeq)
   }
 
   test("frame hashes: identical content hashes identically; stride samples every 2nd frame") {
