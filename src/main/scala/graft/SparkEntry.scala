@@ -8017,7 +8017,7 @@ object SparkEntry {
         |       generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
         |lums AS (
         |  SELECT id, f, r, c,
-        |    (299 * b + 587 * ((b * 31) % 256)
+        |    (299 * (b % 256) + 587 * ((b * 31) % 256)
         |      + 114 * (CASE WHEN noise = 1 AND p % 13 = 0
         |                    THEN xor((b * 7) % 256, 255)
         |                    ELSE (b * 7) % 256 END)) // 1000 AS lum
@@ -8061,7 +8061,7 @@ object SparkEntry {
         |       generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)),
         |lums AS (
         |  SELECT id, f, r, c,
-        |    (299 * b + 587 * ((b * 31) % 256)
+        |    (299 * (b % 256) + 587 * ((b * 31) % 256)
         |      + 114 * (CASE WHEN noise = 1 AND p % 13 = 0
         |                    THEN xor((b * 7) % 256, 255)
         |                    ELSE (b * 7) % 256 END)) // 1000 AS lum

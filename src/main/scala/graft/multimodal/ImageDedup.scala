@@ -80,8 +80,11 @@ object ImageDedup {
     }.toDF("media_id", "hash")
   }
 
-  /** 16-bit band `j` (0..3) of a packed 64-bit hash. */
-  private def bandCol(h: Column, j: Int): Column =
+  /** 16-bit band `j` (0..3) of a packed 64-bit hash — THE band layout
+    * of the shared cross-modality hash space ([[VideoDedup]] banding
+    * must stay bit-identical to probe the same stores).
+    */
+  private[multimodal] def bandCol(h: Column, j: Int): Column =
     shiftright(element_at(h, j / 2 + 1), (j % 2) * 16).bitwiseAND(lit(0xffffL))
 
   /** Near-duplicate image pairs by banded Hamming distance: candidates

@@ -65,9 +65,12 @@ object VideoDedup {
     }.toDF("media_id", "frame_idx", "hash")
   }
 
-  /** 16-bit band `j` (0..3) of a packed 64-bit hash. */
+  /** The shared cross-modality band layout ([[ImageDedup.bandCol]]) —
+    * one definition, so the batch path and the store path can never
+    * de-sync bit-wise.
+    */
   private def bandCol(h: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
-    shiftright(element_at(h, j / 2 + 1), (j % 2) * 16).bitwiseAND(lit(0xffffL))
+    ImageDedup.bandCol(h, j)
 
   /** Near-duplicate video pairs: two videos match when at least
     * `minMatchedNum/minMatchedDen` of their ALIGNED sampled frames are
@@ -140,13 +143,24 @@ object VideoDedup {
   final case class FrameStore(hashes: ImageDedup.HashStore, counts: DataFrame)
 
   /** frame_idx rides the low bits of the packed store id; 2^20 frames
-    * (~12 h at 24 fps) bounds any real clip.
+    * (~12 h at 24 fps) bounds any real clip and leaves 43 bits of
+    * media id. Both bounds are ENFORCED in-plan — an overflow would
+    * silently cross-wire videos in the store.
     */
   private val FrameBits = 20
-  private def packed(frameHashes: DataFrame): DataFrame =
+  private def packed(frameHashes: DataFrame): DataFrame = {
+    val checkedId = when(
+      col("media_id") < 0 || col("media_id") >= (1L << (63 - FrameBits)),
+      raise_error(concat(lit("VideoDedup: media_id out of packable range [0, 2^43): "),
+        col("media_id").cast("string")))).otherwise(col("media_id"))
+    val checkedF = when(
+      col("frame_idx") < 0 || col("frame_idx") >= (1L << FrameBits),
+      raise_error(concat(lit("VideoDedup: frame_idx out of packable range [0, 2^20): "),
+        col("frame_idx").cast("string")))).otherwise(col("frame_idx"))
     frameHashes.select(
-      (shiftleft(col("media_id"), FrameBits) + col("frame_idx")).as("fid"),
+      (shiftleft(checkedId, FrameBits) + checkedF).as("fid"),
       col("hash"))
+  }
 
   /** Persist a frame-hash corpus as a probe-able store. */
   def saveFrameStore(frameHashes: DataFrame, path: String, prefixBuckets: Int = 32): Unit = {
@@ -165,7 +179,13 @@ object VideoDedup {
 
   /** Append an increment's frame hashes into the saved layout —
     * dynamic partition append for the bands, plain append for the
-    * counts; O(increment), no store read.
+    * counts; O(increment), no store read. A video whose frames arrive
+    * across SEVERAL appends accumulates count rows that
+    * [[probeFrameStore]] sums back together. Re-appending the SAME
+    * frames is not idempotent for the totals (the band rows collapse
+    * under the probe's distinct, the counts double) — retries must go
+    * through the caller's staged-swap recovery, the absorb contract
+    * every persisted store in this repo shares.
     */
   def appendToFrameStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -210,8 +230,11 @@ object VideoDedup {
       .groupBy(col("media_id"), col("store_id"))
       .agg(count(lit(1)).as("matched_frames"), sum(col("ham")).as("ham_sum"))
       .join(inCounts, Seq("media_id"))
-      .join(store.counts.select(col("media_id").as("store_id"),
-        col("n_frames").as("__nb")), Seq("store_id"))
+      // sum: a video ingested across several appends carries one
+      // count row per append
+      .join(store.counts.groupBy(col("media_id"))
+        .agg(sum(col("n_frames")).as("__nb"))
+        .withColumnRenamed("media_id", "store_id"), Seq("store_id"))
       .select(col("media_id"), col("store_id"), col("matched_frames"),
         least(col("__na"), col("__nb")).as("total_frames"), col("ham_sum"))
       .filter(col("matched_frames") * minMatchedDen >=

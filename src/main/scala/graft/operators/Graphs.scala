@@ -207,13 +207,17 @@ object Graphs {
       phases += dropped
       SuffixArray.releaseCheckpoint(live)
       live = survivors
-      // everything still alive has degree >= minDeg: jump past the
-      // no-op thresholds
-      k = math.max(k + 1, minDeg + 1)
+      // advance only when the phase COMPLETED: everything still alive
+      // then has degree >= minDeg, so jump past the no-op thresholds.
+      // A maxRounds-truncated phase proves nothing beyond (k-1)-core
+      // membership — k must NOT move, or the exhaustion tail below
+      // would overstate the survivors' coreness.
+      if (stable) k = math.max(k + 1, minDeg + 1)
     }
     // maxRounds exhaustion on a pathological chain leaves `live`
-    // un-assigned; give those nodes their last proven level (k-1) so
-    // the output is total over every peeled-or-surviving node
+    // un-assigned; give those nodes their last PROVEN level (k-1: they
+    // are in the (k-1)-core, the k-peel never finished) so the output
+    // is total over every peeled-or-surviving node
     val tail =
       if (nEdges > 0) Seq(live.select(col("id"), lit(k - 1L).cast("long").as("coreness")))
       else Seq.empty

@@ -256,6 +256,11 @@ object SuffixArray {
     // (doc_id, pos) minimum — the canonical-occurrence rule for free
     val mult = java.lang.Long.highestOneBit(math.max(1L, maxPos)) * 2L
     val bits = java.lang.Long.numberOfTrailingZeros(mult)
+    // the packing must not wrap: doc ids ride the high 63-bits bits
+    val maxDoc = ix.positions.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+    require(maxDoc < (1L << (63 - bits)) && bits < 63,
+      s"removeRepeatedSpans: doc_id $maxDoc with $maxPos-token documents " +
+        s"overflows the (doc, pos) packing — re-key doc ids densely below 2^${63 - bits}")
     def enc(d: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
       shiftleft(d, bits).plus(p)
     val edges = spans.select(

@@ -57,9 +57,32 @@ object StreamCuration {
   private def fpb(fp: Column): Column =
     pmod(xxhash64(fp), lit(SeenBuckets.toLong)).cast("int")
 
-  private def seenExists(spark: SparkSession, path: String): Boolean = {
+  /** Layout probe for the `seen/` store. `Partitioned` is the current
+    * `__fpb=` directory layout; `Flat` is the pre-prefix layout (plain
+    * parquet files at the root — still readable, migrated on the next
+    * append); `Absent` covers both a missing dir and the
+    * _temporary-only husk a crash during the very first append leaves
+    * (no committed data: treating it as absent is exactly right, and
+    * the stray dir is cleaned up by the next append's overwrite-free
+    * commit).
+    */
+  private sealed trait SeenLayout
+  private case object SeenAbsent extends SeenLayout
+  private case object SeenFlat extends SeenLayout
+  private case object SeenPartitioned extends SeenLayout
+
+  private def seenLayout(spark: SparkSession, path: String): SeenLayout = {
     val p = new org.apache.hadoop.fs.Path(s"$path/seen")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) SeenAbsent
+    else {
+      val entries = fs.listStatus(p)
+      if (entries.exists(e => e.isDirectory && e.getPath.getName.startsWith("__fpb=")))
+        SeenPartitioned
+      else if (entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
+        SeenFlat
+      else SeenAbsent // _SUCCESS/_temporary husk: nothing committed
+    }
   }
 
   /** The store side of the exact-dedup anti-join, pruned to the
@@ -72,25 +95,44 @@ object StreamCuration {
     */
   private[graft] def prunedSeen(spark: SparkSession, path: String, probe: DataFrame): DataFrame = {
     import spark.implicits._
-    if (!seenExists(spark, path)) Seq.empty[String].toDF("fp")
-    else {
-      val prefixes = probe.select(fpb(col("fp")).as("__fpb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(s"$path/seen")
-        .filter(col("__fpb").isin(prefixes: _*)).select(col("fp"))
+    seenLayout(spark, path) match {
+      case SeenAbsent => Seq.empty[String].toDF("fp")
+      case SeenFlat =>
+        // pre-prefix store: still correct, just unpruned (one full
+        // read); the next appendSeen migrates it to the partitioned
+        // layout so this branch is transient
+        spark.read.parquet(s"$path/seen").select(col("fp"))
+      case SeenPartitioned =>
+        val prefixes = probe.select(fpb(col("fp")).as("__fpb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(s"$path/seen")
+          .filter(col("__fpb").isin(prefixes: _*)).select(col("fp"))
     }
   }
 
   /** Dynamic-partition-append the survivors' fingerprints: only the
     * prefixes that receive rows gain files. A zero-row append is
     * SKIPPED — dynamic partitioning would write a file-less directory
-    * that breaks later schema inference.
+    * that breaks later schema inference. A legacy FLAT store migrates
+    * here first (one staged rewrite into the partitioned layout — a
+    * mixed root-files-plus-partition-dirs layout would break partition
+    * discovery outright).
     */
-  private def appendSeen(spark: SparkSession, path: String, survivors: DataFrame): Unit =
+  private def appendSeen(spark: SparkSession, path: String, survivors: DataFrame): Unit = {
+    if (seenLayout(spark, path) == SeenFlat) {
+      val migrated = spark.read.parquet(s"$path/seen")
+        .select(col("fp"), fpb(col("fp")).as("__fpb"))
+        .localCheckpoint(true)
+      graft.sources.StagedSwap.rotateIn(spark, s"$path/seen") { stage =>
+        migrated.write.mode("overwrite").partitionBy("__fpb").parquet(stage)
+        ()
+      }
+    }
     if (!survivors.isEmpty) {
       survivors.select(col("fp"), fpb(col("fp")).as("__fpb"))
         .write.mode("append").partitionBy("__fpb").parquet(s"$path/seen")
     }
+  }
 
   private def splitOf(b: Column): Column =
     when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))

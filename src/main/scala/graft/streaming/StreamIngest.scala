@@ -35,9 +35,11 @@ object StreamIngest {
     val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     if (exists) FileManifest.appendToManifest(spark, tablePath, manifestPath, statCols)
     else {
-      val m = FileManifest.build(spark, tablePath, statCols)
-      FileManifest.saveManifest(m, manifestPath)
-      m.select(org.apache.spark.sql.functions.col("file")).distinct().count()
+      FileManifest.saveManifest(FileManifest.build(spark, tablePath, statCols), manifestPath)
+      // count from the SAVED manifest — recounting the unpersisted
+      // build plan would re-read every footer a second time
+      FileManifest.loadManifest(spark, manifestPath)
+        .select(org.apache.spark.sql.functions.col("file")).distinct().count()
     }
   }
 }

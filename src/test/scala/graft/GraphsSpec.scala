@@ -120,6 +120,17 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.kCore(edges.toDF("a", "b"), "a", "b", maxCore.toInt + 1).count() == 0)
   }
 
+  test("coreness under maxRounds exhaustion reports the proven level, never more") {
+    // a 20-node path peels two endpoints per round at threshold 2;
+    // maxRounds=3 truncates mid-peel — survivors are PROVEN only into
+    // the 1-core, so every reported coreness must be exactly 1
+    val path = (1L until 20L).map(i => (i, i + 1))
+    val got = Graphs.coreness(path.toDF("a", "b"), "a", "b", maxRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 1L), s"overstated coreness: $got")
+    assert(got.keySet == (1L to 20L).toSet, s"nodes lost: ${got.keySet}")
+  }
+
   test("coreness on an empty graph is empty") {
     assert(Graphs.coreness(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
   }
