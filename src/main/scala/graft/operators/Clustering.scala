@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: near-dup components are clique-ish (tiny diameter —
   * 2-3 rounds in practice), so rounds, not round cost, stay small; the
-  * per-round shuffle is O(|edges|). For adversarially deep graphs
-  * (long chains) the two-phase large-star/small-star variant halves
-  * tree heights per round (O(log d) rounds) at the cost of re-writing
-  * the edge set each round — not worth it below millions of rounds of
-  * diameter, so this implementation keeps the cheaper per-round shape.
+  * per-round shuffle is O(|edges|). Each round also pointer-jumps the
+  * adopted label one hop through the previous label table (an O(|V|)
+  * join, cheap next to the O(|E|) neighbor join), so remaining chain
+  * depth roughly halves per round — O(log d) rounds on adversarially
+  * deep graphs without the edge-rewriting cost of the full
+  * large-star/small-star scheme (Kiveris et al. 2014).
   */
 object Clustering {
 
@@ -78,12 +79,29 @@ object Clustering {
       // carry the previous label through the round so convergence is a
       // plain filter-count over the checkpointed rows — two jobs per
       // round total (checkpoint materialization + count), no extra join
-      val next = labels
+      val stepped = labels
         .join(side(neighborMin), Seq("id"), "left")
         .select(
           col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"),
           col("label").as("prev"))
+      // POINTER JUMP through the (materialized) previous label table:
+      // a candidate label is itself a node id, so follow it one hop —
+      // label := min(mid, prevLabel(mid)). Labels only decrease, so
+      // prevLabel(mid) <= mid and a round is a no-op only when every
+      // adopted label is a ROOT (self-labeled): remaining chain depth
+      // roughly halves per round, O(log diameter) rounds on the long
+      // chains that cost min-propagation O(diameter), at the price of
+      // one O(|V|) join per round against the O(|E|) neighbor join —
+      // same fixpoint (component minimum) either way, since labels
+      // stay component-internal node ids and only shrink.
+      val next = stepped
+        .join(side(labels.select(col("id").as("mid"), col("label").as("hop"))),
+          Seq("mid"), "left")
+        .select(
+          col("id"),
+          least(col("mid"), coalesce(col("hop"), col("mid"))).as("label"),
+          col("prev"))
         .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
