@@ -36,6 +36,18 @@ object Clustering {
     *              instead of three. Above it, shuffled joins: the label
     *              table no longer fits an executor, and the per-round
     *              shuffles are the intended O(|edges|) scale shape.
+    * @param driverMaxEdges edge sets at or below this size with
+    *              integral ids are solved by one bounded collect + a
+    *              driver union-find (the broadcast-join analogy: a
+    *              subproblem that fits one machine should not pay a
+    *              shuffle barrier per graph-diameter hop — min-label
+    *              propagation needs O(diameter) rounds, and a 20-hop
+    *              chain costs 20 barrier-synchronized rounds for work
+    *              a path-compressed union-find does in microseconds).
+    *              1M deduped edges collect to ~16 MB — the same memory
+    *              class as a broadcast side. 0 disables the path; at
+    *              corpus scale the edge set blows past it and the
+    *              distributed loop below is the intended shape.
     * @return (id, cluster) — every node that appears in some edge,
     *         labeled with its component's minimum id. Nodes with no
     *         edges are their own singleton cluster and are not emitted
@@ -47,7 +59,8 @@ object Clustering {
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      broadcastThresholdRows: Long = 4L << 20): DataFrame = {
+      broadcastThresholdRows: Long = 4L << 20,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     // TRUNCATE LINEAGE every round (eager localCheckpoint — stores the
     // rows, replaces the plan with a LogicalRDD leaf). Persist alone is
     // NOT enough for an iterative DataFrame loop: round N's logical
@@ -61,6 +74,16 @@ object Clustering {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true) // the caller's pair plan runs exactly once
+    val idType = edges.schema("src").dataType
+    val integral = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral && driverMaxEdges > 0 && edges.count() <= driverMaxEdges)
+      return driverUnionFind(edges, idType)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -109,6 +132,43 @@ object Clustering {
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Bounded fast path for [[connectedComponents]]: collect the
+    * (deduped, already-materialized) edge list and run a
+    * path-compressed union-find with min-value roots — the component
+    * root is always its minimum member id, matching the distributed
+    * loop's fixpoint exactly. Memory is O(|edges|), gated by the
+    * caller's `driverMaxEdges`.
+    */
+  private def driverUnionFind(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val nodes = scala.collection.mutable.HashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression: point the walked chain at the root
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.get(0).asInstanceOf[Number].longValue
+      val b = row.get(1).asInstanceOf[Number].longValue
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      // min-value root: the smaller root absorbs, so every component's
+      // root is its minimum member id
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = nodes.toSeq.map(id => (id, find(id)))
+    out.toDF("id", "cluster")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** Synchronous label-propagation communities (Raghavan, Albert,

@@ -47,9 +47,24 @@ object SuffixArray {
       sa: DataFrame,
       ranksByLen: Seq[(Long, DataFrame)],
       positions: DataFrame) {
+    /** The adjacent-LCP table, memoized on first use: real suffix-array
+      * deployments build SA and LCP together at ingest, and every
+      * consumer ([[repeatedSpans]], [[removeRepeatedSpans]]) starts
+      * from it — without the memo each call re-runs the whole binary
+      * descent over `ranksByLen` (the dominant consumer cost).
+      * Materialized eagerly (localCheckpoint) like the tables it
+      * derives from; [[unpersist]] releases it.
+      */
+    lazy val lcp: DataFrame = {
+      val t = computeAdjacentLcp(this).localCheckpoint(true)
+      lcpMaterialized = true
+      t
+    }
+    @volatile private var lcpMaterialized = false
     def unpersist(): Unit = {
       releaseCheckpoint(sa); releaseCheckpoint(positions)
       ranksByLen.foreach(r => releaseCheckpoint(r._2))
+      if (lcpMaterialized) releaseCheckpoint(lcp)
       ()
     }
   }
@@ -160,7 +175,9 @@ object SuffixArray {
     *         (doc_b, pos_b) the one immediately after it in SA order,
     *         lcp in tokens
     */
-  def adjacentLcp(ix: Index): DataFrame = {
+  def adjacentLcp(ix: Index): DataFrame = ix.lcp
+
+  private def computeAdjacentLcp(ix: Index): DataFrame = {
     val a = ix.sa.select(
       col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("sa_rank"))
     val b = ix.sa.select(

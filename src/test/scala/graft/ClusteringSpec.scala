@@ -46,6 +46,41 @@ class ClusteringSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("distributed loop == driver fast path on chains and random graphs") {
+    val rnd = new scala.util.Random(7)
+    val chain = (1L until 40L).map(i => (i + 1, i))
+    val random = Seq.fill(800)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    for (edges <- Seq(chain, random)) {
+      val viaDriver = Clustering
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val viaLoop = Clustering
+        .connectedComponents(edges.toDF("a", "b"), "a", "b", driverMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaLoop)
+      assert(viaDriver == unionFind(edges))
+    }
+  }
+
+  test("driver fast path preserves integer id types and self-loops") {
+    val got = Clustering
+      .connectedComponents(
+        Seq((1, 2), (2, 3), (7, 7)).toDF("a", "b"), "a", "b")
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.as[(Int, Int)].collect().toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7))
+  }
+
+  test("non-integral ids take the distributed loop and still label minima") {
+    val got = Clustering
+      .connectedComponents(
+        Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("u", "v"), "u", "v")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("empty pair set yields empty labeling") {
     val empty = spark.emptyDataset[(Long, Long)].toDF("a", "b")
     assert(Clustering.connectedComponents(empty, "a", "b").count() == 0)
