@@ -4965,20 +4965,54 @@ object SparkEntry {
     */
   private def sketchQuantiles(s: SparkSession, dir: String): DataFrame = {
     val Q = graft.operators.QuantileSketch
+    val vals = sketchQuantileValues(s, dir)
     val m = 7
-    val vals = Tables(s, dir, "orders")
-      .select(col("o_orderpriority").as("prio"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
-    val qs = Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100))
-    def estNames(suffix: String) = qs.map { case (n, a, b) => (n + suffix, a, b) }
     val sk = Q.build(vals, Seq("prio"), col("cents"), m)
-    val est = Q.quantiles(sk, Seq("prio"), estNames("_est"))
     // merge lifecycle, proven in-plan: half sketches merged == rebuild
     val merged = Q.merge(
       Q.build(vals.filter(col("cents") % 2 === 0), Seq("prio"), col("cents"), m),
       Q.build(vals.filter(col("cents") % 2 =!= 0), Seq("prio"), col("cents"), m),
       Seq("prio"))
-    val estM = Q.quantiles(merged, Seq("prio"), estNames("_m"))
+    sketchQuantileGate(vals, sk, merged, m)
+  }
+
+  /** Persisted round trip of [[sketchQuantiles]]: the even-cents half
+    * is saved prefix-partitioned, the odd half absorbed into the saved
+    * layout (directory-pruned, [[graft.operators.QuantileSketch
+    * .absorbIntoSaved]]), and the LOADED store answers the quantiles —
+    * `merge_ok` here proves absorb==rebuild in-plan (loaded-store
+    * estimates vs one-shot build estimates). Shares the live gate's
+    * oracle verbatim: persistence must be invisible to results.
+    */
+  private def sketchQuantilesPersisted(s: SparkSession, dir: String): DataFrame = {
+    val Q = graft.operators.QuantileSketch
+    val vals = sketchQuantileValues(s, dir)
+    val m = 7
+    val path = scratchDir("graft-qsk-store")
+    Q.save(Q.build(vals.filter(col("cents") % 2 === 0), Seq("prio"), col("cents"), m),
+      Seq("prio"), m, path, prefixBuckets = 8)
+    Q.absorbIntoSaved(s, path, vals.filter(col("cents") % 2 =!= 0), col("cents"))
+    val loaded = Q.load(s, path).sketch.drop("__kp")
+    sketchQuantileGate(vals, loaded, Q.build(vals, Seq("prio"), col("cents"), m), m)
+  }
+
+  private def sketchQuantileValues(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** Shared tail of the quantile-sketch gates: estimates from `sk`,
+    * estimates from the alternate sketch `skAlt` (merge/absorb
+    * counterpart — equality is the `merge_ok` verdict), exact type-1
+    * order statistics, and the containment-bound verdict.
+    */
+  private def sketchQuantileGate(
+      vals: DataFrame, sk: DataFrame, skAlt: DataFrame, m: Int): DataFrame = {
+    val Q = graft.operators.QuantileSketch
+    val qs = Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100))
+    def estNames(suffix: String) = qs.map { case (n, a, b) => (n + suffix, a, b) }
+    val est = Q.quantiles(sk, Seq("prio"), estNames("_est"))
+    val estM = Q.quantiles(skAlt, Seq("prio"), estNames("_m"))
     val exact = vals
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("prio")).orderBy(col("cents"))))
@@ -5151,6 +5185,7 @@ object SparkEntry {
     "hist_quantiles" -> (histQuantiles _),
     "sketch_absorb" -> (sketchAbsorb _),
     "sketch_quantiles" -> (sketchQuantiles _),
+    "sketch_quantiles_persisted" -> (sketchQuantilesPersisted _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "text_normalize" -> (textNormalize _),
     "text_diversity" -> (textDiversity _),
@@ -5269,7 +5304,11 @@ object SparkEntry {
     "bm25_retract_search" ->
       oracleSqlBase("bm25_search").replace(
         "FROM documents),",
-        "FROM documents WHERE doc_id % 2 = 0),"))
+        "FROM documents WHERE doc_id % 2 = 0),"),
+    // persistence must be invisible to results: the loaded-store gate
+    // shares the live quantile gate's oracle verbatim (absorb==rebuild
+    // is its in-plan merge_ok verdict)
+    "sketch_quantiles_persisted" -> oracleSqlBase("sketch_quantiles"))
 
   /** One unrolled Lloyd iteration for the `kmeans_train` oracle:
     * assignment CTE `a$i` (exact integer distances vs centroid table

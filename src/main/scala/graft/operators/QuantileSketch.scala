@@ -113,6 +113,83 @@ object QuantileSketch {
     cum.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A loaded persisted sketch store: the bucket-count table (key cols
+    * + `__qb`, `__n`, partition col `__kp`), its key columns, the
+    * mantissa width it was built with, and its prefix bucket count.
+    */
+  final case class Store(
+      sketch: DataFrame,
+      keyCols: Seq[String],
+      mantissaBits: Int,
+      prefixBuckets: Int)
+
+  private def kp(keyCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
+
+  /** Persist a sketch key-hash-prefix-partitioned — the [[AggStore]]
+    * layout: absorbs and probes touch only the partition directories
+    * their keys hash into, never the whole store.
+    */
+  def save(
+      sketch: DataFrame,
+      keyCols: Seq[String],
+      mantissaBits: Int,
+      path: String,
+      prefixBuckets: Int = 64): Unit = {
+    require(prefixBuckets > 0, "prefixBuckets must be positive")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    sketch.withColumn("__kp", kp(keyCols, prefixBuckets))
+      .repartition(col("__kp"))
+      .write.mode("overwrite").partitionBy("__kp").parquet(s"$path/sketch")
+    Seq((prefixBuckets, mantissaBits, keyCols.mkString("\u0001")))
+      .toDF("prefixBuckets", "mantissaBits", "keyCols")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted store (lazy — absorbs/probes read only their
+    * prefixes).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Store = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Store(
+      spark.read.parquet(s"$path/sketch"),
+      meta.getAs[String]("keyCols").split('\u0001').toSeq,
+      meta.getAs[Int]("mantissaBits"),
+      meta.getAs[Int]("prefixBuckets"))
+  }
+
+  /** Fold an increment into the SAVED layout at O(increment): sketch
+    * the increment, read back only the store partitions its keys hash
+    * into (bounded prefix collect), merge bucket counts, dynamically
+    * overwrite those partitions. Absorb == rebuild exactly — bucket
+    * counts are a commutative monoid.
+    */
+  def absorbIntoSaved(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      increment: DataFrame,
+      valueCol: Column): Unit = {
+    val st = load(spark, path)
+    val inc = build(increment, st.keyCols, valueCol, st.mantissaBits)
+      .withColumn("__kp", kp(st.keyCols, st.prefixBuckets))
+      .persist()
+    val touched = inc.select(col("__kp")).distinct().collect().map(_.getInt(0)).toSeq
+    val slice = st.sketch.filter(col("__kp").isin(touched: _*)).drop("__kp")
+    // localCheckpoint cuts lineage to the store files so the dynamic
+    // overwrite neither re-reads the partitions it replaces nor trips
+    // the self-overwrite check (the AggStore absorb shape)
+    val staged = merge(slice, inc.drop("__kp"), st.keyCols)
+      .withColumn("__kp", kp(st.keyCols, st.prefixBuckets))
+      .repartition(col("__kp"))
+      .localCheckpoint(true)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__kp").parquet(s"$path/sketch")
+    staged.unpersist(); inc.unpersist()
+    ()
+  }
+
   /** The sketch's proof obligation, in-plan: for an estimate `est`
     * and the true rank value `exact`, the bucket containment bound is
     * `est <= exact` and `exact - est <= est >> mantissaBits`. True by

@@ -99,6 +99,40 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("persisted store: absorb == rebuild, untouched partitions unread") {
+    val dir = java.nio.file.Files.createTempDirectory("qsk-store").toString
+    val rnd = new scala.util.Random(3)
+    val base = (1 to 3000).map(i => (s"k${i % 8}", math.abs(rnd.nextLong()) % 500000L + 1))
+    val inc = (1 to 500).map(i => (s"k${i % 2}", math.abs(rnd.nextLong()) % 500000L + 1))
+    QuantileSketch.save(
+      QuantileSketch.build(base.toDF("k", "v"), Seq("k"), col("v"), m),
+      Seq("k"), m, dir, prefixBuckets = 16)
+    def files(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dir, "sketch")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (d, ps) => d -> ps.map(_.getFileName.toString).toSet }
+    }
+    val before = files()
+    QuantileSketch.absorbIntoSaved(spark, dir, inc.toDF("k", "v"), col("v"))
+    val after = files()
+    // increment keys k0/k1 hash into a strict subset of the 16 dirs:
+    // every untouched dir keeps its exact file set
+    val touchedDirs = after.keySet.filter(d => before.get(d) != after.get(d))
+    assert(touchedDirs.nonEmpty && touchedDirs.size < before.size,
+      s"expected a strict subset of dirs rewritten, got $touchedDirs of ${before.size}")
+    val st = QuantileSketch.load(spark, dir)
+    val absorbed = st.sketch.drop("__kp")
+      .orderBy(col("k"), col("__qb")).as[(String, Long, Long)].collect().toSeq
+    val rebuilt = QuantileSketch
+      .build((base ++ inc).toDF("k", "v"), Seq("k"), col("v"), m)
+      .orderBy(col("k"), col("__qb")).as[(String, Long, Long)].collect().toSeq
+    assert(absorbed == rebuilt)
+    assert(st.mantissaBits == m && st.keyCols == Seq("k"))
+  }
+
   test("non-positive and null values are rejected in-plan") {
     val bad = Seq(("k", 5L), ("k", 0L)).toDF("k", "v")
     val ex = intercept[Exception] {
