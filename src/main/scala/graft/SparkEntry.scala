@@ -3394,6 +3394,37 @@ object SparkEntry {
     exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
   }
 
+  /** Two-stage retrieval — the 100 TB serving shape the single-stage
+    * gates don't compose: an int8-QUANTIZED integer-dot prefilter
+    * scans the corpus (4x less memory traffic than float32, exact
+    * integer arithmetic — [[graft.functions.VectorFunctions
+    * .cosineQuantized]]) and keeps a 64-candidate pool; the exact
+    * decimal-cosine rerank touches ONLY the pool. Oracle-gated via the
+    * in-plan recall verdict vs the exact top-20 (the `ann_lsh_topk`
+    * pattern): quantization error must not cost more than 2 of the
+    * top 20. Both stages are deterministic, so the recall is a fixed
+    * number for a fixed corpus.
+    */
+  private def annQuantizedRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = embWithPlantedNeighbors(emb)
+    val query = emb.filter(col("vec_id") === 0)
+    val qv = query.select(col("embedding").as("__qv"))
+    val pool = corpus.crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        VF.cosineQuantized(
+          VF.quantizeInt8(col("embedding"), VF.quantizeScale(col("embedding"))),
+          VF.quantizeInt8(col("__qv"), VF.quantizeScale(col("__qv")))).as("__cq"))
+      .orderBy(col("__cq").desc, col("vec_id"))
+      .limit(64)
+    val approx = pool.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (round(VF.cosineDecimal(col("embedding"), col("__qv")), 3) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+    exactTopWithRecallVerdict(exactTop20(s, dir, corpus, query), approx)
+  }
+
   /** IVF with EVERY list probed, oracle-gated against DuckDB's exact
     * decimal-cosine top-20: full probe must degenerate to the exact
     * scan, which proves end-to-end that training+assignment partition
@@ -5138,6 +5169,7 @@ object SparkEntry {
     "simsearch_cosine" -> (simsearchCosine _),
     "simsearch_quantized" -> (simsearchQuantized _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_quantized_rerank" -> (annQuantizedRerank _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "pq_encode" -> (pqEncode _),
     "pq_topk" -> (pqTopk _),
@@ -5283,6 +5315,9 @@ object SparkEntry {
     // PQ ADC top-k emits the same exact-top-20 + recall-verdict rows
     // as the LSH gate; the oracle is shared (ann gate pattern)
     "pq_topk" -> oracleSqlBase("ann_lsh_topk"),
+    // quantized-prefilter + exact-rerank emits the same rows; shared
+    // oracle (ann gate pattern)
+    "ann_quantized_rerank" -> oracleSqlBase("ann_lsh_topk"),
     // persistence must be invisible to results: the save/load twins
     // share their live query's oracle verbatim
     "pq_encode_persisted" -> oracleSqlBase("pq_encode"),
