@@ -35,6 +35,56 @@ object Graphs {
       .filter(col("a") < col("b"))
       .distinct()
 
+  private def integralIds(edges: DataFrame): Boolean =
+    edges.schema("a").dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  private def collectedEdges(edges: DataFrame): Array[(Long, Long)] =
+    edges.collect().map(r => (
+      r.get(0).asInstanceOf[Number].longValue,
+      r.get(1).asInstanceOf[Number].longValue))
+
+  /** Batagelj-Zaversnik core decomposition on collected canonical
+    * edges: peel the minimum-degree node, its core number is the
+    * running maximum of the peel threshold; O(|E| log |V|) with a
+    * lazy-deletion heap. Ties peel the smaller id first — coreness is
+    * order-invariant, so this only fixes iteration order.
+    */
+  private def driverCoreNumbers(
+      edges: DataFrame): scala.collection.Map[Long, Long] = {
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    collectedEdges(edges).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    adj.foreach { case (id, ns) => deg(id) = ns.size.toLong }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.by[(Long, Long), (Long, Long)](identity).reverse)
+    deg.foreach { case (id, d) => heap.enqueue((d, id)) }
+    var k = 0L
+    while (heap.nonEmpty) {
+      val (d, id) = heap.dequeue()
+      if (!core.contains(id) && deg(id) == d) { // lazy deletion
+        k = math.max(k, d)
+        core(id) = k
+        adj(id).foreach { n =>
+          if (!core.contains(n)) {
+            deg(n) -= 1L
+            heap.enqueue((deg(n), n))
+          }
+        }
+      }
+    }
+    core
+  }
+
   /** Per-node triangle participation counts; nodes in no triangle are
     * absent.
     *
@@ -106,11 +156,32 @@ object Graphs {
       aCol: String,
       bCol: String,
       k: Int,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(k >= 1, "k must be at least 1")
     require(maxRounds >= 1, "maxRounds must be at least 1")
     var edges = canonical(pairs, aCol, bCol).localCheckpoint(true)
     var nEdges = edges.count()
+    if (integralIds(edges) && driverMaxEdges > 0 && nEdges <= driverMaxEdges) {
+      // bounded fast path (the Clustering.connectedComponents
+      // analogy): distributed peeling pays one barrier round per peel
+      // wave; Batagelj-Zaversnik on the collected edges is O(|E|).
+      // The k-core is exactly {v : coreness(v) >= k}; degrees are
+      // recounted inside the induced subgraph.
+      val core = driverCoreNumbers(edges)
+      val keep = core.collect { case (id, c) if c >= k => id }.toSet
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      collectedEdges(edges).foreach { case (a, b) =>
+        if (keep(a) && keep(b)) {
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return deg.toSeq.toDF("id", "degree")
+        .select(col("id").cast(edges.schema("a").dataType).as("id"), col("degree"))
+    }
     var r = 0
     var stable = false
     while (!stable && r < maxRounds && nEdges > 0) {
@@ -158,12 +229,19 @@ object Graphs {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 1000): DataFrame = {
+      maxRounds: Int = 1000,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be at least 1")
     def nodesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id"))).distinct()
     var edges = canonical(pairs, aCol, bCol).localCheckpoint(true)
     var nEdges = edges.count()
+    if (integralIds(edges) && driverMaxEdges > 0 && nEdges <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return driverCoreNumbers(edges).toSeq.toDF("id", "coreness")
+        .select(col("id").cast(edges.schema("a").dataType).as("id"), col("coreness"))
+    }
     var live = nodesOf(edges).localCheckpoint(true)
     val phases = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var k = 1L

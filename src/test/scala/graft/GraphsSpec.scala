@@ -120,12 +120,38 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.kCore(edges.toDF("a", "b"), "a", "b", maxCore.toInt + 1).count() == 0)
   }
 
+  test("coreness/kCore: driver fast path == distributed peeling") {
+    val rnd = new scala.util.Random(17)
+    val clique = for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield (a, b)
+    val random = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    for (edges <- Seq(clique ++ random, (1L until 30L).map(i => (i, i + 1)))) {
+      val fast = Graphs.coreness(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val loop = Graphs.coreness(edges.toDF("a", "b"), "a", "b",
+          driverMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, "coreness paths diverged")
+      val maxCore = fast.values.max.toInt
+      (1 to maxCore).foreach { k =>
+        val f = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+          .as[(Long, Long)].collect().toMap
+        val l = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k,
+            driverMaxEdges = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(f == l, s"kCore k=$k paths diverged")
+      }
+    }
+  }
+
   test("coreness under maxRounds exhaustion reports the proven level, never more") {
     // a 20-node path peels two endpoints per round at threshold 2;
     // maxRounds=3 truncates mid-peel — survivors are PROVEN only into
     // the 1-core, so every reported coreness must be exactly 1
+    // (distributed loop forced: the fast path never truncates)
     val path = (1L until 20L).map(i => (i, i + 1))
-    val got = Graphs.coreness(path.toDF("a", "b"), "a", "b", maxRounds = 3)
+    val got = Graphs.coreness(path.toDF("a", "b"), "a", "b", maxRounds = 3,
+        driverMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.values.forall(_ == 1L), s"overstated coreness: $got")
     assert(got.keySet == (1L to 20L).toSet, s"nodes lost: ${got.keySet}")

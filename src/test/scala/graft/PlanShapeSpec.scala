@@ -133,4 +133,24 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(scans.size == 1, s"corpus scanned more than once:\n${qe.optimizedPlan}")
   }
+
+  test("quantile sketch is one partial-aggregable pass; top-k pools stay TakeOrdered") {
+    val Q = graft.operators.QuantileSketch
+    val rows = (1L to 500L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    // build = a counted group-by: partial (map-side) + final HashAggregate,
+    // ONE exchange — the shape that lets 100 TB combine before shuffling
+    val skPlan = Q.build(rows, Seq("k"), col("v"), 7)
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("HashAggregate") || skPlan.contains("SortAggregate"),
+      s"no aggregate:\n$skPlan")
+    assert("Exchange".r.findAllIn(skPlan).size <= 1,
+      s"more than one exchange in a single group-by:\n$skPlan")
+    // the two-stage retrieval's candidate pool must be a bounded
+    // TakeOrderedAndProject (map-side partial top-k), never a global sort
+    val pool = rows.select(col("v").as("vec_id"))
+      .orderBy(col("vec_id").desc).limit(64)
+      .queryExecution.executedPlan.toString
+    assert(pool.contains("TakeOrderedAndProject"),
+      s"orderBy+limit did not plan as TakeOrdered:\n$pool")
+  }
 }
