@@ -37,8 +37,38 @@ object RandomProjection {
   /** Project `vecCol` (array<float/double>, fixed dim `d`) to `k`
     * dims. Output columns `p0..p{k-1}`, decimal-exact then rounded at
     * `scale` for the output boundary.
+    *
+    * Native fused-loop expression per output column
+    * ([[graft.functions.DecimalWeightedSum]], real codegen): the
+    * chained decimal form ([[projectChained]], kept as the
+    * differential reference) inlines O(d·k) Java into one generated
+    * method, which crosses janino's 64 KB limit at (64, 8) and
+    * silently dropped the whole projection stage to interpretation.
     */
   def project(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      d: Int,
+      k: Int,
+      scale: Int = 6): DataFrame = {
+    require(k > 0 && d > 0, "dims must be positive")
+    val pCols = (0 until k).map { i =>
+      val w = (0 until d).map(j => matrixEntry(i, j).toDouble)
+      val sum = org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.DecimalWeightedSum(
+          org.apache.spark.sql.GraftColumnShim.expression(col(vecCol)), w))
+      round(sum, scale).as(s"p$i")
+    }
+    df.select(col(idCol) +: pCols: _*)
+  }
+
+  /** The original chained-decimal form of [[project]] — retained ONLY
+    * as the differential-spec reference for the native expression's
+    * exact semantic mimicry (RandomProjectionSpec asserts bit
+    * identity).
+    */
+  private[graft] def projectChained(
       df: DataFrame,
       idCol: String,
       vecCol: String,

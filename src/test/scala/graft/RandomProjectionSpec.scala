@@ -58,6 +58,54 @@ class RandomProjectionSpec extends SparkSpec {
     }
   }
 
+  test("native fused projection == chained decimal form, bit for bit") {
+    // (d=64, k=8) is exactly the shape whose chained form overflowed
+    // janino's 64 KB method limit and silently ran interpreted
+    val df = spark.range(40).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map(j =>
+        ((col("id") * 7 + j * 3) % 41 / lit(9.0) - 2.0).cast("float")): _*)
+        .as("embedding"))
+    val a = RandomProjection.project(df, "vec_id", "embedding", 64, 8)
+      .orderBy(col("vec_id")).collect()
+    val b = RandomProjection.projectChained(df, "vec_id", "embedding", 64, 8)
+      .orderBy(col("vec_id")).collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      (0 to 8).foreach { c =>
+        assert(ra.get(c) == rb.get(c), s"col $c: ${ra.get(c)} != ${rb.get(c)}")
+      }
+    }
+  }
+
+  test("native projection nulls match the chain: null element, null array") {
+    val df = Seq(
+      (2L, Some(Seq[Option[Float]](Some(1f), None, Some(3f)))),
+      (3L, None: Option[Seq[Option[Float]]]))
+      .toDF("vec_id", "embedding")
+    val a = RandomProjection.project(df, "vec_id", "embedding", 3, 2)
+      .orderBy(col("vec_id")).collect()
+    val b = RandomProjection.projectChained(df, "vec_id", "embedding", 3, 2)
+      .orderBy(col("vec_id")).collect()
+    a.zip(b).foreach { case (ra, rb) =>
+      (1 to 2).foreach { c =>
+        assert(ra.isNullAt(c) == rb.isNullAt(c), s"null mismatch col $c")
+      }
+    }
+    assert(a.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("a vector shorter than d throws on both paths (ANSI element_at)") {
+    val df = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val exN = intercept[Exception] {
+      RandomProjection.project(df, "vec_id", "embedding", 3, 2).collect()
+    }
+    val exC = intercept[Exception] {
+      RandomProjection.projectChained(df, "vec_id", "embedding", 3, 2).collect()
+    }
+    assert(exN.getMessage.contains("INVALID_ARRAY_INDEX"), exN.getMessage)
+    assert(exC.getMessage.contains("INVALID_ARRAY_INDEX"), exC.getMessage)
+  }
+
   test("projection stays in whole-stage codegen (no HOF lambdas)") {
     val df = spark.range(16).select(
       col("id").as("vec_id"),
