@@ -2375,8 +2375,13 @@ object SparkEntry {
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
       IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
+    // the probe side ranks candidates with the NATIVE double cosine
+    // (deterministic per row — fixed fold order): the production
+    // shape. Decimal arithmetic exists for values an oracle replays;
+    // here the ANN graph contributes only an edge SET to the recall
+    // verdict, and the emitted sim values come from the exact side.
     val ann = SimilaritySearch.mutualKnnGraphAnn(index, k = 5, nprobe = 2,
-      simFn = simFn)
+      simFn = (a, b) => floor(VF.cosine(a, b) * lit(1e6)).cast("long"))
     val hits = exact
       .join(ann.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("__h"))
@@ -2419,8 +2424,11 @@ object SparkEntry {
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
       IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
+    // probe side ranks with the native double cosine (the knnGraphAnnQ
+    // argument): the ANN graph feeds components compared as member
+    // SETS; the emitted rows come from the exact side
     val ann = SimilaritySearch.mutualKnnGraphAnn(index, k = 5, nprobe = 2,
-      simFn = simFn)
+      simFn = (a, b) => floor(VF.cosine(a, b) * lit(1e6)).cast("long"))
     val C = graft.operators.Clustering
     def memberSets(edges: DataFrame): DataFrame =
       C.connectedComponents(edges.select(col("id_a"), col("id_b")), "id_a", "id_b")

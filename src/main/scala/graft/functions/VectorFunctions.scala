@@ -19,8 +19,24 @@ object VectorFunctions {
   /** Euclidean (L2) norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity in double precision.
+    *
+    * Native fused-loop expression ([[DoubleCosine]], real codegen, one
+    * pass instead of three); [[cosineHof]] is the differential
+    * reference (DoubleCosineSpec asserts bit identity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      DoubleCosine(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
+
+  /** The original interpreted HOF form of [[cosine]] — retained ONLY
+    * as the differential-spec reference for the native expression's
+    * exact semantic mimicry.
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Dot product with each elementwise product cast to
     * `decimal(28,14)` before summing. Decimal sums are exact and
