@@ -2314,9 +2314,12 @@ object SparkEntry {
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#bitext-tgt")(
       IvfAnn.build(tgt, "id", "vec", nlist = 4, iters = 3))
+    // probe side scores with the native double cosine (the
+    // knnGraphAnnQ argument): the ANN result contributes only the
+    // recall edge set; emitted sims/margins come from the exact side
     val ann = graft.operators.BitextMine.marginMineAnn(
       src, "id", "vec", index, k = 4, minMarginMicro = 1500000L,
-      nprobe = 2, simFn = simFn)
+      nprobe = 2, simFn = (a, b) => floor(VF.cosine(a, b) * lit(1e6)).cast("long"))
     val hits = exact
       .join(ann.select(col("src_id"), col("tgt_id")),
         Seq("src_id", "tgt_id"), "left_semi")
