@@ -5091,6 +5091,42 @@ object SparkEntry {
       .orderBy(col("prio"))
   }
 
+  /** Token-balanced shard plan over the documents corpus
+    * ([[graft.operators.Packing.shardPlan]] — two-level prefix sum in
+    * md5-bucketed canonical order, no global single-task sort):
+    * per-shard doc/token totals plus the provable balance verdict —
+    * every shard except the last carries `budget ± (maxDocTokens - 1)`
+    * tokens. Bit-exact oracle-gated: md5 buckets, the running sum, the
+    * shard division, and the verdict all replay in SQL.
+    */
+  private def shardPlanQ(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4000L
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("toks"))
+    val md5Bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 16L
+    val plan = graft.operators.Packing
+      .shardPlan(docs, "doc_id", col("toks"), budgetTokens = budget,
+        orderBuckets = 16, bucketOf = Some(md5Bucket))
+    val perShard = plan.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .persist()
+    // bounded driver scalars (the sketch-gate convention): max doc
+    // length and last shard id feed the balance bound
+    val maxDoc = docs.agg(max(col("toks"))).head().getLong(0)
+    val rows = perShard.collect() // bounded: corpusTokens / budget rows
+    val last = rows.map(_.getLong(0)).max
+    val ok = rows.forall { r =>
+      r.getLong(0) == last ||
+        (r.getLong(2) >= budget - maxDoc + 1 && r.getLong(2) <= budget + maxDoc - 1)
+    }
+    perShard
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        lit(ok).as("balance_ok"))
+      .orderBy(col("shard"))
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -5133,6 +5169,7 @@ object SparkEntry {
     "q33_hash_rate_sample" -> (hashRateSample _),
     "mixture_sample" -> (mixtureSample _),
     "pack_sequences" -> (packSequences _),
+    "shard_plan" -> (shardPlanQ _),
     "q34_approx_distinct" -> (approxDistinct _),
     "q35_json_extract" -> (jsonExtract _),
     "q36_explode_top_words" -> (explodeTopWords _),
@@ -6084,6 +6121,34 @@ object SparkEntry {
         |              WHEN 'src2' THEN '4' WHEN 'src3' THEN '2' ELSE '1' END
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // token-balanced shard plan: md5 buckets, the canonical-order
+    // running sum, the shard division, per-shard totals, and the
+    // balance bound all replay as integer SQL
+    "shard_plan" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS bk
+        |  FROM toks),
+        |cum AS (
+        |  SELECT doc_id, toks,
+        |    COALESCE(sum(toks) OVER (ORDER BY bk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM b),
+        |pl AS (SELECT doc_id, toks, cb // 4000 AS shard FROM cum),
+        |ps AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(toks) AS BIGINT) AS tokens
+        |       FROM pl GROUP BY 1),
+        |md AS (SELECT max(toks) AS m FROM toks),
+        |ls AS (SELECT max(shard) AS l FROM pl)
+        |SELECT CAST(ps.shard AS BIGINT) AS shard, ps.n_docs, ps.tokens,
+        |  (SELECT bool_and(p2.shard = ls.l OR
+        |     (p2.tokens >= 4000 - md.m + 1 AND p2.tokens <= 4000 + md.m - 1))
+        |   FROM ps p2, md, ls) AS balance_ok
+        |FROM ps ORDER BY ps.shard""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 4 AS shard,

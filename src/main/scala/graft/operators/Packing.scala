@@ -102,4 +102,53 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("tokens"))
       .withColumn("fill", round(col("tokens").cast("double") / budgetTokens.toDouble, 4))
+
+  /** TOKEN-BALANCED shard plan — the complement of [[packChunks]]:
+    * where packChunks packs within FIXED shards (`pmod(id, shards)`,
+    * whose token totals track the data), this cuts the whole corpus
+    * into shards of ~`budgetTokens` each — the uniform-shard-size
+    * contract training dataloaders want, computed WITHOUT a global
+    * single-task sort.
+    *
+    * Canonical packing order is (orderBucket, id); the global running
+    * token sum decomposes into a per-bucket cumulative window (one
+    * window partition per bucket — `orderBuckets`-way parallel) plus a
+    * bucket-offset prefix sum over `orderBuckets` rows (a bounded
+    * single-partition window, the same size class as a broadcast
+    * side). `shard = tokensBefore div budgetTokens`, so every shard
+    * except the last provably carries `budgetTokens ± (maxDocTokens -
+    * 1)` tokens — the balance verdict gate queries assert.
+    *
+    * @param bucketOf deterministic order bucket in [0, orderBuckets);
+    *                 defaults to `pmod(xxhash64(id), orderBuckets)`.
+    *                 Pass an md5-derived bucket for cross-engine
+    *                 replay (the [[packChunks]] orderHash convention).
+    * @return (idCol, n_tokens, shard)
+    */
+  def shardPlan(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      budgetTokens: Long,
+      orderBuckets: Int = 256,
+      bucketOf: Option[Column] = None): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(orderBuckets > 0, "orderBuckets must be positive")
+    val b = bucketOf.getOrElse(pmod(xxhash64(col(idCol)), lit(orderBuckets.toLong)))
+    val base = df.select(col(idCol), tokenCol.cast("long").as("n_tokens"))
+      .withColumn("__b", b)
+    val inBucket = base.withColumn("__cum_in",
+      sum(col("n_tokens"))
+        .over(Window.partitionBy(col("__b")).orderBy(col(idCol))) - col("n_tokens"))
+    val offsets = base.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__bt")).over(Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b"), col("__off"))
+    inBucket.join(broadcast(offsets), Seq("__b"))
+      .withColumn("shard", expr(s"(__cum_in + __off) div ${budgetTokens}L"))
+      .select(col(idCol), col("n_tokens"), col("shard"))
+  }
 }
