@@ -151,4 +151,21 @@ object Packing {
       .withColumn("shard", expr(s"(__cum_in + __off) div ${budgetTokens}L"))
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
+
+  /** Materialize a [[shardPlan]]: join the plan back to the full rows
+    * and write one parquet file per shard directory (`repartition` on
+    * the partition column — the small-file guard every partitioned
+    * store write uses). The written layout IS the dataloader contract:
+    * `shard=N/` directories of ~budget tokens each, ready for
+    * round-robin assignment to workers.
+    */
+  def writeShards(
+      df: DataFrame,
+      plan: DataFrame,
+      idCol: String,
+      path: String): Unit = {
+    df.join(plan.select(col(idCol), col("shard")), Seq(idCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

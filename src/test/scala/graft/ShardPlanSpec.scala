@@ -66,6 +66,31 @@ class ShardPlanSpec extends SparkSpec {
     assert(planOf(df1) == planOf(df2))
   }
 
+  test("writeShards lays out one file per shard and loses no rows") {
+    val rows = fixture(1500, 9)
+    val df = rows.toDF("id", "toks").withColumn("payload", col("id") * 2)
+    val plan = Packing.shardPlan(df, "id", col("toks"), budgetTokens = 1200L)
+    val path = tmpDir("shard-layout")
+    Packing.writeShards(df, plan, "id", path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == rows.length)
+    assert(back.select(col("id")).as[Long].collect().toSet == rows.map(_._1).toSet)
+    // one data file per shard directory
+    import scala.jdk.CollectionConverters._
+    val byDir = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString)
+    assert(byDir.nonEmpty && byDir.values.forall(_.size == 1),
+      s"expected 1 file per shard dir: ${byDir.view.mapValues(_.size).toMap}")
+    // the written shard totals match the plan's
+    val wrote = back.groupBy(col("shard")).agg(sum(col("toks")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    val planned = plan.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(wrote == planned)
+  }
+
   test("custom md5 bucket column is honored (cross-engine replay form)") {
     val rows = fixture(800, 5)
     val md5Bucket =
