@@ -99,6 +99,6 @@ object AudioDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame =
-    ImageDedup.nearDupPairs(hashes, idCol, hashCol, maxHamming, maxBucketSize)
+      maxBucketPairs: Long = ImageDedup.defaultBucketPairBudget): DataFrame =
+    ImageDedup.nearDupPairs(hashes, idCol, hashCol, maxHamming, maxBucketPairs)
 }

@@ -84,6 +84,14 @@ object ImageDedup {
     * of the shared cross-modality hash space ([[VideoDedup]] banding
     * must stay bit-identical to probe the same stores).
     */
+  /** Default per-bucket candidate-pair budget for the multimodal
+    * banded-Hamming guards: the pair count a 10000-hash bucket emits
+    * (10000*9999/2) — equivalent pruning to the former docs-per-bucket
+    * guard, parameterized as the quadratic quantity a caller tunes
+    * (see [[graft.operators.TextDedup.defaultBucketPairBudget]]).
+    */
+  val defaultBucketPairBudget: Long = 49995000L
+
   private[multimodal] def bandCol(h: Column, j: Int): Column =
     shiftright(element_at(h, j / 2 + 1), (j % 2) * 16).bitwiseAND(lit(0xffffL))
 
@@ -91,7 +99,7 @@ object ImageDedup {
     * share at least one 16-bit band; survivors clear the exact
     * popcount distance. Lossless for `maxHamming` <= 3 (pigeonhole
     * over 4 bands), so the result EQUALS the all-pairs truth set as
-    * long as no bucket overflows `maxBucketSize` (a popular band value
+    * long as no bucket overflows the `maxBucketPairs` pair budget (a popular band value
     * is a duplicate GROUP — the [[graft.operators.SimilaritySearch
     * .embeddingNearDupPairs]] guard argument).
     *
@@ -102,7 +110,7 @@ object ImageDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketPairs: Long = defaultBucketPairBudget): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
     val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
@@ -113,7 +121,7 @@ object ImageDedup {
     val bounded = banded.join(
       banded.groupBy(col("bj"), col("bv"))
         .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucketSize)
+        .filter(graft.operators.TextDedup.withinPairBudget(col("__n"), maxBucketPairs))
         .drop("__n"),
       Seq("bj", "bv"))
     val a = bounded.select(col("bj"), col("bv"),
@@ -193,7 +201,7 @@ object ImageDedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketPairs: Long = defaultBucketPairBudget): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
     val inBands = banded(incoming, idCol, hashCol).persist()
@@ -204,7 +212,7 @@ object ImageDedup {
     val bounded = storeBands.join(
       storeBands.groupBy(col("bj"), col("bv"))
         .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucketSize)
+        .filter(graft.operators.TextDedup.withinPairBudget(col("__n"), maxBucketPairs))
         .drop("__n"),
       Seq("bj", "bv"))
     val out = inBands

@@ -77,7 +77,7 @@ object VideoDedup {
     * within `maxHamming` bits. Candidates come from a banded self-join
     * keyed by (frame_idx, band) — pigeonhole-lossless per frame at
     * `maxHamming` <= 3, so a qualifying pair can only be missed if a
-    * (frame, band) bucket overflows `maxBucketSize` (a popular bucket
+    * (frame, band) bucket overflows the `maxBucketPairs` pair budget (a popular bucket
     * is a duplicate GROUP, the upstream guard argument).
     *
     * Videos with different sampled-frame counts compare over the
@@ -92,7 +92,7 @@ object VideoDedup {
       maxHamming: Int = 3,
       minMatchedNum: Int = 1,
       minMatchedDen: Int = 1,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketPairs: Long = ImageDedup.defaultBucketPairBudget): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
     require(minMatchedNum > 0 && minMatchedDen > 0 && minMatchedNum <= minMatchedDen,
@@ -108,7 +108,7 @@ object VideoDedup {
     val bounded = banded.join(
       banded.groupBy(col("f"), col("bj"), col("bv"))
         .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucketSize)
+        .filter(graft.operators.TextDedup.withinPairBudget(col("__n"), maxBucketPairs))
         .drop("__n"),
       Seq("f", "bj", "bv"))
     val a = bounded.select(col("f"), col("bj"), col("bv"),
@@ -212,13 +212,13 @@ object VideoDedup {
       maxHamming: Int = 3,
       minMatchedNum: Int = 1,
       minMatchedDen: Int = 1,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketPairs: Long = ImageDedup.defaultBucketPairBudget): DataFrame = {
     require(minMatchedNum > 0 && minMatchedDen > 0 && minMatchedNum <= minMatchedDen,
       "minMatched fraction must be in (0, 1]")
     val inCounts = incoming.groupBy(col("media_id")).agg(count(lit(1)).as("__na"))
     val matches = ImageDedup
       .probeStore(packed(incoming), store.hashes, "fid", "hash",
-        maxHamming, maxBucketSize)
+        maxHamming, maxBucketPairs)
       .select(
         shiftright(col("id"), FrameBits).as("media_id"),
         col("id").bitwiseAND(lit((1L << FrameBits) - 1)).as("__f"),

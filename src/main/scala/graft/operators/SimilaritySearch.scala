@@ -498,13 +498,13 @@ object SimilaritySearch {
     * `minCosine`. Returns (id_a, id_b, cos), id_a < id_b.
     *
     * Scale guards (same pattern as [[graft.operators.TextDedup
-    * .minhashCandidatePairs]]): signature buckets larger than
-    * `maxBucketSize` are dropped — a popular signature (a near-dup
-    * cluster, zero vectors, low-entropy embeddings) is m^2/2 pairs and
-    * is a duplicate *group*, not a pair problem — and the bucket
-    * self-join carries ids only; the full vectors join back exactly
-    * once per surviving distinct pair instead of riding both sides of
-    * the bucket shuffle.
+    * .minhashCandidatePairs]]): signature buckets over the
+    * `maxBucketPairs` pair budget are dropped — a popular signature (a
+    * near-dup cluster, zero vectors, low-entropy embeddings) is
+    * m(m−1)/2 pairs and is a duplicate *group*, not a pair problem —
+    * and the bucket self-join carries ids only; the full vectors join
+    * back exactly once per surviving distinct pair instead of riding
+    * both sides of the bucket shuffle.
     *
     * Eagerly materialized; the returned DataFrame is persisted and the
     * intermediate cache released.
@@ -516,7 +516,7 @@ object SimilaritySearch {
       bits: Int = 16,
       minCosine: Double = 0.95,
       seed: Int = 41,
-      maxBucketSize: Int = 2000,
+      maxBucketPairs: Long = TextDedup.defaultBucketPairBudget,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
     // persist: signatures would otherwise be recomputed on both join sides
     val sigs = TextDedup.spreadToCores(embeddings)
@@ -528,7 +528,7 @@ object SimilaritySearch {
     val idsig = sigs.select(col("sig"), col("id"))
     val bucketSizes = idsig.groupBy(col("sig"))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucketSize)
+      .filter(TextDedup.withinPairBudget(col("__bucket_n"), maxBucketPairs))
       .drop("__bucket_n")
     val bounded = idsig.join(bucketSizes, Seq("sig"))
     val a = bounded.select(col("sig"), col("id").as("id_a"))

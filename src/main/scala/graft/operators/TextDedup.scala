@@ -182,6 +182,19 @@ object TextDedup {
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / size(sigA)
 
+  /** Default per-bucket candidate-pair budget for the banded LSH
+    * guards: the pair count a 2000-doc bucket emits (2000·1999/2), so
+    * the default prunes exactly the buckets the former docs-per-bucket
+    * guard pruned — but the PARAMETER is now the quadratic quantity a
+    * caller tunes for scale: halving the admissible work means halving
+    * the budget, not reasoning about sqrt.
+    */
+  val defaultBucketPairBudget: Long = 1999000L
+
+  /** n·(n−1)/2 <= maxBucketPairs, in overflow-safe integer form. */
+  private[graft] def withinPairBudget(n: Column, maxBucketPairs: Long): Column =
+    n * (n - lit(1L)) <= lit(2L * maxBucketPairs)
+
   /** MinHash + LSH candidate duplicate pairs.
     *
     * Pipeline: per-row signatures -> band hashes (`bands` bands of
@@ -202,12 +215,12 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000,
+      maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
     val (pairs, shingled) =
       minhashCandidatePairsAndShingles(df, idCol, textCol, numHashes, bands, threshold,
-        maxBucketSize, shingler, scheme)
+        maxBucketPairs, shingler, scheme)
     shingled.unpersist()
     pairs
   }
@@ -228,7 +241,7 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000,
+      maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -238,13 +251,16 @@ object TextDedup {
     // shared band); instead dedupe candidate id-pairs first, then join
     // the (persisted) signatures back exactly once per pair.
     val banded = bandTable(sigs, numHashes, bands, scheme)
-    // Mega-bucket guard: a band value shared by a near-identical cluster
-    // of m docs yields m^2/2 candidate pairs. Buckets over maxBucketSize
-    // are dropped — such clusters are duplicate *groups*, found far
-    // cheaper by exactClusters/fingerprint grouping than pairwise LSH.
+    // Mega-bucket guard, parameterized as the PAIR budget a bucket may
+    // emit: a band value shared by a near-identical cluster of m docs
+    // yields m(m-1)/2 candidate pairs, so capping docs hides a
+    // quadratic cost — the budget is the quantity a 100 TB operator
+    // must bound. Over-budget buckets are dropped — such clusters are
+    // duplicate *groups*, found far cheaper by exactClusters/
+    // fingerprint grouping than pairwise LSH.
     val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucketSize)
+      .filter(withinPairBudget(col("__bucket_n"), maxBucketPairs))
       .drop("__bucket_n")
     val bounded = banded.join(bucketSizes, Seq("band", "band_hash"))
     val a = bounded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -445,8 +461,9 @@ object TextDedup {
     *
     * The mega-bucket guard applies to STORE bucket sizes (the corpus
     * side is where degenerate near-identical clusters live; the
-    * increment is small by construction): store buckets over
-    * `maxBucketSize` are dropped, same rationale as the pairwise form.
+    * increment is small by construction): store buckets over the
+    * `maxBucketPairs` pair budget are dropped, same rationale as the
+    * pairwise form.
     */
   def minhashAgainstStore(
       incoming: DataFrame,
@@ -456,7 +473,7 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000,
+      maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -466,7 +483,7 @@ object TextDedup {
     val boundedStore = storeBands
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucketSize)
+      .filter(withinPairBudget(col("__bucket_n"), maxBucketPairs))
       .drop("__bucket_n")
       .join(storeBands, Seq("band", "band_hash"))
       .select(col("band"), col("band_hash"), col("id").as("store_id"))
@@ -998,11 +1015,12 @@ object TextDedup {
     * `maxHamming` of 64 bits must agree on at least one band), then
     * verify the exact Hamming distance within buckets.
     *
-    * Buckets larger than `maxBucketSize` are dropped (same mega-bucket
-    * guard as the MinHash path: a low-entropy band value shared by m
-    * short/similar docs is m^2/2 pairs — a duplicate *group*, found far
-    * cheaper by [[exactClusters]]), and the bucket self-join carries ids
-    * only; signatures join back once per surviving distinct pair.
+    * Buckets over the `maxBucketPairs` pair budget are dropped (same
+    * mega-bucket guard as the MinHash path: a low-entropy band value
+    * shared by m short/similar docs is m(m−1)/2 pairs — a duplicate
+    * *group*, found far cheaper by [[exactClusters]]), and the bucket
+    * self-join carries ids only; signatures join back once per
+    * surviving distinct pair.
     *
     * Eagerly materialized; the returned DataFrame is persisted and the
     * intermediate caches released (see [[materialized]]).
@@ -1012,7 +1030,7 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 2000,
+      maxBucketPairs: Long = defaultBucketPairBudget,
       scheme: SimhashScheme = XxHash64Simhash): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
     val bits = scheme.bits
@@ -1038,7 +1056,7 @@ object TextDedup {
       }: _*)).as(Seq("band", "bval")))
     val bucketSizes = banded.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucketSize)
+      .filter(withinPairBudget(col("__bucket_n"), maxBucketPairs))
       .drop("__bucket_n")
     val bounded = banded.join(bucketSizes, Seq("band", "bval"))
     val a = bounded.select(col("band"), col("bval"), col("id").as("id_a"))

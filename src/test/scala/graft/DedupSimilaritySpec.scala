@@ -57,11 +57,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stats(5L)._2 == 0L)
   }
 
-  test("minhash LSH mega-bucket cap drops oversized buckets") {
-    // cap 1 -> every bucket with >=2 members (i.e. every candidate
-    // bucket) is dropped -> no pairs at all
+  test("minhash LSH mega-bucket pair budget drops oversized buckets") {
+    // budget 0 -> every bucket with >=2 members (i.e. every candidate
+    // bucket) emits >0 pairs and is dropped -> no pairs at all
     val capped = TextDedup
-      .minhashCandidatePairs(corpus, "doc_id", "text", threshold = 0.5, maxBucketSize = 1)
+      .minhashCandidatePairs(corpus, "doc_id", "text", threshold = 0.5, maxBucketPairs = 0L)
       .count()
     assert(capped == 0)
   }
@@ -92,7 +92,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhash mega-bucket cap drops oversized buckets") {
     val capped = TextDedup
-      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 16, maxBucketSize = 1)
+      .simhashCandidatePairs(corpus, "doc_id", "text", maxHamming = 16, maxBucketPairs = 0L)
       .count()
     assert(capped == 0)
   }
@@ -226,7 +226,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("embeddingNearDupPairs mega-bucket cap drops oversized buckets") {
     val capped = SimilaritySearch
       .embeddingNearDupPairs(vectors, "vec_id", "embedding", bits = 16, minCosine = 0.98,
-        maxBucketSize = 1)
+        maxBucketPairs = 0L)
       .count()
     assert(capped == 0)
   }

@@ -117,10 +117,10 @@ class ImageDedupSpec extends SparkSpec {
     assert(again.contains((101L, 0L)), s"appended hash not matched: $again")
   }
 
-  test("mega-buckets are dropped by the bucket cap") {
-    // 50 identical hashes: every band bucket holds 50 > cap -> no pairs
+  test("mega-buckets are dropped by the pair budget") {
+    // 50 identical hashes: every band bucket emits 1225 pairs > budget
     val hashes = (1L to 50L).map(i => (i, Seq(7L, 9L))).toDF("media_id", "hash")
     assert(ImageDedup.nearDupPairs(hashes, "media_id", "hash",
-      maxHamming = 3, maxBucketSize = 10).count() == 0)
+      maxHamming = 3, maxBucketPairs = 45L).count() == 0)
   }
 }
