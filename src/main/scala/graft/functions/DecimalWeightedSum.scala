@@ -20,10 +20,17 @@ import org.apache.spark.sql.types._
   * product is rounded to DECIMAL scale 14 the way Spark's
   * double->decimal cast rounds (shortest-string decimal of the
   * double, HALF_UP — the [[DecimalCosine]] rule); the sum is EXACT
-  * (scale-14 unscaled longs, overflow-checked with a BigDecimal
-  * fallback); the return value is the sum's double, i.e. the chain's
-  * final `.cast("double")`. RandomProjectionSpec asserts bit identity
-  * against the chained form.
+  * (scale-14 unscaled longs while the sum's magnitude stays under
+  * 2^63/10^14 ≈ 9.2e4, then an equally EXACT arbitrary-precision
+  * BigDecimal fallback); the return value is the sum's double, i.e.
+  * the chain's final `.cast("double")`. Bit identity with the chained
+  * form therefore holds on BOTH paths — RandomProjectionSpec asserts
+  * it in-range and across the fallback boundary — up to the chain's
+  * own DECIMAL(38,14) capacity (|sum| < 10^24), beyond which the ANSI
+  * chain raises NUMERIC_VALUE_OUT_OF_RANGE while this form still
+  * returns the exact sum's double: past 10^24 this expression is
+  * strictly MORE defined than its reference, never differently
+  * valued.
   *
   * Null semantics (chain-identical): null array -> null; a null
   * element among the first `weights.length` -> null (element_at's

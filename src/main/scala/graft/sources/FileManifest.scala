@@ -388,8 +388,19 @@ object FileManifest {
     }
   }
 
+  /** One hadoop-conf broadcast per SparkSession, cached: the callers
+    * (listParquetFiles/buildForFiles) run once per micro-batch on a
+    * manifest-appending stream, and a fresh never-destroyed Broadcast
+    * per batch accumulates driver/executor blocks for the stream's
+    * lifetime with only GC + ContextCleaner to reclaim them. The conf
+    * is read-only session state, so one broadcast serves every call.
+    */
+  private val hadoopConfBroadcasts =
+    new graft.util.SessionScopedCache[org.apache.spark.broadcast.Broadcast[HadoopConfCarrier]]
+
   private def broadcastHadoopConf(spark: SparkSession)
       : org.apache.spark.broadcast.Broadcast[HadoopConfCarrier] =
-    spark.sparkContext.broadcast(
-      new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration))
+    hadoopConfBroadcasts.getOrElseUpdate(spark, "hadoopConf")(
+      spark.sparkContext.broadcast(
+        new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration)))
 }

@@ -41,9 +41,35 @@ private[graft] object StagedSwap {
   /** A stage dir is promotable only when its write COMPLETED — gated
     * on Spark's `_SUCCESS` job-commit marker. A crash mid-write leaves
     * a partial stage that must never become live.
+    *
+    * The marker is accepted ANYWHERE under the stage, not only at its
+    * root: a rotateIn write body that produces several datasets in
+    * subdirectories commits each with its own `_SUCCESS` and leaves
+    * none at the root. (A multi-dataset body is only as atomic as its
+    * last write — a marker proves at least one complete commit, which
+    * is the same guarantee the root marker gave a single-dataset
+    * body.) And when the deployment disables markers outright
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) no
+    * `_SUCCESS` is ever expected, so its absence proves nothing — a
+    * non-empty stage is then treated as complete rather than silently
+    * destroying the only surviving copy of a first write.
     */
-  private def stageComplete(fs: FileSystem, stage: Path): Boolean =
-    fs.exists(new Path(stage, "_SUCCESS"))
+  private def stageComplete(
+      fs: FileSystem,
+      stage: Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    if (fs.exists(new Path(stage, "_SUCCESS"))) return true
+    // the session conf, not fs.getConf: Hadoop caches FileSystem
+    // instances, whose conf is frozen at first creation
+    val markersExpected = conf.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    if (!markersExpected) return fs.listStatus(stage).nonEmpty
+    // recursive scan, stopping at the first marker — recovery-path
+    // only, never on the hot write path
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) if (it.next().getPath.getName == "_SUCCESS") return true
+    false
+  }
 
   /** Swap `livePath` for whatever `write` produces at the stage path. */
   def rotateIn(spark: SparkSession, livePath: String)(write: String => Unit): Unit = {
@@ -73,7 +99,8 @@ private[graft] object StagedSwap {
     val old = new Path(s"${livePath}__old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live) && fs.exists(old)) renameOrThrow(fs, old, live)
-    else if (!fs.exists(live) && fs.exists(stage) && stageComplete(fs, stage))
+    else if (!fs.exists(live) && fs.exists(stage) &&
+        stageComplete(fs, stage, spark.sparkContext.hadoopConfiguration))
       renameOrThrow(fs, stage, live)
     deleteOrThrow(fs, stage); deleteOrThrow(fs, old)
   }

@@ -21,7 +21,8 @@ private[graft] class SessionScopedCache[T] {
 
   def getOrElseUpdate(s: SparkSession, key: String)(make: => T): T = {
     hook(s)
-    cache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$key", make)
+    cache.getOrElseUpdate(s"${s.sparkContext.applicationId}:$key",
+      { SessionScopedCache.misses.incrementAndGet(); make })
   }
 
   /** Imperative variants for caches maintained at write time rather
@@ -59,4 +60,16 @@ private[graft] class SessionScopedCache[T] {
   }
 
   private[graft] def entryCount: Int = cache.size
+}
+
+private[graft] object SessionScopedCache {
+  /** Global build (cache-miss) counter across every stage cache in the
+    * process: the bench snapshots it around each rep so a query whose
+    * warm reps answer from session-staged state is LABELED as such in
+    * the emitted JSON — warm `queries_min` timings for those queries
+    * measure the serve path, not the staged build, and cross-round
+    * comparisons must pair them with the `queries_cold` column.
+    */
+  private[graft] val misses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def totalMisses: Long = misses.get()
 }

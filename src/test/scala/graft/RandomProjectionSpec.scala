@@ -77,6 +77,30 @@ class RandomProjectionSpec extends SparkSpec {
     }
   }
 
+  test("overflow fallback (|sum| past the scale-14 long range) still matches the chain") {
+    // elements ~1e4 push Σ round14(x*w) past 2^63/10^14 ≈ 9.2e4, so
+    // the fused expression's Math.addExact fast path throws and the
+    // BigDecimal fallback computes the sum — which must stay
+    // bit-identical to the chained decimal form (exact on both paths)
+    val df = spark.range(20).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map(j =>
+        (((col("id") * 11 + j * 5) % 17 + lit(9000.0)) / 0.7).cast("float")): _*)
+        .as("embedding"))
+    val a = RandomProjection.project(df, "vec_id", "embedding", 64, 8)
+      .orderBy(col("vec_id")).collect()
+    val b = RandomProjection.projectChained(df, "vec_id", "embedding", 64, 8)
+      .orderBy(col("vec_id")).collect()
+    // the fixture must actually cross the fallback boundary
+    assert(a.exists(r => (1 to 8).exists(c => math.abs(r.getDouble(c)) > 9.3e4)),
+      "fixture failed to exceed the long fast-path range")
+    a.zip(b).foreach { case (ra, rb) =>
+      (0 to 8).foreach { c =>
+        assert(ra.get(c) == rb.get(c), s"col $c: ${ra.get(c)} != ${rb.get(c)}")
+      }
+    }
+  }
+
   test("native projection nulls match the chain: null element, null array") {
     val df = Seq(
       (2L, Some(Seq[Option[Float]](Some(1f), None, Some(3f)))),

@@ -84,6 +84,30 @@ class StagedSwapSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"${live}__stage")))
   }
 
+  test("multi-dataset stage (markers only in subdirectories): recover promotes it") {
+    val live = tmpDir("swap") + "/t"
+    // a rotateIn write body producing several datasets commits each in
+    // its own subdirectory — no root _SUCCESS exists
+    writeTable(s"${live}__stage/part_a", "v1")
+    writeTable(s"${live}__stage/part_b", "v1")
+    assert(!Files.exists(Paths.get(s"${live}__stage/_SUCCESS")))
+    StagedSwap.recover(spark, live)
+    assert(readTag(s"$live/part_a") == "v1" && readTag(s"$live/part_b") == "v1",
+      "a stage with committed subdirectory datasets must be promoted, not deleted")
+  }
+
+  test("markers disabled (marksuccessfuljobs=false): a non-empty stage is promoted") {
+    val live = tmpDir("swap") + "/t"
+    writeTable(s"${live}__stage", "v1")
+    Files.delete(Paths.get(s"${live}__stage/_SUCCESS")) // as if never written
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try StagedSwap.recover(spark, live)
+    finally conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    assert(readTag(live) == "v1",
+      "with markers disabled their absence proves nothing — the only copy must survive")
+  }
+
   test("recover is idempotent and a no-op on a healthy table") {
     val live = tmpDir("swap") + "/t"
     writeTable(live, "v1")
