@@ -2474,6 +2474,29 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Corpus-scale SHARDED greedy MMR ([[graft.operators
+    * .SimilaritySearch.mmrSelectSharded]]): candidates vec_id >= 1
+    * split over 4 deterministic shards on the portable md5 grid, each
+    * shard independently running the µ-grid greedy (kPerShard = 2,
+    * λ = 1/2) against vec 0's embedding. BIT-EXACT: the oracle replays
+    * the shard assignment and both greedy rounds as per-shard window
+    * argmaxes — the selection-batch loop is the constant 2 while the
+    * selected total scales with shard count, the 100 TB contract shape.
+    */
+  private def mmrShardedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val shard = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 4L
+    SimilaritySearch
+      .mmrSelectSharded(emb.filter(col("vec_id") >= 1), "vec_id", "embedding", q,
+        kPerShard = 2, numShards = 4, shardBy = Some(shard))
+      .select(col("shard"), col("rank"), col("id").as("vec_id"),
+        col("rel_micro"), col("score_micro"))
+      .orderBy(col("shard"), col("rank"))
+  }
+
   /** Serving-time MMR diversity gate ([[graft.streaming.StreamMmr
     * .diversityGate]] — the streaming twin of [[graft.operators
     * .SimilaritySearch.mmrSelect]]'s scoring arithmetic): candidates
@@ -5317,6 +5340,7 @@ object SparkEntry {
     "knn_graph_ann" -> (knnGraphAnnQ _),
     "semantic_clusters_ann" -> (semanticClustersAnn _),
     "mmr_select" -> (mmrSelectQ _),
+    "mmr_sharded" -> (mmrShardedQ _),
     "mmr_diversity_gate" -> (mmrGateQ _),
     "event_outliers_mad" -> (eventOutliersMad _),
     "phrase_search" -> (phraseSearchQ _),
@@ -9631,6 +9655,61 @@ object SparkEntry {
         |UNION ALL SELECT 4, vec_id, rel, score FROM s4
         |UNION ALL SELECT 5, vec_id, rel, score FROM s5
         |ORDER BY rank""".stripMargin,
+    // sharded greedy MMR: 2 rounds, each a per-shard window argmax
+    "mmr_sharded" ->
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS MATERIALIZED (SELECT v AS qv FROM v0 WHERE vec_id = 0),
+        |cand AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 AS shard
+        |  FROM v0 WHERE vec_id >= 1),
+        |nrm AS MATERIALIZED (
+        |  SELECT vec_id, sum(CAST(x*x AS DECIMAL(28,14))) AS n2
+        |  FROM (SELECT vec_id, unnest(v) AS x FROM v0) GROUP BY vec_id),
+        |rel AS MATERIALIZED (
+        |  SELECT c.vec_id, c.shard, c.v,
+        |    CAST(floor(CAST(d.d AS DOUBLE) /
+        |      (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS rel
+        |  FROM cand c
+        |  JOIN (SELECT vec_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT c.vec_id, unnest(c.v) AS x, unnest(q.qv) AS y
+        |              FROM cand c, q)
+        |        GROUP BY vec_id) d ON c.vec_id = d.vec_id
+        |  JOIN nrm n ON c.vec_id = n.vec_id
+        |  CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) qn),
+        |s1 AS MATERIALIZED (
+        |  SELECT shard, vec_id, v, rel, 1 * rel AS score FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY shard ORDER BY 1 * rel DESC, vec_id ASC) AS rn
+        |    FROM rel)
+        |  WHERE rn = 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT w.vec_id,
+        |    CAST(floor(CAST(w.d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(ns.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS ms
+        |  FROM (SELECT vec_id, pick_id, sum(CAST(x*y AS DECIMAL(28,14))) AS d
+        |        FROM (SELECT r.vec_id AS vec_id, s.vec_id AS pick_id,
+        |                     unnest(r.v) AS x, unnest(s.v) AS y
+        |              FROM rel r JOIN s1 s
+        |                ON r.shard = s.shard AND r.vec_id <> s.vec_id)
+        |        GROUP BY vec_id, pick_id) w
+        |  JOIN nrm na ON w.vec_id = na.vec_id
+        |  JOIN nrm ns ON w.pick_id = ns.vec_id),
+        |s2 AS MATERIALIZED (
+        |  SELECT shard, vec_id, rel, score FROM (
+        |    SELECT r.shard, r.vec_id, r.rel, 1 * r.rel - 1 * m.ms AS score,
+        |      row_number() OVER (PARTITION BY r.shard
+        |        ORDER BY 1 * r.rel - 1 * m.ms DESC, r.vec_id ASC) AS rn
+        |    FROM rel r JOIN m1 m ON r.vec_id = m.vec_id
+        |    WHERE r.vec_id NOT IN (SELECT vec_id FROM s1))
+        |  WHERE rn = 1)
+        |SELECT shard, 1 AS rank, vec_id, rel AS rel_micro, score AS score_micro
+        |FROM s1
+        |UNION ALL SELECT shard, 2, vec_id, rel, score FROM s2
+        |ORDER BY shard, rank""".stripMargin,
     // MAD outliers: discrete rank median + MAD, integer threshold
     "event_outliers_mad" ->
       """WITH ev AS (

@@ -243,8 +243,9 @@ object SimilaritySearch {
     * k · |candidates| cosines, not the k²/2 of recomputing the max
     * against every selected vector every round); each round's collect
     * is exactly ONE row. `k` is a selection-batch size by
-    * construction, not corpus-scaled; for corpus-scale selection run
-    * MMR per-partition on bucketed shards.
+    * construction, not corpus-scaled; for corpus-scale selection use
+    * [[mmrSelectSharded]], which runs this greedy independently per
+    * deterministic shard with zero driver loops over the total.
     *
     * @return (rank, id, rel_micro, score_micro) — rank 1..k in
     *         selection order
@@ -264,12 +265,16 @@ object SimilaritySearch {
     val simMicro: (Column, Column) => Column = (a, b) =>
       floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val penalty = lambdaDen - lambdaNum
-    // __ms starts at 0: the first argmax is pure relevance by
-    // construction (no penalty term exists yet)
+    // __ms seeds BELOW the µ-grid floor (cosines live in
+    // [-1000000, 1000000]) so the first fold leaves the RAW maximum —
+    // the paper's max over the selected set, which is negative for a
+    // candidate anti-similar to everything picked (a diversity BONUS a
+    // zero seed would clamp away); round 1 never reads it (pure
+    // relevance by construction, no penalty term exists yet)
     var cur = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
         simMicro(col(vecCol), typedLit(query)).as("rel_micro"),
-        lit(0L).as("__ms"))
+        lit(-1000001L).as("__ms"))
       .persist()
     var selected = Vector.empty[(Long, Seq[Float], Long, Long)]
     // each round's frame stays cached until the end: the chain is k
@@ -304,6 +309,93 @@ object SimilaritySearch {
     selected.zipWithIndex
       .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
       .toDF("rank", "id", "rel_micro", "score_micro")
+  }
+
+  /** Corpus-scale sharded greedy MMR — the bucketed form [[mmrSelect]]'s
+    * contract points large selections at: candidates are assigned to
+    * `numShards` deterministic shards and the SAME µ-grid greedy
+    * (score = num·rel − (den−num)·maxSimToSelected, ties by id) runs
+    * independently within every shard, so selecting n-of-N means
+    * n = numShards · kPerShard with per-shard batches bounded.
+    *
+    * Scale shape — the loop is over `kPerShard` (a per-shard batch
+    * size, a CONSTANT), never over the corpus-scaled total selection:
+    * every round picks ALL shards' next exemplars at once with one
+    * row_number window per round over the shard partitioning (paid as
+    * ONE up-front repartition the persisted rounds then reuse), and
+    * folds exactly one new cosine per surviving candidate — the own
+    * shard's newest pick — into the running max via a join on shard
+    * (the pick table is one row per shard; AQE broadcasts it while it
+    * fits and shuffles only that side when it does not). There are
+    * ZERO collects and zero driver loops whose trip count grows with
+    * the corpus or with `numShards` — MmrShardedSpec asserts the job
+    * count is flat as shards scale.
+    *
+    * Shard assignment defaults to `xxhash64(id) mod numShards`;
+    * `shardBy` overrides it (the oracle-gated row passes the portable
+    * md5 grid so DuckDB replays the assignment).
+    *
+    * @return (shard, rank, id, rel_micro, score_micro) — rank
+    *         1..kPerShard in selection order within each shard; shards
+    *         with fewer candidates than `kPerShard` yield fewer rows
+    */
+  def mmrSelectSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      kPerShard: Int,
+      numShards: Int,
+      lambdaNum: Long = 1L,
+      lambdaDen: Long = 2L,
+      shardBy: Option[Column] = None): DataFrame = {
+    require(kPerShard > 0 && numShards > 0, "kPerShard and numShards must be positive")
+    require(lambdaNum > 0 && lambdaDen >= lambdaNum,
+      "lambda must be a rational in (0, 1]")
+    val simMicro: (Column, Column) => Column = (a, b) =>
+      floor(VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long")
+    val penalty = lambdaDen - lambdaNum
+    val shard = shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
+    // __ms seeded below the µ-grid floor — the raw-max seed, see
+    // [[mmrSelect]]
+    var cur = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+        shard.cast("long").as("shard"),
+        simMicro(col(vecCol), typedLit(query)).as("rel_micro"),
+        lit(-1000001L).as("__ms"))
+      .repartition(col("shard"))
+      .persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__score").desc, col("id").asc)
+    var picks = Vector.empty[DataFrame]
+    var cached = Vector(cur)
+    for (r <- 1 to kPerShard) {
+      val scoreCol =
+        if (r == 1) col("rel_micro") * lit(lambdaNum)
+        else col("rel_micro") * lit(lambdaNum) - col("__ms") * lit(penalty)
+      val picked = cur
+        .withColumn("__score", scoreCol)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("shard"), lit(r).as("rank"), col("id"), col("__v"),
+          col("rel_micro"), col("__score").as("score_micro"))
+        .persist()
+      picks :+= picked
+      if (r < kPerShard) {
+        cur = cur
+          .join(picked.select(col("shard"), col("id").as("__pid"), col("__v").as("__pv")),
+            Seq("shard"))
+          .filter(col("id") =!= col("__pid"))
+          .withColumn("__ms", greatest(col("__ms"), simMicro(col("__v"), col("__pv"))))
+          .select(col("id"), col("__v"), col("shard"), col("rel_micro"), col("__ms"))
+          .persist()
+        cached :+= cur
+      }
+    }
+    val out = picks.map(_.drop("__v")).reduce(_ unionByName _)
+    val result = TextDedup.materialized(out, Nil)
+    (cached ++ picks).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** k-NN label classification: predict each query vector's label by
