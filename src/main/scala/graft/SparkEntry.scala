@@ -94,6 +94,14 @@ private[graft] object SourceLayoutStageCache
 private[graft] object ManifestIncrStageCache
     extends graft.util.SessionScopedCache[(String, String)]
 
+/** Session-scoped cache of the schema-evolution CDC table path: the
+  * `cdc_schema_evolution` gate runs the three-generation MergeEngine
+  * lifecycle (snapshot → ADD COLUMN → DROP COLUMN) once per
+  * (application, dir); the query itself reads the evolved table back.
+  */
+private[graft] object CdcEvolutionStageCache
+    extends graft.util.SessionScopedCache[String]
+
 /** Session-scoped cache of the persisted video frame-hash store path:
   * the `video_dedup_incremental` gate hashes + saves the base corpus
   * once per (application, dir); every later probe reads only the
@@ -366,6 +374,45 @@ object SparkEntry {
         col("event_id").as("version"),
         col("event_type"),
         round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** End-to-end CDC schema evolution through the REAL MergeEngine
+    * table lifecycle — the batch oracle gate for D2, mirroring the
+    * reference's add-column/drop-column streaming tests
+    * (stream_test.py:326-460): generation 1 merges a snapshot WITHOUT
+    * `phone_number`, generation 2 merges rows WITH it (ADD COLUMN —
+    * untouched rows read back NULL), generation 3 merges rows without
+    * it again (DROP COLUMN — the column survives in the table schema,
+    * NULL for the new winners, the reference's exact assertion). Each
+    * generation is a real staged write + schema auto-merge; the
+    * guarded upsert decides every key's winner (max event_id across
+    * the three disjoint slices), so the final table replays in DuckDB
+    * as one per-key argmax with the phone column attached to the
+    * middle generation only.
+    */
+  private def cdcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = CdcEvolutionStageCache.getOrElseUpdate(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft-cdcevo").toString
+      val cfg = graft.config.TableConfig("graft_test", "users_evo", s"$root/users_evo")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      def gen(m: Int): DataFrame =
+        CdcDedup.latestPerKey(ev.filter(col("event_id") % 3 === m), Seq("user_id"), "event_id")
+      MergeEngine.upsert(s, cfg, gen(0), Seq("user_id"), "event_id")
+      MergeEngine.upsert(s, cfg,
+        gen(1).withColumn("phone_number", concat(lit("p-"), col("user_id"))),
+        Seq("user_id"), "event_id")
+      MergeEngine.upsert(s, cfg, gen(2), Seq("user_id"), "event_id")
+      cfg.path
+    }
+    val t = MergeEngine.readTable(s, path).get
+    // the reference's structural assertion: the dropped column is
+    // still part of the evolved schema
+    val schemaOk = t.columns.contains("phone_number")
+    t.select(col("user_id"), col("event_id").as("version"), col("event_type"),
+        round(col("value"), 2).as("value"), col("phone_number"))
+      .withColumn("schema_keeps_dropped_col", lit(schemaOk))
       .orderBy(col("user_id"))
   }
 
@@ -5161,6 +5208,7 @@ object SparkEntry {
     "q05_window_dedup" -> (windowDedup _),
     "q06_distinct_event_types" -> (distinctEventTypes _),
     "q07_cdc_merge" -> (cdcMerge _),
+    "cdc_schema_evolution" -> (cdcSchemaEvolution _),
     "q08_year_month_partitions" -> (yearMonthPartitions _),
     "q09_zoned_timestamp_cast" -> (zonedTimestampCast _),
     "q10_topk_orders" -> (topkOrders _),
@@ -5925,6 +5973,22 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "q06_distinct_event_types" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    // CDC schema evolution: per-key argmax over the three generation
+    // slices, phone attached to the middle (ADD COLUMN) one only
+    "cdc_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CASE WHEN event_id % 3 = 1
+        |              THEN 'p-' || CAST(user_id AS VARCHAR) END AS phone_number
+        |  FROM events),
+        |w AS (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM u)
+        |SELECT user_id, event_id AS version, event_type,
+        |       round(value, 2) AS value, phone_number,
+        |       TRUE AS schema_keeps_dropped_col
+        |FROM w WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "q07_cdc_merge" ->
       """WITH target AS (
         |  SELECT user_id, event_id, event_type, value FROM (
