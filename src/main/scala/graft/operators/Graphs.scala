@@ -225,6 +225,15 @@ object Graphs {
     * @return (id, coreness), one row per node with at least one edge;
     *         coreness >= 1
     */
+  /** Diagnostic telemetry of the LAST distributed [[coreness]] run in
+    * this JVM (peel phases completed / degree-agg rounds executed; -1
+    * until a distributed run happens). Drill/bench instrumentation
+    * only — racy under concurrent coreness calls, never read by the
+    * operator itself.
+    */
+  private[graft] val lastPeelPhases = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private[graft] val lastPeelRounds = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def coreness(
       pairs: DataFrame,
       aCol: String,
@@ -292,6 +301,8 @@ object Graphs {
       // would overstate the survivors' coreness.
       if (stable) k = math.max(k + 1, minDeg + 1)
     }
+    lastPeelPhases.set(phases.size.toLong)
+    lastPeelRounds.set(rounds.toLong)
     // maxRounds exhaustion on a pathological chain leaves `live`
     // un-assigned; give those nodes their last PROVEN level (k-1: they
     // are in the (k-1)-core, the k-peel never finished) so the output
