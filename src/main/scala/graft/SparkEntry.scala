@@ -1780,7 +1780,8 @@ object SparkEntry {
     SimilaritySearch
       .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", "label", k = 5,
-        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        prefilterPool = 64)
       .join(emb.select(col("vec_id").as("query_id"), col("label").as("__truth")),
         "query_id")
       .agg(count(lit(1)).as("n_queries"),
@@ -1834,7 +1835,8 @@ object SparkEntry {
     SimilaritySearch
       .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", "label", k = 5,
-        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"))
+        simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        prefilterPool = 64)
       .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"),
         col("n_votes"))
       .orderBy(col("query_id"))
@@ -3848,7 +3850,9 @@ object SparkEntry {
       graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
     graft.operators.SemanticDedup
       .removalList(corpus, "vec_id", "embedding", cents, minCosine = 0.98,
-        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3),
+        // round-3 exact gate passes cosineDecimal >= 0.9795; 1e-4 slack
+        prefilterMin = Some(0.9794))
       .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
         col("dup_of"), col("n_dups"), col("cos_max"))
       .orderBy(col("vec_id"))
@@ -3901,7 +3905,9 @@ object SparkEntry {
     }
     graft.operators.SemanticDedup
       .removalList(corpus, "vec_id", "embedding", cents, minCosine = 0.98,
-        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3),
+        // round-3 exact gate passes cosineDecimal >= 0.9795; 1e-4 slack
+        prefilterMin = Some(0.9794))
       .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
         col("dup_of"), col("n_dups"), col("cos_max"))
       .orderBy(col("vec_id"))

@@ -128,13 +128,16 @@ object ImageDedup {
       col("id").as("id_a"), col("h").as("__ha"))
     val b = bounded.select(col("bj"), col("bv"),
       col("id").as("id_b"), col("h").as("__hb"))
+    // exact distance verified INSIDE the bucket join, before distinct:
+    // the distinct then deduplicates survivors, not bucket co-occupants
+    // (the TextDedup.simhashCandidatePairs argument — the hash rides
+    // the shuffle anyway)
     a.join(b, Seq("bj", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         BinaryAnn.hammingWords(col("__ha"), col("__hb")).as("ham"))
       .filter(col("ham") <= maxHamming)
+      .distinct()
   }
 
   // ----- persisted hash store (incremental ingest) -----

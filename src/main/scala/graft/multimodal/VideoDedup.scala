@@ -115,13 +115,15 @@ object VideoDedup {
       col("id").as("id_a"), col("h").as("__ha"))
     val b = bounded.select(col("f"), col("bj"), col("bv"),
       col("id").as("id_b"), col("h").as("__hb"))
+    // exact distance verified before distinct (ImageDedup.nearDupPairs
+    // argument): the distinct deduplicates surviving frame matches, not
+    // bucket co-occupants
     val framePairs = a.join(b, Seq("f", "bj", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("f"), col("__ha"), col("__hb"))
-      .distinct()
       .select(col("id_a"), col("id_b"), col("f"),
         graft.operators.BinaryAnn.hammingWords(col("__ha"), col("__hb")).as("ham"))
       .filter(col("ham") <= maxHamming)
+      .distinct()
     framePairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("matched_frames"), sum(col("ham")).as("ham_sum"))

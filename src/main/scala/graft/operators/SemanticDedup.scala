@@ -62,7 +62,8 @@ object SemanticDedup {
       centroids: Seq[(Int, Seq[Long])],
       minCosine: Double = 0.98,
       maxClusterSize: Int = 10000,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
+      prefilterMin: Option[Double] = None): DataFrame = {
     // persist: the assignment scan feeds the id-only pair join AND the
     // two vector join-backs; without it the corpus re-assigns 3x
     val assigned = TextDedup.spreadToCores(corpus)
@@ -93,9 +94,26 @@ object SemanticDedup {
     val pairs = bounded.select(col("cluster"), col("id").as("id_a"))
       .join(bounded.select(col("cluster"), col("id").as("id_b")), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-    val scored = pairs
+    val carried = pairs
       .join(assigned.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(assigned.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+    // Two-stage scoring (the ann_quantized_rerank pattern): when
+    // cosineFn is an expensive exact kernel (the interpreted decimal
+    // grid), `prefilterMin` gates pairs with the NATIVE double cosine
+    // first, so the exact kernel scores only near-threshold pairs
+    // instead of every in-cluster pair (quadratic in cluster size —
+    // the sf1 rehearsal's 577 s cold was ~25M decimal cosines; the
+    // prefilter leaves the planted dups). The caller owns the slack:
+    // pass the exact gate's EFFECTIVE lower bound minus a margin that
+    // dwarfs double-vs-decimal divergence (~1e-15 on 64-term sums) —
+    // e.g. a round-to-3dp exact gate at 0.98 passes cos >= 0.9795, so
+    // prefilterMin = 0.9794 is 1e-4 of slack, six orders beyond IEEE.
+    val prefiltered = prefilterMin match {
+      case Some(m) =>
+        carried.filter(VectorFunctions.cosine(col("vec_a"), col("vec_b")) >= lit(m))
+      case None => carried
+    }
+    val scored = prefiltered
       .select(col("cluster"), col("id_a"), col("id_b"),
         cosineFn(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= minCosine)
@@ -116,8 +134,10 @@ object SemanticDedup {
       centroids: Seq[(Int, Seq[Long])],
       minCosine: Double = 0.98,
       maxClusterSize: Int = 10000,
-      cosineFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame =
-    nearDupPairs(corpus, idCol, vecCol, centroids, minCosine, maxClusterSize, cosineFn)
+      cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
+      prefilterMin: Option[Double] = None): DataFrame =
+    nearDupPairs(corpus, idCol, vecCol, centroids, minCosine, maxClusterSize, cosineFn,
+      prefilterMin)
       .groupBy(col("id_b"))
       .agg(
         // id_b lives in exactly one cluster; min() only fixes the shape

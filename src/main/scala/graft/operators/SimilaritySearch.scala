@@ -419,12 +419,34 @@ object SimilaritySearch {
       vecCol: String,
       labelCol: String,
       k: Int,
-      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+      simFn: (Column, Column) => Column = VectorFunctions.cosine,
+      prefilterPool: Int = 0): DataFrame = {
     require(k > 0, "k must be positive")
+    require(prefilterPool == 0 || prefilterPool >= k,
+      "prefilterPool must be 0 (off) or >= k")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val scored = TextDedup.spreadToCores(corpus)
+    val joined = TextDedup.spreadToCores(corpus)
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
+    // Two-stage gate (the ann_quantized_rerank / knn_graph_ann
+    // pattern): when simFn is an expensive exact kernel (the decimal
+    // µ-grid), rank candidates per query with the NATIVE double cosine
+    // first and keep a pool; the exact kernel then scores only
+    // pool-sized rows. The pool bounds exactness — a decimal-vs-double
+    // rank inversion deeper than `prefilterPool − k` positions would
+    // change the top-k set; at pool >= 10·k on non-degenerate data
+    // the set is stable, and the oracle gate hash-verifies it.
+    val candidates =
+      if (prefilterPool <= 0) joined
+      else {
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(VectorFunctions.cosine(col(vecCol), col("__qv")).desc, col(idCol).asc)
+        joined.withColumn("__prk", row_number().over(wp))
+          .filter(col("__prk") <= prefilterPool)
+          .drop("__prk")
+      }
+    val scored = candidates
       .select(col("query_id"), col(idCol).as("__cand"),
         col(labelCol).as("__lbl"), simFn(col(vecCol), col("__qv")).as("__sim"))
     val w = org.apache.spark.sql.expressions.Window
