@@ -376,7 +376,7 @@ object TextDedup {
     * `xxhash64(sig[i]) & 15` (element-type agnostic — long and md5
     * string schemes alike), 16 nibbles per long, little-nibble-first.
     */
-  private[operators] def packedNibbles(sigCol: Column, numHashes: Int): Seq[Column] = {
+  private[graft] def packedNibbles(sigCol: Column, numHashes: Int): Seq[Column] = {
     val nLongs = (numHashes + 15) / 16
     (0 until nLongs).map { w =>
       val n = math.min(16, numHashes - w * 16)
@@ -390,7 +390,7 @@ object TextDedup {
     * xor, OR-fold each nibble into its low bit (shifts stay inside the
     * nibble for the bits that are read), mask, popcount differing.
     */
-  private[operators] def nibbleAgreement(a: Column, b: Column): Column = {
+  private[graft] def nibbleAgreement(a: Column, b: Column): Column = {
     val x = a.bitwiseXOR(b)
     val y = x.bitwiseOR(shiftright(x, 1))
     val z = y.bitwiseOR(shiftright(y, 2))
