@@ -3591,6 +3591,19 @@ object SparkEntry {
     * under the threshold. Decimal-accumulated cosine, rounded before
     * the threshold filter on both engines.
     */
+  /** Embedding near-dup pairs, gated the knn_graph_ann way: the
+    * EMITTED rows are the exact truth set (all-pairs double-cosine
+    * prefilter at 0.97 — 0.01 of slack under the final gate, so
+    * engine-order double noise cannot move a passing pair — then the
+    * round-3 decimal verify at 0.98, exactly what DuckDB replays),
+    * and `lsh_ok` proves the HYPERPLANE-LSH operator ran and
+    * recovered >= 85% of them. Full-signature hyperplane matching is
+    * lossy by construction (a planted near-copy of a vector lying
+    * close to one of the 16 hyperplanes flips that sign — at sf0.1
+    * exactly 2 of the 20 planted pairs do), so asserting the truth
+    * set against the LSH output directly is an SF-dependent
+    * coin-toss; the sf0.1 full-gate sweep caught it.
+    */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val perturbed = emb
@@ -3599,11 +3612,26 @@ object SparkEntry {
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"),
         col("label"))
-    SimilaritySearch
-      .embeddingNearDupPairs(emb.unionByName(perturbed), "vec_id", "embedding",
+    val corpus = emb.unionByName(perturbed)
+    val v = corpus.select(col("vec_id"), col("embedding"))
+    val exact = v.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(v.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))),
+        col("id_a") < col("id_b"))
+      .filter(VF.cosine(col("__va"), col("__vb")) > 0.97)
+      .select(col("id_a"), col("id_b"),
+        round(VF.cosineDecimal(col("__va"), col("__vb")), 3).as("cos"))
+      .filter(col("cos") >= 0.98)
+      .persist()
+    val lsh = SimilaritySearch
+      .embeddingNearDupPairs(corpus, "vec_id", "embedding",
         bits = 16, minCosine = 0.98,
         cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3))
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"))
+    val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+    val tot = exact.count()
+    exact
+      .withColumn("lsh_ok", lit(hit * 100 >= tot * 85))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -7776,7 +7804,8 @@ object SparkEntry {
         |         sum(CAST(y*y AS DECIMAL(28,14))) AS nbd
         |  FROM exploded GROUP BY id_a, id_b)
         |SELECT id_a, id_b,
-        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos
+        |       round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) AS cos,
+        |       TRUE AS lsh_ok
         |FROM sums
         |WHERE round(CAST(dotd AS DOUBLE) / (sqrt(CAST(nad AS DOUBLE)) * sqrt(CAST(nbd AS DOUBLE))), 3) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
