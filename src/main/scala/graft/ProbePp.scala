@@ -83,12 +83,7 @@ object ProbePp {
       greatest(col("__na"), col("__nb")) * lit(minJaccardMicro) <=
         least(col("__na"), col("__nb")) * lit(1000000L))
     time("size-filtered rows")(println("  sizeok: " + sizeFiltered.count()))
-    // positional filter: alpha = ceil(m*(na+nb)/(1e6+m)); 1-based pos = pos0+1
     val denom = 1000000L + minJaccardMicro
-    val posFiltered = sizeFiltered.filter(
-      lit(1) + least(col("__na") - (col("__pa") + 1), col("__nb") - (col("__pb") + 1)) >=
-        (( (col("__na") + col("__nb")) * lit(minJaccardMicro) + lit(denom - 1)) / lit(denom)).cast("long"))
-    time("pos-filtered rows")(println("  posok: " + posFiltered.count()))
     val candOld = sizeFiltered.select(col("id_a"), col("id_b")).distinct().persist()
     time("distinct candidates (old)")(println("  candOld: " + candOld.count()))
     // group-level PPJoin bounds: c = shared prefix grams, (ia, ib) = 1-based
