@@ -6416,12 +6416,18 @@ object SparkEntry {
         |                 for i in range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1)]
         |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
         |      END) AS s
-        |  FROM docs)
+        |  FROM docs),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(len(list_intersect(a.s, b.s))*1.0
-        |          / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 3) AS jaccard
+        |  FROM common
+        |  JOIN sz sa ON id_a = sa.doc_id
+        |  JOIN sz sb ON id_b = sb.doc_id)
         |WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
@@ -6439,13 +6445,17 @@ object SparkEntry {
         |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
         |      END) AS s
         |  FROM docs),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(len(list_intersect(a.s, b.s))*1.0
-        |            / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.5),
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz sa ON id_a = sa.doc_id
+        |  JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 3) >= 0.5),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
@@ -6629,12 +6639,17 @@ object SparkEntry {
         |           ELSE [array_to_string(ws, ' ')]
         |      END) AS s
         |  FROM ek),
+        |gr AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cmn AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |p AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) > 0
-        |    AND len(list_intersect(a.s, b.s)) * 1000000
-        |        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000),
+        |  SELECT ia, ib FROM cmn
+        |  JOIN szs sa ON ia = sa.doc_id
+        |  JOIN szs sb ON ib = sb.doc_id
+        |  WHERE c * 1000000 // (sa.n + sb.n - c) >= 500000),
         |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
         |reach(id, r) AS (
         |  SELECT src, src FROM edges
@@ -6706,12 +6721,17 @@ object SparkEntry {
         |           ELSE [array_to_string(ws, ' ')]
         |      END) AS s
         |  FROM ek),
+        |gr AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |szs AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cmn AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |p AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) > 0
-        |    AND len(list_intersect(a.s, b.s)) * 1000000
-        |        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000),
+        |  SELECT ia, ib FROM cmn
+        |  JOIN szs sa ON ia = sa.doc_id
+        |  JOIN szs sb ON ib = sb.doc_id
+        |  WHERE c * 1000000 // (sa.n + sb.n - c) >= 500000),
         |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
         |reach(id, r) AS (
         |  SELECT src, src FROM edges
@@ -6758,16 +6778,18 @@ object SparkEntry {
         |           ELSE [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
         |      END) AS s
         |  FROM docs),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(a.s) AS BIGINT) AS sz_a,
-        |         CAST(len(b.s) AS BIGINT) AS sz_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, sz_a, sz_b, inter,
-        |       inter * 1000000 // (sz_a + sz_b - inter) AS jaccard_micro
-        |FROM pairs
-        |WHERE inter * 1000000 // (sz_a + sz_b - inter) >= 500000
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.n AS sz_a, sb.n AS sz_b, c AS inter,
+        |       c * 1000000 // (sa.n + sb.n - c) AS jaccard_micro
+        |FROM common
+        |JOIN sz sa ON id_a = sa.doc_id
+        |JOIN sz sb ON id_b = sb.doc_id
+        |WHERE c * 1000000 // (sa.n + sb.n - c) >= 500000
         |ORDER BY id_a, id_b""".stripMargin,
     // absorb == rebuild: the oracle closes base ∪ increment edges
     // transitively from scratch; the Spark side reaches the same
