@@ -70,6 +70,17 @@ private[graft] object CurationStageCache
 private[graft] object MinhashPairsStageCache
     extends graft.util.SessionScopedCache[(DataFrame, Long)]
 
+/** Session-scoped cache of the DEFAULT-strategy curation run — ONE
+  * [[graft.operators.Curation.curate]] call under the banded
+  * corpus-scale strategy (portable-md5 scheme so the oracle replays
+  * the DEFAULT chain bit-for-bit), stages persisted. Deliberately
+  * separate from [[CurationStageCache]]: the default gate exercises
+  * the one-call public composition end-to-end, while the lossless and
+  * strategy-agreement gates share the hand-staged prefix.
+  */
+private[graft] object BandedCuratedCache
+    extends graft.util.SessionScopedCache[graft.operators.Curation.Curated]
+
 /** Session-scoped cache of the z-bucketed orders layout's path: the
   * `file_manifest_stats` gate writes the partitioned layout once per
   * (application, dir) and every later probe reads only footers — the
@@ -1113,7 +1124,48 @@ object SparkEntry {
     (withExact, quality, exactKept, pairsExact, survivors)
   }
 
+  /** The curation pipeline under the DEFAULT strategy
+    * ([[graft.operators.Curation.defaultStrategy]] — banded MinHash +
+    * exact-Jaccard verify, pair-budget-bounded): ONE
+    * [[graft.operators.Curation.curate]] call, the composition a
+    * corpus-scale user gets when they do not choose. The gate pins
+    * `scheme = PortableMd5Scheme` — the hash-family seam whose whole
+    * point is engine portability — so DuckDB replays the DEFAULT
+    * (lossy-recall) chain itself bit-for-bit: signatures, band
+    * buckets, the pair-budget guard, candidates, the exact verify,
+    * the transitive closure, and the survivor splits all hash-match
+    * with NO recall verdict and NO SF dependence (the oracle is the
+    * same lossy chain, not a truth set it might miss). The production
+    * xxhash64 scheme's agreement with the lossless chain is gated
+    * separately (`corpus_curation_pipeline_minhash`), and the lossless
+    * chain itself stays gated at `corpus_curation_pipeline_lossless` /
+    * `dedup_prefix_jaccard`.
+    */
   private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (withExact, _) = curationPrefix(s, dir)
+    val cur = BandedCuratedCache.getOrElseUpdate(s, dir) {
+      // quality/exactKept/pairs arrive persisted from curate(); stage
+      // the survivor set too (splitCounts consumes it thrice)
+      val c = graft.operators.Curation.curate(withExact, "doc_id", "text",
+        graft.operators.Curation.BandedMinhash(scheme = TextDedup.PortableMd5Scheme))
+      val sv = c.survivors.persist()
+      sv.count()
+      c.copy(survivors = sv)
+    }
+    val out = curationSplitCounts(withExact, cur.quality, cur.exactKept, cur.survivors)
+    out.persist().count()
+    out
+  }
+
+  /** The curation pipeline with the LOSSLESS near-dup strategy
+    * explicitly selected ([[graft.operators.Curation.LosslessPrefix]]
+    * semantics — the PPJoin prefix chain): complete by theorem, so the
+    * oracle is a bit-exact all-pairs replay. The truth-set generator
+    * at verification scales; superquadratic on fixed-vocabulary
+    * corpora (TextDedup.scala scale-limit note), which is why it is a
+    * SELECTED strategy, not the default.
+    */
+  private def corpusCurationPipelineLossless(s: SparkSession, dir: String): DataFrame = {
     val (withExact, quality, exactKept, _, survivors) = curationStages(s, dir)
     val out = curationSplitCounts(withExact, quality, exactKept, survivors)
     out.persist().count()
@@ -5293,6 +5345,7 @@ object SparkEntry {
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_prefix_jaccard" -> (dedupPrefixJaccard _),
     "corpus_curation_pipeline" -> (corpusCurationPipeline _),
+    "corpus_curation_pipeline_lossless" -> (corpusCurationPipelineLossless _),
     "corpus_curation_pipeline_minhash" -> (corpusCurationPipelineMinhash _),
     "dedup_global_ngrams" -> (dedupGlobalNgrams _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -6595,10 +6648,115 @@ object SparkEntry {
         |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
         |FROM l2 GROUP BY lab ORDER BY community""".stripMargin,
-    // the full curation chain replayed: gopher gate, md5 exact dedup,
-    // all-pairs jaccard + recursive closure (lossless ⇒ equals the
-    // prefix-filtered path), md5 split, per-split totals + telemetry
+    // the DEFAULT curation chain replayed END-TO-END: gopher gate, md5
+    // exact dedup, then the DEFAULT banded near-dup strategy itself —
+    // portable-md5 minhash signatures, band buckets, the pair-budget
+    // guard, candidate est-gate, exact-Jaccard verify on the staged
+    // shingles — recursive closure, md5 split, totals + telemetry.
+    // The oracle replays the LOSSY chain bit-for-bit, so there is no
+    // recall verdict and no SF dependence (round-14 lesson: truth-set
+    // oracles over lossy candidate schemes are SF coin tosses; a
+    // same-chain replay is not).
     "corpus_curation_pipeline" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |alle AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM base
+        |  WHERE doc_id % 40 = 0 AND doc_id < 1000000),
+        |tok AS (SELECT doc_id, text,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM alle),
+        |gq AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |             w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS twf,
+        |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dbf
+        |    FROM (SELECT doc_id, text, ws,
+        |            CASE WHEN len(ws) >= 2
+        |                 THEN [array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]
+        |                 ELSE [array_to_string(ws, ' ')] END AS bg
+        |          FROM tok))
+        |  WHERE mwl BETWEEN 3.0 AND 10.0 AND twf <= 0.2 AND dbf <= 0.2),
+        |ek AS (
+        |  SELECT doc_id, text, ws FROM (
+        |    SELECT doc_id, text, ws,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gq)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(ws) >= 3
+        |           THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |           ELSE [array_to_string(ws, ' ')]
+        |      END) AS s
+        |  FROM ek),
+        |shing AS (SELECT doc_id AS id, unnest(s) AS g FROM sh),
+        |minh AS (
+        |  SELECT id, sd.seed, min(md5(sd.seed::varchar || ':' || g)) AS mh
+        |  FROM shing CROSS JOIN generate_series(0, 31) sd(seed)
+        |  GROUP BY id, sd.seed),
+        |sigs AS (SELECT id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |    md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS bh
+        |  FROM sigs CROSS JOIN generate_series(0, 7) b(band)),
+        |buck AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) <= 2000),
+        |bounded AS (SELECT banded.id, banded.band, banded.bh FROM banded JOIN buck USING (band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ia, b.id AS ib
+        |  FROM bounded a JOIN bounded b USING (band, bh)
+        |  WHERE a.id < b.id),
+        |est AS (
+        |  SELECT c.ia, c.ib FROM cand c
+        |  JOIN sigs sa ON sa.id = c.ia
+        |  JOIN sigs sb ON sb.id = c.ib
+        |  WHERE len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5),
+        |p AS (
+        |  SELECT e.ia, e.ib FROM est e
+        |  JOIN sh a ON a.doc_id = e.ia
+        |  JOIN sh b ON b.doc_id = e.ib
+        |  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        |        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000),
+        |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |dropn AS (SELECT id FROM comp WHERE id <> c),
+        |surv AS (SELECT ek.doc_id, ek.ws FROM ek
+        |         LEFT JOIN dropn d ON ek.doc_id = d.id WHERE d.id IS NULL),
+        |tele AS (SELECT
+        |  (SELECT count(*) FROM alle) AS n_input,
+        |  (SELECT count(*) FROM gq) AS n_quality,
+        |  (SELECT count(*) FROM ek) AS n_exact_kept,
+        |  (SELECT count(*) FROM surv) AS n_near_kept),
+        |spl AS (SELECT doc_id, len(ws) AS nt,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM surv)
+        |SELECT CASE WHEN bkt < 90 THEN 'train'
+        |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(t.n_input AS BIGINT) AS n_input,
+        |  CAST(t.n_quality AS BIGINT) AS n_quality,
+        |  CAST(t.n_exact_kept AS BIGINT) AS n_exact_kept,
+        |  CAST(t.n_near_kept AS BIGINT) AS n_near_kept
+        |FROM spl, tele t
+        |GROUP BY 1, t.n_input, t.n_quality, t.n_exact_kept, t.n_near_kept
+        |ORDER BY split""".stripMargin,
+    // the LOSSLESS curation chain replayed: gopher gate, md5 exact
+    // dedup, inverted-index jaccard + recursive closure (lossless ⇒
+    // equals the prefix-filtered path), md5 split, totals + telemetry
+    "corpus_curation_pipeline_lossless" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
