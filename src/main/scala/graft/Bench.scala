@@ -90,8 +90,11 @@ object Bench {
       val cpus = samples.map(_._2)
       // measurement-scope label: the cold rep built session-staged
       // state the warm reps then answer from — this query's median/min
-      // measure the SERVE path; compare across rounds via cold
-      val staged = samples.head._3 && samples.tail.forall(!_._3)
+      // measure the SERVE path; compare across rounds via cold. Only
+      // meaningful with WARM reps present: at reps == 1 the tail
+      // forall is vacuous and min == cold anyway, so the label would
+      // mislead comparators pairing stage_cached with queries_cold
+      val staged = samples.size > 1 && samples.head._3 && samples.tail.forall(!_._3)
       // a failed query must not report a normal-looking time: emit the
       // -1 sentinel so downstream comparisons can't read a fast failure
       // as a perf win

@@ -1833,7 +1833,12 @@ object SparkEntry {
       .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", "label", k = 5,
         simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
-        prefilterPool = 64)
+        // margin form of the double-cosine prefilter: ε = 1e-5 is 10
+        // µ-grid steps, >> the double-vs-decimal per-pair divergence
+        // (one 1e-6 floor step + IEEE rounding), so the exact kernel
+        // provably sees every possible top-k candidate — the bound is
+        // explicit, not positional (knnClassify contract note)
+        prefilterPool = 64, prefilterMargin = 1e-5)
       .join(emb.select(col("vec_id").as("query_id"), col("label").as("__truth")),
         "query_id")
       .agg(count(lit(1)).as("n_queries"),
@@ -1888,7 +1893,9 @@ object SparkEntry {
       .knnClassify(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", "label", k = 5,
         simFn = (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long"),
-        prefilterPool = 64)
+        // ε = 1e-5: see knnEval — the margin makes the prefilter's
+        // exactness bound explicit instead of pool-positional
+        prefilterPool = 64, prefilterMargin = 1e-5)
       .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"),
         col("n_votes"))
       .orderBy(col("query_id"))

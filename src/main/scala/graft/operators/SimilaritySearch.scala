@@ -420,10 +420,14 @@ object SimilaritySearch {
       labelCol: String,
       k: Int,
       simFn: (Column, Column) => Column = VectorFunctions.cosine,
-      prefilterPool: Int = 0): DataFrame = {
+      prefilterPool: Int = 0,
+      prefilterMargin: Double = 0.0): DataFrame = {
     require(k > 0, "k must be positive")
     require(prefilterPool == 0 || prefilterPool >= k,
       "prefilterPool must be 0 (off) or >= k")
+    require(prefilterMargin >= 0.0, "prefilterMargin must be >= 0")
+    require(prefilterMargin == 0.0 || prefilterPool > 0,
+      "prefilterMargin needs the prefilter enabled (prefilterPool > 0)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val joined = TextDedup.spreadToCores(corpus)
       .crossJoin(broadcast(q))
@@ -432,19 +436,45 @@ object SimilaritySearch {
     // pattern): when simFn is an expensive exact kernel (the decimal
     // µ-grid), rank candidates per query with the NATIVE double cosine
     // first and keep a pool; the exact kernel then scores only
-    // pool-sized rows. The pool bounds exactness — a decimal-vs-double
-    // rank inversion deeper than `prefilterPool − k` positions would
-    // change the top-k set; at pool >= 10·k on non-degenerate data
-    // the set is stable, and the oracle gate hash-verifies it.
+    // pool-sized rows.
+    //
+    // EXACTNESS CONTRACT. The POSITIONAL form (margin 0) bounds
+    // exactness by depth: a decimal-vs-double rank inversion deeper
+    // than `prefilterPool − k` positions would change the gated top-k
+    // — a heuristic (pool >= 10·k holds on non-degenerate data; the
+    // oracle gates hash-verify the composition per fixture). The
+    // MARGIN form (`prefilterMargin = ε > 0`) makes the bound
+    // EXPLICIT instead of positional: every candidate whose double
+    // cosine is within ε of the k-th best double cosine survives, so
+    // the exact kernel sees every candidate that could rank top-k
+    // unless the two kernels disagree by more than ε on some pair —
+    // choose ε >= 2·(double-vs-decimal per-pair divergence bound,
+    // i.e. the µ-grid quantization step plus IEEE rounding) and the
+    // top-k set is provably exact, at the cost of an unbounded (data-
+    // dependent, near-tie-shaped) candidate pool.
     val candidates =
       if (prefilterPool <= 0) joined
       else {
+        val dcos = VectorFunctions.cosine(col(vecCol), col("__qv"))
         val wp = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
-          .orderBy(VectorFunctions.cosine(col(vecCol), col("__qv")).desc, col(idCol).asc)
-        joined.withColumn("__prk", row_number().over(wp))
-          .filter(col("__prk") <= prefilterPool)
-          .drop("__prk")
+          .orderBy(dcos.desc, col(idCol).asc)
+        val ranked = joined
+          .withColumn("__dcos", dcos)
+          .withColumn("__prk", row_number().over(wp))
+        if (prefilterMargin > 0.0) {
+          // the k-th best double cosine per query (null when a query
+          // has fewer than k candidates — then everything is kept)
+          val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          ranked
+            .withColumn("__kth",
+              max(when(col("__prk") === k, col("__dcos"))).over(wq))
+            .filter(col("__kth").isNull ||
+              col("__dcos") >= col("__kth") - lit(prefilterMargin))
+            .drop("__prk", "__dcos", "__kth")
+        } else {
+          ranked.filter(col("__prk") <= prefilterPool).drop("__prk", "__dcos")
+        }
       }
     val scored = candidates
       .select(col("query_id"), col(idCol).as("__cand"),

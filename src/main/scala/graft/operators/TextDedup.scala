@@ -191,9 +191,22 @@ object TextDedup {
     */
   val defaultBucketPairBudget: Long = 1999000L
 
-  /** n·(n−1)/2 <= maxBucketPairs, in overflow-safe integer form. */
-  private[graft] def withinPairBudget(n: Column, maxBucketPairs: Long): Column =
-    n * (n - lit(1L)) <= lit(2L * maxBucketPairs)
+  /** n·(n−1)/2 <= maxBucketPairs, exactly, for ANY long bucket count:
+    * the product is computed in decimal(38,0) — a long-sized n squares
+    * to at most ~8.5e37, inside 38 digits — so a mega-bucket beyond
+    * ~3.04e9 rows can never wrap the comparison and silently pass the
+    * guard in exactly the regime it exists to bound. The budget is
+    * clamped so `2·maxBucketPairs` itself cannot overflow; budgets
+    * above Long.MaxValue/2 pairs are indistinguishable from unbounded
+    * and rejected loudly. Evaluated once per BUCKET (post-aggregation),
+    * so the decimal math costs nothing measurable.
+    */
+  private[graft] def withinPairBudget(n: Column, maxBucketPairs: Long): Column = {
+    require(maxBucketPairs >= 0 && maxBucketPairs <= Long.MaxValue / 2,
+      s"maxBucketPairs must be in [0, ${Long.MaxValue / 2}], got $maxBucketPairs")
+    val nd = n.cast("decimal(38,0)")
+    nd * (nd - lit(1L)) <= lit(2L * maxBucketPairs)
+  }
 
   /** MinHash + LSH candidate duplicate pairs.
     *

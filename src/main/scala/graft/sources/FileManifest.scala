@@ -388,19 +388,50 @@ object FileManifest {
     }
   }
 
-  /** One hadoop-conf broadcast per SparkSession, cached: the callers
-    * (listParquetFiles/buildForFiles) run once per micro-batch on a
-    * manifest-appending stream, and a fresh never-destroyed Broadcast
-    * per batch accumulates driver/executor blocks for the stream's
-    * lifetime with only GC + ContextCleaner to reclaim them. The conf
-    * is read-only session state, so one broadcast serves every call.
+  /** One hadoop-conf broadcast per SparkSession PER CONF FINGERPRINT,
+    * cached: the callers (listParquetFiles/buildForFiles) run once per
+    * micro-batch on a manifest-appending stream, and a fresh
+    * never-destroyed Broadcast per batch accumulates driver/executor
+    * blocks for the stream's lifetime with only GC + ContextCleaner to
+    * reclaim them. The conf is NOT assumed immutable: runtime
+    * mutations of `sparkContext.hadoopConfiguration` (credential/token
+    * refresh, feature toggles) are detected by fingerprinting the
+    * conf's entries on every call — a changed fingerprint destroys the
+    * stale broadcast and ships the current conf, so executors never
+    * keep listing with pre-refresh state. The fingerprint pass
+    * iterates the conf once (microseconds against a per-micro-batch
+    * listing of RPC calls).
     */
   private val hadoopConfBroadcasts =
-    new graft.util.SessionScopedCache[org.apache.spark.broadcast.Broadcast[HadoopConfCarrier]]
+    new graft.util.SessionScopedCache[
+      (Long, org.apache.spark.broadcast.Broadcast[HadoopConfCarrier])]
 
-  private def broadcastHadoopConf(spark: SparkSession)
-      : org.apache.spark.broadcast.Broadcast[HadoopConfCarrier] =
-    hadoopConfBroadcasts.getOrElseUpdate(spark, "hadoopConf")(
-      spark.sparkContext.broadcast(
-        new HadoopConfCarrier(spark.sparkContext.hadoopConfiguration)))
+  /** Order-independent 64-bit fingerprint of every conf entry. */
+  private def confFingerprint(conf: org.apache.hadoop.conf.Configuration): Long = {
+    var acc = 0L
+    val it = conf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // mix each entry independently, combine commutatively (iteration
+      // order of Configuration is not specified)
+      var h = (e.getKey + "=" + e.getValue).hashCode.toLong * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32
+      acc += h
+    }
+    acc
+  }
+
+  private[graft] def broadcastHadoopConf(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[HadoopConfCarrier] = synchronized {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = confFingerprint(conf)
+    hadoopConfBroadcasts.get(spark, "hadoopConf") match {
+      case Some((cached, b)) if cached == fp => b
+      case stale =>
+        stale.foreach { case (_, b) => b.destroy() }
+        val b = spark.sparkContext.broadcast(new HadoopConfCarrier(conf))
+        hadoopConfBroadcasts.put(spark, "hadoopConf", (fp, b))
+        b
+    }
+  }
 }

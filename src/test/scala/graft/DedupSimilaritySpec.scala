@@ -315,4 +315,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[Seq[Long]].collect()
     assert(bbXx.forall(s => s.length == 32 && s.forall(v => v >= 0 && v < 16)))
   }
+
+  test("withinPairBudget is exact at mega-bucket scale (no long wrap) and clamps the budget") {
+    def admits(n: Long, budget: Long): Boolean =
+      Seq(Tuple1(n)).toDF("n")
+        .filter(TextDedup.withinPairBudget(col("n"), budget))
+        .count() == 1L
+    // the default boundary: 2000·1999/2 = 1999000 exactly
+    assert(admits(2000L, TextDedup.defaultBucketPairBudget))
+    assert(!admits(2001L, TextDedup.defaultBucketPairBudget))
+    // the wrap regime the guard exists to bound: n ~ 4e9 makes
+    // n·(n−1) overflow Long to a negative value, which would pass a
+    // `<=` comparison and admit ~8e18 pairs — the decimal form must
+    // still reject
+    assert(!admits(4_000_000_000L, TextDedup.defaultBucketPairBudget))
+    assert(!admits(Long.MaxValue, Long.MaxValue / 2))
+    // degenerate buckets always pass (they emit zero pairs)
+    assert(admits(1L, 0L) && admits(0L, 0L) && !admits(2L, 0L))
+    // budgets whose doubling would overflow are rejected loudly
+    intercept[IllegalArgumentException] {
+      TextDedup.withinPairBudget(col("n"), Long.MaxValue / 2 + 1)
+    }
+  }
 }

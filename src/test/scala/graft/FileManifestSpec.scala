@@ -222,4 +222,27 @@ class FileManifestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest lists no files"))
   }
+
+  test("hadoop-conf broadcast refreshes when the session conf mutates") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "graft.test.conf.refresh"
+    conf.unset(key)
+    try {
+      val b0 = FileManifest.broadcastHadoopConf(spark)
+      // unchanged conf: the same broadcast instance serves every call
+      assert(FileManifest.broadcastHadoopConf(spark) eq b0)
+      // mutate the session conf (credential-refresh shape): the stale
+      // broadcast is destroyed and the new one carries the new value
+      conf.set(key, "v1")
+      val b1 = FileManifest.broadcastHadoopConf(spark)
+      assert(!(b1 eq b0))
+      assert(b1.value.value.get(key) == "v1")
+      intercept[org.apache.spark.SparkException] { b0.value } // destroyed
+      // idempotent at the new fingerprint
+      assert(FileManifest.broadcastHadoopConf(spark) eq b1)
+      // and a second mutation rolls forward again
+      conf.set(key, "v2")
+      assert(FileManifest.broadcastHadoopConf(spark).value.value.get(key) == "v2")
+    } finally conf.unset(key)
+  }
 }

@@ -62,6 +62,34 @@ class KnnMmrSpec extends SparkSpec {
     assert(got == Seq((9L, 1L, 3L)), s"got $got")
   }
 
+  test("knnClassify prefilter: positional and margin forms match the unfiltered run") {
+    // 40 corpus vectors in a fan around the x axis, 4 labels; margin
+    // keeps near-ties past the pool cut, positional keeps the pool
+    val corpus = (0 until 40).map { i =>
+      val a = i * 0.02
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat), (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") < 3L)
+    def run(pool: Int, margin: Double) = SimilaritySearch
+      .knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 5,
+        simFn = (a, b) =>
+          floor(graft.functions.VectorFunctions.cosineDecimal(a, b) * lit(1e6)).cast("long"),
+        prefilterPool = pool, prefilterMargin = margin)
+      .orderBy(col("query_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val truth = run(0, 0.0)
+    assert(run(16, 0.0) == truth, "positional prefilter changed the gated top-k")
+    assert(run(16, 1e-5) == truth, "margin prefilter changed the gated top-k")
+    // a query with fewer than k candidates keeps everything (kth null)
+    val tiny = corpus.filter(col("vec_id") < 3L)
+    val small = SimilaritySearch
+      .knnClassify(tiny, tiny.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", k = 5,
+        prefilterPool = 8, prefilterMargin = 1e-5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(small.size == 1 && small.head._1 == 0L)
+  }
+
   test("labelOutliers flags the far member, not the tight cluster") {
     // n must exceed factor + 1: a lone outlier among n members tops
     // out at ratio n - 1 as it recedes (it drags the centroid and the

@@ -67,45 +67,91 @@ class StagedSwapSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"${live}__old")))
   }
 
-  test("first-ever rotation, crash after a COMPLETE stage write: recover promotes stage") {
-    val live = tmpDir("swap") + "/t"
-    writeTable(s"${live}__stage", "v1") // _SUCCESS present: the write committed
-    StagedSwap.recover(spark, live)
-    assert(readTag(live) == "v1")
+  private def markComplete(stagePath: String): Unit = {
+    Files.createFile(Paths.get(stagePath, StagedSwap.completionSentinel)); ()
   }
 
-  test("first-ever rotation, crash MID stage write: recover deletes the partial stage, promotes nothing") {
+  test("first-ever rotation, crash after a COMPLETE stage write: recover promotes stage") {
+    val live = tmpDir("swap") + "/t"
+    // crash between rotateIn's sentinel write and its renames
+    writeTable(s"${live}__stage", "v1")
+    markComplete(s"${live}__stage")
+    StagedSwap.recover(spark, live)
+    assert(readTag(live) == "v1")
+    assert(!Files.exists(Paths.get(live, StagedSwap.completionSentinel)),
+      "the sentinel is protocol metadata and must not ride into the live dir")
+  }
+
+  test("first-ever rotation, crash MID stage write: recover quarantines, promotes nothing") {
     val live = tmpDir("swap") + "/t"
     writeTable(s"${live}__stage", "junk")
-    Files.delete(Paths.get(s"${live}__stage/_SUCCESS"))
+    // no completion sentinel: rotateIn never got past the write body —
+    // the job-commit _SUCCESS the killed write may have left proves
+    // nothing about the BODY having finished
     StagedSwap.recover(spark, live)
     assert(!Files.exists(Paths.get(live)),
       "a partial stage must never become the live table")
     assert(!Files.exists(Paths.get(s"${live}__stage")))
+    assert(readTag(s"${live}__quarantine") == "junk",
+      "the sole remnant of a failed first write is preserved aside, not destroyed")
   }
 
-  test("multi-dataset stage (markers only in subdirectories): recover promotes it") {
+  test("multi-dataset stage: sentinel gates promotion, nested _SUCCESS does not") {
     val live = tmpDir("swap") + "/t"
-    // a rotateIn write body producing several datasets commits each in
-    // its own subdirectory — no root _SUCCESS exists
+    // a rotateIn body producing several datasets commits each in its
+    // own subdirectory; the root sentinel appears only after the WHOLE
+    // body returned. Crash after the first dataset: its own _SUCCESS
+    // exists, but promoting would serve a table missing part_b.
     writeTable(s"${live}__stage/part_a", "v1")
-    writeTable(s"${live}__stage/part_b", "v1")
-    assert(!Files.exists(Paths.get(s"${live}__stage/_SUCCESS")))
+    assert(Files.exists(Paths.get(s"${live}__stage/part_a/_SUCCESS")))
     StagedSwap.recover(spark, live)
-    assert(readTag(s"$live/part_a") == "v1" && readTag(s"$live/part_b") == "v1",
-      "a stage with committed subdirectory datasets must be promoted, not deleted")
+    assert(!Files.exists(Paths.get(live)),
+      "a nested job-commit marker must not promote a partial multi-dataset stage")
+    assert(readTag(s"${live}__quarantine/part_a") == "v1")
+
+    // the complete body (both datasets + sentinel) promotes
+    val live2 = tmpDir("swap") + "/t2"
+    writeTable(s"${live2}__stage/part_a", "v1")
+    writeTable(s"${live2}__stage/part_b", "v1")
+    markComplete(s"${live2}__stage")
+    StagedSwap.recover(spark, live2)
+    assert(readTag(s"$live2/part_a") == "v1" && readTag(s"$live2/part_b") == "v1")
   }
 
-  test("markers disabled (marksuccessfuljobs=false): a non-empty stage is promoted") {
+  test("markers disabled (marksuccessfuljobs=false): the sentinel still gates the swap") {
     val live = tmpDir("swap") + "/t"
-    writeTable(s"${live}__stage", "v1")
-    Files.delete(Paths.get(s"${live}__stage/_SUCCESS")) // as if never written
     val conf = spark.sparkContext.hadoopConfiguration
     conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
-    try StagedSwap.recover(spark, live)
-    finally conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
-    assert(readTag(live) == "v1",
-      "with markers disabled their absence proves nothing — the only copy must survive")
+    try {
+      // end-to-end rotation works with no _SUCCESS anywhere: the
+      // sentinel is rotateIn's own file, independent of committer conf
+      StagedSwap.rotateIn(spark, live)(stage => writeTable(stage, "v1"))
+      assert(!Files.exists(Paths.get(live, "_SUCCESS")))
+      assert(readTag(live) == "v1")
+      // and an ambiguous sentinel-less stage with NO live copy is
+      // quarantined — never silently promoted OR destroyed
+      val live2 = tmpDir("swap") + "/t2"
+      writeTable(s"${live2}__stage", "only-copy")
+      StagedSwap.recover(spark, live2)
+      assert(!Files.exists(Paths.get(live2)))
+      assert(readTag(s"${live2}__quarantine") == "only-copy",
+        "with markers disabled an ambiguous stage surfaces as quarantine, not a promote")
+    } finally conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("rotateIn heals a complete orphaned stage BEFORE its body reads live") {
+    val live = tmpDir("swap") + "/t"
+    // prior run crashed after completing its stage but before rotating
+    writeTable(s"${live}__stage", "v2")
+    markComplete(s"${live}__stage")
+    // a read-modify-write body must see v2 as live, not a missing table
+    var sawLive: String = null
+    StagedSwap.rotateIn(spark, live) { stage =>
+      sawLive = readTag(live)
+      writeTable(stage, "v3")
+    }
+    assert(sawLive == "v2")
+    assert(readTag(live) == "v3")
   }
 
   test("recover is idempotent and a no-op on a healthy table") {
