@@ -767,7 +767,11 @@ object SparkEntry {
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        // rsd 0.01 against the asserted 5% bound: 5 sigma of slack, so
+        // the verdict is not an SF coin toss (at rsd 0.02 it was only
+        // 2.5 sigma — a ~1% flip chance per group per fresh SF). The
+        // estimate itself is never emitted, so the oracle is unchanged.
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts"))
@@ -1967,9 +1971,23 @@ object SparkEntry {
           substring(col("c_name"), 13, 6)).as("c_name"))
     val base = cust.unionByName(variants)
     val blocked = base.withColumn("__bk", substring(col("c_name"), 15, 4))
-    val pairs = blocked
+    // Pair-budget guard (the dedup-family contract): the blocking key
+    // has FIXED cardinality (10^4 digit suffixes), so block size grows
+    // ~n/10^4 with the corpus and the verify join is quadratic per
+    // block — bounded here exactly like every banded-LSH bucket join
+    // (blocks past the budget are duplicate GROUPS; resolve those by
+    // fingerprint grouping, or switch to the window-bounded
+    // [[graft.operators.SortedNeighborhood.nearDupPairsByEdit]]).
+    // Never trips at or far above gate SFs (block ~60 rows at sf4 vs
+    // the 2000-row budget boundary); the oracle replays the guard.
+    val blockSizes = blocked.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__block_n"))
+      .filter(TextDedup.withinPairBudget(col("__block_n"), TextDedup.defaultBucketPairBudget))
+      .select(col("__bk"))
+    val bounded = blocked.join(blockSizes, Seq("__bk"))
+    val pairs = bounded
       .select(col("__bk"), col("c_custkey").as("id_a"), col("c_name").as("__na"))
-      .join(blocked
+      .join(bounded
         .select(col("__bk"), col("c_custkey").as("id_b"), col("c_name").as("__nb")),
         Seq("__bk"))
       .filter(col("id_a") < col("id_b") &&
@@ -2080,7 +2098,12 @@ object SparkEntry {
     * the whole peeling spectrum replays in SQL as per-group counts,
     * no recursive fixpoint needed.
     */
-  private def graphCoreness(s: SparkSession, dir: String): DataFrame = {
+  /** Planted coreness fixture: 10-cliques over the event users plus
+    * 3-hop pendant chains off every 10th user — analytic coreness
+    * (clique size − 1 inside cliques, 1 along chains) the oracle
+    * states in closed form.
+    */
+  private def corenessFixtureEdges(s: SparkSession, dir: String): DataFrame = {
     val users = Tables(s, dir, "events")
       .select(col("user_id")).distinct().filter(col("user_id") < 100)
     val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
@@ -2095,10 +2118,24 @@ object SparkEntry {
         (col("user_id") + 2000).as("id_b")))
       .unionByName(anchors.select((col("user_id") + 2000).as("id_a"),
         (col("user_id") + 3000).as("id_b")))
-    graft.operators.Graphs
-      .coreness(clique.unionByName(chains), "id_a", "id_b")
-      .orderBy(col("id"))
+    clique.unionByName(chains)
   }
+
+  private def graphCoreness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs
+      .coreness(corenessFixtureEdges(s, dir), "id_a", "id_b")
+      .orderBy(col("id"))
+
+  /** The same planted fixture through the DISTRIBUTED peel
+    * (`driverMaxEdges = 0` disables the small-graph driver union-find
+    * fast path, so the phase/round degree-peeling loop — the 100 TB
+    * shape, measured at 2.4M edges by CorenessDrill — is the code
+    * under the oracle every round, not just in a one-off drill).
+    */
+  private def graphCorenessDistributed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs
+      .coreness(corenessFixtureEdges(s, dir), "id_a", "id_b", driverMaxEdges = 0L)
+      .orderBy(col("id"))
 
   /** Blocking-quality audit for the entity-resolution blocking scheme
     * ([[graft.operators.Profiling.blockingQuality]]): reduction ratio
@@ -2882,15 +2919,21 @@ object SparkEntry {
     * verdicts: `bloom_no_fn` (per doc: the bloom caught at least the
     * exact hits — false negatives are structurally impossible and the
     * gate proves it end-to-end) and `fp_ok` (global: false-positive
-    * gram rate <= 1%; at 2^22 bits over the fixture's gram count the
-    * true rate is ~1e-4, so the bound has 100x slack while still
-    * failing a degenerate all-ones filter).
+    * gram rate <= 1%). The filter is SIZED TO THE EVAL CORPUS
+    * ([[Decontamination.sizedNumBits]], 32 bits per distinct eval
+    * gram): with a fixed width the fp bound is an SF coin toss (fill
+    * grows with the corpus until the verdict flips — ~0.7 fp at a
+    * 1.8M-gram eval set on 2^22 bits); with per-gram sizing fill
+    * <= 0.20 and fp <= ~1e-5 at every scale, so the 1% bound is a
+    * sizing theorem with ~1000x slack that still fails a degenerate
+    * all-ones filter.
     */
   private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val evalSet = docs.filter(col("doc_id") % 50 === 7).select(col("text"))
     val flagged = Decontamination
-      .flagContaminatedBloom(docs, evalSet, "doc_id", "text", n = 4)
+      .flagContaminatedBloom(docs, evalSet, "doc_id", "text", n = 4,
+        numBits = Decontamination.sizedNumBits(evalSet, "text", n = 4))
     val fp = flagged.agg(
       ((sum(col("bloom_hits") - col("eval_hits")).cast("double") /
         greatest(sum(col("n_grams") - col("eval_hits")).cast("double"), lit(1.0)))
@@ -5507,6 +5550,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_coreness" -> (graphCoreness _),
+    "graph_coreness_distributed" -> (graphCorenessDistributed _),
     "knn_classify" -> (knnClassifyQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
@@ -6558,6 +6602,26 @@ object SparkEntry {
     // clique of m present users (chains attached or not) has core
     // number m-1, pendant-chain nodes 1, singleton-group anchors 1
     "graph_coreness" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
+        |gs AS (SELECT u // 10 AS g, count(*) AS sz FROM users GROUP BY 1),
+        |cliq AS (SELECT u AS id, sz - 1 AS c FROM users
+        |         JOIN gs ON u // 10 = g WHERE sz >= 2),
+        |anch AS (SELECT u FROM users WHERE u % 10 = 0),
+        |chain AS (
+        |  SELECT u + 1000 AS id, 1 AS c FROM anch
+        |  UNION ALL SELECT u + 2000, 1 FROM anch
+        |  UNION ALL SELECT u + 3000, 1 FROM anch),
+        |lone AS (SELECT u AS id, 1 AS c FROM anch
+        |         JOIN gs ON u // 10 = g WHERE sz = 1)
+        |SELECT id, CAST(c AS BIGINT) AS coreness FROM (
+        |  SELECT * FROM cliq UNION ALL SELECT * FROM chain
+        |  UNION ALL SELECT * FROM lone)
+        |ORDER BY id""".stripMargin,
+    // same fixture, same closed-form answer: the engine side runs the
+    // DISTRIBUTED peel (driverMaxEdges=0), so the fallback's
+    // correctness is driver-checked every round
+    "graph_coreness_distributed" ->
       """WITH users AS (
         |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
         |gs AS (SELECT u // 10 AS g, count(*) AS sz FROM users GROUP BY 1),
@@ -10338,10 +10402,13 @@ object SparkEntry {
         |  SELECT c_custkey + 1000000,
         |         substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
         |  FROM customer WHERE c_custkey % 25 = 0),
+        |blk AS (SELECT substr(n, 15, 4) AS bk FROM base
+        |        GROUP BY 1 HAVING count(*) <= 2000),
         |p AS (
         |  SELECT a.k AS id_a, b.k AS id_b
         |  FROM base a JOIN base b
         |    ON substr(a.n, 15, 4) = substr(b.n, 15, 4) AND a.k < b.k
+        |  JOIN blk ON substr(a.n, 15, 4) = blk.bk
         |  WHERE levenshtein(a.n, b.n) <= 2),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
         |          UNION SELECT id_b, id_a FROM p),

@@ -206,4 +206,33 @@ object Decontamination {
 
   private def distinctGrams(df: DataFrame, textCol: String, n: Int) =
     array_distinct(TextFunctions.ngramsFromTokens(TextFunctions.tokens(col(textCol)), n))
+
+  /** Bloom bits sized to THIS eval corpus: `bitsPerGram` bits per
+    * distinct eval gram (floored at [[graft.functions.BloomFilter
+    * .DefaultNumBits]]). A fixed filter width is an SF coin toss — at
+    * 7 hashes a 2^22-bit filter holds fp ~1e-5 for a 180k-gram eval
+    * set but ~0.7 for a 1.8M-gram one (fill 0.95); with 32 bits/gram
+    * the fill stays <= 0.20 and fp <= ~1e-5 at ANY corpus scale, so a
+    * "false-positive rate under 1%" contract is a sizing theorem, not
+    * a scale-dependent observation. Costs one aggregate over the eval
+    * grams (the small side by construction); capped at 2^30 bits
+    * (128 MB — past that a broadcast bloom is the wrong structure and
+    * the caller should shard the eval set or use the exact join).
+    */
+  def sizedNumBits(
+      evalSet: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      bitsPerGram: Int = 32): Int = {
+    require(bitsPerGram > 0, "bitsPerGram must be positive")
+    val grams = evalSet
+      .select(explode(distinctGrams(evalSet, textCol, n)).as("gram"))
+      .distinct().count()
+    val want = math.max(
+      graft.functions.BloomFilter.DefaultNumBits.toLong, grams * bitsPerGram)
+    require(want <= (1L << 30),
+      s"eval corpus too large for a broadcast bloom ($grams grams x $bitsPerGram " +
+        "bits/gram > 2^30 bits): shard the eval set or use the exact-join path")
+    want.toInt
+  }
 }

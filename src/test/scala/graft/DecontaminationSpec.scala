@@ -69,4 +69,26 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
   }
+
+  test("sizedNumBits floors at the default, scales per gram, and caps loudly") {
+    // a tiny eval set floors at DefaultNumBits
+    assert(Decontamination.sizedNumBits(evalSet, "text", n = 4)
+      == graft.functions.BloomFilter.DefaultNumBits)
+    // past the floor the width is bitsPerGram x distinct gram count:
+    // fill stays constant as the eval corpus grows, so the fp bound is
+    // a sizing theorem at any SF instead of a coin toss
+    val grams = evalSet
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.ngramsFromTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 4))).as("g"))
+      .distinct().count()
+    val bpg = (2L * graft.functions.BloomFilter.DefaultNumBits / grams).toInt + 1
+    val wide = Decontamination.sizedNumBits(evalSet, "text", n = 4, bitsPerGram = bpg)
+    assert(wide > graft.functions.BloomFilter.DefaultNumBits)
+    assert(wide.toLong == grams * bpg)
+    // an eval corpus past the broadcast envelope fails loudly
+    intercept[IllegalArgumentException] {
+      Decontamination.sizedNumBits(evalSet, "text", n = 4, bitsPerGram = Int.MaxValue)
+    }
+  }
 }
