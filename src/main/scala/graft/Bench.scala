@@ -70,10 +70,15 @@ object Bench {
         warm.groupBy(warm.columns.head).count().count()
         warm.limit(10).count()
       }
-    // dev-loop filter: comma-separated name substrings; unset = all
+    // dev-loop filter: comma-separated name substrings; unset = all.
+    // SPARK_GRAFT_BENCH_EXACT=1 switches to exact-name matching (the
+    // scale suite needs "corpus_curation_pipeline" WITHOUT its
+    // _lossless sibling — substring selection cannot express that)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val exactNames = sys.env.get("SPARK_GRAFT_BENCH_EXACT").contains("1")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) =>
+        only.forall(os => if (exactNames) os.contains(n) else os.exists(n.contains)) }
     val results = selected.map { case (name, fn) =>
       var failed = false
       val samples = (1 to reps).map { _ =>

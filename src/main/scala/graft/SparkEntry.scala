@@ -1316,10 +1316,16 @@ object SparkEntry {
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val (cands, shingled) = minhashCandidates(s, dir)
     val pairs = cands.select(col("id_a"), col("id_b"))
-    val withA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(broadcast(pairs), "id_a")
-    shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "id_b")
+    // verify-join shape (the Curation.nearDupPairs pattern): join the
+    // ID pairs to the staged shingles once per side — the pair table
+    // broadcasts (ids only), the arrays stay distributed. The former
+    // form broadcast the pairs WITH their sh_a arrays attached, a
+    // table that grows with corpus x shingle size — it OOM'd the
+    // driver at the sf4 rehearsal (200k docs) while this shape runs
+    // the same plan pair-bounded.
+    pairs
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(TextDedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -1902,6 +1908,51 @@ object SparkEntry {
         prefilterPool = 64, prefilterMargin = 1e-5)
       .select(col("query_id"), col("predicted_label").cast("long").as("predicted_label"),
         col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ANN-ROUTED 5-NN classification — the corpus-scale path
+    * [[graft.operators.SimilaritySearch.knnClassifyAnn]] (the brute-
+    * force `knn_classify` is O(corpus x queries) and its query set
+    * grows with the corpus — quadratic by construction; this gate is
+    * the composition a 100 TB labeler runs: IVF-list-bucketed
+    * candidates, nothing broadcast, nlist sized to the corpus).
+    * Fixture plants 6 near-copies of every 50th vector CARRYING ITS
+    * LABEL, so each query's true neighborhood is its planted family:
+    * the vote is label(q) whenever >= 3 of the top-5 are family
+    * (asserted by `votes_ok` — near-identical vectors co-probe the
+    * same lists, so family recall is structural, unlike noise-
+    * neighbor recall which says nothing about the operator). The
+    * emitted predictions replay in closed form.
+    */
+  private def knnClassifyAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val copies = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(sequence(lit(1L), lit(6L))).as("__i"))
+      .select((col("vec_id") * 10 + col("__i") + 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("__i").cast("float") * lit(0.0004f)).as("embedding"),
+        col("label"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(copies)
+    val index = IvfStageCache.getOrElseUpdate(s, dir + "#knn-classify") {
+      // nlist sized to the corpus (mean list ~2000 vectors): candidate
+      // volume stays ~nprobe/nlist of brute force as data grows. At
+      // the oracle SFs this resolves to 8.
+      val nlist = math.max(8L, corpus.count() / 2000L).toInt
+      IvfAnn.build(corpus, "vec_id", "embedding", nlist = nlist, iters = 3)
+    }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    SimilaritySearch
+      .knnClassifyAnn(index, queries, "vec_id", "embedding",
+        corpus.select(col("vec_id"), col("label")), "vec_id", "label",
+        k = 5, nprobe = 2,
+        simFn = (a, b) => floor(VF.cosine(a, b) * lit(1e6)).cast("long"))
+      .select(col("query_id"),
+        col("predicted_label").cast("long").as("predicted_label"),
+        (col("n_votes") >= 3).as("votes_ok"))
       .orderBy(col("query_id"))
   }
 
@@ -3976,8 +4027,17 @@ object SparkEntry {
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
-    val cents = SemDedupCache.getOrElseUpdate(s, dir)(
-      graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+    // k sized to the corpus (SemanticDedup.sizedK: ~n/300, floor 8) —
+    // the quadratic in-cluster search is bounded by MEAN CLUSTER SIZE,
+    // so a pinned k melts at rehearsal scale (k=8 over 80k vectors =
+    // 10k-vector clusters = ~400M prefilter cosines, 322 s cold at the
+    // sf4 drill). At the oracle SFs (sf0.01/sf0.1: <= ~2k vectors)
+    // sizedK resolves to exactly 8 — the value the Lloyd CTE program
+    // replays — so the oracle is unchanged by the sizing.
+    val cents = SemDedupCache.getOrElseUpdate(s, dir) {
+      val k = graft.operators.SemanticDedup.sizedK(corpus.count())
+      graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = k, iters = 2)
+    }
     graft.operators.SemanticDedup
       .removalList(corpus, "vec_id", "embedding", cents, minCosine = 0.98,
         cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3),
@@ -4027,8 +4087,12 @@ object SparkEntry {
         transform(col("embedding"), x => x + lit(0.0005f)).as("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
     val cents = SemDedupCache.getOrElseUpdate(s, dir + "#persisted") {
-      val live = SemDedupCache.getOrElseUpdate(s, dir)(
-        graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = 8, iters = 2))
+      // same corpus-sized k as semantic_dedup (resolves to 8 at the
+      // oracle SFs), so both gates share one trained artifact
+      val live = SemDedupCache.getOrElseUpdate(s, dir) {
+        val k = graft.operators.SemanticDedup.sizedK(corpus.count())
+        graft.operators.KMeansTrain.train(corpus, "vec_id", "embedding", k = k, iters = 2)
+      }
       val path = scratchDir("graft-kmeans-cents")
       graft.operators.KMeansTrain.saveCentroids(live, s, path)
       graft.operators.KMeansTrain.loadCentroids(s, path)
@@ -5552,6 +5616,7 @@ object SparkEntry {
     "graph_coreness" -> (graphCoreness _),
     "graph_coreness_distributed" -> (graphCorenessDistributed _),
     "knn_classify" -> (knnClassifyQ _),
+    "knn_classify_ann" -> (knnClassifyAnnQ _),
     "embedding_outliers" -> (embeddingOutliers _),
     "event_paths" -> (eventPaths _),
     "text_readability" -> (textReadability _),
@@ -10489,6 +10554,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  array_to_string(list_sort(list(id)), ',') AS members
         |FROM cl GROUP BY c ORDER BY cluster_id""".stripMargin,
+    // ANN-routed kNN classification: every query's planted 6-copy
+    // family (same label) dominates its top-5 — the prediction is the
+    // query's own label in closed form; votes_ok asserts >= 3 family
+    // members survived the IVF routing (structural: near-identical
+    // vectors co-probe the same lists)
+    "knn_classify_ann" ->
+      """SELECT vec_id AS query_id, CAST(label AS BIGINT) AS predicted_label,
+        |       true AS votes_ok
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
     // kNN classification: decimal-cosine ranks, deterministic vote
     "knn_classify" ->
       """WITH nodes AS (

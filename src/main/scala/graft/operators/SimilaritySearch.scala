@@ -479,6 +479,16 @@ object SimilaritySearch {
     val scored = candidates
       .select(col("query_id"), col(idCol).as("__cand"),
         col(labelCol).as("__lbl"), simFn(col(vecCol), col("__qv")).as("__sim"))
+    majorityVoteTopK(scored, k)
+  }
+
+  /** Shared vote tail of the k-NN classifiers: rank scored candidates
+    * per query, keep the top k, majority-vote their labels. Vote ties
+    * break on the label's NATURAL ascending order (works for string
+    * labels too — no numeric cast): minimize the lexicographic
+    * (-votes, label) pair. Input: (query_id, __cand, __lbl, __sim).
+    */
+  private def majorityVoteTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("__cand"))
@@ -489,12 +499,55 @@ object SimilaritySearch {
       .agg(count(lit(1)).as("__votes"))
       .groupBy(col("query_id"))
       .agg(
-        // vote ties break on the label's NATURAL ascending order (works
-        // for string labels too — no numeric cast): minimize the
-        // lexicographic (-votes, label) pair
         min_by(col("__lbl"), struct((-col("__votes")).as("__nv"), col("__lbl")))
           .as("predicted_label"),
         max(col("__votes")).cast("long").as("n_votes"))
+  }
+
+  /** ANN-backed k-NN classification — the corpus-scale route
+    * [[knnClassify]]'s scaladoc promises for corpus-sized query sets:
+    * each query probes its `nprobe` nearest IVF lists per-row inside
+    * codegen ([[IvfAnn.probeListsCol]] — no driver round-trip) and
+    * meets only the corpus vectors ASSIGNED to those lists, so
+    * candidate generation is a join keyed by list id (~`nprobe/nlist`
+    * of the brute-force volume, nothing broadcast, no side that must
+    * fit anywhere); the same majority-vote tail runs over the bucketed
+    * candidates. Recall < 1 by construction — a true neighbor in an
+    * unprobed list is missed; raise `nprobe` to trade cost for recall.
+    *
+    * @param labels (labelIdCol, labelCol) for the INDEXED corpus —
+    *               joined onto candidates after the top-k cut, so the
+    *               label table is touched k-per-query rows, not
+    *               candidate-volume rows
+    * @return (query_id, predicted_label, n_votes)
+    */
+  def knnClassifyAnn(
+      index: IvfAnn.Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labels: DataFrame,
+      labelIdCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int,
+      simFn: (Column, Column) => Column = VectorFunctions.cosine): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val probing = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(IvfAnn.probeListsCol(col(vecCol), index.centroids, nprobe)).as("__pl"))
+    val members = index.assigned.select(
+      col("__id").as("__cand"), col("__vec").as("__vd"), col("__list").as("__pl"))
+    val cand = probing.join(members, Seq("__pl"))
+      .filter(col("__cand") =!= col("query_id"))
+      .select(col("query_id").as("src"), col("__cand").as("dst"),
+        simFn(col("__qv"), col("__vd")).as("sim"))
+    val topk = knnFromCandidates(cand, k)
+    val scored = topk
+      .join(labels.select(col(labelIdCol).as("dst"), col(labelCol).as("__lbl")), "dst")
+      .select(col("src").as("query_id"), col("dst").as("__cand"),
+        col("__lbl"), col("sim").as("__sim"))
+    majorityVoteTopK(scored, k)
   }
 
   /** Label-noise detector: vectors whose squared distance to their

@@ -90,6 +90,29 @@ class KnnMmrSpec extends SparkSpec {
     assert(small.size == 1 && small.head._1 == 0L)
   }
 
+  test("knnClassifyAnn with every list probed equals the brute-force classifier") {
+    val corpus = (0 until 60).map { i =>
+      val a = i * 0.1
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat, (i % 7).toFloat / 7f),
+        (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.operators.IvfAnn.build(corpus, "vec_id", "embedding", nlist = 4)
+    // nprobe = nlist: every list probed -> candidates = all pairs ->
+    // identical ranking, vote, and tie policy as the brute force
+    val ann = SimilaritySearch
+      .knnClassifyAnn(index, queries, "vec_id", "embedding",
+        corpus.select(col("vec_id"), col("label")), "vec_id", "label",
+        k = 5, nprobe = 4)
+      .orderBy(col("query_id")).as[(Long, Long, Long)].collect().toSeq
+    val brute = SimilaritySearch
+      .knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("query_id")).as[(Long, Long, Long)].collect().toSeq
+    assert(ann == brute, s"ann=$ann\nbrute=$brute")
+    assert(ann.nonEmpty)
+  }
+
   test("labelOutliers flags the far member, not the tight cluster") {
     // n must exceed factor + 1: a lone outlier among n members tops
     // out at ratio n - 1 as it recedes (it drags the centroid and the

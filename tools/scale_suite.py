@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Standing scale-rehearsal suite (sf1 + sf4) — the per-round trend
+harness for the dedup/curation/ANN/graph heavy hitters.
+
+Generates the two rehearsal fixtures if absent (deterministic, so
+regeneration is byte-identical), benches the SUITE queries at both
+scales via graft.Bench (reps=2: cold + warm), pulls the committed
+sf0.1 numbers from BENCH_SELF.json, and writes BENCH_SELF_sf4.json
+with per-query sf0.1/sf1/sf4 cold+min numbers and the scale ratios —
+so superlinear creep is caught by a diff, not an audit.
+
+Usage: python3 tools/scale_suite.py [note text]
+Run from the repo root. Takes ~20-40 min (fixture gen + 2 benches).
+"""
+import json, os, re, subprocess, sys
+
+SF1_DIR = '/tmp/graft_sf1'
+SF4_DIR = '/tmp/graft_sf4'
+# 4x sf1 on the doc/vec axes, full star at 40x the driver's sf0.1
+SF1_GEN = ['50000', '20000', 'full', '10']
+SF4_GEN = ['200000', '80000', 'full', '40']
+
+SUITE = [
+    'corpus_curation_pipeline',          # DEFAULT banded path (r15 routing)
+    'dedup_minhash_lsh',
+    'dedup_simhash',
+    'dedup_clusters',
+    'dedup_exact',
+    'semantic_dedup',
+    'ann_ivf_topk',
+    'knn_classify_ann',                  # IVF-routed classifier (r15 gate)
+    'knn_graph_ann',
+    'graph_coreness_distributed',        # distributed peel (r15 gate)
+    'page_rank_personalized',
+    'entity_resolution',                 # pair-budget-bounded blocking (r15)
+    'file_manifest_stats',
+    'winnow_overlap',
+]
+# deliberately excluded at sf4 (all with measured reasons, r14/r15):
+# - corpus_curation_pipeline_lossless / dedup_prefix_jaccard: the
+#   LOSSLESS prefix chain is inherently superquadratic on the
+#   fixed-vocabulary fixture (208.8s cold at 200k docs, r14) — that is
+#   the documented reason the BANDED path is the default;
+# - corpus_curation_pipeline_minhash: its VERDICT GENERATOR is the
+#   lossless chain (agreement gate), so its sf4 cold is the lossless
+#   number again (286s measured r15) — it verifies at gate SFs;
+# - knn_classify (brute force): O(corpus x queries) with a query set
+#   that grows with the corpus — quadratic by construction (208s warm
+#   at sf4, r15); knn_classify_ann is the corpus-scale route and IS in
+#   the suite.
+
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    e.update(env or {})
+    print('>>', ' '.join(cmd), flush=True)
+    return subprocess.run(cmd, env=e, capture_output=True, text=True)
+
+
+def ensure_fixture(path, gen):
+    if os.path.isdir(f'{path}/lineitem.parquet'):
+        print(f'fixture {path} present', flush=True)
+        return
+    r = run(['sbt', '-batch', f"runMain graft.ScaleFixture {path} {' '.join(gen)}"])
+    if r.returncode != 0:
+        sys.exit(f'fixture gen failed for {path}:\n{r.stdout[-2000:]}')
+
+
+def bench(sfdir):
+    r = run(['sbt', '-batch', 'runMain graft.Bench'],
+            env={'SPARK_GRAFT_SF_DIR': sfdir,
+                 'SPARK_GRAFT_BENCH_ONLY': ','.join(SUITE),
+                 'SPARK_GRAFT_BENCH_EXACT': '1',
+                 'SPARK_GRAFT_BENCH_REPS': '2'})
+    # surface per-query lines and failures into this script's log
+    for l in (r.stdout + r.stderr).splitlines():
+        if '[bench]' in l:
+            print(l, flush=True)
+    m = [l for l in r.stdout.splitlines() if '"metric"' in l]
+    if not m:
+        sys.exit(f'bench at {sfdir} emitted no JSON:\n{r.stdout[-3000:]}')
+    return json.loads(re.sub(r'^\[info\]\s*', '', m[-1]))
+
+
+def loadavg():
+    return open('/proc/loadavg').read().split()[0]
+
+
+def main():
+    note = sys.argv[1] if len(sys.argv) > 1 else ''
+    la0 = loadavg()
+    ensure_fixture(SF1_DIR, SF1_GEN)
+    ensure_fixture(SF4_DIR, SF4_GEN)
+    b1 = bench(SF1_DIR)
+    b4 = bench(SF4_DIR)
+    sf01 = {}
+    try:
+        sf01 = json.load(open('BENCH_SELF.json'))['bench']
+    except Exception:
+        pass
+    trend = {}
+    for q in SUITE:
+        row = {
+            'sf01_min': sf01.get('queries_min', {}).get(q),
+            'sf1_cold': b1['queries_cold'].get(q),
+            'sf1_min': b1['queries_min'].get(q),
+            'sf4_cold': b4['queries_cold'].get(q),
+            'sf4_min': b4['queries_min'].get(q),
+        }
+        if row['sf1_min'] and row['sf4_min']:
+            row['sf4_over_sf1_min'] = round(row['sf4_min'] / row['sf1_min'], 2)
+        if row['sf1_cold'] and row['sf4_cold']:
+            row['sf4_over_sf1_cold'] = round(row['sf4_cold'] / row['sf1_cold'], 2)
+        trend[q] = row
+    doc = {
+        'note': note or ('standing sf1/sf4 scale suite: 4x data sf1->sf4; a healthy '
+                         'row shows sf4_over_sf1 <= ~4 (linear) on cold and min'),
+        'fixtures': {'sf1': f'{SF1_DIR} {" ".join(SF1_GEN)}',
+                     'sf4': f'{SF4_DIR} {" ".join(SF4_GEN)}'},
+        'loadavg_before': la0,
+        'loadavg_after': loadavg(),
+        'suite_sf1': b1,
+        'suite_sf4': b4,
+        'trend': trend,
+    }
+    with open('BENCH_SELF_sf4.json', 'w') as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+    print('wrote BENCH_SELF_sf4.json', flush=True)
+    for q, r in trend.items():
+        print(f"{q:36s} sf1_min {r['sf1_min']} sf4_min {r['sf4_min']} "
+              f"ratio {r.get('sf4_over_sf1_min')}", flush=True)
+
+
+if __name__ == '__main__':
+    main()
