@@ -3822,6 +3822,53 @@ object SparkEntry {
       .orderBy(col("media_type"))
   }
 
+  /** MP4 (ISO BMFF) container-metadata round trip — the compressed-
+    * video metadata tier: a REAL box tree (ftyp/moov/trak/tkhd/mdhd/
+    * hdlr/stsd/stsz/mdat) is built per document with deterministic
+    * track parameters and an opaque codec payload, then parsed back by
+    * the genuine recursive box walker ([[graft.multimodal.Codecs
+    * .decodeMp4Meta]]); every emitted field comes from the DECODED
+    * metadata, so the oracle's closed-form recompute of the generator
+    * parameters hash-gates the full encode→parse round trip (including
+    * the byte-exact container size). Codec payloads stay un-decoded —
+    * no AVC/HEVC exists pure-JVM — and the downstream hash/band
+    * machinery is codec-agnostic behind this seam.
+    */
+  private def multimodalMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import graft.multimodal.Codecs
+        import graft.multimodal.Codecs.{Mp4Meta, Mp4Track}
+        val vcodecs = Vector("avc1", "hvc1", "vp09", "av01")
+        it.map { case (id, text) =>
+          val ts = 90000L
+          val dur = ts * (1 + id % 7)
+          val samples = 10 + id % 20
+          val tracks = Seq(
+            Mp4Track("vide", vcodecs((id % 4).toInt), ts, dur,
+              (16 * (1 + id % 8)).toInt, (16 * (1 + id % 5)).toInt, samples)) ++
+            (if (id % 2 == 0)
+              Seq(Mp4Track("soun", if (id % 4 == 0) "mp4a" else "opus",
+                48000L, 48000L * (1 + id % 7), 0, 0, samples * 4))
+            else Nil)
+          val payload = text.getBytes("UTF-8").take(64)
+          val bytes = Codecs.encodeMp4Meta(Mp4Meta("isom", tracks), payload)
+          val meta = Codecs.decodeMp4Meta(bytes) // the REAL parse under test
+          val v = meta.tracks.find(_.handler == "vide").get
+          (id, bytes.length.toLong, meta.majorBrand, meta.tracks.size.toLong,
+            v.codec, v.width.toLong, v.height.toLong, v.duration / v.timescale,
+            meta.tracks.map(_.sampleCount).sum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "major_brand", "n_tracks", "video_codec",
+        "width", "height", "duration_s", "total_samples")
+      .orderBy(col("doc_id"))
+  }
+
   /** Image perceptual-hash near-dup dedup over the synthetic BMP
     * corpus: 64-bit difference hashes from REAL decoded pixels
     * ([[graft.multimodal.ImageDedup.dHash]] — integer Rec.601 luma on
@@ -5510,6 +5557,7 @@ object SparkEntry {
     "pq_topk" -> (pqTopk _),
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_mp4_meta" -> (multimodalMp4Meta _),
     "image_dedup" -> (imageDedup _),
     "video_dedup" -> (videoDedup _),
     "video_dedup_incremental" -> (videoDedupIncremental _),
@@ -8736,6 +8784,26 @@ object SparkEntry {
         |       CAST(sum(frames) AS BIGINT) AS total_frames,
         |       true AS decode_ok, true AS features_ok
         |FROM b GROUP BY media_type ORDER BY media_type""".stripMargin,
+    // MP4 container metadata: every emitted field comes from the real
+    // box-tree parse; the oracle recomputes the deterministic
+    // generator parameters in closed form, INCLUDING the byte-exact
+    // container size (ftyp 20 + moov header 8 + mvhd 108 + 241/trak +
+    // mdat 8 + min(64, text bytes))
+    "multimodal_mp4_meta" ->
+      """SELECT doc_id,
+        |  CAST(144 + 241 * (1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |       + least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes,
+        |  'isom' AS major_brand,
+        |  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_tracks,
+        |  ['avc1', 'hvc1', 'vp09', 'av01'][CAST(doc_id % 4 AS INT) + 1] AS video_codec,
+        |  CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 5) AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 7 AS BIGINT) AS duration_s,
+        |  CAST((10 + doc_id % 20) *
+        |       (1 + CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END) AS BIGINT)
+        |    AS total_samples
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
     // image dHash dedup, closed-form: every 9x8 grid cell's integer
     // Rec.601 luma recomputed from the document bytes (ASCII, so
     // unicode() == byte), gradient-sign bits, all-pairs popcount at

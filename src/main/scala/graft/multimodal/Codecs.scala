@@ -324,4 +324,170 @@ object Codecs extends Serializable {
     }
     sum / n / 255.0
   }
+
+  // ------------------------------------------------------- MP4 (ISO BMFF)
+
+  /** One MP4 track's container-level metadata: handler type (`vide` /
+    * `soun`), the first sample entry's codec fourcc, media timescale
+    * and duration (mdhd), presentation width/height (tkhd 16.16 fixed,
+    * zero for audio), and the stsz sample count.
+    */
+  final case class Mp4Track(
+      handler: String,
+      codec: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int,
+      sampleCount: Long)
+
+  /** Container-level MP4 metadata: ftyp major brand + per-track rows. */
+  final case class Mp4Meta(majorBrand: String, tracks: Seq[Mp4Track])
+
+  /** Encode container-level MP4 metadata as a REAL ISO BMFF box tree
+    * (ftyp + moov[mvhd + trak[tkhd + mdia[mdhd + hdlr +
+    * minf[stbl[stsd + stsz]]]]] + mdat) with the codec payload riding
+    * `mdat` as opaque bytes. This is the metadata tier the multimodal
+    * contract promises for compressed video: the CONTAINER structure
+    * is genuine and round-trips through [[decodeMp4Meta]]; the sample
+    * payload stays un-decoded (no AVC/HEVC codecs exist pure-JVM
+    * here, and the hash/band machinery downstream is codec-agnostic).
+    */
+  def encodeMp4Meta(meta: Mp4Meta, payload: Array[Byte]): Array[Byte] = {
+    require(meta.majorBrand.length == 4, "major brand must be 4 chars")
+    def box(fourcc: String, content: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + content.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + content.length)
+      b.put(fourcc.getBytes("US-ASCII"))
+      b.put(content)
+      b.array()
+    }
+    def full(fourcc: String)(fill: ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(size + 4).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0) // version 0, flags 0
+      fill(b)
+      box(fourcc, b.array())
+    }
+    val ftyp = box("ftyp",
+      (meta.majorBrand + "\u0000\u0000\u0000\u0000isom").getBytes("US-ASCII"))
+    val mvhd = full("mvhd")({ b =>
+      b.putInt(0).putInt(0).putInt(1000)
+      b.putInt(meta.tracks.map(t => t.duration * 1000 / math.max(1L, t.timescale))
+        .foldLeft(0L)(math.max).toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).position(b.position() + 10)
+      identityMatrix(b); b.position(b.position() + 24)
+      b.putInt(meta.tracks.size + 1)
+    }, 96)
+    val traks = meta.tracks.zipWithIndex.map { case (t, i) =>
+      val tkhd = full("tkhd")({ b =>
+        b.putInt(0).putInt(0).putInt(i + 1).putInt(0)
+        b.putInt((t.duration * 1000 / math.max(1L, t.timescale)).toInt)
+        b.position(b.position() + 16)
+        identityMatrix(b)
+        b.putInt(t.width << 16).putInt(t.height << 16)
+      }, 80)
+      val mdhd = full("mdhd")({ b =>
+        b.putInt(0).putInt(0).putInt(t.timescale.toInt).putInt(t.duration.toInt)
+        b.putShort(0x55c4.toShort).putShort(0) // language "und"
+      }, 20)
+      val hdlr = full("hdlr")({ b =>
+        b.putInt(0)
+        b.put(t.handler.getBytes("US-ASCII"))
+        b.position(b.position() + 12)
+        b.put(0.toByte) // empty name cstring
+      }, 21)
+      require(t.handler.length == 4 && t.codec.length == 4,
+        "handler and codec fourccs must be 4 chars")
+      val stsd = full("stsd")({ b =>
+        b.putInt(1) // entry count
+        b.putInt(16).put(t.codec.getBytes("US-ASCII")) // minimal sample entry
+        b.position(b.position() + 6)
+        b.putShort(1) // data reference index
+      }, 20)
+      val stsz = full("stsz")({ b =>
+        b.putInt(0).putInt(t.sampleCount.toInt) // per-sample sizes elided
+      }, 8)
+      val stbl = box("stbl", stsd ++ stsz)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val mdat = box("mdat", payload)
+    ftyp ++ moov ++ mdat
+  }
+
+  private def identityMatrix(b: ByteBuffer): Unit = {
+    b.putInt(0x00010000).putInt(0).putInt(0)
+    b.putInt(0).putInt(0x00010000).putInt(0)
+    b.putInt(0).putInt(0).putInt(0x40000000)
+    ()
+  }
+
+  /** Parse an ISO BMFF box tree and return the container-level
+    * metadata. A real recursive box walker — handles 64-bit
+    * `largesize` boxes, size==0 (extends to end of enclosing box),
+    * and skips unknown boxes — FAILFAST on structural corruption
+    * (truncated box, size under the header length), like every other
+    * decode path here. Codec payloads (`mdat`) are not touched.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Mp4Meta = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var brand = ""
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    var handler = ""; var codec = ""; var timescale = 0L; var duration = 0L
+    var width = 0; var height = 0; var sampleCount = 0L
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, "US-ASCII")
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      require(depth < 16, "box nesting too deep (corrupt container?)")
+      var off = start
+      while (off < end) {
+        require(end - off >= 8, s"truncated box header at offset $off")
+        var size = be32(off)
+        val typ = fourcc(off + 4)
+        var hdr = 8
+        if (size == 1) {
+          require(end - off >= 16, s"truncated largesize box at $off")
+          size = be64(off + 8); hdr = 16
+        } else if (size == 0) size = (end - off).toLong
+        require(size >= hdr && off + size <= end,
+          s"box '$typ' at $off claims $size bytes past its container")
+        val cStart = off + hdr
+        val cEnd = off + size.toInt
+        typ match {
+          case "ftyp" => brand = fourcc(cStart)
+          case t if containers(t) =>
+            if (t == "trak") {
+              handler = ""; codec = ""; timescale = 0L; duration = 0L
+              width = 0; height = 0; sampleCount = 0L
+            }
+            walk(cStart, cEnd, depth + 1)
+            if (t == "trak")
+              tracks += Mp4Track(handler, codec, timescale, duration,
+                width, height, sampleCount)
+          case "tkhd" =>
+            // version-0 layout: width/height are the LAST 8 bytes
+            width = (be32(cEnd - 8) >> 16).toInt
+            height = (be32(cEnd - 4) >> 16).toInt
+          case "mdhd" =>
+            timescale = be32(cStart + 12); duration = be32(cStart + 16)
+          case "hdlr" => handler = fourcc(cStart + 8)
+          case "stsd" =>
+            if (be32(cStart + 4) > 0) codec = fourcc(cStart + 12)
+          case "stsz" =>
+            sampleCount = be32(cStart + 8)
+          case _ => // unknown box: skip
+        }
+        off = cEnd
+      }
+    }
+    walk(0, bytes.length, 0)
+    require(brand.nonEmpty, "no ftyp box: not an ISO BMFF container")
+    Mp4Meta(brand, tracks.toSeq)
+  }
 }
