@@ -459,8 +459,14 @@ object Codecs extends Serializable {
           s"box '$typ' at $off claims $size bytes past its container")
         val cStart = off + hdr
         val cEnd = off + size.toInt
+        // every leaf read below stays inside [cStart, cEnd): a corrupt
+        // box that declares too little content fails HERE with a typed
+        // error instead of reading a neighbor's bytes (or past the
+        // array) — the fuzz spec holds the parser to exactly this
+        def need(n: Int): Unit =
+          require(cEnd - cStart >= n, s"box '$typ' content too short: ${cEnd - cStart} < $n")
         typ match {
-          case "ftyp" => brand = fourcc(cStart)
+          case "ftyp" => need(4); brand = fourcc(cStart)
           case t if containers(t) =>
             if (t == "trak") {
               handler = ""; codec = ""; timescale = 0L; duration = 0L
@@ -472,14 +478,18 @@ object Codecs extends Serializable {
                 width, height, sampleCount)
           case "tkhd" =>
             // version-0 layout: width/height are the LAST 8 bytes
+            need(84)
             width = (be32(cEnd - 8) >> 16).toInt
             height = (be32(cEnd - 4) >> 16).toInt
           case "mdhd" =>
+            need(20)
             timescale = be32(cStart + 12); duration = be32(cStart + 16)
-          case "hdlr" => handler = fourcc(cStart + 8)
+          case "hdlr" => need(12); handler = fourcc(cStart + 8)
           case "stsd" =>
-            if (be32(cStart + 4) > 0) codec = fourcc(cStart + 12)
+            need(8)
+            if (be32(cStart + 4) > 0) { need(16); codec = fourcc(cStart + 12) }
           case "stsz" =>
+            need(12)
             sampleCount = be32(cStart + 8)
           case _ => // unknown box: skip
         }

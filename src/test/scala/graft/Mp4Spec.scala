@@ -56,6 +56,26 @@ class Mp4Spec extends AnyFunSuite {
       Codecs.decodeMp4Meta(be32(16) ++ "free".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)))
   }
 
+  test("fuzz: garbage and single-byte mutations never escape as non-typed errors") {
+    // deterministic LCG — no RNG state, reproducible failures
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    // pure garbage of every small length
+    for (len <- 0 until 200) {
+      val junk = Array.tabulate(len)(_ => (next() >>> 16).toByte)
+      try { Codecs.decodeMp4Meta(junk); () }
+      catch { case _: IllegalArgumentException => () } // the ONLY permitted escape
+    }
+    // every single-byte corruption of a real container
+    val base = Codecs.encodeMp4Meta(av, Array.fill(16)(0x33.toByte))
+    for (i <- base.indices; delta <- Seq(1, 0x80)) {
+      val mut = base.clone()
+      mut(i) = (mut(i) + delta).toByte
+      try { Codecs.decodeMp4Meta(mut); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("a video-only container reports zero-dimension audio fields absent") {
     val v = Mp4Meta("mp42", Seq(Mp4Track("vide", "vp09", 600L, 3600L, 640, 360, 30L)))
     val got = Codecs.decodeMp4Meta(Codecs.encodeMp4Meta(v, Array.emptyByteArray))
