@@ -3869,6 +3869,62 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Matroska/WebM (EBML) container-metadata round trip — the second
+    * compressed-video container tier beside [[multimodalMp4Meta]]: a
+    * REAL EBML tree (EBML header with DocType + Segment[Info +
+    * Tracks[TrackEntry...] + Cluster[SimpleBlock]]) is built per
+    * document with deterministic track parameters and an opaque codec
+    * payload riding a genuine SimpleBlock, then parsed back by the
+    * genuine recursive EBML walker ([[graft.multimodal.Codecs
+    * .decodeMkvMeta]] — variable-width ids and size VINTs, unknown-
+    * size masters, unknown-element skip, FAILFAST corruption). Every
+    * emitted field comes from the DECODED metadata, so the oracle's
+    * closed-form recompute of the generator parameters hash-gates the
+    * full encode→parse round trip, including the byte-exact container
+    * size (the affine size formula is pinned by MkvSpec). Codec
+    * payloads stay un-decoded — no VP9/AV1/Opus exists pure-JVM — and
+    * the downstream hash/band machinery is codec-agnostic behind the
+    * seam.
+    */
+  private def multimodalMkvMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import graft.multimodal.Codecs
+        import graft.multimodal.Codecs.{MkvMeta, MkvTrack}
+        val vcodecs = Vector("V_AV1", "V_VP9", "V_VP8")
+        it.map { case (id, text) =>
+          val hasAudio = id % 2 == 1
+          val flac = id % 4 == 1
+          val docType = if (flac) "matroska" else "webm" // FLAC is not a WebM codec
+          val video = MkvTrack("video", vcodecs((id % 3).toInt),
+            (32 * (1 + id % 6)).toInt, (16 * (1 + id % 9)).toInt, 0L, 0)
+          val audio =
+            if (!hasAudio) Nil
+            else Seq(MkvTrack("audio", if (flac) "A_FLAC" else "A_OPUS", 0, 0,
+              if (flac) 44100L else 48000L, if (flac) 1 else 2))
+          // TimestampScale 1 ms per tick; duration in whole seconds
+          val meta = MkvMeta(docType, 1000000L, 1000L * (1 + id % 5), video +: audio)
+          val payload = text.getBytes("UTF-8").take(48)
+          val bytes = Codecs.encodeMkvMeta(meta, payload)
+          val got = Codecs.decodeMkvMeta(bytes) // the REAL parse under test
+          val v = got.tracks.find(_.trackType == "video").get
+          val a = got.tracks.find(_.trackType == "audio")
+          (id, bytes.length.toLong, got.docType, got.tracks.size.toLong,
+            v.codec, v.width.toLong, v.height.toLong,
+            got.durationTicks * got.timestampScaleNs / 1000000000L,
+            a.map(_.codec).getOrElse(""), a.map(_.samplingHz).getOrElse(0L),
+            a.map(_.channels.toLong).getOrElse(0L))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "doc_type", "n_tracks", "video_codec",
+        "width", "height", "duration_s", "audio_codec", "sampling_hz", "channels")
+      .orderBy(col("doc_id"))
+  }
+
   /** Image perceptual-hash near-dup dedup over the synthetic BMP
     * corpus: 64-bit difference hashes from REAL decoded pixels
     * ([[graft.multimodal.ImageDedup.dHash]] — integer Rec.601 luma on
@@ -5558,6 +5614,7 @@ object SparkEntry {
     "ann_ivf_fullprobe" -> (annIvfFullprobe _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_mp4_meta" -> (multimodalMp4Meta _),
+    "multimodal_mkv_meta" -> (multimodalMkvMeta _),
     "image_dedup" -> (imageDedup _),
     "video_dedup" -> (videoDedup _),
     "video_dedup_incremental" -> (videoDedupIncremental _),
@@ -8802,6 +8859,30 @@ object SparkEntry {
         |  CAST((10 + doc_id % 20) *
         |       (1 + CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END) AS BIGINT)
         |    AS total_samples
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+    // Matroska container metadata: every emitted field comes from the
+    // real EBML parse; the oracle recomputes the deterministic
+    // generator parameters closed-form, INCLUDING the byte-exact
+    // container size (92 fixed + len(DocType) + 30/video entry +
+    // 36/audio entry + min(48, text bytes) — formula pinned by MkvSpec)
+    "multimodal_mkv_meta" ->
+      """SELECT doc_id,
+        |  CAST(122 + CASE WHEN doc_id % 4 = 1 THEN 8 ELSE 4 END
+        |       + CASE WHEN doc_id % 2 = 1 THEN 36 ELSE 0 END
+        |       + least(octet_length(encode(text)), 48) AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'matroska' ELSE 'webm' END AS doc_type,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+        |  ['V_AV1', 'V_VP9', 'V_VP8'][CAST(doc_id % 3 AS INT) + 1] AS video_codec,
+        |  CAST(32 * (1 + doc_id % 6) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 9) AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS duration_s,
+        |  CASE WHEN doc_id % 2 = 0 THEN ''
+        |       WHEN doc_id % 4 = 1 THEN 'A_FLAC' ELSE 'A_OPUS' END AS audio_codec,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |            WHEN doc_id % 4 = 1 THEN 44100 ELSE 48000 END AS BIGINT) AS sampling_hz,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |            WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // image dHash dedup, closed-form: every 9x8 grid cell's integer

@@ -500,4 +500,255 @@ object Codecs extends Serializable {
     require(brand.nonEmpty, "no ftyp box: not an ISO BMFF container")
     Mp4Meta(brand, tracks.toSeq)
   }
+
+  // ------------------------------------------------- Matroska (EBML)
+
+  /** One Matroska track's container-level metadata: track type
+    * (`video` / `audio`), the CodecID string (`V_VP9`, `A_OPUS`, ...),
+    * pixel dimensions (video, zero for audio) and sampling rate /
+    * channel count (audio, zero for video).
+    */
+  final case class MkvTrack(
+      trackType: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      samplingHz: Long,
+      channels: Int)
+
+  /** Container-level Matroska metadata: EBML DocType (`matroska` /
+    * `webm`), the Segment Info timestamp scale (ns per tick) and
+    * duration (in ticks), plus per-track rows.
+    */
+  final case class MkvMeta(
+      docType: String,
+      timestampScaleNs: Long,
+      durationTicks: Long,
+      tracks: Seq[MkvTrack])
+
+  // Matroska element IDs (RFC 8794 EBML + the Matroska DocType),
+  // stored marker-bit-inclusive as the spec compares them.
+  private val EbmlHeader = 0x1A45DFA3L
+  private val DocTypeId = 0x4282L
+  private val SegmentId = 0x18538067L
+  private val InfoId = 0x1549A966L
+  private val TimestampScaleId = 0x2AD7B1L
+  private val DurationId = 0x4489L
+  private val TracksId = 0x1654AE6BL
+  private val TrackEntryId = 0xAEL
+  private val TrackTypeId = 0x83L
+  private val CodecIdId = 0x86L
+  private val VideoId = 0xE0L
+  private val PixelWidthId = 0xB0L
+  private val PixelHeightId = 0xBAL
+  private val AudioId = 0xE1L
+  private val SamplingFreqId = 0xB5L
+  private val ChannelsId = 0x9FL
+  private val ClusterId = 0x1F43B6E7L
+  private val ClusterTimestampId = 0xE7L
+  private val SimpleBlockId = 0xA3L
+
+  /** Encode container-level Matroska metadata as a REAL EBML tree
+    * (EBML header with DocType + Segment[Info[TimestampScale,
+    * Duration] + Tracks[TrackEntry...] + Cluster[Timestamp,
+    * SimpleBlock]]) with the codec payload riding a genuine
+    * SimpleBlock (track VINT + relative timestamp + keyframe flag) as
+    * opaque bytes. Same contract as [[encodeMp4Meta]]: the CONTAINER
+    * structure is genuine and round-trips through [[decodeMkvMeta]];
+    * the block payload stays un-decoded (no VP9/AV1/Opus codecs exist
+    * pure-JVM here). Size VINTs are fixed-width (1 byte for leaves,
+    * 2 bytes for master elements, 8 bytes for the Segment — a layout
+    * real muxers use for streamability), so the encoded size is an
+    * affine function of the string fields and payload length; the
+    * MkvSpec pins that closed form.
+    */
+  def encodeMkvMeta(meta: MkvMeta, payload: Array[Byte]): Array[Byte] = {
+    require(meta.docType.nonEmpty && meta.docType.length < 64, "bad DocType")
+    require(payload.length <= 16000, "payload too large for the fixed-width layout")
+    def idBytes(id: Long): Array[Byte] = {
+      // IDs are stored marker-inclusive: emit exactly the bytes whose
+      // big-endian value is the id, 1..4 bytes
+      val w = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+              else if (id <= 0xffffffL) 3 else 4
+      Array.tabulate(w)(i => ((id >> (8 * (w - 1 - i))) & 0xff).toByte)
+    }
+    def sizeVint(n: Long, width: Int): Array[Byte] = {
+      // width-byte VINT: marker bit 1 << (7 - (width-1)) in the first
+      // byte, value in the remaining 7*width bits
+      require(n >= 0 && n < (1L << (7 * width)) - 1, s"size $n too big for $width-byte vint")
+      val v = n | (1L << (7 * width))
+      Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, content: Array[Byte], sizeWidth: Int): Array[Byte] =
+      idBytes(id) ++ sizeVint(content.length.toLong, sizeWidth) ++ content
+    def leaf(id: Long, content: Array[Byte]): Array[Byte] = el(id, content, 1)
+    def uintBytes(v: Long, width: Int): Array[Byte] =
+      Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
+    def floatBytes(d: Double): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array()
+
+    val header = el(EbmlHeader,
+      leaf(0x4286L, uintBytes(1, 1)) ++      // EBMLVersion
+        leaf(0x42F7L, uintBytes(1, 1)) ++    // EBMLReadVersion
+        leaf(0x42F2L, uintBytes(4, 1)) ++    // EBMLMaxIDLength
+        leaf(0x42F3L, uintBytes(8, 1)) ++    // EBMLMaxSizeLength
+        leaf(DocTypeId, meta.docType.getBytes("US-ASCII")) ++
+        leaf(0x4287L, uintBytes(4, 1)) ++    // DocTypeVersion
+        leaf(0x4285L, uintBytes(2, 1)),      // DocTypeReadVersion
+      2)
+    val info = el(InfoId,
+      leaf(TimestampScaleId, uintBytes(meta.timestampScaleNs, 4)) ++
+        leaf(DurationId, floatBytes(meta.durationTicks.toDouble)),
+      2)
+    val trackEntries = meta.tracks.zipWithIndex.map { case (t, i) =>
+      val typeByte = t.trackType match {
+        case "video" => 1L
+        case "audio" => 2L
+        case other => throw new IllegalArgumentException(s"unsupported track type '$other'")
+      }
+      val media =
+        if (t.trackType == "video")
+          el(VideoId,
+            leaf(PixelWidthId, uintBytes(t.width.toLong, 2)) ++
+              leaf(PixelHeightId, uintBytes(t.height.toLong, 2)),
+            1)
+        else
+          el(AudioId,
+            leaf(SamplingFreqId, floatBytes(t.samplingHz.toDouble)) ++
+              leaf(ChannelsId, uintBytes(t.channels.toLong, 1)),
+            1)
+      el(TrackEntryId,
+        leaf(0xD7L, uintBytes(i + 1L, 1)) ++   // TrackNumber
+          leaf(0x73C5L, uintBytes(i + 1L, 1)) ++ // TrackUID
+          leaf(TrackTypeId, uintBytes(typeByte, 1)) ++
+          leaf(CodecIdId, t.codec.getBytes("US-ASCII")) ++
+          media,
+        2)
+    }
+    val tracks = el(TracksId, trackEntries.flatten.toArray, 2)
+    // a genuine SimpleBlock: track-number VINT (track 1), 16-bit
+    // relative timestamp 0, keyframe flag, then the opaque payload
+    val block = Array(0x81.toByte, 0.toByte, 0.toByte, 0x80.toByte) ++ payload
+    val cluster = el(ClusterId,
+      leaf(ClusterTimestampId, uintBytes(0L, 1)) ++ el(SimpleBlockId, block, 2),
+      2)
+    val segment = el(SegmentId, info ++ tracks ++ cluster, 8)
+    header ++ segment
+  }
+
+  /** Parse an EBML tree and return the container-level Matroska
+    * metadata. A real recursive EBML walker — variable-width element
+    * IDs (1..4 bytes, marker-inclusive per RFC 8794), variable-width
+    * size VINTs (1..8 bytes, marker stripped), the all-ones UNKNOWN
+    * size (extends to the end of the enclosing element, as real
+    * muxers emit for live Segments), and unknown-element skip —
+    * FAILFAST on structural corruption (truncated VINT, size past the
+    * enclosing element, over-wide integers), like every other decode
+    * path here. Every leaf read is bounded inside its own element;
+    * SimpleBlock payloads are not touched.
+    */
+  def decodeMkvMeta(bytes: Array[Byte]): MkvMeta = {
+    var docType = ""
+    var tsScale = 1000000L // Matroska default: 1 ms per tick
+    var durationTicks = 0L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[MkvTrack]
+    var tType = 0L; var codec = ""; var w = 0; var h = 0
+    var hz = 0L; var ch = 0
+
+    def vintWidth(first: Int, max: Int, what: String): Int = {
+      require(first != 0, s"invalid $what: first byte 0 (would be >8 bytes)")
+      val width = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      require(width <= max, s"$what width $width exceeds $max bytes")
+      width
+    }
+    // returns (value, nextOffset); for IDs the marker stays in the value
+    def readId(off: Int, end: Int): (Long, Int) = {
+      require(end - off >= 1, s"truncated element id at offset $off")
+      val width = vintWidth(bytes(off) & 0xff, 4, "element id")
+      require(end - off >= width, s"truncated element id at offset $off")
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+      (v, off + width)
+    }
+    // returns (size, nextOffset); size == -1 means UNKNOWN (all ones)
+    def readSize(off: Int, end: Int): (Long, Int) = {
+      require(end - off >= 1, s"truncated size vint at offset $off")
+      val first = bytes(off) & 0xff
+      val width = vintWidth(first, 8, "size vint")
+      require(end - off >= width, s"truncated size vint at offset $off")
+      var v = (first & (0xff >>> width)).toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+      val allOnes = (1L << (7 * width)) - 1
+      (if (v == allOnes) -1L else v, off + width)
+    }
+    def readUint(start: Int, len: Int, what: String): Long = {
+      require(len >= 0 && len <= 8, s"$what: invalid uint length $len")
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (bytes(start + i) & 0xffL); i += 1 }
+      v
+    }
+    def readFloat(start: Int, len: Int, what: String): Double = len match {
+      case 0 => 0.0
+      case 4 => java.lang.Float.intBitsToFloat(readUint(start, 4, what).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(readUint(start, 8, what))
+      case n => throw new IllegalArgumentException(s"$what: invalid float length $n")
+    }
+    val masters = Set(SegmentId, InfoId, TracksId, TrackEntryId, VideoId, AudioId)
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      require(depth < 16, "element nesting too deep (corrupt container?)")
+      var off = start
+      while (off < end) {
+        val (id, afterId) = readId(off, end)
+        val (size0, cStart) = readSize(afterId, end)
+        // UNKNOWN size (all ones) extends to the end of the enclosing
+        // element — legal only on master elements per RFC 8794 §6.2
+        if (size0 < 0)
+          require(masters(id) || id == ClusterId || id == EbmlHeader,
+            s"unknown size on non-master element 0x${id.toHexString} at $off")
+        val size = if (size0 < 0) (end - cStart).toLong else size0
+        require(cStart + size <= end,
+          s"element 0x${id.toHexString} at $off claims $size bytes past its container")
+        val cEnd = cStart + size.toInt
+        val len = cEnd - cStart
+        id match {
+          case EbmlHeader => walk(cStart, cEnd, depth + 1)
+          case DocTypeId =>
+            // trailing NULs pad EBML strings per RFC 8794
+            docType = new String(bytes, cStart, len, "US-ASCII").takeWhile(_ != '\u0000')
+          case m if masters(m) =>
+            if (id == TrackEntryId) {
+              tType = 0L; codec = ""; w = 0; h = 0; hz = 0L; ch = 0
+            }
+            walk(cStart, cEnd, depth + 1)
+            if (id == TrackEntryId) {
+              val typeName = tType match {
+                case 1 => "video"
+                case 2 => "audio"
+                case t => s"type$t"
+              }
+              tracks += MkvTrack(typeName, codec, w, h, hz, ch)
+            }
+          case TimestampScaleId => tsScale = readUint(cStart, len, "TimestampScale")
+          case DurationId =>
+            durationTicks = readFloat(cStart, len, "Duration").toLong
+          case TrackTypeId => tType = readUint(cStart, len, "TrackType")
+          case CodecIdId =>
+            codec = new String(bytes, cStart, len, "US-ASCII").takeWhile(_ != '\u0000')
+          case PixelWidthId => w = readUint(cStart, len, "PixelWidth").toInt
+          case PixelHeightId => h = readUint(cStart, len, "PixelHeight").toInt
+          case SamplingFreqId => hz = readFloat(cStart, len, "SamplingFrequency").toLong
+          case ChannelsId => ch = readUint(cStart, len, "Channels").toInt
+          case _ => // unknown element (Cluster payload, Void, ...): skip
+        }
+        off = cEnd
+      }
+    }
+    walk(0, bytes.length, 0)
+    require(docType.nonEmpty, "no EBML DocType: not a Matroska container")
+    MkvMeta(docType, tsScale, durationTicks, tracks.toSeq)
+  }
 }
