@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH banding calibration — the planning step BEFORE a
+  * corpus-scale near-dup run: given a signature budget (total hashes
+  * H) and a target Jaccard threshold t, choose the (bands b, rows r)
+  * split, b·r = H, whose S-curve
+  *
+  *   P(candidate | J = j) = 1 − (1 − j^r)^b
+  *
+  * puts its midpoint at the threshold (|P(t) − 1/2| minimal; ties go
+  * to fewer bands — fewer bands mean fewer bucket-join repetitions,
+  * the dominant cost at scale). This is how the banded dedup family's
+  * `bands`/`rowsPerBand` knobs ([[TextDedup]]) should be chosen
+  * instead of guessed: a misplaced midpoint either floods the
+  * pair-budget guards with sub-threshold candidates or silently drops
+  * recall.
+  *
+  * Numerics contract: every power is evaluated as a LEFT-FOLD
+  * multiplication chain (`aggregate(sequence(...))` — whole-stage
+  * codegen, no `pow`), so the result is a deterministic sequence of
+  * IEEE multiplies that any engine replays bit-for-bit; `Math.pow`'s
+  * 1-ulp license would break oracle hashing. The config space is
+  * metadata-sized (divisor pairs × thresholds), so this is pure plan
+  * algebra — no data is touched.
+  */
+object LshTuning {
+
+  /** One row per (total_hashes, threshold): the chosen split plus the
+    * S-curve read at the threshold and at ±probe offsets (the spread
+    * `p_high − p_low` is the selectivity the banding actually buys).
+    *
+    * @param budgets    candidate signature sizes (e.g. 64, 128, 256)
+    * @param thresholds target Jaccard thresholds in (probeBelow, 1 − probeAbove)
+    * @param probeBelow how far below t to read the curve (default 0.2)
+    * @param probeAbove how far above t to read the curve (default 0.05)
+    */
+  def tune(
+      spark: SparkSession,
+      budgets: Seq[Int],
+      thresholds: Seq[Double],
+      probeBelow: Double = 0.2,
+      probeAbove: Double = 0.05): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 2), "budgets must be >= 2")
+    require(thresholds.nonEmpty &&
+      thresholds.forall(t => t - probeBelow > 0 && t + probeAbove < 1),
+      "thresholds must leave room for the probe offsets in (0, 1)")
+    import spark.implicits._
+
+    // P(candidate | J = j) as the exact multiply chain:
+    // q = fold(1.0, r times, *j); p = 1 - fold(1.0, b times, *(1-q))
+    def pCatch(j: org.apache.spark.sql.Column) = {
+      val jr = aggregate(sequence(lit(1), col("rows_per_band")),
+        lit(1.0), (acc, _) => acc * j)
+      lit(1.0) - aggregate(sequence(lit(1), col("bands")),
+        lit(1.0), (acc, _) => acc * (lit(1.0) - jr))
+    }
+
+    // the config space is a constant-size grid (divisor pairs x
+    // thresholds) — enumerate it as metadata, not as a join
+    val configs = (for {
+      h <- budgets
+      r <- 1 to h if h % r == 0
+      t <- thresholds
+    } yield (h, r, h / r, t)).toDF("total_hashes", "rows_per_band", "bands", "threshold")
+    val scored = configs
+      .withColumn("p_at_t", pCatch(col("threshold")))
+      .withColumn("p_low", pCatch(col("threshold") - lit(probeBelow)))
+      .withColumn("p_high", pCatch(col("threshold") + lit(probeAbove)))
+    val best = Window.partitionBy(col("total_hashes"), col("threshold"))
+      .orderBy(abs(col("p_at_t") - lit(0.5)).asc, col("bands").asc)
+    scored
+      .withColumn("__rank", row_number().over(best))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+      .select(col("total_hashes"), col("threshold"), col("bands"),
+        col("rows_per_band"), col("p_at_t"), col("p_low"), col("p_high"))
+  }
+}
