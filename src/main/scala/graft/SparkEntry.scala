@@ -2141,6 +2141,35 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Multi-source BFS hop distances ([[graft.operators.Graphs
+    * .bfsDistances]]) over the triangles fixture's clique+bridge
+    * graph (decade cliques chained by `%10==9 → +1` bridges): seeds
+    * {0, 77} give nontrivial distances — +2 per decade hop away from
+    * a seed, minimum over both seeds, a ~15-round frontier expansion.
+    * The oracle replays BFS itself with a recursive CTE (distinct
+    * UNION worklist of (node, depth) pairs), so the whole frontier
+    * algebra — symmetric adjacency, minimum-over-seeds, unreached-
+    * absent — is same-chain replay at any SF.
+    */
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 150)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bridges = users
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 140)
+      .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
+    val seeds = users
+      .filter(col("user_id") === 0 || col("user_id") === 77)
+      .select(col("user_id"))
+    graft.operators.Graphs
+      .bfsDistances(clique.unionByName(bridges), "id_a", "id_b", seeds)
+      .orderBy(col("id"))
+  }
+
   /** FULL coreness decomposition ([[graft.operators.Graphs.coreness]])
     * over [[graphKcore]]'s clique+chain fixture — disjoint components
     * whose core numbers are CLOSED FORM: a clique of m present users
@@ -3925,6 +3954,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Small-file compaction planning ([[graft.operators.Compaction]])
+    * — the table-maintenance step a 100 TB parquet table needs
+    * continuously: a deterministic file inventory (one "file" per
+    * (order year, key slot), bytes proportional to its row count with
+    * every 17th slot inflated past the target to exercise the
+    * keep-big-files rule) is planned into rewrite groups by the
+    * running-sum cut, and the gate emits the per-group ledger. The
+    * oracle replays the ENTIRE chain (inventory, cut, keep rule,
+    * roll-up) in SQL — same-chain replay, no verdict to flip at any
+    * SF. The planner itself is one shuffle on the partition key plus
+    * one window; group cuts use integer `div`, exact past 2^53 bytes.
+    */
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val inv = Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("part"),
+        (col("o_orderkey") % 40).as("slot"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("part"),
+        concat(lit("f"), lpad(col("slot").cast("string"), 2, "0")).as("file"),
+        (col("n") * when(col("slot") % 17 === 0, 500L).otherwise(50L)).as("bytes"))
+    val planned = graft.operators.Compaction.plan(inv, "part", "file", "bytes",
+      targetBytes = 8192L)
+    graft.operators.Compaction.groupSummary(planned, "part", "file", "bytes")
+      .orderBy(col("part"), col("grp"))
+  }
+
+  /** MinHash-LSH banding calibration ([[graft.operators.LshTuning]])
+    * — the planning step before every banded dedup run: for each
+    * signature budget and target Jaccard threshold, pick the
+    * (bands, rows) divisor split whose S-curve midpoint sits at the
+    * threshold. Every power is a left-fold multiplication chain (no
+    * `pow` — its 1-ulp license differs across engines), so the DuckDB
+    * oracle replays the doubles BIT-FOR-BIT via recursive CTEs: the
+    * whole chain (config grid, curve evaluation, argmin selection,
+    * tie-break) is same-chain replay with no verdict column.
+    */
+  private def lshTune(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LshTuning.tune(s,
+      budgets = Seq(64, 128, 256), thresholds = Seq(0.5, 0.7, 0.8, 0.9))
+      .orderBy(col("total_hashes"), col("threshold"))
+
   /** Image perceptual-hash near-dup dedup over the synthetic BMP
     * corpus: 64-bit difference hashes from REAL decoded pixels
     * ([[graft.multimodal.ImageDedup.dHash]] — integer Rec.601 luma on
@@ -5615,6 +5685,8 @@ object SparkEntry {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_mp4_meta" -> (multimodalMp4Meta _),
     "multimodal_mkv_meta" -> (multimodalMkvMeta _),
+    "compaction_plan" -> (compactionPlan _),
+    "lsh_tune" -> (lshTune _),
     "image_dedup" -> (imageDedup _),
     "video_dedup" -> (videoDedup _),
     "video_dedup_incremental" -> (videoDedupIncremental _),
@@ -5718,6 +5790,7 @@ object SparkEntry {
     "graph_communities" -> (graphCommunities _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_bfs" -> (graphBfs _),
     "graph_coreness" -> (graphCoreness _),
     "graph_coreness_distributed" -> (graphCorenessDistributed _),
     "knn_classify" -> (knnClassifyQ _),
@@ -6836,6 +6909,24 @@ object SparkEntry {
         |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
         |  SELECT s AS id FROM e3 UNION ALL SELECT t FROM e3)
         |GROUP BY id ORDER BY id""".stripMargin,
+    // BFS: the oracle replays the frontier expansion itself — a
+    // recursive distinct-UNION worklist of (node, depth) pairs over
+    // the same symmetric adjacency, then min depth per node
+    "graph_bfs" ->
+      """WITH RECURSIVE users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 150),
+        |cl AS (SELECT a.u AS s, b.u AS t FROM users a
+        |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 140),
+        |e AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
+        |und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+        |walk(node, d) AS (
+        |  SELECT u, 0 FROM users WHERE u IN (0, 77)
+        |  UNION
+        |  SELECT und.t, walk.d + 1 FROM walk JOIN und ON und.s = walk.node
+        |  WHERE walk.d < 64)
+        |SELECT node AS id, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY id""".stripMargin,
     // triangles: wedge join + closing-edge check on the canonical
     // a<b edge set, per-node participation, integral lcc grid
     "graph_triangles" ->
@@ -8885,6 +8976,75 @@ object SparkEntry {
         |            WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+    // compaction planner: the oracle replays the whole chain — the
+    // deterministic inventory, the running-sum cut (integer //), the
+    // keep-big-files rule, and the per-group roll-up
+    "compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT year(o_orderdate) AS part,
+        |         'f' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 2, '0') AS file,
+        |         CAST(count(*) * CASE WHEN (o_orderkey % 40) % 17 = 0
+        |                              THEN 500 ELSE 50 END AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1, o_orderkey % 40),
+        |small AS (
+        |  SELECT part, file, bytes,
+        |         (sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |            ROWS UNBOUNDED PRECEDING) - bytes) // 8192 AS grp
+        |  FROM inv WHERE bytes < 8192),
+        |big AS (
+        |  SELECT part, file, bytes,
+        |         -CAST(row_number() OVER (PARTITION BY part ORDER BY file)
+        |               AS BIGINT) AS grp
+        |  FROM inv WHERE bytes >= 8192),
+        |u AS (SELECT * FROM small UNION ALL SELECT * FROM big),
+        |lab AS (
+        |  SELECT *, CASE WHEN grp >= 0 AND
+        |                      count(*) OVER (PARTITION BY part, grp) > 1
+        |                 THEN 'rewrite' ELSE 'keep' END AS action FROM u)
+        |SELECT part, grp, action, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       min(file) AS first_file, max(file) AS last_file
+        |FROM lab GROUP BY 1, 2, 3
+        |ORDER BY part, grp""".stripMargin,
+    // LSH banding calibration: bit-for-bit double replay — powers as
+    // the same left-fold multiply chains (recursive CTEs), then the
+    // same argmin + fewer-bands tie-break
+    "lsh_tune" ->
+      """WITH RECURSIVE cfg AS (
+        |  SELECT h, r, h // r AS b, CAST(t AS DOUBLE) AS t
+        |  FROM (VALUES (64), (128), (256)) AS bu(h),
+        |       generate_series(1, 256) AS gs(r),
+        |       (VALUES (0.5), (0.7), (0.8), (0.9)) AS th(t)
+        |  WHERE r <= h AND h % r = 0),
+        |probes AS (
+        |  SELECT h, r, b, t, t - CAST(0.2 AS DOUBLE) AS j FROM cfg
+        |  UNION ALL SELECT h, r, b, t, t FROM cfg
+        |  UNION ALL SELECT h, r, b, t, t + CAST(0.05 AS DOUBLE) AS j FROM cfg),
+        |jr(h, r, b, t, j, i, q) AS (
+        |  SELECT h, r, b, t, j, 0, CAST(1 AS DOUBLE) FROM probes
+        |  UNION ALL
+        |  SELECT h, r, b, t, j, i + 1, q * j FROM jr WHERE i < r),
+        |pb(h, r, b, t, j, i, acc, q) AS (
+        |  SELECT h, r, b, t, j, 0, CAST(1 AS DOUBLE), q FROM jr WHERE i = r
+        |  UNION ALL
+        |  SELECT h, r, b, t, j, i + 1, acc * (CAST(1 AS DOUBLE) - q), q
+        |  FROM pb WHERE i < b),
+        |pcat AS (
+        |  SELECT h, r, b, t, j, CAST(1 AS DOUBLE) - acc AS p FROM pb WHERE i = b),
+        |wide AS (
+        |  SELECT h, r, b, t,
+        |         max(CASE WHEN j = t THEN p END) AS p_at_t,
+        |         max(CASE WHEN j = t - CAST(0.2 AS DOUBLE) THEN p END) AS p_low,
+        |         max(CASE WHEN j = t + CAST(0.05 AS DOUBLE) THEN p END) AS p_high
+        |  FROM pcat GROUP BY 1, 2, 3, 4),
+        |sel AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h, t
+        |            ORDER BY abs(p_at_t - 0.5), b) AS rn
+        |  FROM wide)
+        |SELECT h AS total_hashes, t AS threshold, b AS bands,
+        |       r AS rows_per_band, p_at_t, p_low, p_high
+        |FROM sel WHERE rn = 1
+        |ORDER BY total_hashes, threshold""".stripMargin,
     // image dHash dedup, closed-form: every 9x8 grid cell's integer
     // Rec.601 luma recomputed from the document bytes (ASCII, so
     // unicode() == byte), gradient-sign bits, all-pairs popcount at

@@ -209,6 +209,62 @@ object Graphs {
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list —
+    * the classic beside PageRank/coreness/triangles: distance from a
+    * seed set (ego networks, contamination blast radius, link-distance
+    * features for dedup cluster auditing). Pregel-style frontier
+    * expansion: each round joins the frontier to the symmetric
+    * adjacency and anti-joins the settled set, so a round is ONE
+    * node-keyed shuffle join plus one anti-join; the adjacency is
+    * built once and reused (at cluster scale, pre-bucket it by source
+    * node and every round's join is shuffle-free on the edge side).
+    * Each fresh frontier is localCheckpoint'd — lineage stays flat
+    * across high-diameter graphs instead of stacking one plan per
+    * round. Unreached nodes are ABSENT (infinite distance), matching
+    * the coreness family's absent zero-core nodes.
+    *
+    * @param seeds   one column of node ids, distance 0
+    * @param maxDepth hard cap on rounds (the honest partial result if
+    *                 the diameter exceeds it, like kCore's maxRounds)
+    * @return (id, dist): minimal hop count from any seed
+    */
+  def bfsDistances(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      seeds: DataFrame,
+      maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    val e = canonical(pairs, aCol, bCol)
+    val und = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    var settled = seeds.toDF("id").distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled.select(col("id"))
+    var d = 0L
+    var n = frontier.count()
+    while (n > 0 && d < maxDepth) {
+      val fresh = frontier.withColumnRenamed("id", "s")
+        .join(und, Seq("s"))
+        .select(col("t").as("id"))
+        .distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      n = fresh.count()
+      d += 1
+      if (n > 0) {
+        // the union of checkpointed pieces stays a flat plan: each
+        // round's anti-join scans materialized frontiers, not lineage
+        settled = settled.unionByName(fresh.withColumn("dist", lit(d)))
+        frontier = fresh
+      }
+    }
+    settled
+  }
+
   /** FULL coreness decomposition: every node's core number (the
     * largest k for which it survives in the k-core) in one
     * monotonically shrinking peeling pass — the whole-spectrum density

@@ -172,4 +172,27 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(empty == ((0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("bfs: path-graph distances from one seed, unreached absent") {
+    // path 1-2-3-4-5, isolated edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val got = Graphs.bfsDistances(edges.toDF("a", "b"), "a", "b",
+      Seq(1L).toDF("id")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs: multi-source takes the minimum over seeds; direction ignored") {
+    // seeds at both ends of the path; edges listed in mixed direction
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L))
+    val got = Graphs.bfsDistances(edges.toDF("a", "b"), "a", "b",
+      Seq(1L, 5L).toDF("id")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfs: maxDepth caps honestly; a seed outside the graph settles at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graphs.bfsDistances(edges.toDF("a", "b"), "a", "b",
+      Seq(1L, 99L).toDF("id"), maxDepth = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 0L))
+  }
 }
