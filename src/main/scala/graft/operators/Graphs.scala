@@ -265,6 +265,153 @@ object Graphs {
     settled
   }
 
+  /** Approximate neighborhood function via HyperBall (Boldi-Vigna,
+    * "HyperANF: approximating the neighbourhood function of very
+    * large graphs on a budget" / the HyperBall register-update
+    * formulation; Palmer et al.'s ANF is the ancestor): every node
+    * carries an m-register HyperLogLog of its ball, initialized to
+    * {itself}, and each round every node maxes its registers with its
+    * neighbours' — after t rounds node v's sketch estimates
+    * |ball(v, t)|, and the per-round total estimates the neighborhood
+    * function N(t) = |{(v, u) : dist(v, u) <= t}|. THIS is how graph
+    * diameters and centralities are measured on graphs where all-pairs
+    * BFS (O(V·E)) is unthinkable: O(m·V) state, one node-keyed
+    * aggregation per round.
+    *
+    * Spark shape: registers live SPARSE as (id, idx, reg) rows — a
+    * round is one join of the register table to the adjacency plus one
+    * map-combinable groupBy max, so hub nodes cost a combiner, never a
+    * per-node array collect. Register ranks are exact integer algebra:
+    * bucket = hash mod m, rank = length(bin(lowest set bit of
+    * hash div m)) — no floating log in the sketch itself. Rounds stop
+    * at the register fixpoint (t = the graph's diameter) or maxDepth.
+    *
+    * @return one row per depth t = 0..diameter: (t, est_pairs), the
+    *         HLL estimate of N(t) (alpha-corrected harmonic mean with
+    *         the standard small-range linear counting)
+    */
+  def hyperBall(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      m: Int = 64,
+      maxDepth: Int = 64): DataFrame = {
+    require(m >= 16 && Integer.bitCount(m) == 1, "m must be a power of two >= 16")
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = canonical(pairs, aCol, bCol)
+    val und = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = und.select(col("s").as("id")).distinct()
+    // one sparse register per node to start: its own hash. Bucket is
+    // the low log2(m) bits; the rank is ntz+1 of the UNSIGNED-shifted
+    // suffix (geometric(1/2), same law as leading zeros) — computed by
+    // exact integer algebra: length(bin(lowest set bit)) = ntz + 1.
+    val log2m = Integer.numberOfTrailingZeros(m)
+    val hash = xxhash64(col("id"), lit("hyperball"))
+    val suffix = shiftrightunsigned(hash, log2m)
+    var regs = nodes
+      .withColumn("idx", pmod(hash, lit(m.toLong)).cast("int"))
+      .withColumn("reg",
+        when(suffix === 0, lit(65 - log2m))
+          .otherwise(length(bin(suffix.bitwiseAND(-suffix)))).cast("int"))
+      .select(col("id"), col("idx"), col("reg"))
+      .localCheckpoint(true)
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard HLL alpha for m >= 64
+    // ONE aggregation per round serves both the N(t) estimate and the
+    // fixpoint test (registers only grow, so unchanged (row count,
+    // register sum) means no register moved). Absent sparse registers
+    // are zeros: they add 2^0 = 1 each to the harmonic sum, and they
+    // ARE the linear-counting zero count.
+    def roundStats(r: DataFrame): (Double, Long, Long) = {
+      val row = r.groupBy(col("id"))
+        .agg(sum(pow(lit(2.0), -col("reg"))).as("harm"),
+          count(lit(1)).as("present"),
+          sum(col("reg")).as("regsum"))
+        .select(
+          (lit(alpha * m * m) /
+            (col("harm") + (lit(m.toDouble) - col("present")))).as("raw"),
+          (lit(m.toLong) - col("present")).as("zeros"),
+          col("present"), col("regsum"))
+        // small-range correction: linear counting when zeros remain
+        // and raw is under 2.5m (the standard HLL regime split)
+        .select(when(col("zeros") > 0 && col("raw") < lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("est"),
+          col("present"), col("regsum"))
+        .agg(sum(col("est")), sum(col("present")), sum(col("regsum"))).head
+      (row.getDouble(0), row.getLong(1), row.getLong(2))
+    }
+    val s0 = roundStats(regs)
+    val out = scala.collection.mutable.ArrayBuffer((0L, s0._1))
+    var prev = (s0._2, s0._3)
+    var t = 0L
+    var stable = false
+    while (!stable && t < maxDepth) {
+      val contrib = regs.join(und, regs("id") === und("s"))
+        .select(und("t").as("id"), col("idx"), col("reg"))
+      val merged = regs.unionAll(contrib)
+        .groupBy(col("id"), col("idx")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint(true)
+      val cur = roundStats(merged)
+      stable = (cur._2, cur._3) == prev
+      prev = (cur._2, cur._3)
+      regs = merged
+      t += 1
+      if (!stable) out += ((t, cur._1))
+    }
+    out.toSeq.toDF("t", "est_pairs")
+  }
+
+  /** EXACT neighborhood function by simultaneous all-sources BFS over
+    * (src, node) pairs — the O(V^2) ground truth [[hyperBall]]
+    * estimates. Only for clamped fixtures and tests: the pair table is
+    * quadratic in nodes by definition (that being unthinkable at scale
+    * is exactly why HyperBall exists).
+    *
+    * @return one row per depth t = 0..diameter: (t, exact_pairs),
+    *         cumulative |{(v, u) : dist(v, u) <= t}|
+    */
+  def ballSizesExact(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxDepth: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = canonical(pairs, aCol, bCol)
+    val und = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    var settled = und.select(col("s").as("src")).distinct()
+      .select(col("src"), col("src").as("node"))
+      .localCheckpoint(true)
+    var frontier = settled
+    val out = scala.collection.mutable.ArrayBuffer((0L, settled.count()))
+    var t = 0L
+    var n = 1L
+    while (n > 0 && t < maxDepth) {
+      val fresh = frontier.withColumnRenamed("node", "s")
+        .join(und, Seq("s"))
+        .select(col("src"), col("t").as("node"))
+        .distinct()
+        .join(settled, Seq("src", "node"), "left_anti")
+        .localCheckpoint(true)
+      n = fresh.count()
+      t += 1
+      if (n > 0) {
+        settled = settled.unionByName(fresh)
+        frontier = fresh
+        out += ((t, out.last._2 + n))
+      }
+    }
+    out.toSeq.toDF("t", "exact_pairs")
+  }
+
   /** FULL coreness decomposition: every node's core number (the
     * largest k for which it survives in the k-core) in one
     * monotonically shrinking peeling pass — the whole-spectrum density
