@@ -2144,27 +2144,29 @@ object SparkEntry {
   /** Approximate neighborhood function ([[graft.operators.Graphs
     * .hyperBall]]) vs its exact all-pairs twin ([[graft.operators
     * .Graphs.ballSizesExact]]) on a CLAMPED clique+bridge fixture
-    * (users < 60 — byte-identical at every SF, the knn_graph_ann
-    * verdict class): per depth t, the gate emits the exact
+    * (users < 40 — byte-identical at every SF, the knn_graph_ann
+    * verdict class; diameter 7, so both iterative passes stay ~8
+    * rounds — an iterative gate's cost is rounds x fixed job
+    * overhead): per depth t, the gate emits the exact
     * neighborhood function (oracle-replayed by a recursive all-pairs
     * BFS CTE) and asserts the m=64 HyperBall estimate lands within
     * ±25% (the HLL rsd at m=64 is 13% per node and per-node errors
     * partially cancel in the sum; the fixture's measured ratios span
-    * 0.92–1.05 across its 12 depths). The inner join on t also gates
+    * 0.96–1.09 across its 8 depths). The inner join on t also gates
     * the fixpoint contract:
     * the register fixpoint must land exactly at the diameter the
     * exact twin measures, or row counts diverge from the oracle.
     */
   private def graphAnf(s: SparkSession, dir: String): DataFrame = {
     val users = Tables(s, dir, "events")
-      .select(col("user_id")).distinct().filter(col("user_id") < 60)
+      .select(col("user_id")).distinct().filter(col("user_id") < 40)
     val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
     val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
     val clique = a.join(b, Seq("__d"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val bridges = users
-      .filter(col("user_id") % 10 === 9 && col("user_id") < 50)
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 30)
       .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
     val edges = clique.unionByName(bridges)
     val est = graft.operators.Graphs.hyperBall(edges, "id_a", "id_b", m = 64)
@@ -2177,28 +2179,30 @@ object SparkEntry {
   }
 
   /** Multi-source BFS hop distances ([[graft.operators.Graphs
-    * .bfsDistances]]) over the triangles fixture's clique+bridge
-    * graph (decade cliques chained by `%10==9 → +1` bridges): seeds
-    * {0, 77} give nontrivial distances — +2 per decade hop away from
-    * a seed, minimum over both seeds, a ~15-round frontier expansion.
-    * The oracle replays BFS itself with a recursive CTE (distinct
-    * UNION worklist of (node, depth) pairs), so the whole frontier
-    * algebra — symmetric adjacency, minimum-over-seeds, unreached-
-    * absent — is same-chain replay at any SF.
+    * .bfsDistances]]) over a clique+bridge graph (decade cliques
+    * chained by `%10==9 → +1` bridges, users < 100): seeds {0, 55}
+    * give nontrivial distances — +2 per decade hop away from a seed,
+    * minimum over both — with an ~8-round frontier expansion (the
+    * fixture is deliberately small: an iterative gate's cost is
+    * rounds × fixed job overhead, and 8 rounds prove the same
+    * frontier algebra 30 would). The oracle replays BFS itself with a
+    * recursive CTE (distinct UNION worklist of (node, depth) pairs),
+    * so the whole chain — symmetric adjacency, minimum-over-seeds,
+    * unreached-absent — is same-chain replay at any SF.
     */
   private def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val users = Tables(s, dir, "events")
-      .select(col("user_id")).distinct().filter(col("user_id") < 150)
+      .select(col("user_id")).distinct().filter(col("user_id") < 100)
     val a = users.select(col("user_id").as("id_a"), expr("user_id div 10").as("__d"))
     val b = users.select(col("user_id").as("id_b"), expr("user_id div 10").as("__d"))
     val clique = a.join(b, Seq("__d"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val bridges = users
-      .filter(col("user_id") % 10 === 9 && col("user_id") < 140)
+      .filter(col("user_id") % 10 === 9 && col("user_id") < 90)
       .select(col("user_id").as("id_a"), (col("user_id") + 1).as("id_b"))
     val seeds = users
-      .filter(col("user_id") === 0 || col("user_id") === 77)
+      .filter(col("user_id") === 0 || col("user_id") === 55)
       .select(col("user_id"))
     graft.operators.Graphs
       .bfsDistances(clique.unionByName(bridges), "id_a", "id_b", seeds)
@@ -6950,14 +6954,14 @@ object SparkEntry {
     // the same symmetric adjacency, then min depth per node
     "graph_bfs" ->
       """WITH RECURSIVE users AS (
-        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 150),
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 100),
         |cl AS (SELECT a.u AS s, b.u AS t FROM users a
         |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
-        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 140),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 90),
         |e AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
         |und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
         |walk(node, d) AS (
-        |  SELECT u, 0 FROM users WHERE u IN (0, 77)
+        |  SELECT u, 0 FROM users WHERE u IN (0, 55)
         |  UNION
         |  SELECT und.t, walk.d + 1 FROM walk JOIN und ON und.s = walk.node
         |  WHERE walk.d < 64)
@@ -6968,10 +6972,10 @@ object SparkEntry {
     // is gated by the ±25% verdict (SF-invariant fixture class)
     "graph_anf" ->
       """WITH RECURSIVE users AS (
-        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 60),
+        |  SELECT DISTINCT user_id AS u FROM events WHERE user_id < 40),
         |cl AS (SELECT a.u AS s, b.u AS t FROM users a
         |       JOIN users b ON a.u // 10 = b.u // 10 AND a.u < b.u),
-        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 50),
+        |br AS (SELECT u AS s, u + 1 AS t FROM users WHERE u % 10 = 9 AND u < 30),
         |e AS (SELECT s, t FROM cl UNION SELECT s, t FROM br),
         |und AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
         |walk(src, node, d) AS (
