@@ -128,9 +128,12 @@ object Bench {
     println(line)
     val record =
       s"""{"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench":$line}"""
-    // only FULL runs update the durable record — a filtered dev-loop
-    // run must not clobber the whole-suite numbers
-    if (only.isEmpty) {
+    // only FULL runs AT THE COMPARATOR SF update the durable record —
+    // a filtered dev-loop run, an sf0.001 smoke, or a scale-suite
+    // rehearsal (sf1/sf4 fixtures) must not clobber the committed
+    // whole-suite sf0.1 numbers (a smoke did exactly that in round 15
+    // and poisoned the scale suite's sf01_min join fields)
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_SELF.json"),
