@@ -4949,7 +4949,13 @@ object SparkEntry {
       .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .filter(year(col("o_orderdate")) === 1996)
+      // explicit date range, not year(col) === 1996: a function-over-
+      // column predicate survives Catalyst pushdown but defeats parquet
+      // row-group min/max pruning — the range prunes whole row groups
+      // at the scan, which is the difference between reading one year
+      // and reading every row group at 100 TB
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
       .groupBy(col("n_name"))
       // per-row product cast to decimal BEFORE summing: decimal sums are
       // exact and order-independent, so the rounded result can never
@@ -9055,8 +9061,8 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, o_orderkey % 40),
         |small AS (
         |  SELECT part, file, bytes,
-        |         (sum(bytes) OVER (PARTITION BY part ORDER BY file
-        |            ROWS UNBOUNDED PRECEDING) - bytes) // 8192 AS grp
+        |         CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |            ROWS UNBOUNDED PRECEDING) - bytes) // 8192 AS BIGINT) AS grp
         |  FROM inv WHERE bytes < 8192),
         |big AS (
         |  SELECT part, file, bytes,

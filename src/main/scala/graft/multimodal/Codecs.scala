@@ -582,8 +582,16 @@ object Codecs extends Serializable {
     def el(id: Long, content: Array[Byte], sizeWidth: Int): Array[Byte] =
       idBytes(id) ++ sizeVint(content.length.toLong, sizeWidth) ++ content
     def leaf(id: Long, content: Array[Byte]): Array[Byte] = el(id, content, 1)
-    def uintBytes(v: Long, width: Int): Array[Byte] =
+    def uintBytes(v: Long, width: Int): Array[Byte] = {
+      // mirror sizeVint's range check: silently truncating a value
+      // that overflows its fixed field (timestamp scale >= 2^32,
+      // track/channel counts > 255, dims >= 2^16) would emit a
+      // corrupted container with no error, breaking the codec
+      // family's fail-fast contract on the ENCODE side
+      require(v >= 0 && (width == 8 || v < (1L << (8 * width))),
+        s"uint value $v does not fit in $width byte(s)")
       Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
     def floatBytes(d: Double): Array[Byte] =
       ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array()
 
@@ -600,6 +608,8 @@ object Codecs extends Serializable {
       leaf(TimestampScaleId, uintBytes(meta.timestampScaleNs, 4)) ++
         leaf(DurationId, floatBytes(meta.durationTicks.toDouble)),
       2)
+    require(meta.tracks.size <= 255,
+      s"MKV encoder writes 1-byte TrackNumber/TrackUID fields: ${meta.tracks.size} tracks > 255")
     val trackEntries = meta.tracks.zipWithIndex.map { case (t, i) =>
       val typeByte = t.trackType match {
         case "video" => 1L

@@ -49,8 +49,13 @@ object Compaction {
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val byFile = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+    // explicit ROWS frame: the orderBy default is RANGE, which treats
+    // duplicate (part, file) keys as peers and double-counts their
+    // bytes in each other's running sum — the cut must follow the
+    // canonical ROW order even when file names collide
+    val cumFrame = byFile.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val small = files.filter(col(bytesCol) < targetBytes)
-      .withColumn("__cum", sum(col(bytesCol)).over(byFile))
+      .withColumn("__cum", sum(col(bytesCol)).over(cumFrame))
       .withColumn("grp",
         expr(s"CAST((__cum - $bytesCol) div $targetBytes AS BIGINT)"))
       .drop("__cum")

@@ -320,7 +320,15 @@ object Graphs {
           .otherwise(length(bin(suffix.bitwiseAND(-suffix)))).cast("int"))
       .select(col("id"), col("idx"), col("reg"))
       .localCheckpoint(true)
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard HLL alpha for m >= 64
+    // standard HLL bias constants: the asymptotic formula only holds
+    // from m = 64 up; 16 and 32 have their own published values
+    // (using the asymptotic one there is a systematic 1-4% bias on
+    // top of the sketch error)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     // ONE aggregation per round serves both the N(t) estimate and the
     // fixpoint test (registers only grow, so unchanged (row count,
     // register sum) means no register moved). Absent sparse registers
