@@ -4019,6 +4019,88 @@ object SparkEntry {
       .orderBy(col("part"), col("grp"))
   }
 
+  /** Plan AND EXECUTE a compaction end-to-end on a planted parquet
+    * layout, then recount the LIVE post-state: orders rows land in 16
+    * deterministically-named small files (2 years x 8 orderkey slots),
+    * the planner groups them under a fixed byte ledger (slot 0 is a
+    * big keep-file; slots 1-7 weigh 1000 against a 2500 target, so the
+    * running-sum cut yields the same 3 rewrite groups per year at
+    * EVERY SF), and [[graft.operators.Compaction.execute]] rewrites
+    * each group into exactly one file through the StagedSwap commit.
+    * The emitted row per rewrite group joins the live recount (files
+    * on disk, rows, orderkey checksum) against the plan's expectation
+    * — `n_files` is read from the rewritten layout itself, so a
+    * multi-file or row-dropping execution cannot pass.
+    */
+  private def compactionExecute(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("graft-compactexec")
+    val srcDir = s"$root/src"
+    val outDir = s"$root/out"
+    val base = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(year(col("o_orderdate")).as("part"),
+        pmod(col("o_orderkey"), lit(8L)).as("slot"),
+        col("o_orderkey"), col("o_totalprice"))
+    // one file per (part, slot) leaf: every slot's rows land in one
+    // task before the partitioned write
+    base.repartition(16, col("part"), col("slot"))
+      .write.partitionBy("part", "slot").parquet(srcDir)
+    // rename each leaf's single part-file to its canonical name — the
+    // planner's cut order is the FILE NAME, which must not depend on
+    // Spark's task-uuid naming
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for {
+      pd <- fs.listStatus(new org.apache.hadoop.fs.Path(srcDir)) if pd.isDirectory
+      sd <- fs.listStatus(pd.getPath) if sd.isDirectory
+    } {
+      val files = fs.listStatus(sd.getPath)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      require(files.length == 1,
+        s"planted leaf ${sd.getPath} has ${files.length} files, expected 1")
+      val p = pd.getPath.getName.stripPrefix("part=")
+      val sl = sd.getPath.getName.stripPrefix("slot=").toInt
+      require(fs.rename(files.head.getPath,
+        new org.apache.hadoop.fs.Path(sd.getPath, f"p${p}_s$sl%02d.parquet")),
+        s"rename of planted file under ${sd.getPath} failed")
+    }
+    // inventory straight from the planted rows: fixed per-slot byte
+    // weights make the GROUPING scale-invariant while the conservation
+    // columns (row count, orderkey checksum) still track the data
+    val inv = base.groupBy(col("part"), col("slot"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .select(col("part"), col("slot"),
+        concat(lit(s"$srcDir/part="), col("part"), lit("/slot="), col("slot"),
+          lit("/p"), col("part"), lit("_s"),
+          lpad(col("slot").cast("string"), 2, "0"), lit(".parquet")).as("file"),
+        when(col("slot") === 0, 5000L).otherwise(1000L).as("bytes"),
+        col("n"), col("key_sum"))
+    val planned = graft.operators.Compaction.plan(
+      inv, "part", "file", "bytes", targetBytes = 2500L).persist()
+    planned.count()
+    graft.operators.Compaction.execute(s, planned, "part", "file", outDir)
+    val expected = planned.filter(col("action") === "rewrite")
+      .groupBy(col("part").cast("long").as("part"), col("grp"))
+      .agg(count(lit(1)).as("n_src_files"), sum(col("n")).as("n_rows"),
+        sum(col("key_sum")).as("key_sum"))
+    val live = s.read.parquet(outDir)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__part").cast("long").as("part"),
+        col("__grp").cast("long").as("grp"))
+      .agg(count_distinct(col("__file")).as("n_files"),
+        count(lit(1)).as("live_rows"), sum(col("o_orderkey")).as("live_key_sum"))
+    val out = expected.join(live, Seq("part", "grp"))
+      .filter(col("live_rows") === col("n_rows") &&
+        col("live_key_sum") === col("key_sum"))
+      .select(col("part"), col("grp"), col("n_files"), col("n_src_files"),
+        col("n_rows"), col("key_sum"))
+      .orderBy(col("part"), col("grp"))
+    val res = out.localCheckpoint(true)
+    planned.unpersist()
+    res
+  }
+
   /** MinHash-LSH banding calibration ([[graft.operators.LshTuning]])
     * — the planning step before every banded dedup run: for each
     * signature budget and target Jaccard threshold, pick the
@@ -5731,6 +5813,7 @@ object SparkEntry {
     "multimodal_mp4_meta" -> (multimodalMp4Meta _),
     "multimodal_mkv_meta" -> (multimodalMkvMeta _),
     "compaction_plan" -> (compactionPlan _),
+    "compaction_execute" -> (compactionExecute _),
     "lsh_tune" -> (lshTune _),
     "image_dedup" -> (imageDedup _),
     "video_dedup" -> (videoDedup _),
@@ -9078,6 +9161,41 @@ object SparkEntry {
         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
         |       min(file) AS first_file, max(file) AS last_file
         |FROM lab GROUP BY 1, 2, 3
+        |ORDER BY part, grp""".stripMargin,
+    // compaction EXECUTION: identity-class manifest recount — the
+    // oracle replays the planted inventory (2 years x 8 orderkey
+    // slots, fixed byte weights) and the same ROWS running-sum cut,
+    // keeps the multi-member groups, and asserts the operator's
+    // one-file-per-group promise as the literal n_files = 1; the
+    // engine side reads n_files, row counts, and the orderkey
+    // checksum back from the LIVE rewritten layout
+    "compaction_execute" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS part, o_orderkey % 8 AS slot, o_orderkey
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01'
+        |    AND o_orderdate < DATE '1997-01-01'),
+        |inv AS (
+        |  SELECT part, slot,
+        |         'p' || part || '_s' || lpad(CAST(slot AS VARCHAR), 2, '0') AS file,
+        |         CASE WHEN slot = 0 THEN 5000 ELSE 1000 END AS bytes,
+        |         count(*) AS n, sum(o_orderkey) AS key_sum
+        |  FROM base GROUP BY 1, 2),
+        |small AS (
+        |  SELECT *,
+        |         CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |            ROWS UNBOUNDED PRECEDING) - bytes) // 2500 AS BIGINT) AS grp
+        |  FROM inv WHERE bytes < 2500),
+        |grpd AS (
+        |  SELECT part, grp, count(*) AS members,
+        |         sum(n) AS n_rows, sum(key_sum) AS key_sum
+        |  FROM small GROUP BY 1, 2)
+        |SELECT CAST(part AS BIGINT) AS part, grp,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       CAST(members AS BIGINT) AS n_src_files,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(key_sum AS BIGINT) AS key_sum
+        |FROM grpd WHERE members > 1
         |ORDER BY part, grp""".stripMargin,
     // LSH banding calibration: bit-for-bit double replay — powers as
     // the same left-fold multiply chains (recursive CTEs), then the

@@ -63,9 +63,9 @@ object Curation {
     *                       bit-for-bit; the oracle seam, ~2-3x cost)
     */
   final case class BandedMinhash(
-      numHashes: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.5,
+      numHashes: Int = TextDedup.defaultNumHashes,
+      bands: Int = TextDedup.defaultBands,
+      threshold: Double = TextDedup.defaultMinhashThreshold,
       minJaccardMicro: Long = 500000L,
       maxBucketPairs: Long = TextDedup.defaultBucketPairBudget,
       scheme: TextDedup.MinhashScheme = TextDedup.XxHash64Scheme)

@@ -79,4 +79,30 @@ object LshTuning {
       .select(col("total_hashes"), col("threshold"), col("bands"),
         col("rows_per_band"), col("p_at_t"), col("p_low"), col("p_high"))
   }
+
+  /** Driver-side scalar twin of [[tune]] for ONE (budget, threshold):
+    * the `(bands, rowsPerBand)` whose S-curve midpoint sits closest to
+    * the threshold, ties to fewer bands. Replays the exact same
+    * left-fold multiply chains as the DataFrame path (and the oracle's
+    * recursive CTEs), so the three agree bit-for-bit — this is the
+    * entry point the banded dedup family's DEFAULT knobs derive from
+    * ([[Curation.BandedMinhash]], [[TextDedup.minhashCandidatePairs]])
+    * instead of hand-set constants: config-space-sized work, so it
+    * runs at session setup, not per-row.
+    */
+  def pick(totalHashes: Int, threshold: Double): (Int, Int) = {
+    require(totalHashes >= 2, "totalHashes must be >= 2")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    def foldPow(base: Double, n: Int): Double =
+      (1 to n).foldLeft(1.0)((acc, _) => acc * base)
+    val candidates = for {
+      r <- 1 to totalHashes if totalHashes % r == 0
+      b = totalHashes / r
+    } yield {
+      val p = 1.0 - foldPow(1.0 - foldPow(threshold, r), b)
+      (b, r, math.abs(p - 0.5))
+    }
+    val (b, r, _) = candidates.minBy { case (b, _, d) => (d, b) }
+    (b, r)
+  }
 }

@@ -191,6 +191,18 @@ object TextDedup {
     */
   val defaultBucketPairBudget: Long = 1999000L
 
+  /** Default banded-MinHash operating point. The band split is NOT a
+    * hand-set constant: it is [[LshTuning.pick]]'s S-curve-midpoint
+    * choice for the documented (signature budget, threshold) — for
+    * (32, 0.5) that is (bands 8, rows 4), P(candidate | J = 0.5) ≈
+    * 0.40, the closest midpoint the divisor grid offers. Change the
+    * budget or threshold and the split re-derives itself.
+    */
+  val defaultNumHashes: Int = 32
+  val defaultMinhashThreshold: Double = 0.5
+  val (defaultBands: Int, defaultRowsPerBand: Int) =
+    LshTuning.pick(defaultNumHashes, defaultMinhashThreshold)
+
   /** n·(n−1)/2 <= maxBucketPairs, exactly, for ANY long bucket count:
     * the product is computed in decimal(38,0) — a long-sized n squares
     * to at most ~8.5e37, inside 38 digits — so a mega-bucket beyond
@@ -225,9 +237,9 @@ object TextDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.5,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
+      threshold: Double = defaultMinhashThreshold,
       maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
@@ -251,9 +263,9 @@ object TextDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.5,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
+      threshold: Double = defaultMinhashThreshold,
       maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): (DataFrame, DataFrame) = {
@@ -509,8 +521,8 @@ object TextDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): MinhashStore = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -539,9 +551,9 @@ object TextDedup {
       store: MinhashStore,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      threshold: Double = 0.5,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
+      threshold: Double = defaultMinhashThreshold,
       maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
@@ -619,8 +631,8 @@ object TextDedup {
       survivors: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): MinhashStore = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -652,8 +664,8 @@ object TextDedup {
       survivors: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = defaultNumHashes,
+      bands: Int = defaultBands,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
       scheme: MinhashScheme = XxHash64Scheme): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")

@@ -64,4 +64,32 @@ class LshTuningSpec extends SparkSpec {
     val (b, r, _, _, _) = tuned((128, 0.7))
     assert((b, r) == (16, 8))
   }
+
+  test("the scalar pick agrees with the DataFrame tune on the full grid") {
+    tuned.foreach { case ((h, t), (b, r, _, _, _)) =>
+      assert(LshTuning.pick(h, t) == (b, r), s"pick($h, $t)")
+    }
+  }
+
+  test("the banded dedup family's DEFAULT knobs are the tuner's pick") {
+    import graft.operators.{Curation, TextDedup}
+    val (b, r) = LshTuning.pick(
+      TextDedup.defaultNumHashes, TextDedup.defaultMinhashThreshold)
+    assert((TextDedup.defaultBands, TextDedup.defaultRowsPerBand) == (b, r))
+    assert(TextDedup.defaultNumHashes % TextDedup.defaultBands == 0)
+    // the documented operating point (32, 0.5) resolves to 8 x 4 —
+    // the committed gates replay exactly this chain, so the derived
+    // default must keep landing there unless the operating point moves
+    assert((b, r) == (8, 4))
+    val d = Curation.BandedMinhash()
+    assert((d.numHashes, d.bands, d.threshold) ==
+      (TextDedup.defaultNumHashes, TextDedup.defaultBands,
+        TextDedup.defaultMinhashThreshold))
+  }
+
+  test("pick guards its domain") {
+    intercept[IllegalArgumentException](LshTuning.pick(1, 0.5))
+    intercept[IllegalArgumentException](LshTuning.pick(32, 0.0))
+    intercept[IllegalArgumentException](LshTuning.pick(32, 1.0))
+  }
 }
