@@ -44,6 +44,17 @@ object Bench {
     }
   private def processCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
+  // cumulative stop-the-world GC milliseconds across all collectors —
+  // the per-query delta splits a slow query into "burning CPU in the
+  // collector" (heap churn / pressure) vs "burning CPU recomputing"
+  // (evicted blocks, lineage re-execution): the round-15 contention
+  // trio (45-68x wall under host load) was unattributable without it
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadBefore = loadavg()
@@ -83,16 +94,19 @@ object Bench {
       var failed = false
       val samples = (1 to reps).map { _ =>
         val m0 = graft.util.SessionScopedCache.totalMisses
+        val g0 = gcMillis()
         val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name failed: $e") }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
-        (wall, cpu, graft.util.SessionScopedCache.totalMisses > m0)
+        val gc = (gcMillis() - g0) / 1e3
+        (wall, cpu, graft.util.SessionScopedCache.totalMisses > m0, gc)
       }
       val times = samples.map(_._1)
       val cpus = samples.map(_._2)
+      val gcs = samples.map(_._4)
       // measurement-scope label: the cold rep built session-staged
       // state the warm reps then answer from — this query's median/min
       // measure the SERVE path; compare across rounds via cold. Only
@@ -105,9 +119,10 @@ object Bench {
       // as a perf win
       val median = if (failed) -1.0 else times.sorted.apply(times.size / 2)
       val medianCpu = if (failed) -1.0 else cpus.sorted.apply(cpus.size / 2)
+      val medianGc = if (failed) -1.0 else gcs.sorted.apply(gcs.size / 2)
       System.err.println(
-        f"[bench] $name%-28s median $median%8.2f s  (cpu $medianCpu%.2f, cold ${times.head}%.2f, min ${times.min}%.2f${if (staged) ", staged" else ""})")
-      (name, median, times.head, times.min, failed, medianCpu, staged)
+        f"[bench] $name%-28s median $median%8.2f s  (cpu $medianCpu%.2f, gc $medianGc%.2f, cold ${times.head}%.2f, min ${times.min}%.2f${if (staged) ", staged" else ""})")
+      (name, median, times.head, times.min, failed, medianCpu, staged, medianGc)
     }
     def js(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -115,6 +130,7 @@ object Bench {
     val cold = js(results.map(r => (r._1, r._3)))
     val mins = js(results.map(r => (r._1, r._4)))
     val cpuJs = js(results.map(r => (r._1, r._6)))
+    val gcJs = js(results.map(r => (r._1, r._8)))
     val failedList = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // queries whose warm reps serve from session stage caches built in
     // the cold rep: their median/min measure the serve path only —
@@ -124,7 +140,7 @@ object Bench {
     val total = results.filter(!_._5).map(_._2).sum
     val totalCpu = results.filter(!_._5).map(_._6).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_cpu":$totalCpu,"failed":$failedList,"queries":$qs,"queries_cpu":$cpuJs,"queries_cold":$cold,"queries_min":$mins,"stage_cached":$stagedList,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_cpu":$totalCpu,"failed":$failedList,"queries":$qs,"queries_cpu":$cpuJs,"queries_gc":$gcJs,"queries_cold":$cold,"queries_min":$mins,"stage_cached":$stagedList,"sf":"$sfDir"}"""
     println(line)
     val record =
       s"""{"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench":$line}"""

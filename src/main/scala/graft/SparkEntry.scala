@@ -4584,12 +4584,19 @@ object SparkEntry {
     val toks = Tables(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("term"))
     val sk = toks.agg(CM.sketch(col("term")).as("sk"), count(lit(1)).as("n"))
+    // eager checkpoint of the vocabulary-sized estimate table: est is
+    // referenced by BOTH the verdict aggregate and the final filter —
+    // without the materialization each reference re-runs the two
+    // corpus passes (tokenize+count and the sketch build), and only
+    // exchange reuse keeps that bounded; checkpointing pins the pass
+    // count at exactly two regardless of plan-reuse luck
     val est = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
       .crossJoin(broadcast(sk))
       .select(col("term"), col("exact_n"),
         CM.estimate(col("sk"), col("term")).as("est"),
         floor(col("n") / lit(64.0)).cast("long").as("t"),
         ceil(lit(10.0) * col("n") / lit(CM.DefaultWidth)).cast("long").as("bound"))
+      .localCheckpoint(true)
     val verdict = est.agg(
       bool_and(col("exact_n") < col("t") || col("est") >= col("t")).as("v1"),
       bool_and(col("est") < col("t") || col("exact_n") >= col("t") - col("bound")).as("v2"))

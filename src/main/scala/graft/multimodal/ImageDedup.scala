@@ -154,7 +154,7 @@ object ImageDedup {
   private def bandPrefix(bj: Column, bv: Column, buckets: Int): Column =
     pmod(xxhash64(bj, bv), lit(buckets.toLong)).cast("int")
 
-  private def banded(hashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
+  private[graft] def banded(hashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
     val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
     base.select(col("id"), col("h"),
       explode(array((0 until 4).map(j =>
@@ -208,6 +208,31 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is pigeonhole-lossless only up to Hamming 3")
     val inBands = banded(incoming, idCol, hashCol).persist()
+    // eager localCheckpoint, NOT persist: the match set is small, its
+    // blocks are ContextCleaner-collected once unreferenced (a
+    // returned persist() leaks in the CacheManager until an unpersist
+    // nobody owns), and the TRUNCATED lineage means a block lost under
+    // memory pressure fails loudly instead of silently recomputing the
+    // whole incoming chain (decode + hash) once per downstream
+    // partition — the superlinear shape long sessions hit at scale.
+    // Materializes while the banded increment is cached.
+    val out = probeJoinPlan(inBands, store, maxHamming, maxBucketPairs)
+      .localCheckpoint(true)
+    inBands.unpersist()
+    out
+  }
+
+  /** The probe join as a LAZY plan over a prepared banded increment —
+    * shared by [[probeStore]] (which materializes and checkpoints the
+    * match set) and by plan-shape assertions, which must see the
+    * directory-pruned store scan (the checkpointed public result
+    * hides the executed plan behind an ExistingRDD scan).
+    */
+  private[graft] def probeJoinPlan(
+      inBands: DataFrame,
+      store: HashStore,
+      maxHamming: Int,
+      maxBucketPairs: Long): DataFrame = {
     val prefixes = inBands
       .select(bandPrefix(col("bj"), col("bv"), store.prefixBuckets).as("__bp"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -218,7 +243,7 @@ object ImageDedup {
         .filter(graft.operators.TextDedup.withinPairBudget(col("__n"), maxBucketPairs))
         .drop("__n"),
       Seq("bj", "bv"))
-    val out = inBands
+    inBands
       .join(bounded.withColumnsRenamed(Map("id" -> "store_id", "h" -> "__hs")),
         Seq("bj", "bv"))
       .select(col("id"), col("store_id"), col("h"), col("__hs"))
@@ -226,10 +251,6 @@ object ImageDedup {
       .select(col("id"), col("store_id"),
         BinaryAnn.hammingWords(col("h"), col("__hs")).as("ham"))
       .filter(col("ham") <= maxHamming)
-      .persist()
-    out.count() // materialize while the banded increment is cached
-    inBands.unpersist()
-    out
   }
 
   /** Append an increment's hashes into the saved layout (dynamic

@@ -99,9 +99,13 @@ class ImageDedupSpec extends SparkSpec {
     assert(got == truth, s"diff: ${got.diff(truth)} / ${truth.diff(got)}")
     assert(got.exists(m => m._1 == 100L && m._2 == 3L), "near-copy missed")
 
-    // the pruned store read carries partition filters
-    val plan = ImageDedup.probeStore(inc.toDF("media_id", "hash"), store,
-      "media_id", "hash").queryExecution.executedPlan.toString
+    // the pruned store read carries partition filters — asserted on
+    // the LAZY probe join (probeStore's public result is an eager
+    // localCheckpoint, whose plan is an ExistingRDD scan)
+    val plan = ImageDedup.probeJoinPlan(
+      ImageDedup.banded(inc.toDF("media_id", "hash"), "media_id", "hash"),
+      store, 3, ImageDedup.defaultBucketPairBudget)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__bp"),
       s"expected __bp partition pruning in:\n$plan")
 

@@ -35,6 +35,19 @@ SUITE = [
     'entity_resolution',                 # pair-budget-bounded blocking (r15)
     'file_manifest_stats',
     'winnow_overlap',
+    # store/incremental family (r16: none of these were in the suite,
+    # yet exactly this class misbehaved in the r15 load-contaminated
+    # capture — video_dedup_incremental 0.92 -> 62 s wall, 2.8 -> 336 s
+    # CPU; the r16 contention trio + the persisted-store ingest shapes)
+    'video_dedup_incremental',
+    'image_dedup_incremental',
+    'dedup_incremental_minhash_persisted',
+    'dedup_incremental_spans_persisted',
+    'bm25_absorb_search',
+    'agg_store_absorb',
+    # the other two r15 contention outliers (both non-store)
+    'countmin_heavyhitters',
+    'vocab_coverage',
 ]
 # deliberately excluded at sf4 (all with measured reasons, r14/r15):
 # - corpus_curation_pipeline_lossless / dedup_prefix_jaccard: the
