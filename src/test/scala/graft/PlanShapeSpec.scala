@@ -153,4 +153,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(pool.contains("TakeOrderedAndProject"),
       s"orderBy+limit did not plan as TakeOrdered:\n$pool")
   }
+
+  test("q41's year filter is a PUSHED date range, not a function over the column") {
+    // year(col) === 1996 pushes below the joins but cannot prune
+    // parquet row groups; the explicit range reaches the scan's
+    // PushedFilters, where min/max stats skip whole row groups — at
+    // 100x that is reading one year instead of every row group
+    val plan = SparkEntry.queries("q41_region_revenue")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // o_orderdate is timestamp_ntz in the testdata, so the date
+    // literals push down as timestamps; the FileScan summary truncates
+    // long filter lists, so assert the lower bound in PushedFilters
+    // and the upper bound in the (untruncated) Filter node
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,1996-01-01T00:00"),
+      s"expected the o_orderdate lower bound in PushedFilters:\n$plan")
+    assert(plan.contains("< 1997-01-01 00:00:00"),
+      s"expected the o_orderdate upper bound filter:\n$plan")
+    assert(!plan.contains("year("),
+      s"year(col) must not appear as a filter:\n$plan")
+  }
 }
