@@ -89,9 +89,12 @@ def bench(sfdir):
     for l in (r.stdout + r.stderr).splitlines():
         if '[bench]' in l:
             print(l, flush=True)
-    m = [l for l in r.stdout.splitlines() if '"metric"' in l]
+    # the FULL per-query line (Bench also prints a compact trailer
+    # line for the driver's tail capture — that one has no
+    # queries_cold/min and must not be picked)
+    m = [l for l in r.stdout.splitlines() if '"queries_cold"' in l]
     if not m:
-        sys.exit(f'bench at {sfdir} emitted no JSON:\n{r.stdout[-3000:]}')
+        sys.exit(f'bench at {sfdir} emitted no full JSON line:\n{r.stdout[-3000:]}')
     return json.loads(re.sub(r'^\[info\]\s*', '', m[-1]))
 
 
