@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes STRAIGHT to stdout, bypassing sbt's
+// logger: the driver parses graft.Bench's trailing JSON line from a
+// log tail, and the default LoggedOutput strategy prefixed every line
+// with "[info] " — three rounds of BENCH_r* "parsed: null" (r14–r16).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -151,21 +151,23 @@ object Bench {
     // and poisoned the scale suite's sf01_min join fields). The SF
     // check is on the NORMALIZED basename (a trailing slash or a
     // sibling name that merely ends in "sf0.1" must not flip it);
-    // SPARK_GRAFT_BENCH_OUT redirects the record to an explicit path
-    // (smoke/rehearsal runs can keep their own capture without ever
-    // touching the durable one), and SPARK_GRAFT_BENCH_RECORD=0
-    // suppresses the write entirely.
+    // SPARK_GRAFT_BENCH_RECORD=0 suppresses the write entirely — it
+    // wins even over an explicit SPARK_GRAFT_BENCH_OUT (r16 ADVICE:
+    // the OUT short-circuit used to make "suppresses entirely" a lie);
+    // otherwise SPARK_GRAFT_BENCH_OUT redirects the record to an
+    // explicit path (smoke/rehearsal runs can keep their own capture
+    // without ever touching the durable one).
     val sfBase =
       java.nio.file.Paths.get(sfDir).normalize() match {
         case p if p.getFileName != null => p.getFileName.toString
         case _ => ""
       }
-    val recordPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
-      if (only.isEmpty && sfBase == "sf0.1" &&
-          !sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("0"))
-        Some("BENCH_SELF.json")
-      else None
-    }
+    val recordPath =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("0")) None
+      else sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
+        if (only.isEmpty && sfBase == "sf0.1") Some("BENCH_SELF.json")
+        else None
+      }
     recordPath.foreach { path =>
       try {
         java.nio.file.Files.write(
@@ -177,9 +179,24 @@ object Bench {
     // compact trailer for the driver's tail capture: the full line
     // above overflows its buffer at 238 queries (BENCH_r14/r15 parsed
     // null) — this short line carries the headline numbers and is
-    // printed LAST so a tail parse always sees it intact
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${results.count(_._5)},"total_cpu":$totalCpu,"reps":$reps,"sf":"$sfDir","detail":"see BENCH_SELF.json"}""")
+    // printed LAST so a tail parse always sees it intact. Three rounds
+    // of `parsed: null` later (r16: the trailer WAS in the tail but
+    // wore sbt's `[info] ` prefix), the line is belt-and-braced:
+    // build.sbt forces StdoutOutput for forked runs (bare stdout, no
+    // log-prefix rewrite) AND the trailer is mirrored to
+    // BENCH_TRAILER.json so any consumer can read it as a bare file.
+    // `detail` points at the durable record actually written this run
+    // (r16 ADVICE: it used to claim BENCH_SELF.json unconditionally).
+    val trailer =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${results.count(_._5)},"total_cpu":$totalCpu,"reps":$reps,"sf":"$sfDir","detail":"${recordPath.getOrElse("unrecorded")}"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_TRAILER.json"),
+        (trailer + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] trailer write failed: $e")
+    }
+    println(trailer)
     spark.stop()
   }
 }

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan, UnionExec}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, GenerateExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RDDScanExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Standing plan-shape audit over EVERY SparkEntry query — the
@@ -20,15 +21,36 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *     ungrouped aggregates and = n for local/limited relations, and
   *     derives NOTHING for corpus-sized sides, so a bnlj whose build
   *     side could grow with the data fails the audit by construction.
+  *   - Scan pruning ([[PrunedScans]]) — pruning-sensitive queries must
+  *     show their range/partition prune AT THE SCAN: the named
+  *     regexes must match the plan's FileSourceScan metadata
+  *     (PushedFilters / PartitionFilters — the evidence row-group
+  *     skipping and directory pruning actually key on). A regression
+  *     to a non-pushable form (`year(col) = 1996`, an unpruned store
+  *     probe) flips the audit to FAILED.
   *   - `Exchange` / `WholeStageCodegen` counts — informational trend
   *     columns (shuffle count and codegen coverage).
+  *
+  * The walk recurses through `InMemoryTableScanExec` into the cached
+  * plan (several queries return an eagerly-persisted result — without
+  * the recursion their real join/scan plan would be invisible behind
+  * the cache leaf and the audit would report "clean" vacuously). An
+  * eager `localCheckpoint` truncates harder — the plan behind an
+  * `RDDScanExec` is gone from the DataFrame — so such queries are
+  * marked `"opaque": true` instead of being reported fully audited
+  * (their pre-checkpoint join plans are spec-asserted at the operator
+  * layer, e.g. ImageDedupSpec via `probeJoinPlan`).
   *
   * AQE is disabled in the audit session so the physical tree is
   * traversable (AdaptiveSparkPlanExec hides its inner plan from
   * collect) — join SHAPE is decided by the same static planning
   * either way. Building a query's DataFrame runs its driver-side
-  * staging (bounded collects, store builds) but never executes the
-  * audited plan itself — run at sf0.001.
+  * staging (bounded collects, store builds) — and for the queries
+  * that eagerly materialize their result (`TextDedup.materialized`
+  * persist+count callers, `compaction_execute`'s plan+rewrite+recount
+  * lifecycle) building IS executing, so the audit runs at sf0.001
+  * where that work is trivial; the "staging only" framing is a cost
+  * statement, not an invariant.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [outJson]
   */
@@ -40,59 +62,231 @@ object PlanAudit {
     */
   val MaxBroadcastRows = 100L
 
-  /** Queries whose bnlj build side is a QUERY SET selected by an id
-    * modulus/range filter over a scan (`vec_id % 50 = 0`,
-    * `vec_id < 24`, ...): tens of rows by construction — the
-    * sanctioned brute-force-over-a-bounded-query-set shape the ANN
-    * variants exist to replace at corpus scale — but a data-dependent
-    * bound Catalyst cannot derive statically, hence named here with
-    * the max bnlj nodes each plan may carry. Adding a NAME to this
-    * map requires the same justification; raising a COUNT means a new
-    * unkeyed join appeared and must be re-audited by hand.
+  /** Queries allowed bnlj nodes the bound derivation cannot clear, in
+    * exactly two sanctioned classes (every entry was re-probed by hand
+    * — ProbeBnlj prints each build side):
+    *
+    *   (a) QUERY SETS: a build side selected by an id filter over a
+    *       scan (`vec_id = 0` single-row query-vector selects,
+    *       `vec_id % 50 = 0` slices) — tens of rows by construction,
+    *       but a data-dependent bound Catalyst cannot derive (it does
+    *       not know vec_id is unique);
+    *   (b) TRUTH-SET GENERATORS: the brute-force exact stage that an
+    *       in-plan recall verdict compares the ANN/LSH path against
+    *       (`dedup_embedding`'s all-pairs exact set, the `*_ann`
+    *       exact-mining fixtures) — deliberately quadratic, clamped to
+    *       the oracle SFs by gate design, never the default scale path
+    *       (the `corpus_curation_pipeline_lossless` posture).
+    *
+    * Counts are the max bnlj nodes each plan may carry. They rose in
+    * r17 when the audit started walking INTO InMemoryRelation cached
+    * plans: the same sanctioned subtrees (exact-top caches, staged
+    * query sets) became visible inside the stage caches, and one
+    * reused broadcast can be counted once per appearance. Adding a
+    * NAME requires the same justification; raising a COUNT means a
+    * new unkeyed join appeared and must be re-probed by hand.
     */
   val QuerySetBnlj: Map[String, Int] = Map(
+    "ann_hamming_topk" -> 3,
     "ann_ivf_fullprobe" -> 1,
-    "ann_ivf_topk" -> 1,
-    "ann_lsh_topk" -> 1,
-    "ann_quantized_rerank" -> 2,
+    "ann_ivf_topk" -> 3,
+    "ann_ivfpq_persisted" -> 2,
+    "ann_ivfpq_residual_topk" -> 2,
+    "ann_ivfpq_topk" -> 2,
+    "ann_lsh_topk" -> 3,
+    "ann_quantized_rerank" -> 4,
     "bitext_mine" -> 3,
-    "bitext_mine_ann" -> 1,
+    "bitext_mine_ann" -> 9,
+    "dedup_embedding" -> 1,
     "hard_negatives" -> 1,
     "knn_classify" -> 1,
     "knn_eval" -> 1,
     "knn_graph" -> 1,
-    "knn_graph_ann" -> 1,
+    "knn_graph_ann" -> 3,
+    "more_like_this" -> 1,
+    "pq_topk" -> 2,
     "rrf_fusion" -> 1,
     "semantic_clusters_ann" -> 1,
     "simsearch_cosine" -> 1,
     "simsearch_quantized" -> 1)
 
+  /** A prune the named query's executed plan MUST exhibit: `re` is
+    * matched against the combined FileSourceScan metadata evidence
+    * ([[scanEvidence]] — one line per scan with its PartitionFilters
+    * and PushedFilters). Regexes anchor on the filter FORM Catalyst
+    * emits at the scan, so a rewrite that keeps results but loses the
+    * prune (e.g. `year(o_orderdate) = 1996`, which pushes below joins
+    * but never reaches PushedFilters) fails the audit.
+    */
+  final case class PruneExpect(desc: String, re: String)
+
+  /** The pruning-sensitive queries and the scan evidence each must
+    * carry (verified against the actual sf0.001 plans; a deliberate
+    * `year(col)` regression is spec-checked to flip the audit).
+    */
+  val PrunedScans: Map[String, Seq[PruneExpect]] = Map(
+    // row-group skipping via min/max stats needs the explicit range
+    "q41_region_revenue" -> Seq(
+      PruneExpect("o_orderdate lower bound pushed",
+        """GreaterThanOrEqual\(o_orderdate,1996-01-01"""),
+      PruneExpect("o_orderdate upper bound pushed",
+        """LessThan\(o_orderdate,1997-01-01""")),
+    "q02_filter_pushdown" -> Seq(
+      PruneExpect("o_orderstatus equality pushed", """EqualTo\(o_orderstatus,F\)"""),
+      PruneExpect("o_orderpriority prefix pushed", """StringStartsWith\(o_orderpriority,1\)""")),
+    // manifest-pruned reads: the key range must reach the (file-pruned)
+    // scan so surviving files still skip row groups
+    "manifest_pruned_read" -> Seq(
+      PruneExpect("o_custkey range pushed to the pruned scan",
+        """GreaterThanOrEqual\(o_custkey,100\)""")),
+    "manifest_pruned_read_string" -> Seq(
+      PruneExpect("source range pushed to the pruned scan",
+        """GreaterThanOrEqual\(source,src2\)""")),
+    // persisted-index probes: directory pruning on the partition column
+    "ann_ivfpq_persisted" -> Seq(
+      PruneExpect("IVF probe prunes __list partitions",
+        """PartitionFilters: \[__list[#\d]* IN""")),
+    "dedup_incremental_minhash_persisted" -> Seq(
+      PruneExpect("band store probed with __bp partition prune",
+        """PartitionFilters: \[__bp[#\d]* IN""")),
+    "dedup_incremental_spans_persisted" -> Seq(
+      PruneExpect("gram store probed with __gp partition prune",
+        """PartitionFilters: \[__gp[#\d]* IN""")))
+
+  /** Walk a physical plan INCLUDING subqueries and cached plans:
+    * `InMemoryTableScanExec` leaves recurse into their
+    * `InMemoryRelation.cachedPlan` (each distinct relation once — a
+    * relation reused by several cache scans must not double its join
+    * counts). `RDDScanExec` leaves cannot be recursed (checkpoint-
+    * truncated lineage); callers count them as opacity.
+    */
+  private[graft] def walkAll(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def go(plan: SparkPlan): Unit = plan.foreachWithSubqueries {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        // AQE roots hide their tree from collect/foreach — descend into
+        // the current physical plan (the audit session disables AQE,
+        // but spec sessions and cached plans may carry these)
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // materialized AQE stages (shuffle/broadcast/result) are leaf
+        // wrappers around the real subtree
+        go(q.plan)
+      case i: InMemoryTableScanExec =>
+        f(i)
+        if (seen.add(i.relation)) go(i.relation.cachedPlan)
+      case n => f(n)
+    }
+    go(p)
+  }
+
   /** Static row bound of a physical subtree, derived from the plan
     * itself (logicalLink is unset under codegen wrappers): a FINAL
-    * ungrouped aggregate is one row, local scans and limits are
+    * ungrouped aggregate is one row, local scans and GLOBAL limits are
     * literal, and every single-child operator that cannot MULTIPLY
     * rows (project/filter/sort/exchange/codegen wrappers) passes its
     * child's bound through. Generate/Expand multiply and joins
     * compound, so they stop the derivation — an unbounded result is
-    * the conservative answer.
+    * the conservative answer. `LocalLimitExec` caps rows PER
+    * PARTITION, not globally (a bare local limit over P partitions
+    * emits up to limit*P rows), so it derives NOTHING — only
+    * GlobalLimit/TakeOrdered carry a global bound.
     */
-  private def boundedRows(p: SparkPlan): Option[Long] = p match {
+  private[graft] def boundedRows(p: SparkPlan): Option[Long] = p match {
     case a: BaseAggregateExec =>
       // only the FINAL mode emits one global row; a partial ungrouped
       // aggregate is one row PER PARTITION, but the final sits above
       // it, so seeing any ungrouped aggregate from the top is Some(1)
       if (a.groupingExpressions.isEmpty) Some(1L) else None
     case l: LocalTableScanExec => Some(l.rows.size.toLong)
-    case l: LocalLimitExec => Some(l.limit.toLong)
+    case _: LocalLimitExec => None // per-partition cap, not a row bound
     case g: GlobalLimitExec => Some(g.limit.toLong)
+    case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+    case i: InMemoryTableScanExec => boundedRows(i.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      boundedRows(a.executedPlan) // AQE root is a leaf wrapper
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundedRows(q.plan) // so is a materialized stage
     case u: UnionExec =>
       val bounds = u.children.map(boundedRows)
       if (bounds.forall(_.isDefined)) Some(bounds.flatten.sum) else None
     case _: GenerateExec | _: ExpandExec => None
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      // a join of two BOUNDED sides is bounded: (l+1)*(r+1) dominates
+      // every join type (inner/cross <= l*r; outer adds at most the
+      // unmatched sides; semi/anti <= l). This is what derives 1 for
+      // the sanctioned `oneRowAgg.crossJoin(oneRowAgg)` verdict shape
+      // that cached-plan recursion made visible (r17).
+      for (l <- boundedRows(j.left); r <- boundedRows(j.right))
+        yield (l + 1) * (r + 1)
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
       boundedRows(r.child) // a leaf wrapper around the original exchange
     case other if other.children.size == 1 => boundedRows(other.children.head)
     case _ => None
+  }
+
+  /** One evidence line per FileSourceScan in the plan (cached plans
+    * and subqueries included): file count, location, PartitionFilters,
+    * PushedFilters — the text [[PruneExpect]] regexes match against.
+    */
+  private[graft] def scanEvidence(plan: SparkPlan): String = {
+    val sb = new StringBuilder
+    walkAll(plan) {
+      case s: FileSourceScanExec =>
+        val loc = s.metadata.getOrElse("Location", "")
+        val part = s.metadata.getOrElse("PartitionFilters", "[]")
+        val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+        sb.append(s"scan files=${s.relation.location.inputFiles.length} ")
+          .append(s"Location: $loc PartitionFilters: $part PushedFilters: $pushed\n")
+      case _ =>
+    }
+    sb.toString
+  }
+
+  /** Unmet prune expectations for a plan (empty = all prunes present). */
+  private[graft] def checkPrunes(
+      plan: SparkPlan, expects: Seq[PruneExpect]): Seq[String] = {
+    val evidence = scanEvidence(plan)
+    expects.filter(e => e.re.r.findFirstIn(evidence).isEmpty)
+      .map(e => s"prune expectation unmet: ${e.desc} (/${e.re}/)")
+  }
+
+  final case class QueryAudit(
+      cartesian: Int,
+      bnljBounded: Int,
+      bnljUnbounded: Int,
+      exchanges: Int,
+      codegenSpans: Int,
+      rddScans: Int,
+      pruneFailures: Seq[String]) {
+    /** checkpoint-truncated lineage in the plan: parts are unauditable */
+    def opaque: Boolean = rddScans > 0
+  }
+
+  /** Audit one executed plan: join-shape counters, opacity, and the
+    * query's prune expectations. Pure plan analysis — never executes.
+    */
+  private[graft] def auditPlan(name: String, plan: SparkPlan): QueryAudit = {
+    var cart, bnljOk, bnljBad, exch, wsc, rdd = 0
+    walkAll(plan) {
+      case _: CartesianProductExec => cart += 1
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildRight => j.right
+          case BuildLeft => j.left
+        }
+        boundedRows(build) match {
+          case Some(n) if n <= MaxBroadcastRows => bnljOk += 1
+          case _ => bnljBad += 1
+        }
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => exch += 1
+      case _: org.apache.spark.sql.execution.WholeStageCodegenExec => wsc += 1
+      case _: RDDScanExec => rdd += 1
+      case _ =>
+    }
+    QueryAudit(cart, bnljOk, bnljBad, exch, wsc, rdd,
+      checkPrunes(plan, PrunedScans.getOrElse(name, Nil)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,33 +307,18 @@ object PlanAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
-        var cart, bnljOk, bnljBad = 0
-        plan.foreachWithSubqueries {
-          case _: CartesianProductExec =>
-            cart += 1
-            failures ::= s"$name: CartesianProduct"
-          case j: BroadcastNestedLoopJoinExec =>
-            val build = j.buildSide match {
-              case BuildRight => j.right
-              case BuildLeft => j.left
-            }
-            boundedRows(build) match {
-              case Some(n) if n <= MaxBroadcastRows => bnljOk += 1
-              case _ => bnljBad += 1
-            }
-          case _ =>
-        }
+        val a = auditPlan(name, plan)
+        if (a.cartesian > 0) failures ::= s"$name: ${a.cartesian} CartesianProduct"
         val allowed = QuerySetBnlj.getOrElse(name, 0)
-        if (bnljBad > allowed)
-          failures ::= s"$name: $bnljBad BroadcastNestedLoopJoin with " +
+        if (a.bnljUnbounded > allowed)
+          failures ::= s"$name: ${a.bnljUnbounded} BroadcastNestedLoopJoin with " +
             s"unbounded build side ($allowed allowed as query-set broadcasts)"
-        var exch, wsc = 0
-        plan.foreachWithSubqueries {
-          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => exch += 1
-          case _: org.apache.spark.sql.execution.WholeStageCodegenExec => wsc += 1
-          case _ =>
-        }
-        s""""$name":{"cartesian":$cart,"bnlj_bounded":$bnljOk,"bnlj_unbounded":$bnljBad,"exchanges":$exch,"codegen_spans":$wsc}"""
+        a.pruneFailures.foreach(p => failures ::= s"$name: $p")
+        val pruned =
+          if (PrunedScans.contains(name))
+            s""","pruned":"${if (a.pruneFailures.isEmpty) "ok" else "FAILED"}""""
+          else ""
+        s""""$name":{"cartesian":${a.cartesian},"bnlj_bounded":${a.bnljBounded},"bnlj_unbounded":${a.bnljUnbounded},"exchanges":${a.exchanges},"codegen_spans":${a.codegenSpans},"opaque":${a.opaque}$pruned}"""
       } catch {
         case e: Throwable =>
           failures ::= s"$name: audit error ${e.getClass.getSimpleName}"

@@ -4909,6 +4909,66 @@ object SparkEntry {
       .removeFrequentLines(docsWithBoilerplate(s, dir), minDocs = 10L, hashedKeys = false)
       .orderBy(col("doc_id"))
 
+  /** Documents wrapped in deterministic HTML chrome — three template
+    * shapes by doc_id mod 3 (full page with head/style/script/nav/
+    * footer; comment + entity + list; uppercase table + numeric
+    * entity) — the markup fixture for [[htmlExtractQ]] /
+    * [[htmlBoilerplate]] (same synthesis philosophy as
+    * [[docsWithBoilerplate]]: the raw corpus is markup-free, so the
+    * structure the operator must strip is built in-plan and the oracle
+    * rebuilds it from the same CASE).
+    */
+  private def htmlDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>body { color: #333; }</style>" +
+          "<script type=\"text/javascript\">var n = "), id,
+        lit(" < 99;</script></head><body>" +
+          "<div id=\"nav\">Home | About | <a href=\"/contact\">Contact</a></div>" +
+          "<h1>Doc "), id, lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"footer\">Copyright &amp; Co 2026</div></body></html>")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("<div><p>intro&nbsp;one</p><!-- template <p>never shown</p> --><p>"),
+          col("text"),
+          lit("</p><ul><li>alpha item</li><li>beta &lt;tag&gt;</li></ul>" +
+            "<p>Privacy Policy</p></div>")))
+        .otherwise(concat(
+          lit("<TABLE><TR><td>k"), id, lit("</td><td>"), col("text"),
+          lit("</td></TR></TABLE><br/>tail &#39;quoted&#39; end.")))
+        .as("html"))
+  }
+
+  /** HTML→text extraction over the [[htmlDocs]] fixture: comments,
+    * script/style payloads, and tags stripped; block tags become line
+    * breaks; the fixed entity set decodes; whitespace assembles — one
+    * codegen'd projection ([[graft.operators.HtmlExtract]]), and the
+    * oracle replays the IDENTICAL step list (its SQL is generated from
+    * the same constants), so the whole pipeline hash-gates.
+    */
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
+    htmlDocs(s, dir)
+      .select(col("doc_id"),
+        graft.operators.HtmlExtract.extract(col("html")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate-line removal over the EXTRACTED fixture: template
+    * chrome (nav/footer/keyword lines, short no-punctuation
+    * fragments, lines repeated across >= 5 documents) drops; body
+    * sentences survive and rejoin in order. Integer/boolean features
+    * only — the verdict replays exactly in SQL.
+    */
+  private def htmlBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract
+      .removeBoilerplate(
+        htmlDocs(s, dir).select(col("doc_id"),
+          graft.operators.HtmlExtract.extract(col("html")).as("text")),
+        "doc_id", "text", minDocs = 5L)
+      .orderBy(col("doc_id"))
+
   /** Per-language distinct (doc, token) cardinality: exact
     * `count(distinct ...)` (SQL-replayable) plus an in-plan
     * HyperLogLog relative-error verdict (the q34/countmin tolerance
@@ -5869,6 +5929,8 @@ object SparkEntry {
     "hll_distinct" -> (hllDistinct _),
     "line_stats" -> (lineStats _),
     "line_dedup" -> (lineDedup _),
+    "html_extract" -> (htmlExtractQ _),
+    "html_boilerplate" -> (htmlBoilerplate _),
     "bloom_decontaminate" -> (bloomDecontaminate _),
     "page_rank" -> (pageRankQ _),
     "page_rank_personalized" -> (pageRankPersonalizedQ _),
@@ -6070,6 +6132,65 @@ object SparkEntry {
     * double-cosine prefilter (> 0.97 strictly contains the rounded
     * >= 0.98 set) so the decimal explode only runs on candidates.
     */
+  /** The [[htmlDocs]] fixture as a DuckDB CTE body (same CASE, same
+    * templates — doc_id concatenation casts identically).
+    */
+  private lazy val htmlDocsSql: String =
+    """SELECT doc_id, CASE
+      |  WHEN doc_id % 3 = 0 THEN
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>body { color: #333; }</style>' ||
+      |    '<script type="text/javascript">var n = ' || doc_id ||
+      |    ' < 99;</script></head><body>' ||
+      |    '<div id="nav">Home | About | <a href="/contact">Contact</a></div>' ||
+      |    '<h1>Doc ' || doc_id || '</h1><p>' || text ||
+      |    '</p><div class="footer">Copyright &amp; Co 2026</div></body></html>'
+      |  WHEN doc_id % 3 = 1 THEN
+      |    '<div><p>intro&nbsp;one</p><!-- template <p>never shown</p> --><p>' ||
+      |    text ||
+      |    '</p><ul><li>alpha item</li><li>beta &lt;tag&gt;</li></ul>' ||
+      |    '<p>Privacy Policy</p></div>'
+      |  ELSE
+      |    '<TABLE><TR><td>k' || doc_id || '</td><td>' || text ||
+      |    '</td></TR></TABLE><br/>tail &#39;quoted&#39; end.'
+      |  END AS html
+      |FROM documents""".stripMargin
+
+  private lazy val htmlExtractOracleSql: String = {
+    val ext = graft.operators.HtmlExtract.duckdbExtractSql("html")
+    s"""WITH html AS ($htmlDocsSql),
+       |ext AS (SELECT doc_id, $ext AS text FROM html)
+       |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM ext ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val htmlBoilerplateOracleSql: String = {
+    val ext = graft.operators.HtmlExtract.duckdbExtractSql("html")
+    val kw = graft.operators.HtmlExtract.BoilerKeywords
+    s"""WITH html AS ($htmlDocsSql),
+       |ext AS (SELECT doc_id, $ext AS text FROM html),
+       |parts AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM ext),
+       |lines AS (
+       |  SELECT doc_id, unnest(ls) AS line,
+       |         unnest(range(1, len(ls) + 1)) AS pos
+       |  FROM parts),
+       |freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+       |flagged AS (
+       |  SELECT l.doc_id, l.pos, l.line,
+       |         (regexp_matches(lower(l.line), '$kw') OR
+       |          ((CASE WHEN l.line = '' THEN 0
+       |                 ELSE len(str_split(l.line, ' ')) END) <= 3
+       |            AND NOT regexp_matches(l.line, '[.!?]${"$"}')) OR
+       |          f.nd >= 5) AS boiler
+       |  FROM lines l JOIN freq f USING (line))
+       |SELECT doc_id,
+       |       coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |                  FILTER (WHERE NOT boiler), '') AS text,
+       |       CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val semanticDedupOracleSql: String =
     s"""WITH allv AS (
        |  SELECT vec_id, embedding FROM embeddings
@@ -8965,6 +9086,12 @@ object SparkEntry {
         |  FROM flagged GROUP BY doc_id)
         |SELECT doc_id, text, removed_lines, kept_lines
         |FROM rebuilt ORDER BY doc_id""".stripMargin,
+    // HTML extraction: the fixture CASE rebuilds the same three
+    // templates, and the extraction expression is GENERATED from
+    // HtmlExtract's step list — oracle and engine share one source of
+    // truth, so the hash gate covers every pattern
+    "html_extract" -> htmlExtractOracleSql,
+    "html_boilerplate" -> htmlBoilerplateOracleSql,
     // HLL distinct: exact per-lang count(distinct doc:token) replayed;
     // the register-based estimate gates via the in-plan 15% verdict
     "hll_distinct" ->
