@@ -84,15 +84,24 @@ object Compaction {
   /** Rewrite every `rewrite` group of `planned` into exactly one
     * parquet file per group under `outDir/part=<p>/grp=<g>/`, in ONE
     * job: the group's source files are read together, rows are routed
-    * to their group by the file they came from (matched on the
-    * basename `input_file_name()` reports), hash-repartitioned so each
-    * group is written by exactly one task, and committed through
+    * to their group by the file they came from, hash-repartitioned so
+    * each group is written by exactly one task, and committed through
     * [[StagedSwap.rotateIn]] — a crash mid-rewrite leaves the previous
     * layout live. `keep` files are untouched (a real table format
     * swaps them by metadata, not by copying bytes).
     *
-    * `planned`'s `fileCol` must hold absolute paths whose basenames
-    * are unique across the rewrite set (parquet part-file names are).
+    * Routing matches on the SCHEME-NORMALIZED ABSOLUTE PATH (the r17
+    * 2k-file scale spec caught the previous basename match silently
+    * multiplying rows: a standard `partitionBy` write reuses one
+    * task's part-file name across every partition directory, so
+    * basenames are NOT unique in exactly the layouts compaction
+    * exists for). `input_file_name()` reports a URI
+    * (`file:///p/part=0/f.parquet`, percent-encoded); the inventory
+    * may carry any equivalent form — both sides normalize to the
+    * decoded path (`/p/part=0/f.parquet`), and a duplicate normalized
+    * path in the rewrite set fails loudly rather than double-counting
+    * rows. The route table is collected (O(rewrite files), the same
+    * driver bound as the read-path list) and broadcast.
     *
     * @return the number of rewrite groups written
     */
@@ -102,20 +111,28 @@ object Compaction {
       partCol: String,
       fileCol: String,
       outDir: String): Long = {
-    val rewrite = planned.filter(col("action") === "rewrite")
-      .select(
-        element_at(split(col(fileCol), "/"), -1).as("__base"),
-        col(fileCol).as("__path"), col(partCol).as("__part"),
-        col("grp").as("__grp"))
-    val paths = rewrite.select("__path").collect().map(_.getString(0))
-    if (paths.isEmpty) return 0L
-    val routes = rewrite.select("__base", "__part", "__grp")
-    val nGroups = routes.select("__part", "__grp").distinct().count()
+    val rewriteRows = planned.filter(col("action") === "rewrite")
+      .select(col(fileCol).cast("string"), col(partCol).cast("string"), col("grp"))
+      .collect() // bounded: O(rewrite files) — metadata, not rows
+    if (rewriteRows.isEmpty) return 0L
+    def canon(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val routeTuples = rewriteRows.toIndexedSeq
+      .map(r => (canon(r.getString(0)), r.getString(1), r.getLong(2)))
+    require(routeTuples.map(_._1).distinct.size == routeTuples.size,
+      "Compaction.execute: duplicate file paths in the rewrite set — " +
+        "the inventory lists a file twice")
+    val paths = rewriteRows.map(_.getString(0)).toIndexedSeq
+    val nGroups = routeTuples.map(t => (t._2, t._3)).distinct.size.toLong
+    import spark.implicits._
+    val routes = routeTuples.toDF("__key", "__part", "__grp")
     StagedSwap.rotateIn(spark, outDir) { stage =>
-      spark.read.parquet(paths.toIndexedSeq: _*)
-        .withColumn("__base", element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(routes), "__base")
-        .drop("__base")
+      spark.read.parquet(paths: _*)
+        .withColumn("__key",
+          url_decode(regexp_replace(input_file_name(),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")))
+        .join(broadcast(routes), "__key")
+        .drop("__key")
         .repartition(nGroups.toInt.max(1), col("__part"), col("__grp"))
         .write.partitionBy("__part", "__grp").parquet(stage)
       ()

@@ -107,19 +107,49 @@ object KMeansTrain {
 
   /** Train `iters` Lloyd iterations from md5 seeds and return the
     * final centroids, cluster-id ascending.
+    *
+    * TRAINING INPUT IS SAMPLED above a floor (r16 review #3 — the
+    * superlinear term in semantic_dedup's scale ladder): exact flat
+    * Lloyd costs O(rows·k·d) per iteration, and with k sized to the
+    * corpus (`SemanticDedup.sizedK`, k ∝ n) training on every row is
+    * O(n²·d). Centroid QUALITY needs only a bounded number of rows
+    * per centroid, so when the corpus exceeds
+    * `max(sampleFloor, samplePerCentroid·k)` the Lloyd iterations run
+    * on a deterministic hash-sample of that size (xxhash64 rate
+    * filter — no RNG, any engine replays it) and the iteration cost
+    * becomes O(k·d) per centroid — linear in n while k tracks n, and
+    * bounded once k hits its cap. Corpora AT OR BELOW the threshold
+    * train on every row, bit-identical to the pre-sampling contract —
+    * the oracle-gated SFs (≤ ~2.2k vectors) sit far under the 32k
+    * floor, so their unrolled Lloyd CTE replay is unchanged by
+    * construction. Serving (assignment) always scans the full corpus
+    * exactly once; only the training input is sampled.
     */
   def train(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): Seq[(Int, Seq[Long])] = {
+      iters: Int,
+      sampleFloor: Long = 32768,
+      samplePerCentroid: Int = 16): Seq[(Int, Seq[Long])] = {
     require(iters >= 0, "iters must be non-negative")
-    val quantized = vecs
+    require(sampleFloor > 0 && samplePerCentroid > 0,
+      "sample bounds must be positive")
+    val targetRows = math.max(sampleFloor, samplePerCentroid.toLong * k)
+    val n = vecs.count()
+    val trainSet =
+      if (n <= targetRows) vecs
+      else {
+        // expected-size hash sample on the id: deterministic, scan-local
+        val permille = math.max(1L, 1000000L * targetRows / n)
+        vecs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(permille))
+      }
+    val quantized = trainSet
       .select(col(idCol), TopicAssign.quantize(col(vecCol)).as("q"))
       .persist()
     try {
-      var cents = seedCentroids(vecs, idCol, vecCol, k)
+      var cents = seedCentroids(trainSet, idCol, vecCol, k)
       var i = 0
       while (i < iters) { cents = lloydStep(quantized, cents); i += 1 }
       cents.sortBy(_._1)

@@ -63,7 +63,8 @@ object SemanticDedup {
       minCosine: Double = 0.98,
       maxClusterSize: Int = 10000,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
-      prefilterMin: Option[Double] = None): DataFrame = {
+      prefilterMin: Option[Double] = None,
+      broadcastVectorLimit: Long = 400000L): DataFrame = {
     // persist: the assignment scan feeds the id-only pair join AND the
     // two vector join-backs; without it the corpus re-assigns 3x
     val assigned = TextDedup.spreadToCores(corpus)
@@ -94,9 +95,19 @@ object SemanticDedup {
     val pairs = bounded.select(col("cluster"), col("id").as("id_a"))
       .join(bounded.select(col("cluster"), col("id").as("id_b")), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
+    // Join-back strategy is STAT-DRIVEN with a count this plan already
+    // paid for: below `broadcastVectorLimit` vectors (~100 MB at
+    // 64-dim float) the vector table broadcasts, so the O(pairs) side
+    // streams map-side — measured 4.9x CPU on the sf4 rehearsal, where
+    // Catalyst's static 10 MB estimate fell off the broadcast cliff
+    // into a spilling shuffle join (r17 probe). Above the limit the
+    // shuffle join is the RIGHT plan (a corpus-sized broadcast would
+    // OOM the executors at 100 TB) and costs O(pairs + corpus), linear.
+    val hint: DataFrame => DataFrame =
+      if (total <= broadcastVectorLimit) broadcast(_) else identity
     val carried = pairs
-      .join(assigned.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(assigned.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(hint(assigned.select(col("id").as("id_a"), col("vec").as("vec_a"))), "id_a")
+      .join(hint(assigned.select(col("id").as("id_b"), col("vec").as("vec_b"))), "id_b")
     // Two-stage scoring (the ann_quantized_rerank pattern): when
     // cosineFn is an expensive exact kernel (the interpreted decimal
     // grid), `prefilterMin` gates pairs with the NATIVE double cosine
@@ -135,9 +146,10 @@ object SemanticDedup {
       minCosine: Double = 0.98,
       maxClusterSize: Int = 10000,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
-      prefilterMin: Option[Double] = None): DataFrame =
+      prefilterMin: Option[Double] = None,
+      broadcastVectorLimit: Long = 400000L): DataFrame =
     nearDupPairs(corpus, idCol, vecCol, centroids, minCosine, maxClusterSize, cosineFn,
-      prefilterMin)
+      prefilterMin, broadcastVectorLimit)
       .groupBy(col("id_b"))
       .agg(
         // id_b lives in exactly one cluster; min() only fixes the shape

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Compaction
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** [[Compaction.execute]] at realistic METADATA scale (r16 review #7):
+  * the oracle gate plants 16 files; this spec plants ~2k real parquet
+  * files (sf0.1-scale bytes) and proves the operator's scale claims
+  * hold at that file count — the rewrite is ONE job over a broadcast
+  * route table (driver work is O(rewrite files), job count does not
+  * grow with group count), every rewrite group lands as exactly one
+  * output file, and bytes/rows are conserved.
+  */
+class CompactionScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jobsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(300) } // let queued listener events drain
+    finally spark.sparkContext.removeSparkListener(l)
+    counter.get()
+  }
+
+  test("a ~2k-small-file layout compacts in one rewrite job, one file per group") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-scale").toString
+    val src = s"$root/src"
+    // 4 partitions x 512 shuffle tasks, each task writing one file per
+    // partition value it holds -> ~2048 small files of ~60 rows
+    spark.range(120000)
+      .select((col("id") % 4).cast("string").as("part"), col("id").as("v"))
+      .repartition(512, col("v"))
+      .write.partitionBy("part").parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inv = (for {
+      pd <- fs.listStatus(new org.apache.hadoop.fs.Path(src)).toSeq if pd.isDirectory
+      f <- fs.listStatus(pd.getPath).toSeq
+      if f.isFile && f.getPath.getName.endsWith(".parquet")
+    } yield (pd.getPath.getName.stripPrefix("part="), f.getPath.toString, f.getLen))
+      .toDF("part", "file", "bytes")
+    val nFiles = inv.count()
+    assert(nFiles >= 1500L, s"layout too small to exercise metadata scale: $nFiles files")
+
+    val avgBytes = inv.agg(avg(col("bytes"))).head().getDouble(0)
+    val target = (avgBytes * 16).toLong // pack ~16 small files per group
+    val planned = Compaction.plan(inv, "part", "file", "bytes", target).persist()
+    val expectedGroups = planned.filter(col("action") === "rewrite")
+      .select(col("part"), col("grp")).distinct().count()
+    assert(expectedGroups >= 64L, s"expected a three-digit group count, got $expectedGroups")
+
+    val out = s"$root/out"
+    var groups = 0L
+    val t0 = System.nanoTime()
+    val jobs = jobsDuring {
+      groups = Compaction.execute(spark, planned, "part", "file", out)
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    info(f"compacted $nFiles files -> $groups groups in $wallS%.1f s, $jobs Spark jobs")
+    assert(groups == expectedGroups)
+    // the rewrite is ONE read->route->write query; the other jobs are
+    // the bounded path collect, the group count, the parallel
+    // file-listing job (>32 paths), and AQE stage materializations —
+    // a CONSTANT ~8 that must not scale with the 128 groups or the
+    // ~2k files (measured 8 at this layout, same as small layouts)
+    assert(jobs <= 10, s"job count grew with the layout: $jobs jobs")
+
+    // exactly one parquet file per (part, grp) leaf
+    val outRoot = new org.apache.hadoop.fs.Path(out)
+    val leaves = for {
+      pd <- fs.listStatus(outRoot).toSeq if pd.isDirectory
+      gd <- fs.listStatus(pd.getPath).toSeq if gd.isDirectory
+    } yield fs.listStatus(gd.getPath)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(leaves.size.toLong == expectedGroups, s"leaf count ${leaves.size}")
+    assert(leaves.forall(_ == 1), "a rewrite group produced more than one file")
+
+    // conservation: rewritten rows + keep-file rows == the planted total
+    val keepPaths = planned.filter(col("action") === "keep")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val keepAgg =
+      if (keepPaths.isEmpty) (0L, 0L)
+      else {
+        val r = spark.read.parquet(keepPaths: _*)
+          .agg(count(lit(1)), coalesce(sum(col("v")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val outAgg = spark.read.parquet(out)
+      .agg(count(lit(1)), coalesce(sum(col("v")), lit(0L))).head()
+    assert(outAgg.getLong(0) + keepAgg._1 == 120000L, "row conservation failed")
+    assert(outAgg.getLong(1) + keepAgg._2 == 120000L * 119999L / 2, "sum conservation failed")
+    planned.unpersist()
+  }
+}

@@ -16,9 +16,13 @@ import json, os, re, subprocess, sys
 
 SF1_DIR = '/tmp/graft_sf1'
 SF4_DIR = '/tmp/graft_sf4'
+SF16_DIR = '/tmp/graft_sf16'
 # 4x sf1 on the doc/vec axes, full star at 40x the driver's sf0.1
 SF1_GEN = ['50000', '20000', 'full', '10']
 SF4_GEN = ['200000', '80000', 'full', '40']
+# third rung (r16 review: one doubling cannot separate n log n from
+# n^2; two can) — 4x sf4 again, ~3 GB fixture
+SF16_GEN = ['800000', '320000', 'full', '160']
 
 SUITE = [
     'corpus_curation_pipeline',          # DEFAULT banded path (r15 routing)
@@ -103,12 +107,20 @@ def loadavg():
 
 
 def main():
-    note = sys.argv[1] if len(sys.argv) > 1 else ''
+    # optional flag: --sf16 adds the third rung (4x sf4) and writes
+    # BENCH_SELF_sf16.json with BOTH doubling ratios per query — the
+    # trend pair that separates n log n from n^2
+    args = [a for a in sys.argv[1:] if a != '--sf16']
+    with_sf16 = '--sf16' in sys.argv[1:]
+    note = args[0] if args else ''
     la0 = loadavg()
     ensure_fixture(SF1_DIR, SF1_GEN)
     ensure_fixture(SF4_DIR, SF4_GEN)
+    if with_sf16:
+        ensure_fixture(SF16_DIR, SF16_GEN)
     b1 = bench(SF1_DIR)
     b4 = bench(SF4_DIR)
+    b16 = bench(SF16_DIR) if with_sf16 else None
     sf01 = {}
     try:
         sf01 = json.load(open('BENCH_SELF.json'))['bench']
@@ -127,6 +139,13 @@ def main():
             row['sf4_over_sf1_min'] = round(row['sf4_min'] / row['sf1_min'], 2)
         if row['sf1_cold'] and row['sf4_cold']:
             row['sf4_over_sf1_cold'] = round(row['sf4_cold'] / row['sf1_cold'], 2)
+        if b16 is not None:
+            row['sf16_cold'] = b16['queries_cold'].get(q)
+            row['sf16_min'] = b16['queries_min'].get(q)
+            if row['sf4_min'] and row['sf16_min']:
+                row['sf16_over_sf4_min'] = round(row['sf16_min'] / row['sf4_min'], 2)
+            if row['sf4_cold'] and row['sf16_cold']:
+                row['sf16_over_sf4_cold'] = round(row['sf16_cold'] / row['sf4_cold'], 2)
         trend[q] = row
     doc = {
         'note': note or ('standing sf1/sf4 scale suite: 4x data sf1->sf4; a healthy '
@@ -139,12 +158,21 @@ def main():
         'suite_sf4': b4,
         'trend': trend,
     }
-    with open('BENCH_SELF_sf4.json', 'w') as f:
+    if b16 is not None:
+        doc['fixtures']['sf16'] = f'{SF16_DIR} {" ".join(SF16_GEN)}'
+        doc['suite_sf16'] = b16
+        out = 'BENCH_SELF_sf16.json'
+    else:
+        out = 'BENCH_SELF_sf4.json'
+    with open(out, 'w') as f:
         json.dump(doc, f, indent=1, sort_keys=False)
-    print('wrote BENCH_SELF_sf4.json', flush=True)
+    print(f'wrote {out}', flush=True)
     for q, r in trend.items():
-        print(f"{q:36s} sf1_min {r['sf1_min']} sf4_min {r['sf4_min']} "
-              f"ratio {r.get('sf4_over_sf1_min')}", flush=True)
+        line = (f"{q:36s} sf1_min {r['sf1_min']} sf4_min {r['sf4_min']} "
+                f"ratio {r.get('sf4_over_sf1_min')}")
+        if b16 is not None:
+            line += f" sf16_min {r.get('sf16_min')} ratio16 {r.get('sf16_over_sf4_min')}"
+        print(line, flush=True)
 
 
 if __name__ == '__main__':
