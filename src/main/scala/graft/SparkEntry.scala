@@ -4933,7 +4933,8 @@ object SparkEntry {
         .when(col("doc_id") % 3 === 1, concat(
           lit("<div><p>intro&nbsp;one</p><!-- template <p>never shown</p> --><p>"),
           col("text"),
-          lit("</p><ul><li>alpha item</li><li>beta &lt;tag&gt;</li></ul>" +
+          lit("</p><ul><li><a href=\"https://example.com/a?x=1\">alpha item</a></li>" +
+            "<li>beta &lt;tag&gt;</li></ul><img src=\"https://cdn.example.com/i.png\">" +
             "<p>Privacy Policy</p></div>")))
         .otherwise(concat(
           lit("<TABLE><TR><td>k"), id, lit("</td><td>"), col("text"),
@@ -4968,6 +4969,20 @@ object SparkEntry {
           graft.operators.HtmlExtract.extract(col("html")).as("text")),
         "doc_id", "text", minDocs = 5L)
       .orderBy(col("doc_id"))
+
+  /** Link harvest over the [[htmlDocs]] fixture: every href/src target
+    * in document order with its registrable host ('' for relative
+    * links) — the link-graph construction step upstream of PageRank
+    * domain weighting. One codegen'd regexp_extract_all per attribute;
+    * the oracle replays the same patterns (RE2 == java.util.regex on
+    * this syntax) and the positional unnest.
+    */
+  private def htmlLinks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract
+      .links(htmlDocs(s, dir), "doc_id", "html")
+      .select(col("doc_id"), col("link_no").cast("long").as("link_no"),
+        col("url"), col("host"))
+      .orderBy(col("doc_id"), col("link_no"))
 
   /** Per-language distinct (doc, token) cardinality: exact
     * `count(distinct ...)` (SQL-replayable) plus an in-plan
@@ -5931,6 +5946,7 @@ object SparkEntry {
     "line_dedup" -> (lineDedup _),
     "html_extract" -> (htmlExtractQ _),
     "html_boilerplate" -> (htmlBoilerplate _),
+    "html_links" -> (htmlLinks _),
     "bloom_decontaminate" -> (bloomDecontaminate _),
     "page_rank" -> (pageRankQ _),
     "page_rank_personalized" -> (pageRankPersonalizedQ _),
@@ -6148,7 +6164,8 @@ object SparkEntry {
       |  WHEN doc_id % 3 = 1 THEN
       |    '<div><p>intro&nbsp;one</p><!-- template <p>never shown</p> --><p>' ||
       |    text ||
-      |    '</p><ul><li>alpha item</li><li>beta &lt;tag&gt;</li></ul>' ||
+      |    '</p><ul><li><a href="https://example.com/a?x=1">alpha item</a></li>' ||
+      |    '<li>beta &lt;tag&gt;</li></ul><img src="https://cdn.example.com/i.png">' ||
       |    '<p>Privacy Policy</p></div>'
       |  ELSE
       |    '<TABLE><TR><td>k' || doc_id || '</td><td>' || text ||
@@ -6190,6 +6207,22 @@ object SparkEntry {
        |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  private lazy val htmlLinksOracleSql: String =
+    s"""WITH html AS ($htmlDocsSql),
+       |l AS (
+       |  SELECT doc_id,
+       |         list_concat(regexp_extract_all(html, 'href="([^"]*)"', 1),
+       |                     regexp_extract_all(html, 'src="([^"]*)"', 1)) AS ls
+       |  FROM html),
+       |flat AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, len(ls))) AS link_no,
+       |         unnest(ls) AS url
+       |  FROM l WHERE len(ls) > 0)
+       |SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, url,
+       |       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host
+       |FROM flat ORDER BY doc_id, link_no""".stripMargin
 
   private lazy val semanticDedupOracleSql: String =
     s"""WITH allv AS (
@@ -9092,6 +9125,7 @@ object SparkEntry {
     // truth, so the hash gate covers every pattern
     "html_extract" -> htmlExtractOracleSql,
     "html_boilerplate" -> htmlBoilerplateOracleSql,
+    "html_links" -> htmlLinksOracleSql,
     // HLL distinct: exact per-lang count(distinct doc:token) replayed;
     // the register-based estimate gates via the in-plan 15% verdict
     "hll_distinct" ->

@@ -107,6 +107,25 @@ object HtmlExtract {
       s"regexp_replace($acc, '${pat.replace("'", "''")}', $r, 'g')"
     }
 
+  /** href/src link targets in document order — the LINK-GRAPH input
+    * (the corpus signal [[PageRank]] domain ranking consumes) — and
+    * the registrable host of each: harvested BEFORE tag stripping with
+    * one codegen'd `regexp_extract_all` per attribute (patterns in the
+    * java.util.regex ∩ RE2 common syntax, double-quoted attributes —
+    * the form the fixture and real exporters emit). Returns one row
+    * per link: (idCol, link_no, url, host) with `link_no` the 0-based
+    * document-order position (hrefs first, then srcs) and `host` empty
+    * for relative links.
+    */
+  def links(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol), lit("href=\"([^\"]*)\""), lit(1))
+    val srcs = regexp_extract_all(col(htmlCol), lit("src=\"([^\"]*)\""), lit(1))
+    docs
+      .select(col(idCol), posexplode(concat(hrefs, srcs)).as(Seq("link_no", "url")))
+      .withColumn("host",
+        regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+  }
+
   /** Boilerplate keyword regex (lowercased line; literal alternation —
     * identical under java.util.regex and RE2).
     */

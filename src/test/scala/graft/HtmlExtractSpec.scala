@@ -112,6 +112,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 3L, 3L, 2L, 2L))
   }
 
+  test("links: hrefs then srcs in document order, host only for absolute URLs") {
+    val docs = Seq(
+      (1L, "<a href=\"https://example.com/a?x=1\">x</a><img src=\"/rel/i.png\"><a href=\"/c\">y</a>"),
+      (2L, "no links here")).toDF("doc_id", "html")
+    val out = HtmlExtract.links(docs, "doc_id", "html")
+      .orderBy(col("doc_id"), col("link_no")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 0, "https://example.com/a?x=1", "example.com"),
+      (1L, 1, "/c", ""),
+      (1L, 2, "/rel/i.png", "")))
+  }
+
   test("extraction is a single codegen'd projection (no UDF, no shuffle)") {
     // derive from range(): a local literal corpus constant-folds into
     // a LocalTableScan and the projection vanishes from the plan
