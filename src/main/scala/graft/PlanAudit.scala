@@ -87,26 +87,28 @@ object PlanAudit {
     * new unkeyed join appeared and must be re-probed by hand.
     */
   val QuerySetBnlj: Map[String, Int] = Map(
-    "ann_hamming_topk" -> 3,
+    // values re-probed r18 AFTER the identity-dedupe of counted nodes
+    // (appearance counting had inflated bitext_mine_ann to 9 for 3
+    // real joins, leaving headroom for unnoticed regressions)
+    "ann_hamming_topk" -> 2,
     "ann_ivf_fullprobe" -> 1,
-    "ann_ivf_topk" -> 3,
-    "ann_ivfpq_persisted" -> 2,
-    "ann_ivfpq_residual_topk" -> 2,
-    "ann_ivfpq_topk" -> 2,
-    "ann_lsh_topk" -> 3,
-    "ann_quantized_rerank" -> 4,
+    "ann_ivf_topk" -> 2,
+    "ann_ivfpq_persisted" -> 1,
+    "ann_ivfpq_residual_topk" -> 1,
+    "ann_ivfpq_topk" -> 1,
+    "ann_lsh_topk" -> 2,
+    "ann_quantized_rerank" -> 3,
     "bitext_mine" -> 3,
-    "bitext_mine_ann" -> 9,
+    "bitext_mine_ann" -> 3,
     "dedup_embedding" -> 1,
     "hard_negatives" -> 1,
     "knn_classify" -> 1,
     "knn_eval" -> 1,
     "knn_graph" -> 1,
-    "knn_graph_ann" -> 3,
+    "knn_graph_ann" -> 1,
     "more_like_this" -> 1,
-    "pq_topk" -> 2,
+    "pq_topk" -> 1,
     "rrf_fusion" -> 1,
-    "semantic_clusters_ann" -> 1,
     "simsearch_cosine" -> 1,
     "simsearch_quantized" -> 1)
 
@@ -269,9 +271,21 @@ object PlanAudit {
     */
   private[graft] def auditPlan(name: String, plan: SparkPlan): QueryAudit = {
     var cart, bnljOk, bnljBad, exch, wsc, rdd = 0
+    // The ENFORCEMENT counters (cartesian / bnlj) dedupe by node
+    // IDENTITY: walkAll visits each distinct cached relation once, but
+    // one physical join object can still surface several times (the
+    // main plan plus appearances inside cached subtrees that reference
+    // it), and counting per APPEARANCE inflated the QuerySetBnlj
+    // allowances (bitext_mine_ann read 9 for 3 real joins — r18
+    // review), leaving headroom a genuinely new unbounded join could
+    // hide in. The informational trend columns (exchanges / codegen
+    // spans) keep appearance counts — their round-over-round diffs are
+    // what matters, and r17 history is in that unit.
+    val counted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     walkAll(plan) {
-      case _: CartesianProductExec => cart += 1
-      case j: BroadcastNestedLoopJoinExec =>
+      case c: CartesianProductExec => if (counted.add(c)) cart += 1
+      case j: BroadcastNestedLoopJoinExec if counted.add(j) =>
         val build = j.buildSide match {
           case BuildRight => j.right
           case BuildLeft => j.left

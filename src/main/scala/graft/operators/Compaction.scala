@@ -103,6 +103,17 @@ object Compaction {
     * rows. The route table is collected (O(rewrite files), the same
     * driver bound as the read-path list) and broadcast.
     *
+    * Two fail-loudly refinements (r18 review): `url_decode` has FORM
+    * semantics ('+' decodes to a space) while `input_file_name()`
+    * leaves '+' unencoded and the driver-side canon keeps it literal —
+    * so '+' is re-escaped to `%2B` before decoding (a partition value
+    * like `UTC+8` routes instead of silently losing every row); and
+    * the route join is a LEFT join with an in-plan `raise_error` on
+    * any unrouted row, so canon/input_file_name normalization drift
+    * (a symlinked root, an inventory form the canon cannot reduce)
+    * fails the job with the offending path instead of shrinking the
+    * output.
+    *
     * @return the number of rewrite groups written
     */
   def execute(
@@ -127,11 +138,23 @@ object Compaction {
     import spark.implicits._
     val routes = routeTuples.toDF("__key", "__part", "__grp")
     StagedSwap.rotateIn(spark, outDir) { stage =>
+      // strip scheme+authority, re-escape literal '+' (url_decode is
+      // form-decoding: a bare '+' would become a space and mismatch
+      // the driver canon), then percent-decode
+      val normalized = url_decode(regexp_replace(
+        regexp_replace(input_file_name(),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+        "\\+", "%2B"))
       spark.read.parquet(paths: _*)
-        .withColumn("__key",
-          url_decode(regexp_replace(input_file_name(),
-            "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")))
-        .join(broadcast(routes), "__key")
+        .withColumn("__key", normalized)
+        .join(broadcast(routes), Seq("__key"), "left")
+        .withColumn("__part",
+          when(col("__part").isNull,
+            raise_error(concat(
+              lit("Compaction.execute: row from unrouted file "),
+              col("__key"),
+              lit(" — inventory/input_file_name path normalization drift"))))
+            .otherwise(col("__part")))
         .drop("__key")
         .repartition(nGroups.toInt.max(1), col("__part"), col("__grp"))
         .write.partitionBy("__part", "__grp").parquet(stage)

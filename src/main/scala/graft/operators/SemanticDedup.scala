@@ -55,6 +55,19 @@ object SemanticDedup {
     * `cos >= minCosine`. Eagerly materialized (the
     * [[TextDedup.materialized]] lifecycle).
     */
+  /** Broadcast the vector join-backs only while `rows * dim * 8`
+    * bytes (8 = float payload + array/row overhead, measured ~2x
+    * slack on 64-dim float rows) fits the budget: the former ROW
+    * limit (400k) was "~100 MB" only at the fixture's 64 dims — at
+    * production embedding widths (768–4096) the same row count is
+    * 1.2–13 GiB, an executor-OOM broadcast the limit would have
+    * approved (r17 review #5). Pure driver arithmetic, spec-gated by
+    * [[SemanticDedupSpec]]'s wide-vector case.
+    */
+  private[graft] def shouldBroadcastVectors(
+      rows: Long, dim: Int, byteBudget: Long): Boolean =
+    dim >= 0 && rows * math.max(dim, 1).toLong * 8L <= byteBudget
+
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
@@ -64,7 +77,7 @@ object SemanticDedup {
       maxClusterSize: Int = 10000,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
       prefilterMin: Option[Double] = None,
-      broadcastVectorLimit: Long = 400000L): DataFrame = {
+      broadcastVectorBytes: Long = 256L << 20): DataFrame = {
     // persist: the assignment scan feeds the id-only pair join AND the
     // two vector join-backs; without it the corpus re-assigns 3x
     val assigned = TextDedup.spreadToCores(corpus)
@@ -96,15 +109,21 @@ object SemanticDedup {
       .join(bounded.select(col("cluster"), col("id").as("id_b")), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
     // Join-back strategy is STAT-DRIVEN with a count this plan already
-    // paid for: below `broadcastVectorLimit` vectors (~100 MB at
-    // 64-dim float) the vector table broadcasts, so the O(pairs) side
-    // streams map-side — measured 4.9x CPU on the sf4 rehearsal, where
-    // Catalyst's static 10 MB estimate fell off the broadcast cliff
-    // into a spilling shuffle join (r17 probe). Above the limit the
-    // shuffle join is the RIGHT plan (a corpus-sized broadcast would
-    // OOM the executors at 100 TB) and costs O(pairs + corpus), linear.
+    // paid for: while the vector table's estimated BYTES (rows x dim,
+    // dim read from one row of the persisted assignment — a bounded
+    // probe) fit `broadcastVectorBytes`, it broadcasts, so the
+    // O(pairs) side streams map-side — measured 4.9x CPU on the sf4
+    // rehearsal, where Catalyst's static 10 MB estimate fell off the
+    // broadcast cliff into a spilling shuffle join (r17 probe). Above
+    // the budget the shuffle join is the RIGHT plan (a corpus-sized
+    // broadcast would OOM the executors at 100 TB) and costs
+    // O(pairs + corpus), linear.
+    val dim =
+      if (total == 0) 0
+      else assigned.select(size(col("vec"))).head().getInt(0)
     val hint: DataFrame => DataFrame =
-      if (total <= broadcastVectorLimit) broadcast(_) else identity
+      if (shouldBroadcastVectors(total, dim, broadcastVectorBytes)) broadcast(_)
+      else identity
     val carried = pairs
       .join(hint(assigned.select(col("id").as("id_a"), col("vec").as("vec_a"))), "id_a")
       .join(hint(assigned.select(col("id").as("id_b"), col("vec").as("vec_b"))), "id_b")
@@ -147,9 +166,9 @@ object SemanticDedup {
       maxClusterSize: Int = 10000,
       cosineFn: (Column, Column) => Column = VectorFunctions.cosine,
       prefilterMin: Option[Double] = None,
-      broadcastVectorLimit: Long = 400000L): DataFrame =
+      broadcastVectorBytes: Long = 256L << 20): DataFrame =
     nearDupPairs(corpus, idCol, vecCol, centroids, minCosine, maxClusterSize, cosineFn,
-      prefilterMin, broadcastVectorLimit)
+      prefilterMin, broadcastVectorBytes)
       .groupBy(col("id_b"))
       .agg(
         // id_b lives in exactly one cluster; min() only fixes the shape

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Compaction
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
 /** [[Compaction.execute]] at realistic METADATA scale (r16 review #7):
@@ -17,16 +17,36 @@ class CompactionScaleSpec extends SparkSpec {
   import spark.implicits._
 
   private def jobsDuring(body: => Unit): Int = {
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val starts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ends = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+        starts.incrementAndGet(); ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        ends.incrementAndGet(); ()
       }
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(300) } // let queued listener events drain
-    finally spark.sparkContext.removeSparkListener(l)
-    counter.get()
+    try {
+      body
+      // drain the async listener bus by CONDITION, not a fixed sleep
+      // (r18 review: a 300 ms nap was a timing flake waiting to
+      // happen): every job launched by `body` has completed before it
+      // returns, so poll until the end events caught up with the
+      // starts AND one settle interval passes no new starts.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val s0 = starts.get()
+        if (ends.get() >= s0 && s0 > 0) {
+          Thread.sleep(50)
+          settled = starts.get() == s0 && ends.get() >= s0
+        } else Thread.sleep(50)
+      }
+      assert(settled, s"listener bus did not settle: ${starts.get()} starts, ${ends.get()} ends")
+    } finally spark.sparkContext.removeSparkListener(l)
+    starts.get()
   }
 
   test("a ~2k-small-file layout compacts in one rewrite job, one file per group") {
@@ -69,8 +89,12 @@ class CompactionScaleSpec extends SparkSpec {
     // the bounded path collect, the group count, the parallel
     // file-listing job (>32 paths), and AQE stage materializations —
     // a CONSTANT ~8 that must not scale with the 128 groups or the
-    // ~2k files (measured 8 at this layout, same as small layouts)
-    assert(jobs <= 10, s"job count grew with the layout: $jobs jobs")
+    // ~2k files (measured 8 at this layout, same as small layouts).
+    // The margin is 12, not 8: AQE's stage-materialization job count
+    // is Spark-version/timing sensitive and the CLAIM is constancy
+    // against the 128 groups / 2k files, which any n-proportional
+    // regression (128+ jobs) still fails by an order of magnitude.
+    assert(jobs <= 12, s"job count grew with the layout: $jobs jobs")
 
     // exactly one parquet file per (part, grp) leaf
     val outRoot = new org.apache.hadoop.fs.Path(out)

@@ -126,4 +126,64 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.execute(spark, planned, "part", "file",
       tmpDir("compact-noop") + "/layout") == 0L)
   }
+
+  test("execute routes rows from paths containing '+' (no form-decode drift)") {
+    // a partition value like UTC+8 puts a literal '+' in every file
+    // path; url_decode's FORM semantics would decode it to a space and
+    // the route join would silently drop every row of the partition
+    // (r18 review) — the '+'-escape keeps the key identical to the
+    // driver canon
+    val root = tmpDir("compact-plus")
+    val src = s"$root/zone=UTC+8"
+    (0L until 600L).toDF("v").repartition(3).write.parquet(src)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => ("UTC+8", st.getPath.toString, st.getLen))
+      .toSeq.toDF("part", "file", "bytes")
+    assert(listed.count() == 3)
+    val planned = Compaction.plan(listed, "part", "file", "bytes",
+      listed.agg(sum("bytes")).head.getLong(0) * 2)
+    assert(planned.filter(col("action") === "rewrite").count() == 3)
+    val out = s"$root/out"
+    assert(Compaction.execute(spark, planned, "part", "file", out) == 1L)
+    assert(spark.read.parquet(out).count() == 600L)
+  }
+
+  test("execute fails loudly on an unroutable row instead of dropping it") {
+    // a glob character in an inventory entry makes spark.read expand
+    // it to files the route table has never heard of — every such row
+    // previously fell out of the inner join SILENTLY (an empty or
+    // shrunken compaction that still reported success); with the
+    // left-join + raise_error contract the job dies naming the path
+    val root = tmpDir("compact-drift")
+    val src = s"$root/data"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    (0L until 100L).toDF("v").coalesce(1).write.parquet(s"$root/stage1")
+    (100L until 200L).toDF("v").coalesce(1).write.parquet(s"$root/stage2")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    def onlyParquet(dir: String): org.apache.hadoop.fs.FileStatus =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).head
+    fs.rename(onlyParquet(s"$root/stage1").getPath,
+      new org.apache.hadoop.fs.Path(s"$src/aa.parquet"))
+    fs.rename(onlyParquet(s"$root/stage2").getPath,
+      new org.apache.hadoop.fs.Path(s"$src/ab.parquet"))
+    val inv = Seq(
+      ("p", s"$src/aa.parquet", 400L),
+      // the glob expands to ab.parquet, whose rows have no route
+      ("p", s"$src/ab*.parquet", 400L))
+      .toDF("part", "file", "bytes")
+    val planned = Compaction.plan(inv, "part", "file", "bytes", 1L << 20)
+    assert(planned.filter(col("action") === "rewrite").count() == 2)
+    val e = intercept[Exception] {
+      Compaction.execute(spark, planned, "part", "file", s"$root/out")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unrouted")),
+      s"expected the loud unrouted-row error, got: $e")
+  }
 }

@@ -67,6 +67,28 @@ class SemanticDedupSpec extends SparkSpec {
     assert(none.isEmpty, "both clusters exceed 3 members -> no pairs at all")
   }
 
+  test("broadcast decision is a BYTE budget, not a row count") {
+    // the old 400k-ROW limit approved any narrow corpus; at production
+    // embedding widths the same rows are gigabytes — the decision must
+    // flip on rows x dim bytes (r17 review #5)
+    val budget = 256L << 20
+    assert(SemanticDedup.shouldBroadcastVectors(400000L, 64, budget),
+      "the fixture-width corpus the row limit was calibrated on still broadcasts")
+    assert(!SemanticDedup.shouldBroadcastVectors(400000L, 768, budget),
+      "400k x 768-dim (~2.4 GB) must NOT broadcast despite passing the old row limit")
+    assert(!SemanticDedup.shouldBroadcastVectors(20000L, 4096, budget),
+      "a wide-vector corpus far below the old row limit engages the shuffle path")
+    assert(!SemanticDedup.shouldBroadcastVectors(10L, -1, budget),
+      "an unreadable dim (null vec probe) falls back to the safe shuffle plan")
+    // and the shuffle path is result-identical to the broadcast path
+    val viaShuffle = SemanticDedup
+      .removalList(corpus, "id", "vec", cents, minCosine = 0.98,
+        broadcastVectorBytes = 0L)
+      .collect()
+    assert(viaShuffle.map(_.getLong(0)).toSeq == Seq(7L),
+      "forcing the shuffle join-back must not change results")
+  }
+
   test("removal survivors: dropping the removal list keeps one per dup set") {
     val removeIds = SemanticDedup
       .removalList(corpus, "id", "vec", cents, minCosine = 0.98)

@@ -105,15 +105,19 @@ def ensure_fixture(path, gen):
 def bench(sfdir):
     qs = [q for q in SUITE
           if not (sfdir == SF16_DIR and q in SF16_EXCLUDE)]
-    r = run(['sbt', '-batch', 'runMain graft.Bench'],
-            env={'SPARK_GRAFT_SF_DIR': sfdir,
-                 'SPARK_GRAFT_BENCH_ONLY': ','.join(qs),
-                 'SPARK_GRAFT_BENCH_EXACT': '1',
-                 'SPARK_GRAFT_BENCH_REPS': '2',
-                 # the sf16 fixture (3.2 GB) needs more than the 8g
-                 # sandbox default: dedup-family staging OOM'd the
-                 # shared local[32] JVM at 8g (r17)
-                 'SPARK_DRIVER_MEM': '32g'})
+    env = {'SPARK_GRAFT_SF_DIR': sfdir,
+           'SPARK_GRAFT_BENCH_ONLY': ','.join(qs),
+           'SPARK_GRAFT_BENCH_EXACT': '1',
+           'SPARK_GRAFT_BENCH_REPS': '2'}
+    # the sf16 fixture (3.2 GB) needs more than the 8g sandbox
+    # default (dedup-family staging OOM'd the shared local[32] JVM at
+    # 8g, r17) — but the override is scoped to the sf16 rung ONLY
+    # (r18 review): sf1/sf4 run at the same 8g heap as the committed
+    # sf0.1 baseline, so their ratios measure data scaling, not
+    # GC-regime changes. Each rung's heap is recorded in the output.
+    if sfdir == SF16_DIR:
+        env['SPARK_DRIVER_MEM'] = '32g'
+    r = run(['sbt', '-batch', 'runMain graft.Bench'], env=env)
     # surface per-query lines and failures into this script's log
     for l in (r.stdout + r.stderr).splitlines():
         if '[bench]' in l:
@@ -177,6 +181,8 @@ def main():
                          'row shows sf4_over_sf1 <= ~4 (linear) on cold and min'),
         'fixtures': {'sf1': f'{SF1_DIR} {" ".join(SF1_GEN)}',
                      'sf4': f'{SF4_DIR} {" ".join(SF4_GEN)}'},
+        'driver_heap': {'sf1': '8g (default)', 'sf4': '8g (default)',
+                        'sf16': '32g'},
         'loadavg_before': la0,
         'loadavg_after': loadavg(),
         'suite_sf1': b1,
