@@ -1259,10 +1259,22 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    LshStageCache.getOrElseUpdate(s, dir)(
+    LshStageCache.getOrElseUpdate(s, dir) {
+      val docs = docsWithNearDups(s, dir)
+      // CORPUS-SIZE-AWARE banding (r17 sf16 finding: the fixed 8×4
+      // split has constant per-pair collision probability, so false
+      // positives grow ~n² — 1107 s / OOM at 800k docs). pickSized
+      // returns pick()'s own (8, 4) wherever that split's expected
+      // false-positive volume stays linear in n — every oracle SF by
+      // ~2 orders of magnitude (cutoff ~10^3 docs at (32, 0.5)) — so
+      // gated results are byte-identical; above it rows-per-band
+      // deepens ~log n and the pinned form survives the sf16 rung.
+      val (bands, _) = graft.operators.LshTuning.pickSized(
+        TextDedup.defaultNumHashes, 0.5, docs.count())
       TextDedup.minhashCandidatePairsAndShingles(
-        docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5,
-        scheme = TextDedup.PortableMd5Scheme))
+        docs, "doc_id", "text", threshold = 0.5, bands = bands,
+        scheme = TextDedup.PortableMd5Scheme)
+    }
 
   /** MinHash+LSH candidate duplicate pairs, oracle-gated end-to-end:
     * with [[TextDedup.PortableMd5Scheme]] every stage — seeded shingle
@@ -2030,20 +2042,35 @@ object SparkEntry {
         concat(substring(col("c_name"), 1, 11), lit("x"),
           substring(col("c_name"), 13, 6)).as("c_name"))
     val base = cust.unionByName(variants)
-    val blocked = base.withColumn("__bk", substring(col("c_name"), 15, 4))
-    // Pair-budget guard (the dedup-family contract): the blocking key
-    // has FIXED cardinality (10^4 digit suffixes), so block size grows
-    // ~n/10^4 with the corpus and the verify join is quadratic per
-    // block — bounded here exactly like every banded-LSH bucket join
-    // (blocks past the budget are duplicate GROUPS; resolve those by
-    // fingerprint grouping, or switch to the window-bounded
-    // [[graft.operators.SortedNeighborhood.nearDupPairsByEdit]]).
-    // Never trips at or far above gate SFs (block ~60 rows at sf4 vs
-    // the 2000-row budget boundary); the oracle replays the guard.
-    val blockSizes = blocked.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__block_n"))
-      .filter(TextDedup.withinPairBudget(col("__block_n"), TextDedup.defaultBucketPairBudget))
-      .select(col("__bk"))
+    // CORPUS-SIZE-AWARE blocking depth (r17 sf16 finding: a FIXED
+    // 4-digit key has 10^4 blocks, so block size grows n/10^4 and the
+    // per-block verify join is ~n² in total — AGGREGATE_OUT_OF_MEMORY
+    // at 32 GiB on the 2.5M-name rung with every per-block budget
+    // green). The key is the name's LAST d digits — substring(19−d, d)
+    // — deepened so the EXPECTED block size stays ~10 rows:
+    // d = clamp(ceil(log10(n/10)), 4, 6). The planted variants mutate
+    // only position 12, so any depth ≤ 6 (positions ≥ 13) preserves
+    // their recall by construction. At every gate SF (n ≤ ~16k) this
+    // resolves to d = 4 — the oracle's exact substring(15, 4) — so
+    // gated results are byte-identical; the cap at 6 is the name
+    // space's own digit budget, beyond which the global pair gate
+    // below is the loud backstop.
+    val nBase = base.count()
+    val depth = math.max(4, math.min(6,
+      math.ceil(math.log10(math.max(nBase, 1L).toDouble / 10.0)).toInt))
+    val blocked = base.withColumn("__bk", substring(col("c_name"), 19 - depth, depth))
+    // Pair-budget guards (the dedup-family contract): the per-block
+    // budget bounds any single mega-block, and the GLOBAL pre-count
+    // gate (TextDedup.boundedBucketKeys — in-plan, decimal-exact)
+    // fails loudly with the measured pair total instead of letting n²
+    // candidates spread across compliant blocks OOM the join — the
+    // r17 sf16 failure mode. Neither trips at or far above gate SFs
+    // (block ~2 rows at sf0.1, total pairs ~10^4 vs the 2×10^8
+    // budget); the oracle replays the per-block guard.
+    val blockSizes = TextDedup.boundedBucketKeys(
+      blocked.groupBy(col("__bk")).agg(count(lit(1)).as("__block_n")),
+      "__block_n", TextDedup.defaultBucketPairBudget,
+      TextDedup.defaultTotalPairBudget, "blocking-key")
     val bounded = blocked.join(blockSizes, Seq("__bk"))
     val pairs = bounded
       .select(col("__bk"), col("c_custkey").as("id_a"), col("c_name").as("__na"))

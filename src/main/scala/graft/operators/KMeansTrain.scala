@@ -92,7 +92,18 @@ object KMeansTrain {
       graft.functions.NearestCentroidL2(
         org.apache.spark.sql.GraftColumnShim.expression(q),
         sorted.map(_._2)))
-    element_at(array(sorted.map(c => lit(c._1)): _*), idx + 1)
+    // index -> cluster-id mapping. With k sized to the corpus
+    // (SemanticDedup.sizedK, k ~ n/300) the former
+    // `array(lit(id0), lit(id1), …)` built a k-element array PER ROW —
+    // an O(n·k) allocation term independent of the argmin itself. The
+    // trained id space is contiguous 0..k−1 (seedCentroids numbers
+    // seeds that way and lloydStep preserves ids), so the mapping is
+    // the identity and the index column is returned as-is; arbitrary
+    // caller-provided id sets index ONE shared array literal
+    // (typedlit — a single foldable object, not k expressions).
+    val ids = sorted.map(_._1)
+    if (ids == ids.indices) idx
+    else element_at(typedlit(ids), idx + 1)
   }
 
   /** Exact integer squared distance from a quantized vector to a

@@ -93,8 +93,6 @@ object LshTuning {
   def pick(totalHashes: Int, threshold: Double): (Int, Int) = {
     require(totalHashes >= 2, "totalHashes must be >= 2")
     require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
-    def foldPow(base: Double, n: Int): Double =
-      (1 to n).foldLeft(1.0)((acc, _) => acc * base)
     val candidates = for {
       r <- 1 to totalHashes if totalHashes % r == 0
       b = totalHashes / r
@@ -104,5 +102,65 @@ object LshTuning {
     }
     val (b, r, _) = candidates.minBy { case (b, _, d) => (d, b) }
     (b, r)
+  }
+
+  private def foldPow(base: Double, n: Int): Double =
+    (1 to n).foldLeft(1.0)((acc, _) => acc * base)
+
+  /** CORPUS-SIZE-AWARE operating point (the r17 sf16 finding: a FIXED
+    * (bands, rows) split has constant per-pair collision probability,
+    * so false-positive candidate pairs grow ~n² even when every bucket
+    * respects its own pair budget — `dedup_clusters` measured 1107 s /
+    * 19,885 cpu-s at 800k docs and OOM'd the 8 GiB JVM on the 8×4
+    * split that is perfect at gate scale).
+    *
+    * Model: sub-threshold background pairs sit at Jaccard ≈
+    * `background` (default `threshold − 0.2`, the same probe offset
+    * [[tune]] reads the S-curve at), so a split (b, r) admits
+    * ≈ n²/2 · (1 − (1 − bg^r)^b) false-positive candidates. A split is
+    * FEASIBLE when that stays within a LINEAR budget (`fpPerDoc · n` —
+    * candidate volume an exact-verify stage can absorb per document);
+    * among feasible splits the choice is [[pick]]'s midpoint objective
+    * (ties to fewer bands), so wherever the corpus is small enough
+    * that [[pick]]'s own answer is feasible — every oracle SF by
+    * orders of magnitude — this returns EXACTLY [[pick]]'s split and
+    * gated results are byte-identical. As n grows the feasibility
+    * constraint forces rows-per-band up ~log n (bg^r must fall ~1/n),
+    * which is the published LSH answer to corpus growth: re-tune the
+    * operating point, don't ship one split to a trillion documents.
+    * When no split is feasible (n beyond the signature budget's
+    * reach), the deepest split (minimal background collision
+    * probability) is returned — the pair-count guard downstream is
+    * then the backstop.
+    */
+  def pickSized(
+      totalHashes: Int,
+      threshold: Double,
+      nDocs: Long,
+      fpPerDoc: Double = 32.0,
+      background: Double = Double.NaN): (Int, Int) = {
+    require(totalHashes >= 2, "totalHashes must be >= 2")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(nDocs >= 0, "nDocs must be non-negative")
+    val bg = if (background.isNaN) math.max(threshold - 0.2, 0.01) else background
+    require(bg > 0 && bg < 1, "background must be in (0, 1)")
+    val n = nDocs.toDouble
+    val budget = fpPerDoc * n
+    val candidates = for {
+      r <- 1 to totalHashes if totalHashes % r == 0
+      b = totalHashes / r
+    } yield {
+      val pMid = 1.0 - foldPow(1.0 - foldPow(threshold, r), b)
+      val pBg = 1.0 - foldPow(1.0 - foldPow(bg, r), b)
+      (b, r, math.abs(pMid - 0.5), pBg)
+    }
+    val feasible = candidates.filter { case (_, _, _, pBg) => n * n / 2.0 * pBg <= budget }
+    if (feasible.nonEmpty) {
+      val (b, r, _, _) = feasible.minBy { case (b, _, d, _) => (d, b) }
+      (b, r)
+    } else {
+      val (b, r, _, _) = candidates.minBy { case (b, _, _, pBg) => (pBg, b) }
+      (b, r)
+    }
   }
 }

@@ -191,6 +191,20 @@ object TextDedup {
     */
   val defaultBucketPairBudget: Long = 1999000L
 
+  /** Default GLOBAL candidate-pair budget for the banded LSH paths —
+    * the r17 sf16 lesson made structural: per-bucket budgets bound any
+    * single mega-bucket, but a mis-sized operating point (fixed 8×4 at
+    * 800k fixed-vocab docs) emits ~n² candidates spread across MANY
+    * compliant buckets and OOMs the join downstream with no guard ever
+    * tripping. The global gate pre-counts the admitted buckets' exact
+    * pair total (decimal arithmetic, in-plan — see
+    * [[minhashCandidatePairsAndShingles]]) and fails loudly with the
+    * measured count instead. 2×10^8 pairs ≈ the signature-join volume
+    * a 32 GiB local JVM survives with headroom; corpus-scale callers
+    * tune it like every other budget.
+    */
+  val defaultTotalPairBudget: Long = 200000000L
+
   /** Default banded-MinHash operating point. The band split is NOT a
     * hand-set constant: it is [[LshTuning.pick]]'s S-curve-midpoint
     * choice for the documented (signature budget, threshold) — for
@@ -213,6 +227,52 @@ object TextDedup {
     * and rejected loudly. Evaluated once per BUCKET (post-aggregation),
     * so the decimal math costs nothing measurable.
     */
+  /** Bucket admission with BOTH pair budgets — per-bucket and GLOBAL —
+    * applied to a `(key columns…, nCol)` bucket-count table; returns
+    * the admitted key columns (nCol dropped), ready for the
+    * candidate-generating self-join.
+    *
+    * The GLOBAL pre-count gate is IN-PLAN (r17 review: the 8×4 minhash
+    * form OOM'd the JVM at sf16 with every per-bucket budget green —
+    * n² false positives spread across compliant buckets). The admitted
+    * buckets' exact pair total, Σ n(n−1), is summed in decimal(38,0)
+    * (each admitted term ≤ 2·maxBucketPairs, so the sum cannot
+    * overflow 38 digits below ~10^31 buckets; a null sum — the
+    * impossible overflow — fails the gate rather than passing it) and
+    * raises loudly with the measured count BEFORE the pair join
+    * materializes anything. The one-row gate rides a broadcast
+    * cross-join (PlanAudit's sanctioned one-row-aggregate shape) and a
+    * filter keeps it un-prunable, so the whole check stays lazy inside
+    * the plan — no extra driver action.
+    */
+  private[graft] def boundedBucketKeys(
+      counts: DataFrame,
+      nCol: String,
+      maxBucketPairs: Long,
+      maxTotalPairs: Long,
+      what: String): DataFrame = {
+    require(maxTotalPairs >= 0 && maxTotalPairs <= Long.MaxValue / 2,
+      s"maxTotalPairs must be in [0, ${Long.MaxValue / 2}], got $maxTotalPairs")
+    val admitted = counts.filter(withinPairBudget(col(nCol), maxBucketPairs))
+    val gate = admitted
+      .agg(sum(col(nCol).cast("decimal(38,0)") *
+        (col(nCol).cast("decimal(38,0)") - 1)).as("__tp2"))
+      .select(
+        when(col("__tp2").isNull || col("__tp2") > lit(2L) * lit(maxTotalPairs),
+          raise_error(concat(
+            lit(s"TextDedup: $what candidate pairs "),
+            (col("__tp2") / 2).cast("decimal(38,0)").cast("string"),
+            lit(s" exceed maxTotalPairs=$maxTotalPairs — the bucketing is " +
+              "mis-sized for this corpus; deepen it (LshTuning.pickSized / " +
+              "a longer blocking key) or raise the budget"))))
+          .otherwise(lit(1)).as("__gate"))
+    admitted
+      .drop(nCol)
+      .crossJoin(broadcast(gate))
+      .filter(col("__gate") === 1)
+      .drop("__gate")
+  }
+
   private[graft] def withinPairBudget(n: Column, maxBucketPairs: Long): Column = {
     require(maxBucketPairs >= 0 && maxBucketPairs <= Long.MaxValue / 2,
       s"maxBucketPairs must be in [0, ${Long.MaxValue / 2}], got $maxBucketPairs")
@@ -242,10 +302,11 @@ object TextDedup {
       threshold: Double = defaultMinhashThreshold,
       maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
-      scheme: MinhashScheme = XxHash64Scheme): DataFrame = {
+      scheme: MinhashScheme = XxHash64Scheme,
+      maxTotalPairs: Long = defaultTotalPairBudget): DataFrame = {
     val (pairs, shingled) =
       minhashCandidatePairsAndShingles(df, idCol, textCol, numHashes, bands, threshold,
-        maxBucketPairs, shingler, scheme)
+        maxBucketPairs, shingler, scheme, maxTotalPairs)
     shingled.unpersist()
     pairs
   }
@@ -268,8 +329,11 @@ object TextDedup {
       threshold: Double = defaultMinhashThreshold,
       maxBucketPairs: Long = defaultBucketPairBudget,
       shingler: (Column, Column) => Column = (toks, _) => TextFunctions.ngramsFromTokens(toks, 3),
-      scheme: MinhashScheme = XxHash64Scheme): (DataFrame, DataFrame) = {
+      scheme: MinhashScheme = XxHash64Scheme,
+      maxTotalPairs: Long = defaultTotalPairBudget): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxTotalPairs >= 0 && maxTotalPairs <= Long.MaxValue / 2,
+      s"maxTotalPairs must be in [0, ${Long.MaxValue / 2}], got $maxTotalPairs")
     val (tokenized, shingled, sigs) = stagedSignatures(df, idCol, textCol, numHashes, shingler, scheme)
     // Bucket-join on ids only: carrying the 32-long signatures through
     // the band shuffle would multiply shuffle volume ~8x (once per
@@ -288,10 +352,11 @@ object TextDedup {
     // must bound. Over-budget buckets are dropped — such clusters are
     // duplicate *groups*, found far cheaper by exactClusters/
     // fingerprint grouping than pairwise LSH.
-    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
+    val bucketCounts = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(withinPairBudget(col("__bucket_n"), maxBucketPairs))
-      .drop("__bucket_n")
+      .persist()
+    val bucketSizes = boundedBucketKeys(bucketCounts, "__bucket_n",
+      maxBucketPairs, maxTotalPairs, "banded-LSH")
     val bounded = banded.join(bucketSizes, Seq("band", "band_hash"))
     val a = bounded.select(col("band") +: col("band_hash") +: col("id").as("id_a") +:
       bbCols.map(n => col(n).as(s"${n}_a")): _*)
@@ -314,7 +379,7 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     // `shingled` stays persisted for the caller's verify stage
-    (materialized(result, Seq(tokenized, sigs)), shingled)
+    (materialized(result, Seq(tokenized, sigs, bucketCounts)), shingled)
   }
 
   /** The staged signature pipeline shared by the pairwise and the
