@@ -1261,18 +1261,37 @@ object SparkEntry {
   private def minhashCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     LshStageCache.getOrElseUpdate(s, dir) {
       val docs = docsWithNearDups(s, dir)
-      // CORPUS-SIZE-AWARE banding (r17 sf16 finding: the fixed 8×4
-      // split has constant per-pair collision probability, so false
-      // positives grow ~n² — 1107 s / OOM at 800k docs). pickSized
-      // returns pick()'s own (8, 4) wherever that split's expected
-      // false-positive volume stays linear in n — every oracle SF by
-      // ~2 orders of magnitude (cutoff ~10^3 docs at (32, 0.5)) — so
-      // gated results are byte-identical; above it rows-per-band
-      // deepens ~log n and the pinned form survives the sf16 rung.
+      // CORPUS-SIZE-AWARE operating point (r17 sf16 finding, mechanism
+      // CORRECTED by this round's measurement). Two quadratic escapes
+      // exist at a fixed operating point: (a) background-similarity
+      // false positives (constant per-pair collision probability ⇒
+      // ~n² candidates) — real when J_bg is high, handled by
+      // LshTuning.pickSized deepening rows-per-band ~log n; (b)
+      // DUPLICATE-GROUP buckets: the rehearsal fixture plants
+      // identical-text groups whose SIZE grows ∝ n (baseId = id%1000
+      // for 4% of docs ⇒ ~800-doc identical groups at sf16), and
+      // identical docs collide in EVERY band at ANY depth, so (b) is
+      // banding-invariant — measured: sf4 warm 52 s at (4, 8), same
+      // as r17's 53.6 s at (8, 4). The designed lever for (b) is the
+      // PER-BUCKET pair budget ("over-budget buckets are duplicate
+      // GROUPS, found far cheaper by exactClusters" — and exactly why
+      // the curation chain, which exact-dedups BEFORE the LSH stage,
+      // held 2.88x at sf16 while this raw path melted): above 10^5
+      // docs the per-bucket budget tightens to ~129 docs/bucket (64
+      // verify pairs per member), dropping linear-sized groups from
+      // the pairwise path. At every gate SF (n = 510 at sf0.1, with
+      // 196x margin to the 10^5 cutoff and max bucket ~3 docs) both
+      // knobs resolve to the oracle's exact (8, 4) + 1999000 form, so
+      // gated results are byte-identical.
+      val n = docs.count()
       val (bands, _) = graft.operators.LshTuning.pickSized(
-        TextDedup.defaultNumHashes, 0.5, docs.count())
+        TextDedup.defaultNumHashes, 0.5, n)
+      val bucketBudget =
+        if (n <= 100000L) TextDedup.defaultBucketPairBudget
+        else math.min(TextDedup.defaultBucketPairBudget, 8256L) // m(m-1)/2 at m=129
       TextDedup.minhashCandidatePairsAndShingles(
         docs, "doc_id", "text", threshold = 0.5, bands = bands,
+        maxBucketPairs = bucketBudget,
         scheme = TextDedup.PortableMd5Scheme)
     }
 
@@ -1344,9 +1363,27 @@ object SparkEntry {
     // table that grows with corpus x shingle size — it OOM'd the
     // driver at the sf4 rehearsal (200k docs) while this shape runs
     // the same plan pair-bounded.
-    pairs
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    //
+    // The broadcast is STAT-DRIVEN with a count the candidate stage
+    // already materialized (the SemanticDedup join-back precedent):
+    // Catalyst's static estimate for the persisted pair table fell off
+    // the 10 MB broadcast cliff at the sf16 rung and planned BOTH
+    // verify joins as shuffles of the 816k-row shingle-array table —
+    // measured 21.9 s warm for a ~10^4-pair verify (r18 probe). Below
+    // the cutoff both attach joins broadcast the pair side (the second
+    // carries sh_a, so the cutoff is sized for pairs x one shingle
+    // array ≈ 60 MB at 100k pairs) and the shingle table streams
+    // twice, shuffle-free; beyond it the shuffle join IS the right
+    // corpus-scale plan (linear in pairs + corpus, no executor-sized
+    // broadcast).
+    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val verified =
+      if (cands.count() <= 100000L)
+        broadcast(broadcast(pairs).join(shA, "id_a")).join(shB, "id_b")
+      else
+        pairs.join(shA, "id_a").join(shB, "id_b")
+    verified
       .select(col("id_a"), col("id_b"),
         round(TextDedup.jaccardFromShingles(col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

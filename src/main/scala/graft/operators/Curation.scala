@@ -106,10 +106,18 @@ object Curation {
       val (cand, shingled) = TextDedup.minhashCandidatePairsAndShingles(
         docs, idCol, textCol, numHashes, bands, threshold, maxBucketPairs, scheme = scheme)
       // exact verify on the STAGED distinct-shingle arrays; integer
-      // micro-Jaccard (`div`), engine-portable
-      val verified = cand
-        .join(shingled.select(col("id").as("id_a"), col("sh").as("__sa")), "id_a")
-        .join(shingled.select(col("id").as("id_b"), col("sh").as("__sb")), "id_b")
+      // micro-Jaccard (`div`), engine-portable. STAT-DRIVEN broadcast
+      // of the (materialized, exactly-counted) pair side — Catalyst's
+      // static estimate shuffled the corpus-sized shingle table twice
+      // at rehearsal scale (the ngramJaccardPairs finding, r18);
+      // beyond the cutoff the shuffle join is the right plan.
+      val shA = shingled.select(col("id").as("id_a"), col("sh").as("__sa"))
+      val shB = shingled.select(col("id").as("id_b"), col("sh").as("__sb"))
+      val attached =
+        if (cand.count() <= 100000L)
+          broadcast(broadcast(cand).join(shA, "id_a")).join(shB, "id_b")
+        else cand.join(shA, "id_a").join(shB, "id_b")
+      val verified = attached
         .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
         .filter(expr(s"__i * 1000000 div (size(__sa) + size(__sb) - __i)") >= minJaccardMicro)
         .select(col("id_a"), col("id_b"))

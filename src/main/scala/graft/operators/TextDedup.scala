@@ -373,13 +373,29 @@ object TextDedup {
       .filter(col("id_a") < col("id_b") && bbAgree >= minAgree)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val result = candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .persist()
+    // STAT-DRIVEN broadcast for the signature join-back (the
+    // SemanticDedup precedent): the candidate table is freshly
+    // persisted and its exact count is one cheap cached action, while
+    // Catalyst's static estimate falls off the 10 MB broadcast cliff
+    // at rehearsal scale and shuffles the corpus-sized signature table
+    // TWICE. Below the cutoff both attach joins broadcast the pair
+    // side (the second carries sig_a, so the cutoff is sized for
+    // pairs x one signature ≈ 100 MB at 100k pairs) and `sigs`
+    // streams twice, shuffle-free; above it the shuffle join is the
+    // right corpus-scale plan.
+    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val attached =
+      if (candidates.count() <= 100000L)
+        broadcast(broadcast(candidates).join(sigA, "id_a")).join(sigB, "id_b")
+      else
+        candidates.join(sigA, "id_a").join(sigB, "id_b")
+    val result = attached
       .select(col("id_a"), col("id_b"), estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     // `shingled` stays persisted for the caller's verify stage
-    (materialized(result, Seq(tokenized, sigs, bucketCounts)), shingled)
+    (materialized(result, Seq(tokenized, sigs, bucketCounts, candidates)), shingled)
   }
 
   /** The staged signature pipeline shared by the pairwise and the
