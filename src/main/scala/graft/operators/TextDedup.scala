@@ -256,9 +256,16 @@ object TextDedup {
     val admitted = counts.filter(withinPairBudget(col(nCol), maxBucketPairs))
     val gate = admitted
       .agg(sum(col(nCol).cast("decimal(38,0)") *
-        (col(nCol).cast("decimal(38,0)") - 1)).as("__tp2"))
+        (col(nCol).cast("decimal(38,0)") - 1)).as("__tp2"),
+        count(lit(1)).as("__nbk"))
       .select(
-        when(col("__tp2").isNull || col("__tp2") > lit(2L) * lit(maxTotalPairs),
+        // a null sum with admitted buckets present is the (practically
+        // impossible) decimal overflow — fail rather than pass; a null
+        // sum over ZERO admitted buckets is just an empty candidate
+        // stage (e.g. an all-gate-dropped first streaming batch) and
+        // must pass with zero pairs
+        when((col("__nbk") > 0 && col("__tp2").isNull) ||
+          col("__tp2") > lit(2L) * lit(maxTotalPairs),
           raise_error(concat(
             lit(s"TextDedup: $what candidate pairs "),
             (col("__tp2") / 2).cast("decimal(38,0)").cast("string"),

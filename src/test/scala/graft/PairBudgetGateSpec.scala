@@ -47,6 +47,17 @@ class PairBudgetGateSpec extends SparkSpec {
     assert(loose == tight)
   }
 
+  test("an EMPTY candidate stage passes the gate with zero pairs") {
+    // regression (r18): sum() over zero admitted buckets is NULL, which
+    // the gate read as the overflow sentinel and raised — an
+    // all-gate-dropped first streaming batch died with a null-message
+    // USER_RAISED_EXCEPTION instead of bootstrapping an empty store
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pairs = TextDedup.minhashCandidatePairs(empty, "doc_id", "text",
+      maxTotalPairs = 1L).collect()
+    assert(pairs.isEmpty)
+  }
+
   test("boundedBucketKeys admits per-bucket-compliant keys and keeps key columns") {
     val counts = Seq(("k1", 10L), ("k2", 3L), ("k3", 3000L))
       .toDF("key", "__n")
