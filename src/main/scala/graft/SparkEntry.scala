@@ -1279,10 +1279,14 @@ object SparkEntry {
       // held 2.88x at sf16 while this raw path melted): above 10^5
       // docs the per-bucket budget tightens to ~129 docs/bucket (64
       // verify pairs per member), dropping linear-sized groups from
-      // the pairwise path. At every gate SF (n = 510 at sf0.1, with
-      // 196x margin to the 10^5 cutoff and max bucket ~3 docs) both
-      // knobs resolve to the oracle's exact (8, 4) + 1999000 form, so
-      // gated results are byte-identical.
+      // the pairwise path. At every gate SF (the LARGEST gate corpus
+      // is sf0.1's n = 5,100 — an earlier r18 session believed 510,
+      // under-budgeted pickSized, and flipped sf0.1 to (4, 8), losing
+      // 13 borderline-recall pairs vs the oracle; LshTuningSpec now
+      // pins the true sizes) both knobs resolve to the oracle's exact
+      // (8, 4) + 1999000 form, so gated results are byte-identical:
+      // pickSized's 512-fp/doc budget keeps 8x4 through n ≈ 16k and
+      // first deepens at the 50k sf1 rung.
       val n = docs.count()
       val (bands, _) = graft.operators.LshTuning.pickSized(
         TextDedup.defaultNumHashes, 0.5, n)

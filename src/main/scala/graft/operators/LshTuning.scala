@@ -119,11 +119,18 @@ object LshTuning {
     * [[tune]] reads the S-curve at), so a split (b, r) admits
     * ≈ n²/2 · (1 − (1 − bg^r)^b) false-positive candidates. A split is
     * FEASIBLE when that stays within a LINEAR budget (`fpPerDoc · n` —
-    * candidate volume an exact-verify stage can absorb per document);
+    * candidate volume an exact-verify stage can absorb per document;
+    * the default 512 is sized so the pinned (32, 0.5) point keeps
+    * [[pick]]'s 8×4 split through n ≈ 16k — 3× above the LARGEST gate
+    * corpus, sf0.1's 5,100 planted docs — and first deepens at the
+    * 50k sf1 rehearsal rung: an r18 session shipped fpPerDoc = 32
+    * believing sf0.1 held 510 docs and silently flipped the sf0.1
+    * operating point to (4, 8), losing 13 borderline-recall pairs vs
+    * the oracle's pinned-form replay);
     * among feasible splits the choice is [[pick]]'s midpoint objective
     * (ties to fewer bands), so wherever the corpus is small enough
-    * that [[pick]]'s own answer is feasible — every oracle SF by
-    * orders of magnitude — this returns EXACTLY [[pick]]'s split and
+    * that [[pick]]'s own answer is feasible — every oracle SF with
+    * margin — this returns EXACTLY [[pick]]'s split and
     * gated results are byte-identical. As n grows the feasibility
     * constraint forces rows-per-band up ~log n (bg^r must fall ~1/n),
     * which is the published LSH answer to corpus growth: re-tune the
@@ -137,7 +144,7 @@ object LshTuning {
       totalHashes: Int,
       threshold: Double,
       nDocs: Long,
-      fpPerDoc: Double = 32.0,
+      fpPerDoc: Double = 512.0,
       background: Double = Double.NaN): (Int, Int) = {
     require(totalHashes >= 2, "totalHashes must be >= 2")
     require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")

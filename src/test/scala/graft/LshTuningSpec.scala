@@ -97,28 +97,33 @@ class LshTuningSpec extends SparkSpec {
     // the sized tuner must return pick()'s answer EXACTLY whenever
     // pick's split meets the linear FP budget at this corpus size —
     // that is what keeps the oracle-pinned chains byte-identical at
-    // gate SFs (and the pinned (32, 0.5) point must hold it through
-    // the sf0.1 corpus, 510 docs, with margin)
+    // gate SFs. The LARGEST gate corpus is sf0.1's docsWithNearDups:
+    // 5,100 planted docs (an r18 session believed it was 510, shipped
+    // a budget that flipped sf0.1 to (4, 8), and lost 13 pairs vs the
+    // oracle — this spec now pins the TRUE gate sizes with margin)
     def pBg(b: Int, r: Int, bg: Double) = 1.0 - foldPow(1.0 - foldPow(bg, r), b)
-    for (h <- Seq(32, 64, 128); t <- Seq(0.5, 0.7, 0.9); n <- Seq(0L, 5L, 50L, 510L)) {
+    for (h <- Seq(32, 64, 128); t <- Seq(0.5, 0.7, 0.9); n <- Seq(0L, 5L, 510L, 5100L)) {
       val (b, r) = LshTuning.pick(h, t)
-      val feasible = n.toDouble * n / 2.0 * pBg(b, r, math.max(t - 0.2, 0.01)) <= 32.0 * n
+      val feasible = n.toDouble * n / 2.0 * pBg(b, r, math.max(t - 0.2, 0.01)) <= 512.0 * n
       if (feasible)
         assert(LshTuning.pickSized(h, t, n) == (b, r), s"pickSized($h, $t, n=$n)")
     }
-    // the gated operating point, spelled out: 8x4 all the way to sf0.1
-    for (n <- Seq(0L, 5L, 50L, 510L))
+    // the gated operating point, spelled out: 8x4 through the TRUE
+    // sf0.1 corpus size and 2x beyond it
+    for (n <- Seq(0L, 5L, 510L, 5100L, 10200L))
       assert(LshTuning.pickSized(32, 0.5, n) == (8, 4), s"n=$n")
   }
 
   test("pickSized deepens rows-per-band ~log n at the pinned (32, 0.5) point") {
-    val r1 = LshTuning.pickSized(32, 0.5, 510)._2      // sf0.1 corpus
+    val r1 = LshTuning.pickSized(32, 0.5, 5100)._2     // sf0.1 corpus (true size)
     val r2 = LshTuning.pickSized(32, 0.5, 51000)._2    // sf1 rung
     val r3 = LshTuning.pickSized(32, 0.5, 816000)._2   // sf16 rung
+    val r4 = LshTuning.pickSized(32, 0.5, 8160000L)._2 // 10x sf16
     assert(r1 == 4, "gate scale must keep the oracle's 8x4")
-    assert(r2 > r1 && r3 > r2, s"rows must deepen with n: $r1, $r2, $r3")
+    assert(r2 > r1 && r3 >= r2 && r4 > r3,
+      s"rows must deepen with n: $r1, $r2, $r3, $r4")
     // every answer is a divisor split of the signature budget
-    for (r <- Seq(r1, r2, r3)) assert(32 % r == 0)
+    for (r <- Seq(r1, r2, r3, r4)) assert(32 % r == 0)
   }
 
   test("pickSized's chosen split meets the linear FP budget when any split can") {
@@ -127,10 +132,10 @@ class LshTuningSpec extends SparkSpec {
     for (n <- Seq(1000L, 100000L, 1000000L, 100000000L)) {
       val (b, r) = LshTuning.pickSized(32, 0.5, n)
       val feasibleExists = (1 to 32).filter(32 % _ == 0).exists { rr =>
-        n.toDouble * n / 2.0 * pBg(32 / rr, rr, 0.3) <= 32.0 * n
+        n.toDouble * n / 2.0 * pBg(32 / rr, rr, 0.3) <= 512.0 * n
       }
       if (feasibleExists)
-        assert(n.toDouble * n / 2.0 * pBg(b, r, 0.3) <= 32.0 * n,
+        assert(n.toDouble * n / 2.0 * pBg(b, r, 0.3) <= 512.0 * n,
           s"n=$n chose infeasible ($b, $r)")
     }
   }
