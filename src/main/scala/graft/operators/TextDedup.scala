@@ -105,6 +105,16 @@ object TextDedup {
       org.apache.spark.sql.GraftColumnShim.column(
         graft.functions.MinHashSignature(
           org.apache.spark.sql.GraftColumnShim.expression(shingles), numHashes))
+    // the portable scheme's SEMANTICS stay md5-hex SQL (the oracle
+    // replays them verbatim); its EXECUTION is the native twin —
+    // bit-identical by Md5MinHashSignatureSpec's differential against
+    // the HOF form below, ~an order of magnitude less per-shingle
+    // overhead (no interpreted aggregate/zip_with, no per-hash hex
+    // string, digest-byte comparisons instead of string compares)
+    case PortableMd5Scheme =>
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.Md5MinHashSignature(
+          org.apache.spark.sql.GraftColumnShim.expression(shingles), numHashes))
     case _ => minhashSignatureFromShinglesHof(shingles, numHashes, scheme)
   }
 
