@@ -1140,6 +1140,8 @@ object TextDedup {
   sealed trait SimhashScheme {
     def tokenHash(t: Column): Column
     def bits: Int
+    /** Array-level token hashing; published schemes get native twins. */
+    def tokenHashArray(toks: Column): Column = transform(toks, t => tokenHash(t))
   }
 
   case object XxHash64Simhash extends SimhashScheme {
@@ -1151,13 +1153,30 @@ object TextDedup {
     def tokenHash(t: Column): Column =
       conv(substring(md5(t), 1, 15), 16, 10).cast("long")
     val bits: Int = 60
+    // one digest + integer shifts per token instead of the interpreted
+    // md5-hex/substring/conv chain (bit-identical — NativeHashTwinsSpec)
+    override def tokenHashArray(toks: Column): Column =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.Md5Long60Array(
+          org.apache.spark.sql.GraftColumnShim.expression(toks)))
   }
+
+  /** Native SimHash fold over a token-hash array
+    * ([[graft.functions.SimHashFromHashes]] — `bits` integer ops per
+    * token on one primitive counter array). The interpreted
+    * two-`aggregate` twin below stays as the differential reference.
+    */
+  private def simhashFromHashes(tokenHashes: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.SimHashFromHashes(
+        org.apache.spark.sql.GraftColumnShim.expression(tokenHashes), bits))
 
   /** Per-bit one-counts over a token-hash array: ONE `aggregate` pass
     * maintaining a `bits`-counter accumulator (per hash: extract the
     * bits with a `transform` over bit indices, add into the
-    * accumulator). Same O(bits)-pass hazard — and fix — as
-    * [[minhashSignatureFromShingles]].
+    * accumulator). Retained ONLY as the differential reference for
+    * the native [[graft.functions.SimHashFromHashes]]
+    * (NativeHashTwinsSpec).
     */
   private def bitCounts(tokenHashes: Column, bits: Int): Column =
     aggregate(
@@ -1179,15 +1198,18 @@ object TextDedup {
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
 
+  /** HOF twin of [[simhashFromHashes]] — differential reference only. */
+  private[graft] def simhashFromHashesHof(tokenHashes: Column, bits: Int): Column =
+    sigFromCounts(bitCounts(tokenHashes, bits), size(tokenHashes), bits)
+
   /** SimHash over whitespace tokens: bit i is set when at least
     * half the token hashes have bit i set. Per-row (array ops only, no
     * shuffle); near-duplicate texts land within a small Hamming
     * distance.
     */
-  def simhash(text: Column, scheme: SimhashScheme = XxHash64Simhash): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => scheme.tokenHash(t))
-    sigFromCounts(bitCounts(hashes, scheme.bits), size(hashes), scheme.bits)
-  }
+  def simhash(text: Column, scheme: SimhashScheme = XxHash64Simhash): Column =
+    simhashFromHashes(
+      scheme.tokenHashArray(TextFunctions.tokens(text)), scheme.bits)
 
   /** SimHash near-duplicate pairs: bucket by `maxHamming + 1` bit-bands
     * of the signature (pigeonhole: a pair within Hamming distance
@@ -1221,10 +1243,10 @@ object TextDedup {
     val spread = spreadToCores(df)
     val hashed = spread.select(
       col(idCol).as("id"),
-      transform(TextFunctions.tokens(col(textCol)), t => scheme.tokenHash(t)).as("th"))
+      scheme.tokenHashArray(TextFunctions.tokens(col(textCol))).as("th"))
       .persist()
     val sigs = hashed
-      .select(col("id"), sigFromCounts(bitCounts(col("th"), bits), size(col("th")), bits).as("sig"))
+      .select(col("id"), simhashFromHashes(col("th"), bits).as("sig"))
       .persist()
     // Unlike the MinHash path (32-long signatures — carried ids only,
     // sigs joined back once per distinct pair), a SimHash signature is

@@ -46,20 +46,45 @@ object Winnow {
   val Xxhash64Hash: Column => Column = g => xxhash64(g)
 
   /** Distinct window-`w` minima over an ALREADY-STAGED gram-hash
-    * array column. The hash array MUST be a plain column reference,
-    * not an inlined expression: an interpreted higher-order function
-    * re-evaluates inlined subtrees per element, which turns the
-    * window sweep into O(L^2) hash work (measured 80 s -> 0.9 s for
-    * the gated query when [[fingerprints]] staged its projections).
-    * Documents shorter than one full window keep the minimum of what
-    * they have — every document yields at least one fingerprint.
+    * array column — the native O(L) monotonic-deque sweep
+    * ([[graft.functions.WindowMinima]]). Documents shorter than one
+    * full window keep the minimum of what they have — every document
+    * yields at least one fingerprint. The interpreted HOF twin below
+    * stays as the differential-spec reference.
     */
   def fingerprintArrayFromHashes(hashes: Column, w: Int): Column =
+    array_distinct(
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.WindowMinima(
+          org.apache.spark.sql.GraftColumnShim.expression(hashes), w)))
+
+  /** The original interpreted HOF form of the window sweep — O(L·w)
+    * with a fresh w-slice per window (and the reason the hash array
+    * had to be a plain column reference: an interpreted HOF
+    * re-evaluates inlined subtrees per element — measured 80 s ->
+    * 0.9 s for the gated query when [[fingerprints]] staged its
+    * projections). Retained ONLY as the differential reference for
+    * [[graft.functions.WindowMinima]] (NativeHashTwinsSpec).
+    */
+  private[graft] def fingerprintArrayFromHashesHof(hashes: Column, w: Int): Column =
     array_distinct(
       when(size(hashes) < w, array(array_min(hashes)))
         .otherwise(transform(
           sequence(lit(1), size(hashes) - (w - 1)),
           i => array_min(slice(hashes, i, lit(w))))))
+
+  /** Array-level gram hashing: the two PUBLISHED schemes get native
+    * twins (portable md5 -> [[graft.functions.Md5Long60Array]], one
+    * digest + integer shifts per gram instead of an interpreted
+    * md5-hex/substring/conv chain per element); a caller-supplied
+    * custom fn keeps the interpreted transform.
+    */
+  private def hashArray(grams: Column, hashFn: Column => Column): Column =
+    if (hashFn eq PortableMd5Hash)
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.Md5Long60Array(
+          org.apache.spark.sql.GraftColumnShim.expression(grams)))
+    else transform(grams, g => hashFn(g))
 
   /** Exploded inverted-index projection: (id, fp), one row per
     * distinct fingerprint per document. Grams and hashes are staged
@@ -76,7 +101,7 @@ object Winnow {
     TextDedup.spreadToCores(docs)
       .select(col(idCol).as("id"),
         graft.functions.TextFunctions.charShingles(col(textCol), k).as("__g"))
-      .select(col("id"), transform(col("__g"), g => hashFn(g)).as("__h"))
+      .select(col("id"), hashArray(col("__g"), hashFn).as("__h"))
       .select(col("id"),
         explode(fingerprintArrayFromHashes(col("__h"), w)).as("fp"))
 
