@@ -1669,7 +1669,16 @@ object SparkEntry {
     val ordersKeys = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
     val path = ZWriteStageCache.getOrElseUpdate(s, dir) {
       val p = java.nio.file.Files.createTempDirectory("graft-zlayout").toString
+      // ONE file per bucket dir (the AggStore.save small-file guard):
+      // without the repartition every scan task writes every file_id it
+      // sees, so the layout carried tasks x buckets files — an
+      // AQE-task-count-dependent footer-read bill (measured 198 vs 497
+      // CPU-s for the same sf1 bench across two r18 runs) and exactly
+      // the small-file shape guide S6 warns about. Per-bucket stats,
+      // pruning, and the oracle's closed-form replay are file-count-
+      // invariant, so results are unchanged.
       graft.operators.ZOrder.withFileId(ordersKeys, Seq("o_custkey", "o_orderkey"))
+        .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(p)
       p
     }
@@ -1728,7 +1737,16 @@ object SparkEntry {
     val ordersKeys = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
     val path = ZWriteStageCache.getOrElseUpdate(s, dir) {
       val p = java.nio.file.Files.createTempDirectory("graft-zlayout").toString
+      // ONE file per bucket dir (the AggStore.save small-file guard):
+      // without the repartition every scan task writes every file_id it
+      // sees, so the layout carried tasks x buckets files — an
+      // AQE-task-count-dependent footer-read bill (measured 198 vs 497
+      // CPU-s for the same sf1 bench across two r18 runs) and exactly
+      // the small-file shape guide S6 warns about. Per-bucket stats,
+      // pruning, and the oracle's closed-form replay are file-count-
+      // invariant, so results are unchanged.
       graft.operators.ZOrder.withFileId(ordersKeys, Seq("o_custkey", "o_orderkey"))
+        .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(p)
       p
     }

@@ -53,25 +53,18 @@ SUITE = [
     'countmin_heavyhitters',
     'vocab_coverage',
 ]
-# deliberately excluded at sf16 ONLY (measured r17, mechanism in
-# SCALE.md round-17): the ORACLE-PINNED minhash form (PortableMd5,
-# 32 hashes at the fixed 8x4 banding) has false-positive candidate
-# pairs growing ~quadratically with corpus size at a FIXED operating
-# point — P(band collision) is constant per random pair, so candidates
-# ~ n^2 * 8 * J_bg^4; at 800k fixed-vocab docs that measured 1107 s
-# cold / 19,885 cpu-s / 77.8 s warm for dedup_clusters (32g heap; the
-# 8g default OOM'd). The per-bucket pair budget bounds single buckets
-# and the DEFAULT curation chain's global pair budget held
-# corpus_curation_pipeline to 2.88x at sf16; deepening rows-per-band
-# with corpus size (LshTuning) is the real lever for the pinned form —
-# next-round work, tracked in NOTES.
-# entity_resolution joins the sf16 exclusions with its own measured
-# reason (r17): AGGREGATE_OUT_OF_MEMORY at 32g after 974 s — its
-# blocking keys collide quadratically on the fixed-vocab fixture (the
-# r16 verdict already flagged its sf4 ratio 3.32/CPU 5.97 as weak);
-# a pair-budgeted blocking pass like the curation chain's is the
-# next-round fix, tracked in NOTES.
-SF16_EXCLUDE = {'dedup_clusters', 'dedup_minhash_lsh', 'entity_resolution'}
+# r18: the three r17 sf16 exclusions are RE-ADMITTED — their fixes
+# landed (all mechanisms in SCALE.md round-17, fixes in r18 commits):
+# - dedup_clusters / dedup_minhash_lsh: LshTuning.pickSized deepens
+#   rows-per-band with corpus size (8x4 at every gate SF, (4,8) from
+#   the sf1 rung) and the per-bucket budget tightens above 10^5 docs,
+#   so the n^2 false-positive candidate growth of the FIXED 8x4 form
+#   (1107 s cold / OOM at 800k docs, r17) is gone by construction;
+# - entity_resolution: blocking-key depth scales with corpus size
+#   (4 digits at gate SFs up to 6) and the blocking pass rides the
+#   same in-plan global pair gate as the dedup family, replacing the
+#   r17 AGGREGATE_OUT_OF_MEMORY with a loud bounded plan.
+SF16_EXCLUDE = set()
 # deliberately excluded at sf4 (all with measured reasons, r14/r15):
 # - corpus_curation_pipeline_lossless / dedup_prefix_jaccard: the
 #   LOSSLESS prefix chain is inherently superquadratic on the
