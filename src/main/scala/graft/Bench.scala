@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   *
   * The same JSON line (plus /proc/loadavg snapshots before and after
   * the run) is also written to BENCH_SELF.json in the working
-  * directory: the driver's log capture truncates long lines, and a
-  * loaded machine inflates wall times 2-17x between sessions — the
-  * durable record lets a later reader separate load noise from real
-  * regressions without re-running.
+  * directory (full sf0.1 runs at the 32-cpu comparator config) AND to
+  * a run-unique BENCH_DETAIL_<sf>_c<cpus>.json (any full run): the
+  * driver's log capture truncates long lines, a loaded machine
+  * inflates wall times 2-17x between sessions, and the driver benches
+  * the same round at two cpu counts — the unique detail record lets a
+  * later reader recover each run's per-query map without re-running.
   *
   * Besides wall time, every query reports its PROCESS-CPU seconds
   * (`queries_cpu`, median of per-rep getProcessCpuTime deltas). In
@@ -165,10 +167,24 @@ object Bench {
     val recordPath =
       if (sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("0")) None
       else sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
-        if (only.isEmpty && sfBase == "sf0.1") Some("BENCH_SELF.json")
+        // the durable comparator record is the COMPARATOR CONFIG only:
+        // full suite, sf0.1, 32 cpus. The driver also re-runs the full
+        // suite at 8 cpus minutes later — before the cpu guard that run
+        // clobbered the committed 32-cpu record (r18 VERDICT: the
+        // round's per-query detail became unrecoverable).
+        if (only.isEmpty && sfBase == "sf0.1" && cpus == "32") Some("BENCH_SELF.json")
         else None
       }
-    recordPath.foreach { path =>
+    // RUN-UNIQUE detail record (r18 VERDICT item 2): every full run —
+    // any SF, any cpu count — writes its complete per-query record to a
+    // path keyed by (sf, cpus), so no later run at a different
+    // configuration can overwrite it. The compact trailer below points
+    // here; a consumer that needs the per-query map follows the pointer
+    // instead of parsing the (over-long) first stdout line.
+    val detailPath =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("0")) None
+      else Some(s"BENCH_DETAIL_${sfBase}_c$cpus.json")
+    (recordPath.toSeq ++ detailPath.toSeq).distinct.foreach { path =>
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(path), (record + "\n").getBytes("UTF-8"))
@@ -185,10 +201,12 @@ object Bench {
     // build.sbt forces StdoutOutput for forked runs (bare stdout, no
     // log-prefix rewrite) AND the trailer is mirrored to
     // BENCH_TRAILER.json so any consumer can read it as a bare file.
-    // `detail` points at the durable record actually written this run
-    // (r16 ADVICE: it used to claim BENCH_SELF.json unconditionally).
+    // `detail` points at the RUN-UNIQUE per-query record written above
+    // (r18 VERDICT: a mutable pointer — BENCH_SELF.json — lost the
+    // round's 32-cpu detail to the driver's later 8-cpu run), falling
+    // back to the durable/explicit record path for filtered runs.
     val trailer =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${results.count(_._5)},"total_cpu":$totalCpu,"reps":$reps,"sf":"$sfDir","detail":"${recordPath.getOrElse("unrecorded")}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${results.count(_._5)},"total_cpu":$totalCpu,"reps":$reps,"sf":"$sfDir","cpus":"$cpus","detail":"${detailPath.orElse(recordPath).getOrElse("unrecorded")}"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_TRAILER.json"),

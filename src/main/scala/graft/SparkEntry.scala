@@ -1120,18 +1120,23 @@ object SparkEntry {
     val (withExact, qualityL) = curationPrefix(s, dir)
     val (quality, exactKept, pairsExact, survivors) =
       CurationStageCache.getOrElseUpdate(s, dir) {
-        val q = qualityL.persist()
-        val ek = curationExactDedup(q).persist()
-        val pe = TextDedup.prefixFilteredJaccardPairs(
-          ek, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
-          .select(col("id_a"), col("id_b")).persist()
-        pe.count()
+        // session-staged frames are SETTLED (eager localCheckpoint, see
+        // graft.util.Staged): every warm rep of every consumer re-
+        // analyzed and re-rendered this whole stacked lineage per
+        // action — measured r19 at ~2.8 s driver CPU per warm
+        // curation-minhash rep against ~0.2 s of job work
+        val q = graft.util.Staged.settle(qualityL)
+        val ek = graft.util.Staged.settle(curationExactDedup(q))
+        val pe = graft.util.Staged.settle(
+          TextDedup.prefixFilteredJaccardPairs(
+            ek, "doc_id", "text", shingleSize = 3, minJaccardMicro = 500000L)
+            .select(col("id_a"), col("id_b")))
         val dropNear = graft.operators.Clustering
           .connectedComponents(pe, "id_a", "id_b")
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id"))
-        val sv = ek.join(dropNear, Seq("doc_id"), "left_anti").persist()
-        sv.count()
+        val sv = graft.util.Staged.settle(
+          ek.join(dropNear, Seq("doc_id"), "left_anti"))
         (q, ek, pe, sv)
       }
     (withExact, quality, exactKept, pairsExact, survivors)
@@ -1157,13 +1162,16 @@ object SparkEntry {
   private def corpusCurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val (withExact, _) = curationPrefix(s, dir)
     val cur = BandedCuratedCache.getOrElseUpdate(s, dir) {
-      // quality/exactKept/pairs arrive persisted from curate(); stage
-      // the survivor set too (splitCounts consumes it thrice)
+      // quality/exactKept/pairs arrive persisted from curate(); all
+      // four staged frames are SETTLED (lineage truncation, see
+      // curationStages) so warm splitCounts reps plan over leaves
       val c = graft.operators.Curation.curate(withExact, "doc_id", "text",
         graft.operators.Curation.BandedMinhash(scheme = TextDedup.PortableMd5Scheme))
-      val sv = c.survivors.persist()
-      sv.count()
-      c.copy(survivors = sv)
+      graft.operators.Curation.Curated(
+        quality = graft.util.Staged.settle(c.quality),
+        exactKept = graft.util.Staged.settle(c.exactKept),
+        nearDupPairs = graft.util.Staged.settle(c.nearDupPairs),
+        survivors = graft.util.Staged.settle(c.survivors))
     }
     val out = curationSplitCounts(withExact, cur.quality, cur.exactKept, cur.survivors)
     out.persist().count()
@@ -1211,14 +1219,15 @@ object SparkEntry {
     val (verified, ms) = MinhashPairsStageCache.getOrElseUpdate(s, dir) {
       val (cand, shingled) = TextDedup.minhashCandidatePairsAndShingles(
         exactKept, "doc_id", "text", threshold = 0.5)
-      val v = cand
+      // settled (lineage truncation, see curationStages): the verdict
+      // semi-join and the components pass re-render this frame's plan
+      // on every warm rep
+      val v = graft.util.Staged.settle(cand
         .join(shingled.select(col("id").as("id_a"), col("sh").as("__sa")), "id_a")
         .join(shingled.select(col("id").as("id_b"), col("sh").as("__sb")), "id_b")
         .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
         .filter(expr("__i * 1000000 div (size(__sa) + size(__sb) - __i)") >= 500000L)
-        .select(col("id_a"), col("id_b"))
-        .persist()
-      v.count()
+        .select(col("id_a"), col("id_b")))
       cand.unpersist(); shingled.unpersist()
       val dropMinhash = graft.operators.Clustering
         .connectedComponents(v, "id_a", "id_b")
@@ -1293,10 +1302,14 @@ object SparkEntry {
       val bucketBudget =
         if (n <= 100000L) TextDedup.defaultBucketPairBudget
         else math.min(TextDedup.defaultBucketPairBudget, 8256L) // m(m-1)/2 at m=129
-      TextDedup.minhashCandidatePairsAndShingles(
+      val (pairs, shingled) = TextDedup.minhashCandidatePairsAndShingles(
         docs, "doc_id", "text", threshold = 0.5, bands = bands,
         maxBucketPairs = bucketBudget,
         scheme = TextDedup.PortableMd5Scheme)
+      // settle both session-staged frames (lineage truncation — see
+      // curationStages): the bbit/ngram verify joins re-rendered the
+      // whole signature+banding lineage on every warm action
+      (graft.util.Staged.settle(pairs), graft.util.Staged.settle(shingled))
     }
 
   /** MinHash+LSH candidate duplicate pairs, oracle-gated end-to-end:
@@ -1435,9 +1448,7 @@ object SparkEntry {
     // increment arrives AT); staged once — the measured lifecycle is
     // save -> absorb -> resolve, which runs in full every invocation
     val baseLabels = ExactTopCache.getOrElseUpdate(s, dir + "#cluster-store-base") {
-      val b = C.connectedComponents(base, "id_a", "id_b").persist()
-      b.count()
-      b
+      graft.util.Staged.settle(C.connectedComponents(base, "id_a", "id_b"))
     }
     C.saveClusters(baseLabels, path, prefixBuckets = 16)
     C.absorbEdges(s, path, inc, "id_a", "id_b")
@@ -1703,14 +1714,11 @@ object SparkEntry {
     // a pure function of (session, dir) — staged once; the measured op
     // is the footer-read manifest build and the compare
     val expected = ExactTopCache.getOrElseUpdate(s, dir + "#zlayout-file-ranges") {
-      val e = graft.operators.ZOrder
+      graft.util.Staged.settle(graft.operators.ZOrder
         .fileRanges(ordersKeys, Seq("o_custkey", "o_orderkey"))
         .select(col("file_id"), col("n_rows"),
           col("min_o_custkey"), col("max_o_custkey"),
-          col("min_o_orderkey"), col("max_o_orderkey"))
-        .persist()
-      e.count()
-      e
+          col("min_o_orderkey"), col("max_o_orderkey")))
     }
     val verdict = assembled.exceptAll(expected).agg(count(lit(1)).as("__d1"))
       .crossJoin(expected.exceptAll(assembled).agg(count(lit(1)).as("__d2")))
@@ -2664,12 +2672,9 @@ object SparkEntry {
     val simFn: (Column, Column) => Column =
       (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val exact = ExactTopCache.getOrElseUpdate(s, dir + "#bitext-exact") {
-      val e = graft.operators.BitextMine
+      graft.util.Staged.settle(graft.operators.BitextMine
         .marginMine(src, tgt, "id", "vec", k = 4, minMarginMicro = 1500000L,
-          simFn = simFn, knownTgtCount = Some(34L))
-        .persist()
-      e.count()
-      e
+          simFn = simFn, knownTgtCount = Some(34L)))
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#bitext-tgt")(
       IvfAnn.build(tgt, "id", "vec", nlist = 4, iters = 3))
@@ -2728,12 +2733,9 @@ object SparkEntry {
     val simFn: (Column, Column) => Column =
       (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
-      val e = SimilaritySearch
+      graft.util.Staged.settle(SimilaritySearch
         .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn,
-          knownNodeCount = Some(300L)) // 30 bases x 10 planted variants
-        .persist()
-      e.count()
-      e
+          knownNodeCount = Some(300L))) // 30 bases x 10 planted variants
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
       IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
@@ -2777,12 +2779,9 @@ object SparkEntry {
     val simFn: (Column, Column) => Column =
       (a, b) => floor(VF.cosineDecimal(a, b) * lit(1e6)).cast("long")
     val exact = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-clusters") {
-      val e = SimilaritySearch
+      graft.util.Staged.settle(SimilaritySearch
         .mutualKnnGraph(nodes, "vec_id", "embedding", k = 5, simFn = simFn,
-          knownNodeCount = Some(300L)) // 30 bases x 10 planted variants
-        .persist()
-      e.count()
-      e
+          knownNodeCount = Some(300L))) // 30 bases x 10 planted variants
     }
     val index = IvfStageCache.getOrElseUpdate(s, dir + "#graph-clusters")(
       IvfAnn.build(nodes, "vec_id", "embedding", nlist = 8, iters = 3))
@@ -2801,9 +2800,7 @@ object SparkEntry {
     // — staged like the exact edges themselves (ExactTopCache); the
     // measured work is the ANN graph, its components, and the verdict
     val em = ExactTopCache.getOrElseUpdate(s, dir + "#knn-graph-member-sets") {
-      val e = memberSets(exact).persist()
-      e.count()
-      e
+      graft.util.Staged.settle(memberSets(exact))
     }
     val am = memberSets(ann)
     val matched = em.join(am.select(col("members")), Seq("members"), "left_semi")
@@ -3168,11 +3165,8 @@ object SparkEntry {
     */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame =
     ClassifierStageCache.getOrElseUpdate(s, dir) {
-      val scored = QualityClassifier
-        .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme)
-        .persist()
-      scored.count()
-      scored
+      graft.util.Staged.settle(QualityClassifier
+        .score(Tables(s, dir, "documents"), "doc_id", "text", QualityClassifier.PortableMd5Scheme))
     }
 
   private def textQualityClassifier(s: SparkSession, dir: String): DataFrame =
@@ -3698,15 +3692,12 @@ object SparkEntry {
       query: DataFrame): DataFrame =
     ExactTopCache.getOrElseUpdate(s, dir + "#planted-top20") {
       val q = query.select(col("embedding").as("__qv"))
-      val top = corpus
+      graft.util.Staged.settle(corpus
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           (round(VF.cosineDecimal(col("embedding"), col("__qv")), 3) + lit(0.0)).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
-        .limit(20)
-        .persist()
-      top.count()
-      top
+        .limit(20))
     }
 
   /** Exact top-20 rows plus an in-plan recall verdict on an approximate
@@ -3762,12 +3753,9 @@ object SparkEntry {
     // verdict semi-join and the output — without it the Hamming pool
     // scan (the whole corpus) runs twice
     val top = ExactTopCache.getOrElseUpdate(s, dir + "#hamming-top20") {
-      val t = BinaryAnn.topK(corpus, query, "vec_id", "embedding",
+      graft.util.Staged.settle(BinaryAnn.topK(corpus, query, "vec_id", "embedding",
         k = 20, poolSize = 64,
-        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3) + lit(0.0))
-        .persist()
-      t.count()
-      t
+        cosineFn = (a, b) => round(VF.cosineDecimal(a, b), 3) + lit(0.0)))
     }
     val verdict = exactTop20(s, dir, corpus, query)
       .join(top.select(col("vec_id")), Seq("vec_id"), "left_semi")
@@ -5733,9 +5721,8 @@ object SparkEntry {
     // arrives AT) — a pure aggregation, staged once; the measured
     // lifecycle is save -> absorb -> load -> audit, in full every rep
     val baseGroups = ExactTopCache.getOrElseUpdate(s, dir + "#agg-store-base") {
-      val b = A.build(ev.filter(col("event_id") % 2 === 0), keys, col("value")).persist()
-      b.count()
-      b
+      graft.util.Staged.settle(
+        A.build(ev.filter(col("event_id") % 2 === 0), keys, col("value")))
     }
     // 16 buckets: the 750-group fixture table needs directory COUNT
     // for the pruning proof, not directory SIZE — the commit protocol

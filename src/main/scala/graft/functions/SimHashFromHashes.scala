@@ -48,16 +48,15 @@ case class SimHashFromHashes(child: Expression, bits: Int)
   /** public: called from generated code via an expression reference */
   def signatureOf(arr: ArrayData): Long = {
     val n = arr.numElements()
+    val counts = new Array[Int](bits)
     var j = 0
     while (j < n) {
       // HOF mimicry: one null hash nulls every counter, and the final
-      // per-bit `when(null)` falls to otherwise(0) -> signature 0
+      // per-bit `when(null)` falls to otherwise(0) -> signature 0.
+      // The check rides the counting loop (single pass — r18 ADVICE):
+      // a null at ANY position zeroes the whole signature, so partial
+      // counts accumulated before the null are simply discarded.
       if (arr.isNullAt(j)) return 0L
-      j += 1
-    }
-    val counts = new Array[Int](bits)
-    j = 0
-    while (j < n) {
       val h = arr.getLong(j)
       var i = 0
       while (i < bits) {
