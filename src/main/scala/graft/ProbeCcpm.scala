@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc warm-rep decomposition for corpus_curation_pipeline_minhash
   * (not part of the driver contract): runs the query once cold, then
-  * times each warm repetition with process-CPU deltas, and finally
+  * (query name = arg 2) times each warm repetition with process-CPU deltas, and finally
   * re-times the query through the Bench action to attribute the warm
   * median. Run: `sbt "runMain graft.ProbeCcpm [sfDir]"`.
   */
@@ -59,7 +59,7 @@ object ProbeCcpm {
         }
     })
 
-    val q = SparkEntry.queries("corpus_curation_pipeline_minhash")
+    val q = SparkEntry.queries(args.lift(1).getOrElse("corpus_curation_pipeline_minhash"))
     time("cold (stage builds)")(q(spark, sfDir).count())
     time("warm rep 1 full query")(q(spark, sfDir).count())
     report = true
@@ -72,17 +72,17 @@ object ProbeCcpm {
     val before = tb.getAllThreadIds.map(id => id -> tb.getThreadCpuTime(id)).toMap
     val snap = new java.util.concurrent.atomic.AtomicReference[Map[Long, (String, String)]](Map.empty)
     val watcher = new Thread(() => {
-      Thread.sleep(1200)
+      Thread.sleep(800)
       val infos = tb.dumpAllThreads(false, false)
       snap.set(infos.map(ti => ti.getThreadId ->
-        (ti.getThreadName, ti.getStackTrace.takeRight(25).mkString(" <- "))).toMap)
+        (ti.getThreadName, ti.getStackTrace.take(22).mkString(" <- "))).toMap)
     })
     watcher.setDaemon(true); watcher.start()
     time("warm rep 3 full query")(q(spark, sfDir).count())
     val after = tb.getAllThreadIds.map(id => id -> tb.getThreadCpuTime(id)).toMap
     val deltas = after.toSeq.map { case (id, c) =>
       (id, (c - before.getOrElse(id, 0L)) / 1e9)
-    }.sortBy(-_._2).take(1)
+    }.sortBy(-_._2).take(3)
     deltas.foreach { case (id, d) =>
       val (name, stack) = snap.get.getOrElse(id, (s"tid$id", ""))
       println(f"[thread] $d%7.2f s  $name%n    $stack")

@@ -58,20 +58,43 @@ object IvfAnn {
     * contribute a seed — the failure mode of plain hash sampling is all
     * seeds landing in one dense cluster.
     *
-    * Then `iters` Lloyd iterations over the full corpus; empty clusters
-    * keep their previous centroid (they stay probe-able and can
-    * re-acquire vectors as neighbors move). Centroid means are computed
-    * in a single `groupBy(list, dim)` aggregation — map-side partial
-    * aggregation keeps the shuffle at `nlist x dims` rows regardless of
-    * corpus size.
+    * Then `iters` Lloyd iterations; empty clusters keep their previous
+    * centroid (they stay probe-able and can re-acquire vectors as
+    * neighbors move). Centroid means are computed in a single
+    * `groupBy(list, dim)` aggregation — map-side partial aggregation
+    * keeps the shuffle at `nlist x dims` rows regardless of corpus
+    * size.
+    *
+    * LLOYD TRAINING INPUT IS SAMPLED above a floor (r18 VERDICT #1 —
+    * the `knn_classify_ann` superlinear term): with `nlist` sized to
+    * the corpus (n/2000), each flat training scan is O(n·nlist·d) =
+    * O(n²·d/2000) — measured sf16/sf4 = 3.9 at 4x data. Centroid
+    * QUALITY needs only a bounded number of vectors per list, so when
+    * the corpus exceeds `max(trainSampleFloor,
+    * trainPerCentroid·nlist)` the Lloyd iterations run on a
+    * deterministic hash-sample of that size (xxhash64 rate filter —
+    * the [[KMeansTrain.train]] recipe, no RNG, scan-local) and
+    * training cost becomes linear in n. Corpora AT OR BELOW the
+    * threshold train on every row, bit-identical to the pre-sampling
+    * contract — the oracle-gated SFs (≤ ~2.3k vectors) sit far under
+    * the 32k floor, so gated results are unchanged by construction.
+    * The final ASSIGNMENT always scans the full corpus exactly once;
+    * only the training input is sampled. The assignment itself is the
+    * pruned-exact [[NearestCentroid]] (Cauchy–Schwarz group pruning,
+    * bit-identical to the flat scan at every nlist), so the other
+    * O(n·nlist·d) term drops to ~O(n·√nlist·d) with no result change.
     */
   def build(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      iters: Int = 3): Index = {
+      iters: Int = 3,
+      trainSampleFloor: Long = 32768,
+      trainPerCentroid: Int = 64): Index = {
     require(nlist > 0, "nlist must be positive")
+    require(trainSampleFloor > 0 && trainPerCentroid > 0,
+      "train sample bounds must be positive")
     val corpus = embeddings
       .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .persist()
@@ -85,8 +108,18 @@ object IvfAnn {
     require(sample.nonEmpty, "cannot train on an empty corpus")
     var centroids: Array[Array[Double]] = farthestFirstSeeds(sample, nlist)
 
+    val targetRows = math.max(trainSampleFloor, trainPerCentroid.toLong * nlist)
+    val n = corpus.count() // columnar count on the just-persisted corpus
+    val trainSet =
+      if (n <= targetRows) corpus
+      else {
+        // expected-size hash sample on the id: deterministic, scan-local
+        val permille = math.max(1L, 1000000L * targetRows / n)
+        corpus.filter(pmod(xxhash64(col("__id")), lit(1000000L)) < lit(permille))
+          .persist()
+      }
     for (_ <- 1 to iters) {
-      val means = corpus
+      val means = trainSet
         .select(nearestCentroid(col("__vec"), centroids).as("__list"),
           posexplode(col("__vec")).as(Seq("__d", "__x")))
         .groupBy(col("__list"), col("__d"))
@@ -98,6 +131,7 @@ object IvfAnn {
       }
       centroids = updated
     }
+    if (trainSet ne corpus) trainSet.unpersist()
 
     val assigned = corpus
       .select(col("__id"), col("__vec"),
@@ -148,6 +182,25 @@ object IvfAnn {
     * corpus-to-corpus on list id instead of broadcasting a node set.
     */
   def probeListsCol(
+      vec: Column,
+      centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    require(nprobe > 0, "nprobe must be positive")
+    GraftColumnShim.column(
+      graft.functions.ProbeListsArray(
+        GraftColumnShim.expression(vec),
+        centroids.map(_.toSeq).toSeq, nprobe))
+  }
+
+  /** The original interpreted HOF form of [[probeListsCol]] — O(nlist)
+    * lambda dispatch plus a k-struct sort PER ROW, the r18 sf16
+    * superlinear term in `knn_classify_ann`'s warm path once `nlist`
+    * scales with the corpus. Retained ONLY as the differential-spec
+    * reference for [[graft.functions.ProbeListsArray]]
+    * (ProbeListsNativeSpec pins list-for-list identity, ties and
+    * corner semantics included).
+    */
+  private[graft] def probeListsColHof(
       vec: Column,
       centroids: Array[Array[Double]],
       nprobe: Int): Column = {

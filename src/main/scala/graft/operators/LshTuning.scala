@@ -126,7 +126,14 @@ object LshTuning {
     * 50k sf1 rehearsal rung: an r18 session shipped fpPerDoc = 32
     * believing sf0.1 held 510 docs and silently flipped the sf0.1
     * operating point to (4, 8), losing 13 borderline-recall pairs vs
-    * the oracle's pinned-form replay);
+    * the oracle's pinned-form replay). INVARIANT (r18 ADVICE): 512 is
+    * also a verify-cost bound in its own right — ~512 candidate pairs
+    * per document is ~one extra shingle-array comparison per 2 KB of
+    * corpus text, well inside what the staged-shingle exact-verify
+    * join absorbs linearly — so if the gate fixtures ever grow past
+    * 16k docs, re-derive the budget from BOTH constraints
+    * (LshTuningSpec pins the resulting gate-SF operating points)
+    * rather than re-tuning to the new corpus margin alone;
     * among feasible splits the choice is [[pick]]'s midpoint objective
     * (ties to fewer bands), so wherever the corpus is small enough
     * that [[pick]]'s own answer is feasible — every oracle SF with

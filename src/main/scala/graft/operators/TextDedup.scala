@@ -278,7 +278,11 @@ object TextDedup {
           col("__tp2") > lit(2L) * lit(maxTotalPairs),
           raise_error(concat(
             lit(s"TextDedup: $what candidate pairs "),
-            (col("__tp2") / 2).cast("decimal(38,0)").cast("string"),
+            // a NULL count here is the decimal-overflow branch —
+            // without the coalesce the whole concat goes null and the
+            // raise carries no message (r18 ADVICE)
+            coalesce((col("__tp2") / 2).cast("decimal(38,0)").cast("string"),
+              lit("<decimal overflow>")),
             lit(s" exceed maxTotalPairs=$maxTotalPairs — the bucketing is " +
               "mis-sized for this corpus; deepen it (LshTuning.pickSized / " +
               "a longer blocking key) or raise the budget"))))

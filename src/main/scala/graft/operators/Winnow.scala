@@ -78,6 +78,14 @@ object Winnow {
     * digest + integer shifts per gram instead of an interpreted
     * md5-hex/substring/conv chain per element); a caller-supplied
     * custom fn keeps the interpreted transform.
+    *
+    * DISPATCH IS BY REFERENCE IDENTITY on the published
+    * [[PortableMd5Hash]] val (r18 ADVICE): a structurally identical
+    * lambda a caller builds themselves takes the interpreted path —
+    * semantics are preserved, only the native speedup is forfeited.
+    * Pass the published vals ([[PortableMd5Hash]] / [[Xxhash64Hash]])
+    * to get the fast twins; the custom-fn seam stays interpreted by
+    * design (there is no native compiler for arbitrary lambdas).
     */
   private def hashArray(grams: Column, hashFn: Column => Column): Column =
     if (hashFn eq PortableMd5Hash)

@@ -84,6 +84,45 @@ class IvfAnnSpec extends SparkSpec {
     index.assigned.unpersist()
   }
 
+  test("sampled Lloyd training (corpus above the floor) stays deterministic and exact-on-full-probe") {
+    // force the hash-sampled training path: targetRows = max(16, 1*3)
+    // = 16 < 60 vectors. The full-probe==brute-force invariant holds
+    // for ANY coarse partition, so it proves the sampled index serves
+    // exact results; determinism pins the xxhash64 rate filter.
+    val a = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3,
+      trainSampleFloor = 16, trainPerCentroid = 1)
+    val b = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3,
+      trainSampleFloor = 16, trainPerCentroid = 1)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+      "sampled training must be deterministic")
+    val query = vectors.filter(col("vec_id") === 0)
+    val ivf = IvfAnn.topK(a, query, k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+    val brute = SimilaritySearch
+      .bruteForceTopK(vectors, query, "vec_id", "embedding", k = 10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == brute, "full probe over a sampled-trained index must stay exact")
+    a.assigned.unpersist(); b.assigned.unpersist()
+  }
+
+  test("corpora at or below the sampling floor train bit-identically to the unsampled contract") {
+    // 60 vectors < the 32768 default floor: the default build and an
+    // explicitly-unsampled build must produce the same centroids and
+    // the same assignment
+    val a = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3)
+    val b = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3,
+      trainSampleFloor = Long.MaxValue / 2, trainPerCentroid = 1)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    val la = a.assigned.orderBy(col("__id")).select(col("__id"), col("__list"))
+      .as[(Long, Int)].collect().toSeq
+    val lb = b.assigned.orderBy(col("__id")).select(col("__id"), col("__list"))
+      .as[(Long, Int)].collect().toSeq
+    assert(la == lb)
+    a.assigned.unpersist(); b.assigned.unpersist()
+  }
+
   test("partial probe returns only probed lists and keeps the query's own neighbors") {
     val index = IvfAnn.build(vectors, "vec_id", "embedding", nlist = 3, iters = 3)
     val query = vectors.filter(col("vec_id") === 0)
