@@ -2158,7 +2158,13 @@ object SparkEntry {
       blocked.groupBy(col("__bk")).agg(count(lit(1)).as("__block_n")),
       "__block_n", TextDedup.defaultBucketPairBudget,
       TextDedup.defaultTotalPairBudget, "blocking-key")
-    val bounded = blocked.join(blockSizes, Seq("__bk"))
+    // settle the admitted-block table ONCE per invocation: it feeds
+    // BOTH sides of the pair self-join (the r19 probe showed the
+    // scan+union+substring+gate pipeline evaluated twice inside the
+    // verify-join job plus per-side gate aggregates, ~50 CPU-s/rep at
+    // the sf16 rung) and its blocks are released as soon as the
+    // connected-components edge set materializes below
+    val bounded = graft.util.Staged.settle(blocked.join(blockSizes, Seq("__bk")))
     val pairs = bounded
       .select(col("__bk"), col("c_custkey").as("id_a"), col("c_name").as("__na"))
       .join(bounded
@@ -2179,7 +2185,12 @@ object SparkEntry {
         // whole optimization.
         levenshtein(col("__na"), col("__nb"), 2) >= 0)
       .select(col("id_a"), col("id_b"))
-    graft.operators.Clustering.connectedComponents(pairs, "id_a", "id_b")
+    // connectedComponents materializes its edge set eagerly
+    // (localCheckpoint) during this call, after which the settled
+    // block table is dead weight — release its blocks immediately
+    val labels = graft.operators.Clustering.connectedComponents(pairs, "id_a", "id_b")
+    graft.util.Staged.release(bounded)
+    labels
       .join(base, col("id") === col("c_custkey"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),

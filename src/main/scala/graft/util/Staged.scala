@@ -44,4 +44,19 @@ object Staged {
     if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
     out
   }
+
+  /** Release the RDD blocks behind a settled frame NOW (for the
+    * per-invocation settle pattern — a frame settled inside one query
+    * evaluation and fully consumed before it returns).
+    * `Dataset.unpersist` only clears CacheManager entries, so a
+    * checkpoint's blocks otherwise linger until the GC-driven
+    * ContextCleaner notices the RDD is unreachable (the
+    * [[graft.operators.SuffixArray]] release pattern). Matches only a
+    * frame whose ROOT is the checkpoint; no-op on anything else.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }
